@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators (SURVEY.md §2.2–§2.4) as reusable,
+  * plan-friendly building blocks. Everything here stays inside
+  * `org.apache.spark.sql.functions` so Catalyst can fuse/push/prune and
+  * whole-stage codegen covers the hot path — no UDFs, no driver-side loops.
+  */
+object Relational {
+
+  /** P7–P9: join-key normalization as used by the reference's merge
+    * (merge_to_dw.py:63): null → "" (so null keys JOIN, pandas
+    * `fillna("")` semantics — SURVEY.md §7.4.1), cast to string, trim,
+    * lowercase. Applied to BOTH sides before any equi-join that must
+    * reproduce the reference's matching.
+    */
+  def normalizeKey(c: Column): Column =
+    lower(trim(coalesce(c.cast("string"), lit(""))))
+
+  def normalizeKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    keys.foldLeft(df)((d, k) => d.withColumn(k, normalizeKey(col(k))))
+
+  /** J1: full-outer equi-join with a pandas-style `_merge` indicator
+    * (merge_to_dw.py:71-82). The indicator is rebuilt from per-side
+    * sentinel flags added BEFORE the join — never by probing row columns
+    * for null (rows legitimately contain nulls in non-key fields,
+    * SURVEY.md §7.4.8).
+    *
+    * Scale note: on a composite low-cardinality text key this is a shuffle
+    * sort-merge join with skew risk; AQE's skew-join splitting handles the
+    * hot keys ("various artists"-type values) without manual salting.
+    */
+  def fullOuterWithIndicator(left: DataFrame, right: DataFrame,
+                             keys: Seq[String]): DataFrame = {
+    val l = left.withColumn("_left_flag", lit(true))
+    val r = right.withColumn("_right_flag", lit(true))
+    l.join(r, keys, "full_outer")
+      .withColumn("_merge",
+        when(col("_left_flag") && col("_right_flag"), "both")
+          .when(col("_left_flag"), "left_only")
+          .otherwise("right_only"))
+      .drop("_left_flag", "_right_flag")
+  }
+
+  /** A1: deterministic mode (most frequent value; ties broken toward the
+    * SMALLEST value — pandas `Series.mode()` returns modes sorted
+    * ascending, and `_mode_or_first` takes the head,
+    * limpiezaSpotify.py:59-61; SURVEY.md §7.4.2). Spark's built-in
+    * `mode()` is tie-nondeterministic, so this is the two-level aggregate
+    * rewrite: count per (group, value), then `max_by` on
+    * (count, -value) — one extra partial-aggregated shuffle, fully
+    * codegen'd, no custom UDAF needed.
+    *
+    * @return DataFrame[groupCol, modeCol] with one row per group.
+    */
+  def deterministicMode(df: DataFrame, groupCol: String, valueCol: String,
+                        out: String): DataFrame =
+    df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("_cnt"))
+      .groupBy(col(groupCol))
+      .agg(max_by(col(valueCol),
+        struct(col("_cnt"), (col(valueCol) * lit(-1)).as("_neg"))).as(out))
+
+  /** A1 companion: "first" per group under an EXPLICIT order column.
+    * pandas `iloc[0]` is input-order-stable; Spark `first()` is not —
+    * SURVEY.md §7.4.3 — so callers must name the ordering column.
+    */
+  def firstByOrder(df: DataFrame, groupCol: String, orderCol: String,
+                   valueCols: Seq[String]): DataFrame = {
+    val aggs = valueCols.map(v => min_by(col(v), col(orderCol)).as(v))
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A3: frequency count (pandas `value_counts`) with a deterministic
+    * total order: count desc, then key asc.
+    */
+  def freqCount(df: DataFrame, c: String): DataFrame =
+    df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col(c))
+
+  /** A5: top-k of counts with deterministic tie-break. */
+  def topKByCount(df: DataFrame, k: Int, cols: String*): DataFrame =
+    df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt") +: cols.map(col): _*)
+      .limit(k)
+
+  /** A8: distinct cardinality per column — one aggregate pass, no
+    * per-column jobs. Exact here; swap `approx_count_distinct` at 100 TB
+    * when a ±2% answer is acceptable.
+    */
+  def nunique(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.agg(
+      countDistinct(col(cols.head)).as(s"nu_${cols.head}"),
+      cols.tail.map(c => countDistinct(col(c)).as(s"nu_$c")): _*)
+
+  /** A9: null count per column in a single pass. */
+  def nullCounts(df: DataFrame, cols: Seq[String]): DataFrame = {
+    def cnt(c: String) = sum(col(c).isNull.cast("long")).as(s"nulls_$c")
+    df.agg(cnt(cols.head), cols.tail.map(cnt): _*)
+  }
+
+  /** A10: exact summary statistics (count/mean/stddev/min/max) for numeric
+    * columns, one aggregate pass. (`df.summary()`'s quartiles are
+    * approximate by design; this exact variant is what the correctness
+    * oracle can check.)
+    */
+  def stats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      // mean is computed as round(sum,2)/count: for cent-discrete inputs
+      // the rounded sum is the exact value in both engines, so the single
+      // division is bit-identical — avg() + final rounding hits half-way
+      // boundaries systematically on discrete data.
+      Seq(count(col(c)).as(s"cnt_$c"),
+        (round(sum(col(c)), 2) / count(col(c))).as(s"mean_$c"),
+        round(stddev(col(c)), 4).as(s"std_$c"),
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** D7-style argmax: the single row maximizing `by`, ties broken by
+    * ascending `tieBreak` — window-based, fully distributed (no driver
+    * sort / collect).
+    */
+  def argmaxRow(df: DataFrame, by: Column, tieBreak: Column): DataFrame = {
+    val w = Window.orderBy(by.desc, tieBreak)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+}

@@ -1,0 +1,338 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+import graft.sources.Tables
+
+/** Registered queries for the core relational surface (SURVEY.md §2.1,
+  * §2.2, §2.4) expressed over the driver's synthetic corpus, each with a
+  * DuckDB oracle. Determinism rules used throughout the registry:
+  *
+  *  - every query output is totally ordered with explicit tie-breaks
+  *    (and `NULLS FIRST` stated when a sort key is nullable);
+  *  - every float produced by arithmetic is `round(_, 4)` so the
+  *    1-ulp summation-order noise between engines can't flip a hash;
+  *  - every computed integer is cast to long to match DuckDB's BIGINT.
+  */
+object CoreQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Flagship wide aggregation (A3/A4/A6 composite; TPC-H Q1 shape).
+    "q1_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          // Money columns are cent-discrete: rounding sums to 2 decimals
+          // loses nothing and sits 100× above double summation noise, and
+          // averages are computed as round(sum,2)/count so both engines
+          // divide identical doubles (see d5 note in DashboardQueries).
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          (round(sum(col("l_discount")), 2) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // S3: scan with LIMIT (deterministic via total order on the key).
+    "s3_limit" -> ((s, d) =>
+      t(s, d, "orders").orderBy(col("o_orderkey")).limit(10)),
+
+    // P1+P3: rename + projection.
+    "p1_rename" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey").as("order_id"),
+          col("o_orderpriority").as("priority"))
+        .orderBy(col("order_id"))),
+
+    // P2: drop columns mid-pipeline.
+    "p2_drop" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .drop("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_shipdate")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // P5: conjunctive boolean filter (notebook cells 10-11 shape).
+    "p5_filter" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100000)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    // P6+P7: null predicates and null fill (nulls injected via nullif so
+    // the path is non-trivial on the null-free synthetic corpus).
+    "p6_p7_nulls" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("prio_n", expr("nullif(o_orderpriority, '5-LOW')"))
+        .select(col("o_orderkey"),
+          col("prio_n").isNull.as("is_null"),
+          coalesce(col("prio_n"), lit("")).as("prio_filled"))
+        .orderBy(col("o_orderkey"))),
+
+    // P8+P9: cast-to-string + trim/lower key normalization.
+    "p8_p9_normalize" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+          Relational.normalizeKey(col("c_name")).as("name_norm"),
+          col("c_custkey").cast("string").as("key_str"))
+        .orderBy(col("c_custkey"))),
+
+    // P10: array → delimited string (the list-valued artists flatten).
+    "p10_array_join" -> ((s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          array_join(split(col("p_name"), " "), ", ").as("name_parts"),
+          size(split(col("p_name"), " ")).cast("long").as("n_words"))
+        .orderBy(col("p_partkey"))),
+
+    // P11: lookup with default via broadcast join (the genre-map shape —
+    // misses fall back to the literal default, limpiezaSpotify.py:84-89).
+    "p11_lookup_default" -> ((s, d) => {
+      val lookup = s.createDataFrame(Seq(
+        ("AFRICA", "afro"), ("ASIA", "asia"), ("EUROPE", "euro")))
+        .toDF("r_name", "code")
+      t(s, d, "region")
+        .join(broadcast(lookup), Seq("r_name"), "left")
+        .select(col("r_regionkey"), col("r_name"),
+          coalesce(col("code"), lit("Otro")).as("code"))
+        .orderBy(col("r_regionkey"))
+    }),
+
+    // P12: lenient numeric cast (pandas to_numeric(errors='coerce')).
+    "p12_try_cast" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          expr("try_cast(o_orderpriority AS INT)").as("prio_junk"),
+          expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_num"))
+        .orderBy(col("o_orderkey"))),
+
+    // P13: timestamp difference in days (notebook cell 4's days_between).
+    "p13_datediff" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+            .as("ship_days"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // P14: conditional column pick (row.get(a) or row.get(b)).
+    "p14_coalesce_pick" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          coalesce(expr("nullif(o_orderpriority, '4-NOT SPECIFIED')"),
+            col("o_orderstatus")).as("pick"))
+        .orderBy(col("o_orderkey"))),
+
+    // J1: full-outer equi-join with pandas-style _merge indicator over
+    // orders ⟗ (customers in debt) — all three indicator buckets occur.
+    "j1_merge_indicator" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"))
+      val c = t(s, d, "customer").where(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("custkey"), col("c_acctbal"))
+      Relational.fullOuterWithIndicator(o, c, Seq("custkey"))
+        .orderBy(col("custkey"), col("o_orderkey").asc_nulls_first)
+    }),
+
+    // J1+A3: the reference prints the _merge distribution after merging
+    // (merge_to_dw.py:80-82).
+    "j1_merge_dist" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"))
+      val c = t(s, d, "customer").where(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("custkey"), col("c_acctbal"))
+      Relational.fullOuterWithIndicator(o, c, Seq("custkey"))
+        .groupBy(col("_merge")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("_merge"))
+    }),
+
+    // A1: deterministic mode-or-first dedup aggregate (ties → smallest
+    // mode; "first" pinned to l_linenumber order) — the two-level-agg
+    // rewrite of limpiezaSpotify.py:59-61.
+    "a1_mode_first" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val modes = Relational.deterministicMode(
+        li.select("l_orderkey", "l_quantity"), "l_orderkey", "l_quantity",
+        "mode_qty")
+      // l_linenumber is not unique per order in the synthetic corpus, so
+      // the "first" ordering is the composite (l_linenumber, value).
+      val firsts = li.groupBy(col("l_orderkey"))
+        .agg(min_by(col("l_returnflag"),
+          struct(col("l_linenumber"), col("l_returnflag"))).as("first_rf"))
+      modes.join(firsts, Seq("l_orderkey")).orderBy(col("l_orderkey"))
+    }),
+
+    // A2: distinct rows.
+    "a2_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").select("l_returnflag", "l_linestatus")
+        .dropDuplicates()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // A3: frequency count (value_counts).
+    "a3_freq" -> ((s, d) =>
+      Relational.freqCount(t(s, d, "orders"), "o_orderpriority")),
+
+    // A4: group-by mean of a boolean (winner-rate per year).
+    "a4_bool_rate" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        // Exact-integer ratio: one IEEE division of identical longs on
+        // both engines — no rounding needed, bit-exact.
+        .agg((count_if(col("o_orderstatus") === "F") / count(lit(1)))
+          .as("f_rate"))
+        .orderBy(col("yr"))),
+
+    // A5: top-k of counts with deterministic tie-break.
+    "a5_topk" -> ((s, d) =>
+      Relational.topKByCount(t(s, d, "orders"), 15,
+        "o_orderpriority", "o_orderstatus")),
+
+    // A6: column min/max.
+    "a6_minmax" -> ((s, d) =>
+      t(s, d, "orders").agg(
+        min(year(col("o_orderdate"))).cast("long").as("min_yr"),
+        max(year(col("o_orderdate"))).cast("long").as("max_yr"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))),
+
+    // A7: count / shape.
+    "a7_count" -> ((s, d) =>
+      t(s, d, "lineitem").agg(count(lit(1)).as("n"))),
+
+    // A8: distinct cardinality per column, one pass.
+    "a8_nunique" -> ((s, d) =>
+      Relational.nunique(t(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
+
+    // A9: null count per column, one pass (one genuinely nullable column
+    // injected via nullif).
+    "a9_nullcount" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("status_n", expr("nullif(o_orderstatus, 'O')"))
+        .agg(count_if(col("o_custkey").isNull).as("nulls_custkey"),
+          count_if(col("status_n").isNull).as("nulls_status"))),
+
+    // A10: exact summary statistics, one pass.
+    "a10_stats" -> ((s, d) =>
+      Relational.stats(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+
+    // A12: row-set sort with deterministic tie-break.
+    "a12_sort" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(100))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+        |round(sum(l_extendedprice),2) AS sum_price,
+        |round(sum(l_discount),2)/count(*) AS avg_disc,
+        |count(*) AS cnt FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "s3_limit" -> "SELECT * FROM orders ORDER BY o_orderkey LIMIT 10",
+    "p1_rename" ->
+      "SELECT o_orderkey AS order_id, o_orderpriority AS priority FROM orders ORDER BY 1",
+    "p2_drop" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_returnflag,
+        |l_linestatus FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p5_filter" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus='F' AND o_totalprice>100000 ORDER BY 1""".stripMargin,
+    "p6_p7_nulls" ->
+      """SELECT o_orderkey, (nullif(o_orderpriority,'5-LOW') IS NULL) AS is_null,
+        |coalesce(nullif(o_orderpriority,'5-LOW'),'') AS prio_filled
+        |FROM orders ORDER BY 1""".stripMargin,
+    "p8_p9_normalize" ->
+      """SELECT c_custkey, lower(trim(coalesce(CAST(c_name AS VARCHAR),''))) AS name_norm,
+        |CAST(c_custkey AS VARCHAR) AS key_str FROM customer ORDER BY 1""".stripMargin,
+    "p10_array_join" ->
+      """SELECT p_partkey, array_to_string(string_split(p_name,' '),', ') AS name_parts,
+        |CAST(len(string_split(p_name,' ')) AS BIGINT) AS n_words FROM part ORDER BY 1""".stripMargin,
+    "p11_lookup_default" ->
+      """SELECT r_regionkey, r_name,
+        |CASE r_name WHEN 'AFRICA' THEN 'afro' WHEN 'ASIA' THEN 'asia'
+        |WHEN 'EUROPE' THEN 'euro' ELSE 'Otro' END AS code
+        |FROM region ORDER BY 1""".stripMargin,
+    "p12_try_cast" ->
+      """SELECT o_orderkey, TRY_CAST(o_orderpriority AS INT) AS prio_junk,
+        |TRY_CAST(substring(o_orderpriority,1,1) AS INT) AS prio_num
+        |FROM orders ORDER BY 1""".stripMargin,
+    "p13_datediff" ->
+      """SELECT l_orderkey, l_linenumber,
+        |date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS ship_days
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey ORDER BY 1,2""".stripMargin,
+    "p14_coalesce_pick" ->
+      """SELECT o_orderkey, coalesce(nullif(o_orderpriority,'4-NOT SPECIFIED'),
+        |o_orderstatus) AS pick FROM orders ORDER BY 1""".stripMargin,
+    "j1_merge_indicator" ->
+      """SELECT coalesce(o.o_custkey, c.c_custkey) AS custkey, o.o_orderkey, c.c_acctbal,
+        |CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NOT NULL THEN 'both'
+        |WHEN o.o_custkey IS NOT NULL THEN 'left_only' ELSE 'right_only' END AS _merge
+        |FROM orders o FULL OUTER JOIN (SELECT * FROM customer WHERE c_acctbal<0) c
+        |ON o.o_custkey=c.c_custkey ORDER BY 1, 2 NULLS FIRST""".stripMargin,
+    "j1_merge_dist" ->
+      """SELECT CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NOT NULL THEN 'both'
+        |WHEN o.o_custkey IS NOT NULL THEN 'left_only' ELSE 'right_only' END AS _merge,
+        |count(*) AS cnt
+        |FROM orders o FULL OUTER JOIN (SELECT * FROM customer WHERE c_acctbal<0) c
+        |ON o.o_custkey=c.c_custkey GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a1_mode_first" ->
+      """WITH cnts AS (SELECT l_orderkey, l_quantity, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1,2),
+        |m AS (SELECT l_orderkey, l_quantity AS mode_qty,
+        |  row_number() OVER (PARTITION BY l_orderkey ORDER BY cnt DESC, l_quantity ASC) AS rn
+        |  FROM cnts),
+        |f0 AS (SELECT l_orderkey, l_returnflag AS first_rf,
+        |  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_returnflag) AS frn
+        |  FROM lineitem),
+        |f AS (SELECT l_orderkey, first_rf FROM f0 WHERE frn=1)
+        |SELECT m.l_orderkey, m.mode_qty, f.first_rf FROM m JOIN f USING (l_orderkey)
+        |WHERE rn=1 ORDER BY 1""".stripMargin,
+    "a2_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1,2",
+    "a3_freq" ->
+      """SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY 1
+        |ORDER BY cnt DESC, o_orderpriority""".stripMargin,
+    "a4_bool_rate" ->
+      """SELECT year(o_orderdate) AS yr,
+        |count(*) FILTER (WHERE o_orderstatus='F') / count(*) AS f_rate
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a5_topk" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt FROM orders
+        |GROUP BY 1,2 ORDER BY cnt DESC, o_orderpriority, o_orderstatus LIMIT 15""".stripMargin,
+    "a6_minmax" ->
+      """SELECT min(year(o_orderdate)) AS min_yr, max(year(o_orderdate)) AS max_yr,
+        |min(o_totalprice) AS min_price, max(o_totalprice) AS max_price FROM orders""".stripMargin,
+    "a7_count" -> "SELECT count(*) AS n FROM lineitem",
+    "a8_nunique" ->
+      """SELECT count(DISTINCT o_orderkey) AS nu_o_orderkey,
+        |count(DISTINCT o_custkey) AS nu_o_custkey,
+        |count(DISTINCT o_orderstatus) AS nu_o_orderstatus,
+        |count(DISTINCT o_orderpriority) AS nu_o_orderpriority FROM orders""".stripMargin,
+    "a9_nullcount" ->
+      """SELECT count(*) FILTER (WHERE o_custkey IS NULL) AS nulls_custkey,
+        |count(*) FILTER (WHERE nullif(o_orderstatus,'O') IS NULL) AS nulls_status
+        |FROM orders""".stripMargin,
+    "a10_stats" ->
+      """SELECT count(l_quantity) AS cnt_l_quantity,
+        |round(sum(l_quantity),2)/count(l_quantity) AS mean_l_quantity,
+        |round(stddev(l_quantity),4) AS std_l_quantity, min(l_quantity) AS min_l_quantity,
+        |max(l_quantity) AS max_l_quantity,
+        |count(l_extendedprice) AS cnt_l_extendedprice,
+        |round(sum(l_extendedprice),2)/count(l_extendedprice) AS mean_l_extendedprice,
+        |round(stddev(l_extendedprice),4) AS std_l_extendedprice, min(l_extendedprice) AS min_l_extendedprice,
+        |max(l_extendedprice) AS max_l_extendedprice,
+        |count(l_discount) AS cnt_l_discount,
+        |round(sum(l_discount),2)/count(l_discount) AS mean_l_discount,
+        |round(stddev(l_discount),4) AS std_l_discount, min(l_discount) AS min_l_discount,
+        |max(l_discount) AS max_l_discount
+        |FROM lineitem""".stripMargin,
+    "a12_sort" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+  )
+}

@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Sources & sinks (SURVEY.md §2.1, S1–S12).
+  *
+  * The reference reads CSVs with pandas inference (merge_to_dw.py:28-34,
+  * limpiezaSpotify.py:75) and hand-loads a SQLite table row by row
+  * (bd.py:27-45). Here every source has a pinned schema — inference is a
+  * correctness hazard (a junk cell silently flips a column to string) and a
+  * perf hazard (inference is an extra full scan). All loads are set-based;
+  * nothing is ever written row-at-a-time (S6/S10/S11 re-architecture).
+  */
+object Tables {
+
+  /** The driver's synthetic star-schema corpus (TESTDATA.md). */
+  val synthetic: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** S8: parquet read. Schema is embedded; nothing to pin. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every synthetic table as a temp view so `spark.sql` queries
+    * (the engine's SQL surface, SURVEY.md §3 "ad-hoc entry points") can
+    * name them exactly like the DuckDB oracle does.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    synthetic.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Pinned schema for the reference's Spotify tracks CSV
+    * (README.md:91-96). Includes the stray `Unnamed: 0` index column the
+    * loader must tolerate (merge_to_dw.py:268, SURVEY.md §7.4.5) and the
+    * MySQL-reserved `key` column renamed at ingest (S12,
+    * merge_to_dw.py:176-181).
+    */
+  val spotifySchema: StructType = StructType(Seq(
+    StructField("Unnamed: 0", LongType),
+    StructField("track_id", StringType),
+    StructField("artists", StringType),
+    StructField("album_name", StringType),
+    StructField("track_name", StringType),
+    StructField("popularity", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("explicit", BooleanType),
+    StructField("danceability", DoubleType),
+    StructField("energy", DoubleType),
+    StructField("key", IntegerType),
+    StructField("loudness", DoubleType),
+    StructField("mode", IntegerType),
+    StructField("speechiness", DoubleType),
+    StructField("acousticness", DoubleType),
+    StructField("instrumentalness", DoubleType),
+    StructField("liveness", DoubleType),
+    StructField("valence", DoubleType),
+    StructField("tempo", DoubleType),
+    StructField("time_signature", IntegerType),
+    StructField("track_genre", StringType)))
+
+  /** Pinned schema for the Grammy awards CSV (bd.py:11-24). The
+    * `published_at`/`updated_at` columns are TEXT timestamps parsed on
+    * demand (notebook cell 4), so they stay strings here.
+    */
+  val grammySchema: StructType = StructType(Seq(
+    StructField("year", IntegerType),
+    StructField("title", StringType),
+    StructField("published_at", StringType),
+    StructField("updated_at", StringType),
+    StructField("category", StringType),
+    StructField("nominee", StringType),
+    StructField("artist", StringType),
+    StructField("workers", StringType),
+    StructField("img", StringType),
+    StructField("winner", BooleanType)))
+
+  /** S1: header CSV scan with a pinned schema. `key` → `track_key` rename
+    * happens here, at ingest (S12), so no downstream code ever sees the
+    * reserved word.
+    */
+  def readSpotifyCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(spotifySchema)
+      .option("header", "true")
+      .csv(path)
+      .withColumnRenamed("key", "track_key")
+      .withColumnRenamed("Unnamed: 0", "row_idx")
+
+  def readGrammyCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(grammySchema)
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(path)
+
+  /** P4: required-column assertion (limpiezaSpotify.py:78-81) — fail fast
+    * before any job is launched, not mid-pipeline.
+    */
+  def requireColumns(df: DataFrame, required: Seq[String]): DataFrame = {
+    val missing = required.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"missing required columns: ${missing.mkString(", ")}")
+    df
+  }
+
+  /** S7: parquet write (replaces the reference's /tmp hand-off files,
+    * merge_to_dw.py:87-92).
+    */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** S9: CSV export (limpiezaSpotify.py:103-104, merge_to_drive.py:32-37). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+}
