@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-data-pipeline surface.
+  *
+  * Everything here is composed from `org.apache.spark.sql.functions`
+  * higher-order array functions, so each derivation is a PER-ROW projection:
+  * no shuffle, no UDF serialization, full whole-stage codegen. At 100 TB
+  * these run map-side at scan speed — the only shuffles in the downstream
+  * dedup/similarity pipelines are the ones their algorithms require
+  * (LSH bucket exchange, group-by-hash).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization after trim+lowercase. */
+  def tokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** Token count; empty/blank text counts 0 (split would yield [""]). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(tokens(text)).cast("long"))
+
+  /** Distinct word n-gram shingles, space-joined. Documents shorter than
+    * `n` words contribute their whole token sequence as one shingle.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
+        i => array_join(slice(ws, i, lit(n)), " ")))
+  }
+
+  /** Ratio of stopword tokens to all tokens (quality-scoring feature).
+    * Exact integer ratio — deterministic across engines.
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val ws = tokens(text)
+    size(filter(ws, w => w.isInCollection(stopwords))).cast("double") / size(ws)
+  }
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,!?;:]", "")).cast("double") /
+      length(text)
+
+  /** Mean word length: total non-space chars over token count (exact
+    * integer ratio).
+    */
+  def avgWordLen(text: Column): Column =
+    length(regexp_replace(text, "\\s", "")).cast("double") / size(tokens(text))
+
+  /** Marker-word language-ID heuristic: score each language by how many of
+    * its marker words appear (distinct hits), predict the max-scoring
+    * language with a fixed tie order. A word-gram heuristic in the n-gram
+    * language-ID family — deterministic, SQL-expressible, and map-side
+    * (the marker lists live in the plan as literals).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "les", "des", "et", "est"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val distinctWords = array_distinct(tokens(text))
+    langMarkers.map { case (lang, markers) =>
+      lang -> size(array_intersect(distinctWords,
+        array(markers.map(lit): _*))).cast("long")
+    }
+  }
+
+  def predictedLang(text: Column): Column = {
+    val scores = langScores(text)
+    val mx = greatest(scores.map(_._2): _*)
+    // First language (in langMarkers order) achieving the max — the same
+    // CASE chain the oracle runs.
+    scores.foldRight(lit(scores.head._1)) { case ((lang, s), els) =>
+      when(s === mx, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Document fingerprint: the minimum md5 over word 5-gram shingles — a
+    * single-hash MinHash, stable under document reordering of identical
+    * content windows (rolling-hash family).
+    */
+  def fingerprint(text: Column, n: Int = 5): Column =
+    array_min(transform(shingles(text, n), s => md5(s)))
+
+  /** MinHash signature: k independent hash slots, slot i = min over
+    * shingles of md5(i ++ ":" ++ shingle) (hex-string min). md5 rather
+    * than xxhash64 keeps the signature reproducible by any engine
+    * (the correctness oracle recomputes it in SQL). Per-row, no shuffle.
+    */
+  def minhashSignature(text: Column, k: Int, shingleN: Int = 3): Column = {
+    val sh = shingles(text, shingleN)
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh,
+        s => md5(concat(i.cast("string"), lit(":"), s)))))
+  }
+
+  /** LSH band keys from a MinHash signature: bands of `r` consecutive
+    * slots, each key = bandIndex ++ "|" ++ concat(slots). Docs sharing any
+    * band key are near-dup candidates.
+    */
+  def lshBands(sig: Column, numBands: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(numBands - 1)),
+      j => concat_ws("|",
+        (j.cast("string") +:
+          (1 to r).map(o => element_at(sig, j * r + o))): _*))
+
+  /** 16-bit SimHash as a bit-string, built per-row with a fold over the
+    * token array (no explode, no shuffle): bit b's counter sums +1/-1 by
+    * the b-th hex digit of md5(word); positive counters set the bit.
+    */
+  def simhash16(text: Column): Column = {
+    val ws = tokens(text)
+    val bitsOf: Column => Column = w =>
+      transform(sequence(lit(1), lit(16)),
+        b => when(md5(w).substr(b, lit(1)) >= "8", lit(1L)).otherwise(lit(-1L)))
+    val sums = aggregate(ws, array_repeat(lit(0L), 16),
+      (acc, w) => zip_with(acc, bitsOf(w), (a, b) => a + b))
+    array_join(transform(sums,
+      s => when(s > 0, lit("1")).otherwise(lit("0"))), "")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for large-scale corpus curation.
+  *
+  * Scale design (the whole point of these rewrites):
+  *  - exact dedup shuffles once, hash-partitioned BY THE CONTENT HASH —
+  *    the natural key — so it scales linearly and skews only if the data
+  *    actually contains mega-duplicates (AQE splits those);
+  *  - near-dup is MinHash-LSH: candidates are generated ONLY within LSH
+  *    buckets (one explode + one equi-join on the band key), never by an
+  *    all-pairs product. All-pairs at 100 TB is ~10^16 comparisons;
+  *    banded LSH is linear in corpus size for bounded bucket width.
+  *  - signatures/fingerprints are per-row projections (TextFunctions), so
+  *    everything before the bucket join runs map-side at scan speed.
+  */
+object Dedup {
+
+  /** Exact-duplicate statistics: one row per distinct content hash with
+    * its multiplicity and the surviving (minimum) id.
+    */
+  def exactDupStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(count(lit(1)).as("dup_cnt"), min(col(idCol)).as("keeper"))
+
+  /** Exact dedup: keep the minimum-id row per content hash. Implemented
+    * as a window-free two-phase aggregate + semi-join so the wide payload
+    * is shuffled once at most.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.join(
+      exactDupStats(df, idCol, textCol)
+        .select(col("keeper").as(idCol)),
+      Seq(idCol), "left_semi")
+
+  /** MinHash-LSH near-duplicate candidate pairs (id_a < id_b), via
+    * `numBands` bands of `r` signature slots. Only bucket-mates become
+    * candidates.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        numBands: Int = 6, r: Int = 2,
+                        shingleN: Int = 3): DataFrame = {
+    val sig = df.select(col(idCol),
+      minhashSignature(col(textCol), numBands * r, shingleN).as("sig"))
+    val banded = sig.select(col(idCol),
+      explode(lshBands(col("sig"), numBands, r)).as("band"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .dropDuplicates()
+  }
+
+  /** Exact n-gram Jaccard similarity between two shingle-set columns,
+    * via |A∩B| / (|A|+|B|-|A∩B|) — a ratio of exact integers.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+
+  /** Near-duplicate pairs: LSH candidates verified by exact shingle
+    * Jaccard >= threshold. The verify join re-reads only candidate rows.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, numBands: Int = 6, r: Int = 2,
+                   shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    minhashCandidates(df, idCol, textCol, numBands, r, shingleN)
+      .join(sh.withColumnRenamed(idCol, "id_a")
+        .withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed(idCol, "id_b")
+        .withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** Blocked exact n-gram Jaccard: all pairs WITHIN a blocking key (e.g.
+    * (lang, source)) — the classic bounded-block alternative when a
+    * natural partition exists. Never unblocked all-pairs.
+    */
+  def blockedJaccard(df: DataFrame, idCol: String, textCol: String,
+                     blockCols: Seq[String], threshold: Double,
+                     shingleN: Int = 3): DataFrame = {
+    val sh = df.select((blockCols.map(col) :+ col(idCol) :+
+      shingles(col(textCol), shingleN).as("sh")): _*)
+    val a = blockCols.foldLeft(sh)((d, c) => d.withColumnRenamed(c, c))
+    a.as("a").join(sh.as("b"),
+        blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+          .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("jac", jaccard(col("a.sh"), col("b.sh")))
+      .where(col("jac") >= threshold)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("jac"))
+  }
+
+  /** SimHash table: 16-bit locality-sensitive bit signature per row —
+    * near-dups differ in few bits (Hamming). Per-row projection.
+    */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), simhash16(col(textCol)).as("simhash"))
+}

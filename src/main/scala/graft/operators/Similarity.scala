@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two tiers, mirroring how ANN is actually deployed:
+  *  - brute-force cosine top-k: the exact baseline. The query set is
+  *    broadcast (it is small by definition), so the "cross join" is a
+  *    map-side nested loop over the candidate scan — linear in corpus
+  *    size, no shuffle of the big side; the only exchange is the final
+  *    per-query top-k aggregation.
+  *  - partitioned (IVF-style) top-k: candidates are pruned to the query's
+  *    cluster/bucket before scoring — the join on the cluster id replaces
+  *    the full scan, which is the step that makes 100 TB tractable.
+  *
+  * Dot products fold sequentially over the array (`aggregate`), in
+  * ascending index order, after a single cast to double — deterministic
+  * and reproducible by the oracle.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two `array<float>` columns (cast once). */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** Exact brute-force cosine top-k: for every query row, the k most
+    * similar candidate rows (self-matches excluded). `queries` must be
+    * small — it is broadcast.
+    *
+    * Output: (q_id, n_id, cos, rank), rank 1..k per query, ties broken by
+    * candidate id. `cos` is rounded to 6 decimals BEFORE ranking so the
+    * ordering itself is reproducible across engines.
+    */
+  def bruteForceTopK(candidates: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = candidates.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_vec"), col("n_vec")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** IVF-style pruned top-k: score only candidates sharing the query's
+    * partition (cluster id / LSH bucket). The equi-join on the partition
+    * column is the pruning step — at scale it turns a full corpus scan
+    * per query into a bucket scan per query.
+    */
+  def partitionedTopK(candidates: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, partCol: String,
+                      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      col(partCol))
+    val c = candidates.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      col(partCol))
+    val scored = c.join(broadcast(q), Seq(partCol))
+      .where(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_vec"), col("n_vec")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Similarity-search queries over `embeddings.parquet` (500×64-dim float
+  * vectors): brute-force cosine top-k as the exact baseline and the
+  * label-partitioned (IVF-style) pruned variant as the scale path.
+  */
+object SimilarityQueries {
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_brute" -> ((s, d) => {
+      val v = emb(s, d)
+      Similarity.bruteForceTopK(v, v.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+    "sim_topk_ivf" -> ((s, d) => {
+      val v = emb(s, d)
+      Similarity.partitionedTopK(v, v.where(col("vec_id") < 5),
+        "vec_id", "embedding", "label", k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    })
+  )
+
+  private val cosSql =
+    """round(
+      | (SELECT sum(a*b) FROM (SELECT unnest(q_vec) AS a, unnest(n_vec) AS b))
+      | / (sqrt((SELECT sum(a*a) FROM (SELECT unnest(q_vec) AS a)))
+      |    * sqrt((SELECT sum(b*b) FROM (SELECT unnest(n_vec) AS b)))), 6)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk_brute" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, e AS q_vec FROM v WHERE vec_id<5),
+         |c AS (SELECT vec_id AS n_id, e AS n_vec FROM v),
+         |s AS (SELECT q_id, n_id, $cosSql AS cos FROM c, q WHERE n_id<>q_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM s)
+         |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=10
+         |ORDER BY q_id, rank""".stripMargin,
+    "sim_topk_ivf" ->
+      s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label, e AS q_vec FROM v WHERE vec_id<5),
+         |c AS (SELECT vec_id AS n_id, label, e AS n_vec FROM v),
+         |s AS (SELECT q_id, n_id, $cosSql AS cos FROM c JOIN q USING (label)
+         |  WHERE n_id<>q_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM s)
+         |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=5
+         |ORDER BY q_id, rank""".stripMargin
+  )
+}

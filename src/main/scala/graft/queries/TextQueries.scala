@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal}
+import graft.sources.Tables
+
+/** LLM-data-pipeline queries over `documents.parquet`: dedup (exact,
+  * MinHash-LSH, SimHash, blocked n-gram Jaccard), text analysis (tokens,
+  * quality ratios, language-ID, fingerprints), and the multimodal binary
+  * plumbing. Every oracle recomputes the same deterministic md5-based
+  * constructions in DuckDB SQL.
+  */
+object TextQueries {
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  private val stop = Seq("the", "a")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: content-hash groupBy (shuffle partitioned BY the hash).
+    "t_dedup_exact" -> ((s, d) =>
+      Dedup.exactDupStats(docs(s, d), "doc_id", "text").orderBy(col("h"))),
+
+    // Surviving rows after exact dedup (min-id keeper per hash).
+    "t_dedup_kept" -> ((s, d) =>
+      Dedup.exactDedup(docs(s, d), "doc_id", "text")
+        .select(col("doc_id")).orderBy(col("doc_id"))),
+
+    // Token/quality statistics — all per-row projections.
+    "t_text_stats" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.stopwordRatio(col("text"), stop).as("stop_ratio"),
+        TextFunctions.avgWordLen(col("text")).as("avg_word_len"),
+        TextFunctions.punctRatio(col("text")).as("punct_ratio"))
+        .orderBy(col("doc_id"))),
+
+    // Marker-word language ID.
+    "t_lang_id" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextFunctions.predictedLang(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    // Document fingerprint (min-md5 over 5-gram shingles).
+    "t_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextFunctions.fingerprint(col("text"), 5).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // 16-bit SimHash bit-strings.
+    "t_simhash" -> ((s, d) =>
+      Dedup.simhashTable(docs(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // MinHash-LSH near-dup pairs, exact-Jaccard verified at 0.5.
+    "t_neardup_pairs" -> ((s, d) =>
+      Dedup.nearDupPairs(docs(s, d), "doc_id", "text", threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Blocked exact n-gram Jaccard within (lang, source).
+    "t_ngram_blocked" -> ((s, d) =>
+      Dedup.blockedJaccard(docs(s, d), "doc_id", "text",
+        Seq("lang", "source"), threshold = 0.2)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Multimodal plumbing: payload byte length through the binary column.
+    "mm_binary_meta" -> ((s, d) =>
+      Multimodal.asMedia(docs(s, d), "doc_id", "text")
+        .join(docs(s, d), col("id") === col("doc_id"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("byte_len"),
+          ascii(substring(col("text"), 1, 1)).cast("long").as("first_char"))
+        .orderBy(col("doc_id")))
+  )
+
+  private val wsSql = """string_split_regex(lower(trim(text)),'\s+')"""
+  private val sh3Sql =
+    s"""list_distinct(list_transform(range(1, greatest(len(ws)-2,1)+1),
+       | i -> array_to_string(ws[i:i+2],' ')))""".stripMargin
+
+  private val simhashSums = (1 to 16)
+    .map(b => s"sum(CASE WHEN substr(md5(word),$b,1)>='8' THEN 1 ELSE -1 END) AS s$b")
+    .mkString(", ")
+  private val simhashBits = (1 to 16)
+    .map(b => s"CASE WHEN s$b>0 THEN '1' ELSE '0' END")
+    .mkString(" || ")
+
+  val oracles: Map[String, String] = Map(
+    "t_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS dup_cnt, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t_dedup_kept" ->
+      """SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        |ORDER BY 1""".stripMargin,
+    "t_text_stats" ->
+      s"""WITH w AS (SELECT doc_id, text, $wsSql AS ws FROM documents)
+         |SELECT doc_id,
+         |CASE WHEN length(trim(text))=0 THEN 0 ELSE len(ws) END AS n_tokens,
+         |CAST(len(list_filter(ws, x -> x IN ('the','a'))) AS DOUBLE)/len(ws) AS stop_ratio,
+         |CAST(length(regexp_replace(text,'\\s','','g')) AS DOUBLE)/len(ws) AS avg_word_len,
+         |CAST(length(regexp_replace(text,'[^.,!?;:]','','g')) AS DOUBLE)/length(text) AS punct_ratio
+         |FROM w ORDER BY doc_id""".stripMargin,
+    "t_lang_id" ->
+      s"""WITH w AS (SELECT doc_id, list_distinct($wsSql) AS dw FROM documents),
+         |s AS (SELECT doc_id,
+         | len(list_intersect(dw, ['the','and','of','is','to'])) AS s_en,
+         | len(list_intersect(dw, ['der','die','und','das','ist'])) AS s_de,
+         | len(list_intersect(dw, ['el','la','de','que','los'])) AS s_es,
+         | len(list_intersect(dw, ['le','les','des','et','est'])) AS s_fr,
+         | len(list_intersect(dw, ['de5','shi4','le5','zai4','he2'])) AS s_zh
+         | FROM w)
+         |SELECT doc_id, CASE WHEN s_en=mx THEN 'en' WHEN s_de=mx THEN 'de'
+         | WHEN s_es=mx THEN 'es' WHEN s_fr=mx THEN 'fr' ELSE 'zh' END AS lang_pred
+         |FROM (SELECT *, greatest(s_en,s_de,s_es,s_fr,s_zh) AS mx FROM s)
+         |ORDER BY doc_id""".stripMargin,
+    "t_fingerprint" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents)
+         |SELECT doc_id, list_aggregate(list_transform(
+         |  list_distinct(list_transform(range(1, greatest(len(ws)-4,1)+1),
+         |    i -> array_to_string(ws[i:i+4],' '))), x -> md5(x)), 'min') AS fp
+         |FROM w ORDER BY doc_id""".stripMargin,
+    "t_simhash" ->
+      s"""WITH w AS (SELECT doc_id, unnest($wsSql) AS word FROM documents),
+         |b AS (SELECT doc_id, $simhashSums FROM w GROUP BY 1)
+         |SELECT doc_id, $simhashBits AS simhash FROM b ORDER BY doc_id""".stripMargin,
+    "t_neardup_pairs" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |shs AS (SELECT doc_id, $sh3Sql AS sh FROM w),
+         |sig AS (SELECT doc_id, list_transform(range(0,12),
+         |  i -> list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS sg
+         |  FROM shs),
+         |bands AS (SELECT doc_id, unnest(list_transform(range(0,6),
+         |  j -> j::VARCHAR || '|' || sg[2*j+1] || '|' || sg[2*j+2])) AS bv FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.bv=b.bv AND a.doc_id<b.doc_id),
+         |j AS (SELECT id_a, id_b,
+         |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |    /(len(x.sh)+len(y.sh)-len(list_intersect(x.sh,y.sh))) AS jac
+         |  FROM cand JOIN shs x ON cand.id_a=x.doc_id JOIN shs y ON cand.id_b=y.doc_id)
+         |SELECT id_a, id_b, jac FROM j WHERE jac>=0.5 ORDER BY 1,2""".stripMargin,
+    "t_ngram_blocked" ->
+      s"""WITH w AS (SELECT doc_id, lang, source, $wsSql AS ws FROM documents),
+         |shs AS (SELECT doc_id, lang, source, $sh3Sql AS sh FROM w),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    /(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) AS jac
+         |  FROM shs a JOIN shs b ON a.lang=b.lang AND a.source=b.source
+         |    AND a.doc_id<b.doc_id)
+         |SELECT id_a, id_b, jac FROM p WHERE jac>=0.2 ORDER BY 1,2""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |CAST(ascii(substr(text,1,1)) AS BIGINT) AS first_char
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
