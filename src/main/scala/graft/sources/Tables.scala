@@ -19,9 +19,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** S8: parquet read. Schema is embedded; nothing to pin. */
+  /** S8: parquet read. Schema is embedded; nothing to pin.
+    *
+    * `events.parquet` stores TIMESTAMP(NANOS), which Spark's µs timestamp
+    * type refuses outright; we read nanos as long and truncate to µs
+    * (identical to how DuckDB surfaces the same file, so oracle
+    * comparisons agree).
+    */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
 
   /** Register every synthetic table as a temp view so `spark.sql` queries
     * (the engine's SQL surface, SURVEY.md §3 "ad-hoc entry points") can
