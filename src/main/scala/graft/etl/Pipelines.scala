@@ -63,8 +63,13 @@ object Pipelines {
     val keys = Seq("track_name", "artists")
     val g = grammys
       .withColumnsRenamed(Map("nominee" -> "track_name", "artist" -> "artists"))
-    val s = spotify.withColumn("artists",
-      when(col("artists").isNotNull, col("artists")).otherwise(lit(null)))
+    // P10: a list-valued artists column is flattened to ", "-joined text
+    // (merge_to_dw.py:55-58) — resolved from the schema, not per row.
+    val s = spotify.schema("artists").dataType match {
+      case org.apache.spark.sql.types.ArrayType(_, _) =>
+        spotify.withColumn("artists", array_join(col("artists"), ", "))
+      case _ => spotify
+    }
     Relational.fullOuterWithIndicator(
       Relational.normalizeKeys(s, keys),
       Relational.normalizeKeys(g, keys), keys)

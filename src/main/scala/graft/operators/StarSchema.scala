@@ -42,11 +42,21 @@ object StarSchema {
     * on the natural key, keeping only the surrogate id. Dimensions are
     * small by construction; `broadcast()` pins the map-side strategy so a
     * stats misestimate can never demote this to a sort-merge shuffle.
+    *
+    * The join is NULL-SAFE (`<=>`): dimension keys may legitimately
+    * contain nulls in optional components (the reference's Dim_Event has
+    * optional published/updated columns, merge_to_dw.py:242-251), and a
+    * null-keyed dim row must still resolve its own facts.
     */
   def resolveFk(fact: DataFrame, dim: DataFrame, naturalKey: Seq[String],
-                idCol: String): DataFrame =
-    fact.join(broadcast(dim.select((naturalKey :+ idCol).map(col): _*)),
-      naturalKey, "left")
+                idCol: String): DataFrame = {
+    val d = naturalKey.foldLeft(
+      dim.select((naturalKey :+ idCol).map(col): _*))(
+      (df, k) => df.withColumnRenamed(k, s"_dim_$k"))
+    val cond = naturalKey.map(k => col(k) <=> col(s"_dim_$k")).reduce(_ && _)
+    naturalKey.foldLeft(fact.join(broadcast(d), cond, "left"))(
+      (df, k) => df.drop(s"_dim_$k"))
+  }
 
   /** Gate fact rows on FK completeness (merge_to_dw.py:254, 288): a fact
     * is inserted only when all its required surrogate keys resolved.

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational
+
+/** The SURVEY.md §7.4 parity traps, each pinned by a test. */
+class ParityTrapsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("trap 1: null join keys match only after normalize (fillna '')") {
+    val l = Seq((Option.empty[String], 1)).toDF("k", "lv")
+    val r = Seq((Option.empty[String], 2)).toDF("k", "rv")
+    // Raw Spark semantics: null keys never match.
+    assert(l.join(r, Seq("k")).count() == 0)
+    // Reference semantics (merge_to_dw.py:63): null -> "" joins.
+    val ln = Relational.normalizeKeys(l, Seq("k"))
+    val rn = Relational.normalizeKeys(r, Seq("k"))
+    assert(ln.join(rn, Seq("k")).count() == 1)
+  }
+
+  test("trap 2: mode ties break toward the smallest value, always") {
+    val df = Seq((1, 9), (1, 2), (1, 9), (1, 2)).toDF("g", "v")
+    val m = Relational.deterministicMode(df, "g", "v", "m")
+      .as[(Int, Int)].collect()
+    assert(m.toSeq == Seq((1, 2)))
+  }
+
+  test("trap 4: lenient cast yields null on junk, value on digits") {
+    val df = Seq("1-URGENT", "7", "").toDF("s")
+    val out = df.select(expr("try_cast(s AS INT)")).as[Option[Int]].collect()
+    assert(out.toSeq == Seq(None, Some(7), None))
+  }
+
+  test("trap 6: boolean means need an explicit cast") {
+    val df = Seq(true, true, false, false).toDF("w")
+    val rate = df.agg(avg($"w".cast("double"))).as[Double].collect().head
+    assert(rate == 0.5)
+  }
+
+  test("trap 7: string timestamps parse before datediff") {
+    val df = Seq(("2020-11-24T00:00:00", "2020-12-08T00:00:00"))
+      .toDF("p", "u")
+    val days = df.select(
+      datediff(to_timestamp($"u"), to_timestamp($"p"))).as[Int]
+      .collect().head
+    assert(days == 14)
+  }
+}

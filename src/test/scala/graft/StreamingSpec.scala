@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventPipeline
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  private val events = Seq(
+    Ev(1, t(5), 1, "click", 1.0, """{"k": 1}"""),
+    Ev(2, t(10), 1, "click", 2.0, """{"k": 2}"""),
+    Ev(3, t(70), 1, "view", 3.0, """{"k": 3}"""),   // new hour, new session
+    Ev(4, t(75), 2, "click", 4.0, """{"k": 4}"""),
+    Ev(5, t(200), 2, "click", 5.0, """{"k": 5}""")) // gap > 30min
+
+  test("windowedAgg over a real stream matches the batch run") {
+    val input = MemoryStream[Ev](spark)
+    val q = EventPipeline.windowedAgg(input.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      val streamed = spark.table("win_out")
+        .select($"ws", $"event_type", $"cnt", $"avg_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val batch = EventPipeline.windowedAgg(events.toDF())
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.exists { case (ws, et, cnt, avg) =>
+        ws == t(0) && et == "click" && cnt == 2 && avg == 1.5 })
+    } finally q.stop()
+  }
+
+  test("sessionStats: 30-minute gap splits sessions per user") {
+    // user 1: events at 5,10 (one session) and 70 (new) -> 2 sessions
+    // user 2: events at 75 and 200 (gap 125min) -> 2 sessions
+    val full = EventPipeline.sessionStats(events.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(full.toSet == Set((1L, 2L, 3L), (2L, 2L, 2L)))
+  }
+
+  test("withJsonProp extracts typed values") {
+    val out = EventPipeline.withJsonProp(events.toDF(), "k", "k_val")
+      .select($"event_id", $"k_val").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+  }
+
+  test("availableNow file pipeline processes a directory exactly once") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
+    val src = tmp.resolve("src").toString
+    val ckp = tmp.resolve("ckp").toString
+    events.toDF().write.parquet(src)
+    val stream = EventPipeline.readEventStream(spark, src)
+    val q = EventPipeline.availableNowWriter(
+      stream.select($"event_id", $"event_type"), ckp)
+      .format("memory").queryName("an_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("an_out").count() == 5)
+    } finally q.stop()
+  }
+}

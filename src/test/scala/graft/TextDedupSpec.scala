@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+class TextDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokenCount: blank text counts zero") {
+    val df = Seq("", "  ", "one two  three").toDF("t")
+    val out = df.select(TextFunctions.tokenCount($"t")).as[Long].collect()
+    assert(out.toSeq == Seq(0L, 0L, 3L))
+  }
+
+  test("shingles: short docs yield one whole-document shingle") {
+    val df = Seq("a b").toDF("t")
+    val out = df.select(TextFunctions.shingles($"t", 5)).as[Seq[String]]
+      .collect()
+    assert(out.head == Seq("a b"))
+  }
+
+  test("predictedLang picks max marker hits with fixed tie order") {
+    val df = Seq(
+      "the cat and the dog of the house",
+      "der hund und die katze ist da",
+      "el perro y la casa de que los") .toDF("t")
+    val out = df.select(TextFunctions.predictedLang($"t")).as[String]
+      .collect()
+    assert(out.toSeq == Seq("en", "de", "es"))
+  }
+
+  test("exact dedup keeps the minimum id per content hash") {
+    val df = Seq((5L, "same text"), (2L, "same text"), (9L, "other"))
+      .toDF("id", "t")
+    val kept = Dedup.exactDedup(df, "id", "t").select($"id").as[Long]
+      .collect().sorted
+    assert(kept.toSeq == Seq(2L, 9L))
+    val stats = Dedup.exactDupStats(df, "id", "t")
+      .where($"dup_cnt" === 2).select($"keeper").as[Long].collect()
+    assert(stats.toSeq == Seq(2L))
+  }
+
+  test("minhash-LSH finds planted near-dups, skips unrelated docs") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 30).map(i => if (i == 7) "CHANGED" else s"w$i")
+      .mkString(" ")
+    val unrelated = (100 to 130).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("id", "t")
+    val pairs = Dedup.nearDupPairs(df, "id", "t", threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("identical texts share fingerprint and simhash") {
+    val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words here now ok")).toDF("id", "t")
+    val fp = df.select(TextFunctions.fingerprint($"t")).as[String].collect()
+    assert(fp(0) == fp(1) && fp(0) != fp(2))
+    val sh = Dedup.simhashTable(df, "id", "t").select($"simhash")
+      .as[String].collect()
+    assert(sh(0) == sh(1) && sh(0).length == 16)
+    assert(sh(0).forall(c => c == '0' || c == '1'))
+  }
+
+  test("jaccard is an exact integer ratio") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val out = df.select(Dedup.jaccard($"x", $"y")).as[Double].collect()
+    assert(out.head == 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("cosine similarity: parallel -> 1, orthogonal -> 0") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(2.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 3.0f))).toDF("a", "b")
+    val out = df.select(round(Similarity.cosine($"a", $"b"), 9)).as[Double]
+      .collect()
+    assert(out.toSeq == Seq(1.0, 0.0))
+  }
+
+  test("bruteForceTopK excludes self and ranks by similarity") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs,
+      vecs.where($"vec_id" === 1), "vec_id", "embedding", 2)
+      .select($"n_id", $"rank").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 1L), (3L, 2L)))
+  }
+
+  test("multimodal decode stub: deterministic metadata, payload intact") {
+    val df = Seq((1L, "hello"), (2L, "hello"), (3L, "wider payload"))
+      .toDF("doc_id", "text")
+    val decoded = Multimodal.decode(spark,
+      Multimodal.asMedia(df, "doc_id", "text")).collect()
+      .sortBy(_.id)
+    assert(decoded(0).meta == decoded(1).meta) // deterministic
+    assert(decoded(0).meta.byteLen == 5L)
+    assert(new String(decoded(2).payload, "UTF-8") == "wider payload")
+    assert(decoded.forall(m => m.meta.width > 0 && m.meta.height > 0))
+  }
+}
