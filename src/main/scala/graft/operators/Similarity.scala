@@ -57,6 +57,29 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with
+    * cosine ≥ threshold, compared only WITHIN a blocking column (cluster
+    * id / LSH bucket) — never all-pairs. The self-join shuffles both sides
+    * on the block key once; each block's pair enumeration is local to its
+    * partition, so cost is Σ |block|² rather than N². At 100 TB the block
+    * key is a coarse quantization (e.g. sign-bits of a random projection),
+    * exactly the IVF/LSH recipe; recall is tuned by probing neighboring
+    * blocks, not by widening to a full cross join.
+    *
+    * `cos` is rounded to 6 decimals BEFORE thresholding so the kept set is
+    * reproducible across engines.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         blockCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(blockCol), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(blockCol), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq(blockCol))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** IVF-style pruned top-k: score only candidates sharing the query's
     * partition (cluster id / LSH bucket). The equi-join on the partition
     * column is the pruning step — at scale it turns a full corpus scan

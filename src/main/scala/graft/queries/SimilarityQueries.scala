@@ -25,7 +25,13 @@ object SimilarityQueries {
       Similarity.partitionedTopK(v, v.where(col("vec_id") < 5),
         "vec_id", "embedding", "label", k = 5)
         .orderBy(col("q_id"), col("rank"))
-    })
+    }),
+    // Embedding-cosine near-dup pairs, blocked by label — Σ|block|² work,
+    // never the N² all-pairs cross join.
+    "sim_neardup_cosine" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(emb(s, d), "vec_id", "embedding",
+        "label", threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b")))
   )
 
   private val cosSql =
@@ -45,6 +51,13 @@ object SimilarityQueries {
          |  FROM s)
          |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=10
          |ORDER BY q_id, rank""".stripMargin,
+    "sim_neardup_cosine" ->
+      s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  a.e AS q_vec, b.e AS n_vec
+         |  FROM v a JOIN v b ON a.label=b.label AND a.vec_id<b.vec_id),
+         |s AS (SELECT id_a, id_b, $cosSql AS cos FROM p)
+         |SELECT id_a, id_b, cos FROM s WHERE cos>=0.35 ORDER BY 1,2""".stripMargin,
     "sim_topk_ivf" ->
       s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |q AS (SELECT vec_id AS q_id, label, e AS q_vec FROM v WHERE vec_id<5),

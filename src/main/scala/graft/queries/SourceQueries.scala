@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Registered queries for the source/sink surface (SURVEY.md §2.1) plus the
+  * remaining projection/preview/star-join operators (P3, P4, A11, J3).
+  *
+  * Sinks are verified as ROUND-TRIPS: read the synthetic parquet, write
+  * through the sink under test into a scratch dir, read back with the
+  * matching source, and emit a totally-ordered result the DuckDB oracle
+  * recomputes from the original table. A hash match proves the write+read
+  * pair is lossless (values, types, headers) — a far stronger check than
+  * "file exists".
+  *
+  * Every query here is idempotent: scratch outputs are overwritten, DDL
+  * drops before creating, so re-runs within one driver round can't
+  * accumulate state.
+  */
+object SourceQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val scratch = "/tmp/graft_verify_tmp"
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1+S9: CSV write (header, utf-8) then read back with a pinned schema
+    // — the reference's export/ingest pair (limpiezaSpotify.py:103-104,
+    // merge_to_dw.py:28-34) as one lossless round-trip.
+    "s1_s9_csv_roundtrip" -> ((s, d) => {
+      val out = s"$scratch/csv_supplier"
+      t(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType),
+        StructField("s_acctbal", DoubleType)))
+      s.read.schema(schema).option("header", "true").csv(out)
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // S2: full table scan through the engine's SQL surface — every
+    // synthetic table registered as a view, queried by name exactly like
+    // the reference's SELECT * over its DB (merge_to_dw.py:37-44).
+    "s2_sql_scan" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT n_nationkey, n_name, r_name FROM nation
+              |JOIN region ON n_regionkey = r_regionkey
+              |ORDER BY n_nationkey""".stripMargin)
+    }),
+
+    // S4: catalog introspection (the reference's sqlite_master listing,
+    // prueba.pyc) — list registered tables, restricted to the synthetic
+    // corpus so unrelated session state can't perturb the result.
+    "s4_catalog" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.catalog.listTables()
+        .select(col("name").as("table_name"))
+        .where(col("table_name").isin(Tables.synthetic: _*))
+        .orderBy(col("table_name"))
+    }),
+
+    // S5+S6: DDL create-if-absent (bd.py:11-24) + set-based append
+    // (replacing bd.py's row-wise iterrows INSERT, S6). Two appends prove
+    // append really appends; the managed table is dropped first so the
+    // query is idempotent.
+    "s5_s6_ddl_append" -> ((s, d) => {
+      s.sql("DROP TABLE IF EXISTS graft_region_copy")
+      // The in-memory catalog is session-scoped but the managed files are
+      // not: a table created by a previous session survives on disk where
+      // DROP TABLE (no catalog entry) can't see it. Clear the location so
+      // CREATE never hits LOCATION_ALREADY_EXISTS.
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(del)
+        f.delete(); ()
+      }
+      del(new java.io.File(wh, "graft_region_copy"))
+      s.sql("""CREATE TABLE IF NOT EXISTS graft_region_copy
+              |(r_regionkey INT, r_name STRING) USING parquet""".stripMargin)
+      val r = t(s, d, "region").select(col("r_regionkey"), col("r_name"))
+      r.write.mode("append").insertInto("graft_region_copy")
+      r.write.mode("append").insertInto("graft_region_copy")
+      s.table("graft_region_copy")
+        .groupBy(col("r_name")).agg(count(lit(1)).as("copies"))
+        .orderBy(col("r_name"))
+    }),
+
+    // S7+S8: parquet write → read round-trip (the reference's /tmp
+    // hand-off files, merge_to_dw.py:87-92, 140-143).
+    "s7_s8_parquet_roundtrip" -> ((s, d) => {
+      val out = s"$scratch/parquet_nation"
+      Tables.writeParquet(t(s, d, "nation"), out)
+      s.read.parquet(out).orderBy(col("n_nationkey"))
+    }),
+
+    // S10: batched JDBC append into an embedded Derby database
+    // (batchsize=1000 like the reference's executemany batching,
+    // merge_to_dw.py:25, 191), then read back over JDBC. On a cluster the
+    // same writer runs one connection per partition against the real DBMS.
+    "s10_jdbc_batch" -> ((s, d) => {
+      System.setProperty("derby.system.home", scratch)
+      val url = s"jdbc:derby:$scratch/derbydb;create=true"
+      val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+      t(s, d, "region").write.format("jdbc")
+        .option("url", url).option("driver", driver)
+        .option("dbtable", "region_jdbc")
+        .option("batchsize", "1000")
+        .option("createTableColumnTypes",
+          "r_name VARCHAR(64)")
+        .mode("overwrite").save()
+      s.read.format("jdbc")
+        .option("url", url).option("driver", driver)
+        .option("dbtable", "region_jdbc")
+        .load()
+        .orderBy(col("r_regionkey"))
+    }),
+
+    // P3: pure column-subset projection (merge_to_dw.py:68-69).
+    "p3_project" -> ((s, d) =>
+      t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+        .orderBy(col("n_nationkey"))),
+
+    // P4: required-column schema gate (limpiezaSpotify.py:78-81) — the
+    // assert runs at plan time; the query only materializes if it passed.
+    // The failure path is asserted in RelationalSpec.
+    "p4_schema_gate" -> ((s, d) =>
+      Tables.requireColumns(t(s, d, "customer"),
+        Seq("c_custkey", "c_name", "c_acctbal"))
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey")).limit(20)),
+
+    // A11: preview/limit probe (df.head() everywhere in the reference),
+    // deterministic via total order on the key.
+    "a11_preview" -> ((s, d) =>
+      t(s, d, "part").orderBy(col("p_partkey")).limit(5)),
+
+    // J3: dashboard star join — fact ⋈ fact-sized orders left to Catalyst,
+    // dim rollup (supplier→nation→region) broadcast; quantity is
+    // cent-discrete so round(sum,2) is exact in both engines.
+    "j3_star_join" -> ((s, d) => {
+      val dimRollup = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("r_name").as("region_name"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(dimRollup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("region_name"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(round(sum(col("l_quantity")), 2).as("qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("region_name"), col("yr"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_s9_csv_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+        |ORDER BY 1""".stripMargin,
+    "s2_sql_scan" ->
+      """SELECT n_nationkey, n_name, r_name FROM nation
+        |JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey""".stripMargin,
+    "s4_catalog" ->
+      """SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),
+        |('events'),('lineitem'),('nation'),('orders'),('part'),('region'),
+        |('supplier')) AS t(table_name) ORDER BY 1""".stripMargin,
+    "s5_s6_ddl_append" ->
+      """SELECT r_name, count(*) AS copies FROM
+        |(SELECT * FROM region UNION ALL SELECT * FROM region)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s7_s8_parquet_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "s10_jdbc_batch" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+    "p3_project" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY 1",
+    "p4_schema_gate" ->
+      "SELECT c_custkey, c_acctbal FROM customer ORDER BY 1 LIMIT 20",
+    "a11_preview" ->
+      "SELECT * FROM part ORDER BY p_partkey LIMIT 5",
+    "j3_star_join" ->
+      """SELECT r_name AS region_name, year(o_orderdate) AS yr,
+        |round(sum(l_quantity),2) AS qty, count(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        |JOIN supplier ON l_suppkey=s_suppkey
+        |JOIN nation ON s_nationkey=n_nationkey
+        |JOIN region ON n_regionkey=r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+  )
+}

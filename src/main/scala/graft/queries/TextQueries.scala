@@ -66,6 +66,32 @@ object TextQueries {
         Seq("lang", "source"), threshold = 0.2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // BPE-ish regex token count: greedy alternation of letter runs, digit
+    // runs, and single non-alnum symbols (the GPT-2 pre-tokenizer family,
+    // simplified to classes both regex engines treat identically).
+    "t_tokens_bpe" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // Composite quality score + keep/drop gate — the filter a training-data
+    // pipeline runs before dedup. All inputs are exact integer ratios, the
+    // arithmetic is mirrored op-for-op by the oracle, so the doubles are
+    // bit-identical.
+    "t_quality_score" -> ((s, d) => {
+      val nt = TextFunctions.tokenCount(col("text"))
+      val pr = TextFunctions.punctRatio(col("text"))
+      val awl = TextFunctions.avgWordLen(col("text"))
+      docs(s, d).select(col("doc_id"),
+        (lit(0.5) * (least(nt, lit(100L)).cast("double") / lit(100.0)) +
+          lit(0.3) * (lit(1.0) - pr) +
+          lit(0.2) * (least(awl, lit(10.0)) / lit(10.0))).as("quality"),
+        (nt >= 5 && pr <= 0.1 && awl >= 2.0 && awl <= 10.0).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal plumbing: payload byte length through the binary column.
     "mm_binary_meta" -> ((s, d) =>
       Multimodal.asMedia(docs(s, d), "doc_id", "text")
@@ -150,6 +176,22 @@ object TextQueries {
          |  FROM shs a JOIN shs b ON a.lang=b.lang AND a.source=b.source
          |    AND a.doc_id<b.doc_id)
          |SELECT id_a, id_b, jac FROM p WHERE jac>=0.2 ORDER BY 1,2""".stripMargin,
+    "t_tokens_bpe" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(lower(text),
+        |'[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_quality_score" ->
+      s"""WITH w AS (SELECT doc_id, text, $wsSql AS ws FROM documents),
+         |f AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text))=0 THEN 0 ELSE len(ws) END AS nt,
+         |  CAST(length(regexp_replace(text,'[^.,!?;:]','','g')) AS DOUBLE)/length(text) AS pr,
+         |  CAST(length(regexp_replace(text,'\\s','','g')) AS DOUBLE)/len(ws) AS awl
+         |  FROM w)
+         |SELECT doc_id,
+         |  0.5*(CAST(least(nt,100) AS DOUBLE)/100.0) + 0.3*(1.0-pr)
+         |    + 0.2*(least(awl,10.0)/10.0) AS quality,
+         |  (nt>=5 AND pr<=0.1 AND awl>=2.0 AND awl<=10.0) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |CAST(ascii(substr(text,1,1)) AS BIGINT) AS first_char
