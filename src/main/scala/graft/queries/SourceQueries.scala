@@ -128,7 +128,7 @@ object SourceQueries {
 
     // P4: required-column schema gate (limpiezaSpotify.py:78-81) — the
     // assert runs at plan time; the query only materializes if it passed.
-    // The failure path is asserted in RelationalSpec.
+    // The failure path is asserted in PipelinesSpec.
     "p4_schema_gate" -> ((s, d) =>
       Tables.requireColumns(t(s, d, "customer"),
         Seq("c_custkey", "c_name", "c_acctbal"))

@@ -1,9 +1,17 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
+
+/** Per-user session accumulator for [[EventPipeline.sessionStatsWithState]].
+  * `lastTs` is epoch millis of the newest event seen so far.
+  */
+case class SessionAcc(lastTs: Long, sessions: Long, events: Long)
+
+/** Output row of [[EventPipeline.sessionStatsWithState]]. */
+case class UserSessionStats(user_id: Long, n_sessions: Long, n_events: Long)
 
 /** Structured-Streaming event pipeline.
   *
@@ -49,6 +57,55 @@ object EventPipeline {
       .agg(count(lit(1)).as("n_events"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+
+  /** Streaming exact dedup: drop duplicate ids arriving within the
+    * watermark delay. State holds one entry per id seen inside the
+    * watermark horizon and is evicted as the watermark advances — bounded
+    * state, unlike an unwatermarked `dropDuplicates` whose state grows
+    * forever. The batch analog is the content-hash dedup in
+    * graft.operators.Dedup.
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** Gap-based sessionization with EXPLICIT state
+    * (`flatMapGroupsWithState`): one `SessionAcc` per user carries
+    * (lastTs, sessions, events) across micro-batches; an event more than
+    * `gapMinutes` after `lastTs` opens a new session. Events inside one
+    * batch are sorted by time before folding (micro-batch iterators carry
+    * no order guarantee). Emits the running totals per user each batch
+    * (Update semantics).
+    *
+    * [[sessionStats]]'s `session_window` is the declarative form; this is
+    * the escape hatch for session logic the built-in can't express — kept
+    * semantically aligned so the two are cross-checked in tests.
+    */
+  def sessionStatsWithState(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    val fold = (userId: Long, it: Iterator[(Long, Long)],
+                state: GroupState[SessionAcc]) => {
+      val sorted = it.map(_._2).toSeq.sorted
+      val init = state.getOption.getOrElse(SessionAcc(Long.MinValue, 0L, 0L))
+      val acc = sorted.foldLeft(init) { (a, ts) =>
+        val newSession = a.lastTs == Long.MinValue || ts - a.lastTs >= gapMs
+        SessionAcc(math.max(a.lastTs, ts),
+          a.sessions + (if (newSession) 1 else 0), a.events + 1)
+      }
+      state.update(acc)
+      Iterator.single(UserSessionStats(userId, acc.sessions, acc.events))
+    }
+    events.select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .map { case (u, ts) => (u, ts.getTime) }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, UserSessionStats](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(fold)
+      .toDF()
+  }
 
   /** JSON property extraction from the props payload column. */
   def withJsonProp(events: DataFrame, field: String, out: String): DataFrame =

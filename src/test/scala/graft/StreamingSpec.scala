@@ -55,6 +55,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
   }
 
+  test("dedupStream drops duplicate ids across micro-batches") {
+    val input = MemoryStream[Ev](spark)
+    val q = EventPipeline.dedupStream(input.toDF(), Seq("event_id"))
+      .select($"event_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: events at t5..t75 plus an in-batch dup; watermark after
+      // this batch = t75 - 1h (so nothing below is late-dropped)
+      input.addData(events.take(4) :+ Ev(1, t(6), 9, "dup", 9.9, "{}"))
+      q.processAllAvailable()
+      input.addData(Seq(Ev(2, t(20), 9, "dup", 9.9, "{}"), // dup of batch 1
+        Ev(6, t(80), 3, "click", 6.0, "{}")))              // genuinely new
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L, 4L, 6L))
+    } finally q.stop()
+  }
+
+  test("sessionStatsWithState matches the declarative sessionStats") {
+    val declarative = EventPipeline.sessionStats(events.toDF())
+      .as[(Long, Long, Long)].collect().toSet
+    val custom = EventPipeline.sessionStatsWithState(events.toDF())
+      .as[(Long, Long, Long)].collect().toSet
+    assert(custom == declarative)
+  }
+
+  test("sessionStatsWithState carries state across micro-batches") {
+    val input = MemoryStream[Ev](spark)
+    val q = EventPipeline.sessionStatsWithState(input.toDF())
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("update").start()
+    try {
+      input.addData(events.take(2))        // user 1: one session so far
+      q.processAllAvailable()
+      input.addData(Seq(events(2)))        // user 1 at t70: new session
+      q.processAllAvailable()
+      val latest = spark.table("state_out")
+        .as[(Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._3) }
+      assert(latest(1L) == ((1L, 2L, 3L)))
+    } finally q.stop()
+  }
+
   test("availableNow file pipeline processes a directory exactly once") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
     val src = tmp.resolve("src").toString

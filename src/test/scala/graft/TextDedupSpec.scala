@@ -91,6 +91,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out == Seq((2L, 1L), (3L, 2L)))
   }
 
+  test("cosineNearDupPairs: blocked pairs above threshold, no cross-block") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.99f, 0.01f), 0), // near-dups
+      (3L, Seq(0.0f, 1.0f), 0),                             // same block, far
+      (4L, Seq(1.0f, 0.0f), 1))                             // other block
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+      "label", threshold = 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L))) // 1-4 identical but blocked apart
+  }
+
   test("multimodal decode stub: deterministic metadata, payload intact") {
     val df = Seq((1L, "hello"), (2L, "hello"), (3L, "wider payload"))
       .toDF("doc_id", "text")
