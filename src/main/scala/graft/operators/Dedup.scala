@@ -104,4 +104,64 @@ object Dedup {
     */
   def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), simhash16(col(textCol)).as("simhash"))
+
+  /** Near-dup CLUSTER assignment: connected components over the candidate
+    * pair graph by iterative min-label propagation — each round every node
+    * takes the minimum label among itself and its neighbors; fixpoint in
+    * O(component diameter) rounds (near-dup clusters are shallow, so
+    * usually 2–3).
+    *
+    * This is the step that turns pairwise near-dup evidence into a dedup
+    * DECISION (one keeper per cluster — the minimum id, which is exactly
+    * the converged label). Driver controls only the loop; each round is a
+    * distributed join + aggregate over the edge list, with
+    * `localCheckpoint` truncating the lineage so plan depth stays constant.
+    * At 100 TB use a reliable checkpoint dir instead; rounds remain
+    * O(log n) worst-case, O(diameter) typical.
+    *
+    * @param pairs candidate/verified pairs (aCol < bCol, one row per pair)
+    * @return DataFrame[node, cluster] for every node appearing in `pairs`
+    *         (nodes with no near-dup are singletons and not emitted).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("cluster", "nbr_cluster"), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("nbr_cluster")).as("nbr_cluster"))
+        .withColumnRenamed("src", "node")
+      val updated = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      converged = updated.join(labels.withColumnRenamed("cluster", "old"),
+        Seq("node")).where(col("cluster") =!= col("old")).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
+  /** Full near-dup dedup: the surviving rows after dropping every cluster
+    * member except its keeper (the minimum id). Pairs → components →
+    * anti-join; docs with no near-dup survive untouched.
+    */
+  def nearDedupKept(df: DataFrame, idCol: String, textCol: String,
+                    threshold: Double): DataFrame = {
+    val cc = connectedComponents(
+      nearDupPairs(df, idCol, textCol, threshold), "id_a", "id_b")
+    df.join(cc.where(col("node") =!= col("cluster"))
+        .select(col("node").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
 }

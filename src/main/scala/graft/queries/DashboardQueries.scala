@@ -81,21 +81,28 @@ object DashboardQueries {
       ordersWithArtist(s, d).where(winner)
         .agg(countDistinct(col("c_name")).as("n_winners"))),
 
-    // D5: per-artist win count + danceability proxy.
-    "d5_wins_danceability" -> ((s, d) =>
+    // D5: per-artist win count + danceability proxy. Lineitem is
+    // pre-aggregated to one row per order BEFORE the artist rollup: the
+    // order-level distinct is then free (count_if, no expand operator /
+    // distinct aggregation over the multiplied join), and the widest
+    // shuffle carries |orders| rows instead of |lineitem|.
+    "d5_wins_danceability" -> ((s, d) => {
+      val perOrder = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_discount")).as("_sd"), count(lit(1)).as("_cnt"))
       ordersWithArtist(s, d)
-        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(perOrder, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("c_name"))
         .agg(
-          countDistinct(when(winner, col("o_orderkey"))).as("grammy_wins"),
-          // Stable average of a cent-discrete double: round the sum to its
-          // exact cent value first, then one integer-exact division — the
-          // oracle computes the identical IEEE operation, so no rounding
-          // boundary can flip the result (avg(l_discount) lands EXACTLY on
-          // 4-decimal half-way points like 0.04875 otherwise).
-          (round(sum(col("l_discount")), 2) / count(lit(1)))
+          count_if(winner).as("grammy_wins"),
+          // Stable average of a cent-discrete double: rounding the sum to
+          // its exact cent value makes it bit-identical to the oracle's
+          // (regrouping error ~1e-13 is absorbed), then one integer-exact
+          // division — no half-way rounding boundary can flip the result.
+          (round(sum(col("_sd")), 2) / sum(col("_cnt")))
             .as("avg_danceability"))
-        .orderBy(col("c_name"))),
+        .orderBy(col("c_name"))
+    }),
 
     // D6: nominations by (year, genero) — wide pivot form. Pivot values
     // are pinned (never inferred — inference is an extra job and

@@ -60,6 +60,19 @@ object TextQueries {
       Dedup.nearDupPairs(docs(s, d), "doc_id", "text", threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Near-dup clusters: pairs → connected components (min-label).
+    "t_neardup_clusters" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.nearDupPairs(docs(s, d), "doc_id", "text", threshold = 0.5),
+        "id_a", "id_b")
+        .orderBy(col("node"))),
+
+    // Final near-dedup survivor set: every doc minus non-keeper cluster
+    // members (keeper = min id per cluster), via anti-join.
+    "t_neardup_kept" -> ((s, d) =>
+      Dedup.nearDedupKept(docs(s, d), "doc_id", "text", threshold = 0.5)
+        .select(col("doc_id")).orderBy(col("doc_id"))),
+
     // Blocked exact n-gram Jaccard within (lang, source).
     "t_ngram_blocked" -> ((s, d) =>
       Dedup.blockedJaccard(docs(s, d), "doc_id", "text",
@@ -107,6 +120,24 @@ object TextQueries {
     s"""list_distinct(list_transform(range(1, greatest(len(ws)-2,1)+1),
        | i -> array_to_string(ws[i:i+2],' ')))""".stripMargin
 
+  /** Shared CTE chain producing near-dup candidate pairs with exact
+    * Jaccard (`j`): shingles → 12-slot MinHash → 6 bands → bucket join.
+    */
+  private val neardupPairCtes =
+    s"""w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+       |shs AS (SELECT doc_id, $sh3Sql AS sh FROM w),
+       |sig AS (SELECT doc_id, list_transform(range(0,12),
+       |  i -> list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS sg
+       |  FROM shs),
+       |bands AS (SELECT doc_id, unnest(list_transform(range(0,6),
+       |  j -> j::VARCHAR || '|' || sg[2*j+1] || '|' || sg[2*j+2])) AS bv FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.bv=b.bv AND a.doc_id<b.doc_id),
+       |j AS (SELECT id_a, id_b,
+       |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       |    /(len(x.sh)+len(y.sh)-len(list_intersect(x.sh,y.sh))) AS jac
+       |  FROM cand JOIN shs x ON cand.id_a=x.doc_id JOIN shs y ON cand.id_b=y.doc_id)""".stripMargin
+
   private val simhashSums = (1 to 16)
     .map(b => s"sum(CASE WHEN substr(md5(word),$b,1)>='8' THEN 1 ELSE -1 END) AS s$b")
     .mkString(", ")
@@ -153,20 +184,32 @@ object TextQueries {
          |b AS (SELECT doc_id, $simhashSums FROM w GROUP BY 1)
          |SELECT doc_id, $simhashBits AS simhash FROM b ORDER BY doc_id""".stripMargin,
     "t_neardup_pairs" ->
-      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
-         |shs AS (SELECT doc_id, $sh3Sql AS sh FROM w),
-         |sig AS (SELECT doc_id, list_transform(range(0,12),
-         |  i -> list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS sg
-         |  FROM shs),
-         |bands AS (SELECT doc_id, unnest(list_transform(range(0,6),
-         |  j -> j::VARCHAR || '|' || sg[2*j+1] || '|' || sg[2*j+2])) AS bv FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b ON a.bv=b.bv AND a.doc_id<b.doc_id),
-         |j AS (SELECT id_a, id_b,
-         |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-         |    /(len(x.sh)+len(y.sh)-len(list_intersect(x.sh,y.sh))) AS jac
-         |  FROM cand JOIN shs x ON cand.id_a=x.doc_id JOIN shs y ON cand.id_b=y.doc_id)
+      s"""WITH $neardupPairCtes
          |SELECT id_a, id_b, jac FROM j WHERE jac>=0.5 ORDER BY 1,2""".stripMargin,
+    // Connected components via transitive closure: reach(src,dst) is the
+    // reachable set over the undirected pair graph; the cluster label is
+    // the minimum reachable id — identical to Spark's converged min-label
+    // propagation.
+    "t_neardup_clusters" ->
+      s"""WITH RECURSIVE $neardupPairCtes,
+         |pairs AS (SELECT id_a, id_b FROM j WHERE jac>=0.5),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (SELECT src, src FROM e
+         |  UNION SELECT e.src, r.dst FROM e JOIN reach r ON e.dst=r.src)
+         |SELECT src AS node, min(dst) AS cluster FROM reach
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t_neardup_kept" ->
+      s"""WITH RECURSIVE $neardupPairCtes,
+         |pairs AS (SELECT id_a, id_b FROM j WHERE jac>=0.5),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (SELECT src, src FROM e
+         |  UNION SELECT e.src, r.dst FROM e JOIN reach r ON e.dst=r.src),
+         |cc AS (SELECT src AS node, min(dst) AS cluster FROM reach GROUP BY 1)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node<>cluster)
+         |ORDER BY 1""".stripMargin,
     "t_ngram_blocked" ->
       s"""WITH w AS (SELECT doc_id, lang, source, $wsSql AS ws FROM documents),
          |shs AS (SELECT doc_id, lang, source, $sh3Sql AS sh FROM w),

@@ -91,6 +91,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out == Seq((2L, 1L), (3L, 2L)))
   }
 
+  test("connectedComponents: min-label clusters over a pair graph") {
+    // chain 1-2-3 plus isolated pair 5-6: two clusters labeled 1 and 5
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(cc == Set((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)))
+  }
+
+  test("nearDedupKept keeps exactly one doc per near-dup cluster") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely unrelated text about database engines and joins"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.nearDedupKept(docs, "doc_id", "text", 0.5)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
   test("cosineNearDupPairs: blocked pairs above threshold, no cross-block") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.99f, 0.01f), 0), // near-dups
