@@ -70,4 +70,64 @@ object Multimodal {
       .repartition(parts)
       .mapPartitions(decodePartition)
   }
+
+  /** Per-media feature vector (an embedding extractor's output shape). */
+  case class MediaFeature(id: Long, feature: Array[Float])
+
+  /** STUB feature extraction: an 8-bin byte-value histogram, L1-normalized
+    * — deterministic and cheap, with exactly the signature a real
+    * embedding model (CLIP-style) plugs into. Iterator-in/iterator-out so
+    * a real model loads once per partition, never per row.
+    */
+  def featureExtractPartition(
+      rows: Iterator[(Long, Array[Byte])]): Iterator[MediaFeature] =
+    rows.map { case (id, bytes) =>
+      val hist = new Array[Float](8)
+      bytes.foreach(b => hist((b & 0xff) >> 5) += 1f)
+      val n = math.max(1, bytes.length).toFloat
+      MediaFeature(id, hist.map(_ / n))
+    }
+
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeature] = {
+    import spark.implicits._
+    media.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(featureExtractPartition)
+  }
+
+  /** STUB resize: keep every `factor`-th payload byte (a decimation —
+    * the real implementation hands the payload to a codec's scaler).
+    * Payload-in/payload-out, so resized media flows through the same
+    * binary-column plumbing as the original.
+    */
+  def resizeStub(bytes: Array[Byte], factor: Int): Array[Byte] =
+    bytes.grouped(factor).map(_.head).toArray
+
+  def resize(spark: SparkSession, media: DataFrame, factor: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val out = resizeStub(bytes, factor)
+        MediaRow(id, out, decodeStub(out))
+      })
+  }
+
+  /** One sampled frame of a media payload. */
+  case class MediaFrame(id: Long, frameIdx: Int, frame: Array[Byte])
+
+  /** Frame sampling: treat the payload as consecutive `frameBytes` chunks
+    * ("frames") and emit every `stride`-th one as its OWN row — the
+    * generator (flatMap/explode) shape of video frame extraction, where
+    * one input row fans out to many. Rows stay bounded by frame size, so
+    * downstream per-frame work repartitions freely.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   frameBytes: Int, stride: Int): Dataset[MediaFrame] = {
+    import spark.implicits._
+    media.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        bytes.grouped(frameBytes).zipWithIndex.collect {
+          case (frame, i) if i % stride == 0 => MediaFrame(id, i, frame)
+        }
+      }
+  }
 }

@@ -70,17 +70,7 @@ object SourceQueries {
     // append really appends; the managed table is dropped first so the
     // query is idempotent.
     "s5_s6_ddl_append" -> ((s, d) => {
-      s.sql("DROP TABLE IF EXISTS graft_region_copy")
-      // The in-memory catalog is session-scoped but the managed files are
-      // not: a table created by a previous session survives on disk where
-      // DROP TABLE (no catalog entry) can't see it. Clear the location so
-      // CREATE never hits LOCATION_ALREADY_EXISTS.
-      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
-      def del(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(del)
-        f.delete(); ()
-      }
-      del(new java.io.File(wh, "graft_region_copy"))
+      Tables.dropManaged(s, "graft_region_copy")
       s.sql("""CREATE TABLE IF NOT EXISTS graft_region_copy
               |(r_regionkey INT, r_name STRING) USING parquet""".stripMargin)
       val r = t(s, d, "region").select(col("r_regionkey"), col("r_name"))

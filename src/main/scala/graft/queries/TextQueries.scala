@@ -105,6 +105,26 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus n-gram vocabulary: top-20 word bigrams by document frequency
+    // (each doc counts a distinct bigram once) — the vocab-building scan
+    // of a tokenizer-training pipeline.
+    "t_top_ngrams" -> ((s, d) =>
+      docs(s, d)
+        .select(explode(TextFunctions.shingles(col("text"), 2)).as("ngram"))
+        .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), col("ngram")).limit(20)),
+
+    // Multimodal frame sampling: payloads fan out to every-2nd 32-byte
+    // frame; count per doc proves the generator arithmetic.
+    "mm_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(s,
+          Multimodal.asMedia(docs(s, d), "doc_id", "text"),
+          frameBytes = 32, stride = 2)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_frames"))
+        .select(col("id").as("doc_id"), col("n_frames"))
+        .orderBy(col("doc_id"))),
+
     // Multimodal plumbing: payload byte length through the binary column.
     "mm_binary_meta" -> ((s, d) =>
       Multimodal.asMedia(docs(s, d), "doc_id", "text")
@@ -235,6 +255,16 @@ object TextQueries {
          |    + 0.2*(least(awl,10.0)/10.0) AS quality,
          |  (nt>=5 AND pr<=0.1 AND awl>=2.0 AND awl<=10.0) AS keep
          |FROM f ORDER BY doc_id""".stripMargin,
+    "t_top_ngrams" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |  range(1, greatest(len(ws)-1,1)+1),
+         |  i -> array_to_string(ws[i:i+1],' ')))) AS ngram FROM w)
+         |SELECT ngram, count(*) AS df FROM g GROUP BY 1
+         |ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(ceil(ceil(octet_length(encode(text))/32.0)/2.0)
+        |AS BIGINT) AS n_frames FROM documents ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |CAST(ascii(substr(text,1,1)) AS BIGINT) AS first_char

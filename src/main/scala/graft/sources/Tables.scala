@@ -126,4 +126,33 @@ object Tables {
   /** S9: CSV export (limpiezaSpotify.py:103-104, merge_to_drive.py:32-37). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Drop a managed table AND its warehouse files. The in-memory catalog
+    * is session-scoped but warehouse files persist: a table created by a
+    * previous session is invisible to DROP TABLE yet still blocks CREATE
+    * with LOCATION_ALREADY_EXISTS, so the location is cleared explicitly.
+    */
+  def dropManaged(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(del)
+      f.delete(); ()
+    }
+    del(new java.io.File(wh, table.toLowerCase))
+  }
+
+  /** Bucketed managed-table write: pre-shuffles data into `nBuckets` by
+    * `bucketCol` at write time so later equi-joins/aggregations on that
+    * column plan WITHOUT a shuffle exchange (asserted in BucketingSpec).
+    * This is the at-rest co-location strategy for 100 TB fact⋈fact joins:
+    * pay the shuffle once when the table is built, never per query.
+    */
+  def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
+                    bucketCol: String, sortCols: String*): Unit = {
+    dropManaged(df.sparkSession, table)
+    val w = df.write.mode("overwrite").bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

@@ -122,6 +122,23 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out == Seq((1L, 2L))) // 1-4 identical but blocked apart
   }
 
+  test("multimodal feature/resize/frame ops: deterministic shapes") {
+    val payload = "x" * 100
+    val df = Seq((1L, payload)).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(df, "doc_id", "text")
+    // features: 8 bins, L1-normalized over payload bytes
+    val feat = Multimodal.extractFeatures(spark, media).collect().head
+    assert(feat.feature.length == 8)
+    assert(math.abs(feat.feature.sum - 1.0f) < 1e-6)
+    // resize by 4: 100 bytes -> 25, metadata re-derived
+    val resized = Multimodal.resize(spark, media, 4).collect().head
+    assert(resized.payload.length == 25 && resized.meta.byteLen == 25L)
+    // frames: ceil(100/32)=4 chunks, stride 2 -> indices 0 and 2
+    val frames = Multimodal.sampleFrames(spark, media, 32, 2).collect()
+    assert(frames.map(_.frameIdx).sorted.toSeq == Seq(0, 2))
+    assert(frames.map(_.frame.length).sorted.toSeq == Seq(32, 32))
+  }
+
   test("multimodal decode stub: deterministic metadata, payload intact") {
     val df = Seq((1L, "hello"), (2L, "hello"), (3L, "wider payload"))
       .toDF("doc_id", "text")
