@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression: cosine similarity of two `array<float>`
+  * columns in ONE fused pass (dot product and both norms accumulate in the
+  * same loop), with whole-stage codegen via `doGenCode`.
+  *
+  * This is the similarity hot path's drop-to-native optimization: the
+  * declarative form (`zip_with` + `aggregate` + `sqrt`, see
+  * graft.operators.Similarity.cosine) is codegen'd too but materializes an
+  * intermediate array per row and walks each input three times. Per the
+  * engine's extension ladder (builder brief: compose built-ins → custom
+  * Expression → custom plan), this stays at rung two — a scalar expression
+  * the optimizer can still push, prune, and fuse around.
+  *
+  * Float elements are widened to double BEFORE multiplying and the three
+  * accumulators add in ascending index order — bit-identical to the
+  * declarative form and to the DuckDB oracle, so both implementations
+  * hash-match the same correctness rows.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  // Both children must be array<float> (AbstractDataType — the usual
+  // ExpectsInputTypes route — is private[sql], so check explicitly).
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType == ArrayType(FloatType)) ||
+      Seq(left, right).forall(_.dataType == ArrayType(FloatType, containsNull = false))
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects two array<float> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |double $na = 0.0;
+         |double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y;
+         |  $na += $x * $x;
+         |  $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration + Column-API access for the engine's native expressions. */
+object NativeFunctions {
+
+  /** Register `cosine_sim` in the session's function registry (idempotent).
+    * After this, the expression is usable from both the Column API
+    * ([[cosineSim]]) and SQL text.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "cosine_sim takes exactly 2 arguments")
+        CosineSimilarity(exprs.head, exprs(1))
+      })
+
+  /** Column-API form; requires [[register]] on the owning session first. */
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+}

@@ -122,6 +122,26 @@ object Relational {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Manual skew mitigation: salted inner equi-join. Each large-side row
+    * gets a salt derived from a row-local hash (NOT from the join key —
+    * the point is to spread one hot key across `salts` reducers); the
+    * small side replicates once per salt value, and the join key becomes
+    * (keys, salt). The result set is identical to the unsalted join.
+    *
+    * AQE's skew-join splitting usually makes this unnecessary (SCALE.md);
+    * it stays in the toolbox for skewed AGGREGATIONS (salt → partial agg →
+    * final agg) and for joins whose shape AQE can't split.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                 salts: Int): DataFrame = {
+    val l = large.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong))
+        .cast("int"))
+    val s = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(s, keys :+ "_salt").drop("_salt")
+  }
+
   /** D7-style argmax: the single row maximizing `by`, ties broken by
     * ascending `tieBreak` — window-based, fully distributed (no driver
     * sort / collect).

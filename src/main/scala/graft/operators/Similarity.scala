@@ -44,13 +44,14 @@ object Similarity {
     * ordering itself is reproducible across engines.
     */
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame,
-                     idCol: String, vecCol: String, k: Int): DataFrame = {
+                     idCol: String, vecCol: String, k: Int,
+                     scorer: (Column, Column) => Column = cosine): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val c = candidates.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
-        round(cosine(col("q_vec"), col("n_vec")), 6).as("cos"))
+        round(scorer(col("q_vec"), col("n_vec")), 6).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -148,6 +148,17 @@ object CoreQueries {
         .orderBy(col("_merge"))
     }),
 
+    // Skew-salted inner join (manual skew mitigation; result provably
+    // identical to the plain join — same oracle shape as J1's tables).
+    "j_skew_salted" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"))
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_name"))
+      Relational.saltedJoin(o, c, Seq("custkey"), salts = 8)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // A1: deterministic mode-or-first dedup aggregate (ties → smallest
     // mode; "first" pinned to l_linenumber order) — the two-level-agg
     // rewrite of limpiezaSpotify.py:59-61.
@@ -280,6 +291,9 @@ object CoreQueries {
         |count(*) AS cnt
         |FROM orders o FULL OUTER JOIN (SELECT * FROM customer WHERE c_acctbal<0) c
         |ON o.o_custkey=c.c_custkey GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j_skew_salted" ->
+      """SELECT o_custkey AS custkey, o_orderkey, c_name FROM orders
+        |JOIN customer ON o_custkey=c_custkey ORDER BY o_orderkey""".stripMargin,
     "a1_mode_first" ->
       """WITH cnts AS (SELECT l_orderkey, l_quantity, count(*) AS cnt
         |  FROM lineitem GROUP BY 1,2),

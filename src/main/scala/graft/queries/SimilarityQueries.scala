@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.NativeFunctions
 import graft.operators.Similarity
 import graft.sources.Tables
 
@@ -26,6 +27,18 @@ object SimilarityQueries {
         "vec_id", "embedding", "label", k = 5)
         .orderBy(col("q_id"), col("rank"))
     }),
+    // Same brute-force top-k through the NATIVE fused CosineSimilarity
+    // expression (single-pass codegen) — shares sim_topk_brute's oracle,
+    // proving the custom Expression is bit-identical to the declarative
+    // composition.
+    "sim_topk_native" -> ((s, d) => {
+      NativeFunctions.register(s)
+      val v = emb(s, d)
+      Similarity.bruteForceTopK(v, v.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, scorer = NativeFunctions.cosineSim)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Embedding-cosine near-dup pairs, blocked by label — Σ|block|² work,
     // never the N² all-pairs cross join.
     "sim_neardup_cosine" -> ((s, d) =>
@@ -42,6 +55,16 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "sim_topk_brute" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, e AS q_vec FROM v WHERE vec_id<5),
+         |c AS (SELECT vec_id AS n_id, e AS n_vec FROM v),
+         |s AS (SELECT q_id, n_id, $cosSql AS cos FROM c, q WHERE n_id<>q_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM s)
+         |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=10
+         |ORDER BY q_id, rank""".stripMargin,
+    "sim_topk_native" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |q AS (SELECT vec_id AS q_id, e AS q_vec FROM v WHERE vec_id<5),
          |c AS (SELECT vec_id AS n_id, e AS n_vec FROM v),

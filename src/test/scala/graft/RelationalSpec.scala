@@ -72,6 +72,17 @@ class RelationalSpec extends AnyFunSuite {
     assert(st.getDouble(1) == 5.0 / 3)   // mean = round(sum,2)/count
   }
 
+  test("saltedJoin returns exactly the plain inner join's rows") {
+    val large = Seq((1, "o1"), (1, "o2"), (1, "o3"), (2, "o4"), (9, "o5"))
+      .toDF("k", "ov")
+    val small = Seq((1, "c1"), (2, "c2"), (3, "c3")).toDF("k", "cv")
+    val salted = Relational.saltedJoin(large, small, Seq("k"), salts = 4)
+      .select($"k", $"ov", $"cv").as[(Int, String, String)].collect().sorted
+    val plain = large.join(small, Seq("k"))
+      .select($"k", $"ov", $"cv").as[(Int, String, String)].collect().sorted
+    assert(salted.toSeq == plain.toSeq && plain.nonEmpty)
+  }
+
   test("argmaxRow picks max with deterministic tie-break") {
     val df = Seq((1, 10.0), (2, 10.0), (3, 5.0)).toDF("id", "v")
     val out = Relational.argmaxRow(df, $"v", $"id").as[(Int, Double)].collect()

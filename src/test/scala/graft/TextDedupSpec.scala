@@ -81,6 +81,24 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1.0, 0.0))
   }
 
+  test("native CosineSimilarity is bit-identical to the declarative form") {
+    graft.functions.NativeFunctions.register(spark)
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)),
+      (Seq(0.3f, 0.0f), Seq(0.0f, 7.1f)),
+      (Seq(1.0f, 1.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+    val pairs = df.select(
+      Similarity.cosine($"a", $"b").as("decl"),
+      graft.functions.NativeFunctions.cosineSim($"a", $"b").as("nat"))
+      .as[(Double, Double)].collect()
+    pairs.foreach { case (d, n) => assert(d == n) } // exact, not approx
+    // and it works from SQL text too
+    df.createOrReplaceTempView("cos_t")
+    val sql = spark.sql("SELECT cosine_sim_check.* FROM (SELECT cosine_sim(a, b) AS c FROM cos_t) cosine_sim_check")
+      .as[Double].collect()
+    assert(sql.toSeq == pairs.map(_._1).toSeq)
+  }
+
   test("bruteForceTopK excludes self and ranks by similarity") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
