@@ -27,6 +27,26 @@ class ParityTrapsSpec extends AnyFunSuite {
     assert(m.toSeq == Seq((1, 2)))
   }
 
+  test("trap 2 property: deterministicMode == reference semantics on random multisets") {
+    val rnd = new scala.util.Random(42)
+    (1 to 25).foreach { _ =>
+      val rows = for {
+        g <- 1 to (1 + rnd.nextInt(5))
+        _ <- 1 to (1 + rnd.nextInt(12))
+      } yield (g, rnd.nextInt(6))
+      // Reference semantics (pandas Series.mode().iloc[0]): most frequent
+      // value, ties -> smallest.
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        val counts = rs.groupBy(_._2).map { case (v, vs) => v -> vs.size }
+        val maxC = counts.values.max
+        g -> counts.collect { case (v, c) if c == maxC => v }.min
+      }
+      val got = Relational.deterministicMode(rows.toDF("g", "v"), "g", "v", "m")
+        .as[(Int, Int)].collect().toMap
+      assert(got == expected, s"rows=$rows")
+    }
+  }
+
   test("trap 4: lenient cast yields null on junk, value on digits") {
     val df = Seq("1-URGENT", "7", "").toDF("s")
     val out = df.select(expr("try_cast(s AS INT)")).as[Option[Int]].collect()
