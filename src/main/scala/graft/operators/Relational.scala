@@ -64,6 +64,30 @@ object Relational {
       .agg(max_by(col(valueCol),
         struct(col("_cnt"), (col(valueCol) * lit(-1)).as("_neg"))).as(out))
 
+  /** A1 fused: deterministic mode of `modeCol` AND order-stable first of
+    * `firstCol` in ONE shuffle (vs deterministicMode + firstByOrder +
+    * join = two shuffles and a join). The first-level aggregate
+    * (group, modeValue) carries `min(struct(orderCol, firstCol))`
+    * alongside the count; the second level reduces both: `max_by` for the
+    * mode, `min` of the carried struct for the first — the minimal struct
+    * across subgroups is the minimal struct of the whole group.
+    *
+    * @return DataFrame[groupCol, modeOut, firstOut]
+    */
+  def modeOrFirst(df: DataFrame, groupCol: String, modeCol: String,
+                  orderCol: String, firstCol: String,
+                  modeOut: String, firstOut: String): DataFrame =
+    df.groupBy(col(groupCol), col(modeCol))
+      .agg(count(lit(1)).as("_cnt"),
+        min(struct(col(orderCol), col(firstCol))).as("_first"))
+      .groupBy(col(groupCol))
+      .agg(
+        max_by(col(modeCol),
+          struct(col("_cnt"), (col(modeCol) * lit(-1)).as("_neg"))).as(modeOut),
+        min(col("_first")).as("_first"))
+      .withColumn(firstOut, col("_first").getField(firstCol))
+      .drop("_first")
+
   /** A1 companion: "first" per group under an EXPLICIT order column.
     * pandas `iloc[0]` is input-order-stable; Spark `first()` is not —
     * SURVEY.md §7.4.3 — so callers must name the ordering column.

@@ -160,20 +160,15 @@ object CoreQueries {
     }),
 
     // A1: deterministic mode-or-first dedup aggregate (ties → smallest
-    // mode; "first" pinned to l_linenumber order) — the two-level-agg
-    // rewrite of limpiezaSpotify.py:59-61.
-    "a1_mode_first" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-      val modes = Relational.deterministicMode(
-        li.select("l_orderkey", "l_quantity"), "l_orderkey", "l_quantity",
-        "mode_qty")
-      // l_linenumber is not unique per order in the synthetic corpus, so
-      // the "first" ordering is the composite (l_linenumber, value).
-      val firsts = li.groupBy(col("l_orderkey"))
-        .agg(min_by(col("l_returnflag"),
-          struct(col("l_linenumber"), col("l_returnflag"))).as("first_rf"))
-      modes.join(firsts, Seq("l_orderkey")).orderBy(col("l_orderkey"))
-    }),
+    // mode; "first" pinned to (l_linenumber, value) order since
+    // l_linenumber is not unique per order in the synthetic corpus) — the
+    // FUSED two-level-agg rewrite of limpiezaSpotify.py:59-61: one
+    // shuffle computes both the mode and the order-stable first.
+    "a1_mode_first" -> ((s, d) =>
+      Relational.modeOrFirst(t(s, d, "lineitem"),
+        "l_orderkey", "l_quantity", "l_linenumber", "l_returnflag",
+        "mode_qty", "first_rf")
+        .orderBy(col("l_orderkey"))),
 
     // A2: distinct rows.
     "a2_distinct" -> ((s, d) =>

@@ -72,6 +72,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(st.getDouble(1) == 5.0 / 3)   // mean = round(sum,2)/count
   }
 
+  test("modeOrFirst (fused, one shuffle) == deterministicMode + firstByOrder") {
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      g <- 1 to 6; i <- 1 to (1 + rnd.nextInt(10))
+    } yield (g, rnd.nextInt(4), i, s"v${rnd.nextInt(3)}")
+    val df = rows.toDF("g", "m", "ord", "f")
+    val fused = Relational.modeOrFirst(df, "g", "m", "ord", "f", "mo", "fo")
+      .as[(Int, Int, String)].collect().toSet
+    val modes = Relational.deterministicMode(df, "g", "m", "mo")
+    val firsts = Relational.firstByOrder(df, "g", "ord", Seq("f"))
+    val composed = modes.join(firsts, Seq("g"))
+      .select($"g", $"mo", $"f").as[(Int, Int, String)].collect().toSet
+    assert(fused == composed)
+  }
+
   test("saltedJoin returns exactly the plain inner join's rows") {
     val large = Seq((1, "o1"), (1, "o2"), (1, "o3"), (2, "o4"), (9, "o5"))
       .toDF("k", "ov")
