@@ -44,11 +44,11 @@ object Pipelines {
     val mapped = applyGenreMap(tracks, mapping)
     val carry = mapped.columns.filterNot(c =>
       c == "track_id" || c == "popularity" || c == orderCol).toSeq
-    val modes = Relational.deterministicMode(
-      mapped.select("track_id", "popularity"), "track_id", "popularity",
-      "popularity")
-    val firsts = Relational.firstByOrder(mapped, "track_id", orderCol, carry)
-    firsts.join(modes, Seq("track_id")) // A1
+    // A1, fused: mode + all order-stable carries in one shuffle
+    // (Relational.modeOrFirstMulti), instead of two aggregates + a join.
+    Relational.modeOrFirstMulti(mapped, "track_id", "popularity", orderCol,
+      carry, "popularity")
+      .select((("track_id" +: carry) :+ "popularity").map(col): _*)
       .dropDuplicates() // A2 (limpiezaSpotify.py:101)
   }
 

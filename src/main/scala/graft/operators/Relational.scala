@@ -77,16 +77,30 @@ object Relational {
   def modeOrFirst(df: DataFrame, groupCol: String, modeCol: String,
                   orderCol: String, firstCol: String,
                   modeOut: String, firstOut: String): DataFrame =
-    df.groupBy(col(groupCol), col(modeCol))
-      .agg(count(lit(1)).as("_cnt"),
-        min(struct(col(orderCol), col(firstCol))).as("_first"))
-      .groupBy(col(groupCol))
-      .agg(
-        max_by(col(modeCol),
-          struct(col("_cnt"), (col(modeCol) * lit(-1)).as("_neg"))).as(modeOut),
-        min(col("_first")).as("_first"))
-      .withColumn(firstOut, col("_first").getField(firstCol))
-      .drop("_first")
+    modeOrFirstMulti(df, groupCol, modeCol, orderCol, Seq(firstCol), modeOut)
+      .withColumnRenamed(firstCol, firstOut)
+
+  /** [[modeOrFirst]] generalized to any number of order-stable carry
+    * columns, still ONE shuffle: level one carries
+    * `min(struct(orderCol, c))` per carry column beside the
+    * per-(group, modeValue) count; level two reduces each with `min` and
+    * unwraps the carried field. Carry columns keep their names.
+    */
+  def modeOrFirstMulti(df: DataFrame, groupCol: String, modeCol: String,
+                       orderCol: String, carryCols: Seq[String],
+                       modeOut: String): DataFrame = {
+    val carries = carryCols.map(c =>
+      min(struct(col(orderCol), col(c))).as(s"_first_$c"))
+    val level1 = df.groupBy(col(groupCol), col(modeCol))
+      .agg(count(lit(1)).as("_cnt"), carries: _*)
+    val finals =
+      max_by(col(modeCol),
+        struct(col("_cnt"), (col(modeCol) * lit(-1)).as("_neg"))).as(modeOut) +:
+        carryCols.map(c => min(col(s"_first_$c")).as(s"_first_$c"))
+    val level2 = level1.groupBy(col(groupCol)).agg(finals.head, finals.tail: _*)
+    carryCols.foldLeft(level2)((d, c) =>
+      d.withColumn(c, col(s"_first_$c").getField(c)).drop(s"_first_$c"))
+  }
 
   /** A1 companion: "first" per group under an EXPLICIT order column.
     * pandas `iloc[0]` is input-order-stable; Spark `first()` is not —
