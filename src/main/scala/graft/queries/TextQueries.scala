@@ -105,6 +105,20 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic stratified sample: k docs per language, chosen by
+    // md5(doc_id) order — the data-mixing primitive of a training
+    // pipeline, reproducible on any engine (no RNG, no seed drift).
+    "t_stratified_sample" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs(s, d)
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") <= 10)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // Corpus n-gram vocabulary: top-20 word bigrams by document frequency
     // (each doc counts a distinct bigram once) — the vocab-building scan
     // of a tokenizer-training pipeline.
@@ -255,6 +269,12 @@ object TextQueries {
          |    + 0.2*(least(awl,10.0)/10.0) AS quality,
          |  (nt>=5 AND pr<=0.1 AND awl>=2.0 AND awl<=10.0) AS keep
          |FROM f ORDER BY doc_id""".stripMargin,
+    "t_stratified_sample" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn<=10 ORDER BY lang, doc_id""".stripMargin,
     "t_top_ngrams" ->
       s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
          |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
