@@ -105,6 +105,22 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The FULL curation funnel as one declarative plan: quality gate →
+    // exact dedup (content-hash keeper) → near-dup clustering keeper —
+    // what a training-data pipeline actually runs, end-to-end, with the
+    // whole chain oracle-checked.
+    "t_curation_funnel" -> ((s, d) => {
+      val nt = TextFunctions.tokenCount(col("text"))
+      val pr = TextFunctions.punctRatio(col("text"))
+      val awl = TextFunctions.avgWordLen(col("text"))
+      val quality = docs(s, d)
+        .where(nt >= 5 && pr <= 0.1 && awl >= 2.0 && awl <= 10.0)
+      val exact = Dedup.exactDedup(quality, "doc_id", "text")
+      Dedup.nearDedupKept(exact, "doc_id", "text", threshold = 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic stratified sample: k docs per language, chosen by
     // md5(doc_id) order — the data-mixing primitive of a training
     // pipeline, reproducible on any engine (no RNG, no seed drift).
@@ -155,10 +171,11 @@ object TextQueries {
        | i -> array_to_string(ws[i:i+2],' ')))""".stripMargin
 
   /** Shared CTE chain producing near-dup candidate pairs with exact
-    * Jaccard (`j`): shingles → 12-slot MinHash → 6 bands → bucket join.
+    * Jaccard (`j`) over a source relation: shingles → 12-slot MinHash →
+    * 6 bands → bucket join.
     */
-  private val neardupPairCtes =
-    s"""w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+  private def neardupPairCtesFrom(src: String): String =
+    s"""w AS (SELECT doc_id, $wsSql AS ws FROM $src),
        |shs AS (SELECT doc_id, $sh3Sql AS sh FROM w),
        |sig AS (SELECT doc_id, list_transform(range(0,12),
        |  i -> list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS sg
@@ -218,14 +235,14 @@ object TextQueries {
          |b AS (SELECT doc_id, $simhashSums FROM w GROUP BY 1)
          |SELECT doc_id, $simhashBits AS simhash FROM b ORDER BY doc_id""".stripMargin,
     "t_neardup_pairs" ->
-      s"""WITH $neardupPairCtes
+      s"""WITH ${neardupPairCtesFrom("documents")}
          |SELECT id_a, id_b, jac FROM j WHERE jac>=0.5 ORDER BY 1,2""".stripMargin,
     // Connected components via transitive closure: reach(src,dst) is the
     // reachable set over the undirected pair graph; the cluster label is
     // the minimum reachable id — identical to Spark's converged min-label
     // propagation.
     "t_neardup_clusters" ->
-      s"""WITH RECURSIVE $neardupPairCtes,
+      s"""WITH RECURSIVE ${neardupPairCtesFrom("documents")},
          |pairs AS (SELECT id_a, id_b FROM j WHERE jac>=0.5),
          |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
          |  UNION SELECT id_b, id_a FROM pairs),
@@ -234,7 +251,7 @@ object TextQueries {
          |SELECT src AS node, min(dst) AS cluster FROM reach
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t_neardup_kept" ->
-      s"""WITH RECURSIVE $neardupPairCtes,
+      s"""WITH RECURSIVE ${neardupPairCtesFrom("documents")},
          |pairs AS (SELECT id_a, id_b FROM j WHERE jac>=0.5),
          |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
          |  UNION SELECT id_b, id_a FROM pairs),
@@ -269,6 +286,28 @@ object TextQueries {
          |    + 0.2*(least(awl,10.0)/10.0) AS quality,
          |  (nt>=5 AND pr<=0.1 AND awl>=2.0 AND awl<=10.0) AS keep
          |FROM f ORDER BY doc_id""".stripMargin,
+    "t_curation_funnel" ->
+      s"""WITH RECURSIVE qual AS (
+         |  SELECT doc_id, text, lang FROM (
+         |    SELECT doc_id, text, lang,
+         |      CASE WHEN length(trim(text))=0 THEN 0 ELSE len(ws) END AS nt,
+         |      CAST(length(regexp_replace(text,'[^.,!?;:]','','g')) AS DOUBLE)/length(text) AS pr,
+         |      CAST(length(regexp_replace(text,'\\s','','g')) AS DOUBLE)/len(ws) AS awl
+         |    FROM (SELECT doc_id, text, lang, $wsSql AS ws FROM documents))
+         |  WHERE nt>=5 AND pr<=0.1 AND awl>=2.0 AND awl<=10.0),
+         |ex AS (SELECT q.* FROM qual q
+         |  JOIN (SELECT min(doc_id) AS doc_id FROM qual GROUP BY md5(text)) k
+         |  USING (doc_id)),
+         |${neardupPairCtesFrom("ex")},
+         |pairs AS (SELECT id_a, id_b FROM j WHERE jac>=0.5),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (SELECT src, src FROM e
+         |  UNION SELECT e.src, r.dst FROM e JOIN reach r ON e.dst=r.src),
+         |cc AS (SELECT src AS node, min(dst) AS cluster FROM reach GROUP BY 1)
+         |SELECT doc_id, lang FROM ex
+         |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node<>cluster)
+         |ORDER BY 1""".stripMargin,
     "t_stratified_sample" ->
       """WITH r AS (SELECT doc_id, lang,
         |  row_number() OVER (PARTITION BY lang
