@@ -165,7 +165,14 @@ object CoreQueries {
     // FUSED two-level-agg rewrite of limpiezaSpotify.py:59-61: one
     // shuffle computes both the mode and the order-stable first.
     "a1_mode_first" -> ((s, d) =>
-      Relational.modeOrFirst(t(s, d, "lineitem"),
+      // Pre-partition by the group key: quantity rarely repeats within an
+      // order, so the (group, value) pre-aggregate barely compresses and
+      // the generic two-level plan would shuffle ~|rows| twice. One
+      // explicit hash exchange satisfies BOTH aggregate levels'
+      // distribution requirements (partitioning on a subset of the
+      // grouping keys clusters them), so neither re-shuffles.
+      Relational.modeOrFirst(
+        t(s, d, "lineitem").repartition(col("l_orderkey")),
         "l_orderkey", "l_quantity", "l_linenumber", "l_returnflag",
         "mode_qty", "first_rf")
         .orderBy(col("l_orderkey"))),
