@@ -58,6 +58,31 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Deterministic random-projection hyperplanes for sign-bit LSH: `nBits`
+    * gaussian vectors of `dim` components from a seeded java.util.Random
+    * (spec-fixed LCG + Marsaglia polar — identical on any JVM, and the
+    * constants embed in oracle SQL for cross-engine replay).
+    */
+  def lshPlanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit random-projection LSH bucket of an embedding: bit i is
+    * whether dot(vec, plane_i) ≥ 0. A per-row projection (the planes are
+    * plan literals) — the bucket computation itself never shuffles. With
+    * `nBits` bits, expected bucket width is N / 2^nBits: the knob that
+    * bounds Σ|bucket|² for [[partitionedTopK]] / [[cosineNearDupPairs]].
+    */
+  def projectionBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val v = vec.cast("array<double>")
+    val bits = planes.map { p =>
+      val plane = array(p.map(lit): _*)
+      when(dot(v, plane) >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits.toIndexedSeq: _*)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a, b) with
     * cosine ≥ threshold, compared only WITHIN a blocking column (cluster
     * id / LSH bucket) — never all-pairs. The self-join shuffles both sides

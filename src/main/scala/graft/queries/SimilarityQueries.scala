@@ -44,8 +44,35 @@ object SimilarityQueries {
     "sim_neardup_cosine" -> ((s, d) =>
       Similarity.cosineNearDupPairs(emb(s, d), "vec_id", "embedding",
         "label", threshold = 0.35)
-        .orderBy(col("id_a"), col("id_b")))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Real LSH path: sign-bit random-projection buckets (4 seeded
+    // hyperplanes → 16 buckets), then bucket-pruned top-k. The planes are
+    // plan literals, so the oracle replays the identical bucketing.
+    "sim_topk_lsh" -> ((s, d) => {
+      val v = emb(s, d).withColumn("bucket",
+        Similarity.projectionBucket(col("embedding"), lshPlanes))
+      Similarity.partitionedTopK(v, v.where(col("vec_id") < 5),
+        "vec_id", "embedding", "bucket", k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    })
   )
+
+  /** 4 hyperplanes over the corpus's 64-dim embeddings, seed pinned so the
+    * DuckDB oracle (literal-embedded constants) replays them exactly.
+    */
+  private val lshPlanes = Similarity.lshPlanes(dim = 64, nBits = 4, seed = 42L)
+
+  /** SQL recomputation of the sign-bit bucket over `e`, with the SAME
+    * hyperplane constants as the Spark plan (Double.toString round-trips
+    * exactly; the unnest-sum folds in element order like Spark's
+    * `aggregate`).
+    */
+  private def bucketSql: String = lshPlanes.map { p =>
+    val arr = p.mkString("[", ",", "]")
+    s"""(CASE WHEN (SELECT sum(a*b) FROM (SELECT unnest(e) AS a,
+       | unnest($arr::DOUBLE[]) AS b)) >= 0 THEN '1' ELSE '0' END)""".stripMargin
+  }.mkString(" || ")
 
   private val cosSql =
     """round(
@@ -73,6 +100,18 @@ object SimilarityQueries {
          |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
          |  FROM s)
          |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=10
+         |ORDER BY q_id, rank""".stripMargin,
+    "sim_topk_lsh" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id, e, $bucketSql AS bucket FROM v),
+         |q AS (SELECT vec_id AS q_id, bucket, e AS q_vec FROM b WHERE vec_id<5),
+         |c AS (SELECT vec_id AS n_id, bucket, e AS n_vec FROM b),
+         |s AS (SELECT q_id, n_id, $cosSql AS cos FROM c JOIN q USING (bucket)
+         |  WHERE n_id<>q_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM s)
+         |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=5
          |ORDER BY q_id, rank""".stripMargin,
     "sim_neardup_cosine" ->
       s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
