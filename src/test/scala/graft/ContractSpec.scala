@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver contract (SparkEntry): these failures would
+  * otherwise only surface as silent gaps in the driver's round report.
+  */
+class ContractSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("every registered query has a DuckDB oracle and vice versa") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries missing oracles: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without queries: ${(o -- q).toSeq.sorted}")
+  }
+
+  test("flagship entry returns rows on the smoke corpus") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle SQL contains no characters the driver JSON dump can't carry") {
+    // Verify.q escapes these, but flag accidental control chars early.
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(!sql.exists(c => c < ' ' && c != '\n' && c != '\t'),
+        s"$name oracle has a control character")
+    }
+  }
+}
