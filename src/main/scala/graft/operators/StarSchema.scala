@@ -58,6 +58,21 @@ object StarSchema {
       (df, k) => df.drop(s"_dim_$k"))
   }
 
+  /** Incremental dimension upsert — the reference's INSERT-or-SELECT
+    * surrogate loop (merge_to_dw.py:153-170) made incremental loads
+    * STATEFUL: new ids depended on what the database had already assigned.
+    * Deterministic hash surrogates make upsert stateless: the id of a
+    * natural key is the same on every run, so merging new source rows is
+    * just build + union + dropDuplicates — no id re-negotiation, no read
+    * of existing assignments, and safely re-runnable (idempotent) at any
+    * scale. Facts loaded in past runs keep resolving against the merged
+    * dim unchanged.
+    */
+  def upsertDim(existing: DataFrame, newSrc: DataFrame, idCol: String,
+                naturalKey: Seq[String]): DataFrame =
+    existing.unionByName(buildDim(newSrc, idCol, naturalKey))
+      .dropDuplicates(naturalKey)
+
   /** Gate fact rows on FK completeness (merge_to_dw.py:254, 288): a fact
     * is inserted only when all its required surrogate keys resolved.
     */
