@@ -181,12 +181,17 @@ object Relational {
   }
 
   /** D7-style argmax: the single row maximizing `by`, ties broken by
-    * ascending `tieBreak` — window-based, fully distributed (no driver
-    * sort / collect).
+    * ascending `tieBreak`. NOT a global window — `row_number` over an
+    * unpartitioned window funnels every row through one task, the classic
+    * scale-killer. Instead: a parallel max aggregate (one scalar,
+    * broadcast back), a parallel filter to the maximal rows, then
+    * TakeOrdered over that tiny set for the tie-break.
     */
   def argmaxRow(df: DataFrame, by: Column, tieBreak: Column): DataFrame = {
-    val w = Window.orderBy(by.desc, tieBreak)
-    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .drop("_rn")
+    val mx = df.agg(max(by).as("_mx"))
+    df.join(broadcast(mx), by === col("_mx"))
+      .drop("_mx")
+      .orderBy(tieBreak)
+      .limit(1)
   }
 }
