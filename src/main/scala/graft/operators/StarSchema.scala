@@ -80,13 +80,13 @@ object StarSchema {
     fact.where(requiredIds.map(col(_).isNotNull).reduce(_ && _))
 
   /** Share-of-total helper for the dashboard's donut/pct cards (D1, D3):
-    * appends `share = value / sum(value) over ()`. The single-partition
-    * window is fine — it runs over the already-aggregated (small) result,
-    * never over base data.
+    * appends `share = value / total`. The total is a parallel scalar
+    * aggregate broadcast back — NOT a `sum over ()` single-partition
+    * window, which would funnel the whole (aggregated, but at 100 TB
+    * still possibly huge) result through one task.
     */
-  def withShare(agg: DataFrame, valueCol: String, out: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    agg.withColumn(out,
-      round(col(valueCol) / sum(col(valueCol)).over(Window.partitionBy()), 4))
-  }
+  def withShare(agg: DataFrame, valueCol: String, out: String): DataFrame =
+    agg.crossJoin(broadcast(agg.agg(sum(col(valueCol)).as("_tot"))))
+      .withColumn(out, round(col(valueCol) / col("_tot"), 4))
+      .drop("_tot")
 }

@@ -52,12 +52,14 @@ object DashboardQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D1: avg popularity by artist — top 5 + share of total (donut card).
+    // Share uses the broadcast-scalar total (StarSchema.withShare), not a
+    // single-partition window over every artist.
     "d1_avg_popularity" -> ((s, d) =>
-      ordersWithArtist(s, d)
-        .groupBy(col("c_name"))
-        .agg(avg(col("o_totalprice")).as("ap"))
-        .withColumn("share",
-          round(col("ap") / sum(col("ap")).over(Window.partitionBy()), 4))
+      StarSchema.withShare(
+        ordersWithArtist(s, d)
+          .groupBy(col("c_name"))
+          .agg(avg(col("o_totalprice")).as("ap")),
+        "ap", "share")
         .orderBy(desc("ap"), col("c_name"))
         .limit(5)
         .select(col("c_name"), round(col("ap"), 4).as("avg_pop"), col("share"))),
