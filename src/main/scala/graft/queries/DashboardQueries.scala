@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{Relational, StarSchema}
 import graft.sources.Tables
@@ -17,7 +16,8 @@ import graft.sources.Tables
   * Scale notes: every dim side of a join here is broadcast (region,
   * nation, supplier, part, customer are dimension-sized); the only
   * base-table shuffles are the aggregations themselves. Share-of-total
-  * windows run over already-aggregated results, never base data.
+  * and argmax use broadcast-scalar aggregates — no single-partition
+  * windows anywhere in the plan.
   */
 object DashboardQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -123,7 +123,8 @@ object DashboardQueries {
     }),
 
     // D7: extremes table — the most popular and the most-winning artist,
-    // both via distributed argmax (window row_number, no driver sort).
+    // both via distributed argmax (parallel max + broadcast filter, no
+    // driver sort, no global window).
     "d7_extremes" -> ((s, d) => {
       val pop = Relational.argmaxRow(
         ordersWithArtist(s, d)
