@@ -15,6 +15,12 @@ class ContractSpec extends AnyFunSuite {
     assert((o -- q).isEmpty, s"oracles without queries: ${(o -- q).toSeq.sorted}")
   }
 
+  test("every bench headline query is registered") {
+    val missing = Bench.headline.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty,
+      s"Bench would time failures for: ${missing.mkString(", ")}")
+  }
+
   test("flagship entry returns rows on the smoke corpus") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
