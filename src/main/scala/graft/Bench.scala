@@ -9,8 +9,11 @@ import org.apache.spark.sql.SparkSession
   * column is computed and serialized on the executors, so expression-heavy
   * projections are really timed. A bare `.count()` would let Catalyst prune
   * all columns and bench the scan alone (round-1 VERDICT "What's wrong").
-  * One untimed warm-up run amortizes JVM/codegen/classloading so per-query
-  * numbers measure the plan, not JIT noise.
+  * An untimed warm-up pass over the whole headline set amortizes
+  * JVM/codegen/classloading and parquet footer reads for EVERY input table,
+  * so per-query numbers measure the plan, not first-touch JIT noise (with a
+  * d9-only warm-up, the first query to touch lineitem absorbed ~4 s of
+  * one-time cost that its plan didn't own).
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -35,8 +38,10 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    // Warm-up (untimed): JIT + codegen + parquet footer reads.
-    try materialize("d9_top_artists") catch { case _: Throwable => () }
+    // Warm-up (untimed): JIT + codegen + parquet footer reads for all tables.
+    headline.foreach { name =>
+      try materialize(name) catch { case _: Throwable => () }
+    }
 
     val results = headline.map { name =>
       val t0 = System.nanoTime()
