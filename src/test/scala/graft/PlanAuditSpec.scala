@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Machine-checked plan audit: the scale-design claims in SCALE.md as
+  * assertions on the physical plans of registered queries, so a regression
+  * (a dropped broadcast hint, a filter that stops reaching the scan, a
+  * rewrite that reintroduces a single-partition window) fails the build
+  * instead of surviving as stale prose.
+  *
+  * AQE is disabled inside each assertion so the plan text is static; the
+  * queries themselves run with AQE on everywhere else.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+  }
+
+  test("dim joins are broadcast hash joins (d9, d1, d10, star build)") {
+    for (q <- Seq("d9_top_artists", "d1_avg_popularity", "d10_genre_wins",
+      "star_fact_counts")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast:\n$p")
+    }
+  }
+
+  test("share-of-total and argmax plans contain no window operator") {
+    // d1/d3 use the broadcast-scalar total, d7 the parallel max + filter;
+    // a Window node reappearing means someone reintroduced the
+    // single-partition `over ()` funnel.
+    for (q <- Seq("d1_avg_popularity", "d3_top_albums", "d7_extremes")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q regressed to a window plan:\n$p")
+    }
+  }
+
+  test("filters reach the parquet scan (p5)") {
+    val p = plan("p5_filter")
+    // plan toString truncates long metadata fields, so assert on the
+    // filter that renders fully plus the untruncated Filter node
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    assert(p.contains("EqualTo(o_orderstatus,F)"), p)
+    assert(p.contains("> 100000"), p)
+  }
+
+  test("projection prunes unreferenced columns at the scan (p1)") {
+    val p = plan("p1_rename")
+    // two referenced columns survive; the widest orders column must not
+    assert(p.contains("o_orderkey") && p.contains("o_orderpriority"), p)
+    assert(!p.contains("o_totalprice"), s"scan reads pruned column:\n$p")
+  }
+
+  test("a1 mode-or-first runs on a single hash exchange") {
+    val p = plan("a1_mode_first")
+    val hashExchanges =
+      "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"a1 should shuffle exactly once (got $hashExchanges):\n$p")
+  }
+
+  test("headline aggregates keep whole-stage codegen on the hot path") {
+    for (q <- Seq("d9_top_artists", "q1_agg")) {
+      val p = plan(q)
+      // codegen stages render as "*(n) Operator" in executedPlan.toString;
+      // the aggregate itself must be inside one
+      assert(p.contains("*(1)"), s"$q fell out of codegen:\n$p")
+      assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(p).isDefined,
+        s"$q aggregate not codegen'd:\n$p")
+    }
+  }
+}
