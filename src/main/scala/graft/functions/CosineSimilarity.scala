@@ -95,18 +95,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
 /** Registration + Column-API access for the engine's native expressions. */
 object NativeFunctions {
 
+  val cosineSimIdentifier: FunctionIdentifier = FunctionIdentifier("cosine_sim")
+
+  val cosineSimInfo: ExpressionInfo =
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim")
+
+  val cosineSimBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2, "cosine_sim takes exactly 2 arguments")
+    CosineSimilarity(exprs.head, exprs(1))
+  }
+
   /** Register `cosine_sim` in the session's function registry (idempotent).
     * After this, the expression is usable from both the Column API
-    * ([[cosineSim]]) and SQL text.
+    * ([[cosineSim]]) and SQL text. Sessions created with
+    * `spark.sql.extensions=graft.GraftExtensions` get this automatically.
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 2, "cosine_sim takes exactly 2 arguments")
-        CosineSimilarity(exprs.head, exprs(1))
-      })
+      cosineSimIdentifier, cosineSimInfo, cosineSimBuilder)
 
   /** Column-API form; requires [[register]] on the owning session first. */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
