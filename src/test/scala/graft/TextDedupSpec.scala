@@ -168,4 +168,34 @@ class TextDedupSpec extends AnyFunSuite {
     assert(new String(decoded(2).payload, "UTF-8") == "wider payload")
     assert(decoded.forall(m => m.meta.width > 0 && m.meta.height > 0))
   }
+
+  test("connectedComponents property: equals union-find on random graphs") {
+    // Long chains and dense blobs alike must converge to the same
+    // components a sequential union-find produces (label = component min).
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      val n = 12 + rnd.nextInt(8)
+      val edges = (1 to (n + rnd.nextInt(n))).map { _ =>
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(k => (k, find(k))).toSet
+        val got = Dedup.connectedComponents(
+          edges.toDF("id_a", "id_b"), "id_a", "id_b")
+          .as[(Long, Long)].collect().toSet
+        assert(got == expected, s"edges=$edges")
+      }
+    }
+  }
 }
