@@ -43,13 +43,19 @@ object Bench {
       try materialize(name) catch { case _: Throwable => () }
     }
 
+    // Median of 3 timed repetitions per query: single runs at this scale
+    // carry ±30% scheduler/GC noise, which would drown real plan
+    // regressions between rounds.
     val results = headline.map { name =>
-      val t0 = System.nanoTime()
-      try materialize(name)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try materialize(name)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.sorted.apply(1)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
