@@ -84,6 +84,43 @@ object TextFunctions {
     }
   }
 
+  /** Character-trigram profiles per language for [[predictedLangNgram]] —
+    * the classic n-gram-profile language-ID approach (Cavnar & Trenkle,
+    * "N-Gram-Based Text Categorization") reduced to a fixed
+    * top-profile-presence score so it is deterministic and reproducible
+    * in oracle SQL. Complements the marker-word heuristic
+    * ([[predictedLang]]): char n-grams are robust to unseen vocabulary.
+    */
+  val charTrigrams: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "ing", "and", "ion", "ent"),
+    "de" -> Seq("der", "sch", "ein", "ich", "und"),
+    "es" -> Seq("que", "los", "ado", "nte", "era"),
+    "fr" -> Seq("les", "des", "eur", "ait", "ont"),
+    "zh" -> Seq("de5", "hi4", "le5", "ai4", "he2"))
+
+  /** Per-language char-trigram scores: how many of the language's profile
+    * trigrams occur in the lowercased text (presence, not frequency —
+    * substring containment is engine-portable; frequency weighting is a
+    * tuning knob left out of the parity surface). Per-row, map-side.
+    */
+  def charNgramScores(text: Column): Seq[(String, Column)] = {
+    val lt = lower(text)
+    charTrigrams.map { case (lang, grams) =>
+      lang -> grams.map(g => contains(lt, lit(g)).cast("long")).reduce(_ + _)
+    }
+  }
+
+  /** Char-n-gram language ID: max-scoring profile, fixed tie order (the
+    * [[charTrigrams]] sequence order, same CASE chain as the oracle).
+    */
+  def predictedLangNgram(text: Column): Column = {
+    val scores = charNgramScores(text)
+    val mx = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit(scores.head._1)) { case ((lang, s), els) =>
+      when(s === mx, lit(lang)).otherwise(els)
+    }
+  }
+
   /** Document fingerprint: the minimum md5 over word 5-gram shingles — a
     * single-hash MinHash, stable under document reordering of identical
     * content windows (rolling-hash family).

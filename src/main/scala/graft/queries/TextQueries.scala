@@ -44,6 +44,12 @@ object TextQueries {
         TextFunctions.predictedLang(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // Char-trigram-profile language ID (Cavnar–Trenkle family).
+    "t_lang_id_ngram" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextFunctions.predictedLangNgram(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
     // Document fingerprint (min-md5 over 5-gram shingles).
     "t_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -189,6 +195,20 @@ object TextQueries {
        |    /(len(x.sh)+len(y.sh)-len(list_intersect(x.sh,y.sh))) AS jac
        |  FROM cand JOIN shs x ON cand.id_a=x.doc_id JOIN shs y ON cand.id_b=y.doc_id)""".stripMargin
 
+  // Char-trigram language-ID oracle, generated from the SAME profile
+  // literals the Spark side uses so the two can never drift.
+  private val ngramScoreSql = TextFunctions.charTrigrams.map {
+    case (lang, grams) =>
+      grams.map(g => s"CAST(contains(lower(text),'$g') AS BIGINT)")
+        .mkString(" + ") + s" AS s_$lang"
+  }.mkString(",\n")
+  private val ngramCaseSql = TextFunctions.charTrigrams.init.map {
+    case (lang, _) => s"WHEN s_$lang=mx THEN '$lang'"
+  }.mkString(" ")
+  private val ngramGreatestSql =
+    TextFunctions.charTrigrams.map { case (lang, _) => s"s_$lang" }
+      .mkString("greatest(", ",", ")")
+
   private val simhashSums = (1 to 16)
     .map(b => s"sum(CASE WHEN substr(md5(word),$b,1)>='8' THEN 1 ELSE -1 END) AS s$b")
     .mkString(", ")
@@ -223,6 +243,12 @@ object TextQueries {
          |SELECT doc_id, CASE WHEN s_en=mx THEN 'en' WHEN s_de=mx THEN 'de'
          | WHEN s_es=mx THEN 'es' WHEN s_fr=mx THEN 'fr' ELSE 'zh' END AS lang_pred
          |FROM (SELECT *, greatest(s_en,s_de,s_es,s_fr,s_zh) AS mx FROM s)
+         |ORDER BY doc_id""".stripMargin,
+    "t_lang_id_ngram" ->
+      s"""WITH s AS (SELECT doc_id, $ngramScoreSql FROM documents)
+         |SELECT doc_id, CASE $ngramCaseSql
+         |  ELSE '${TextFunctions.charTrigrams.last._1}' END AS lang_pred
+         |FROM (SELECT *, $ngramGreatestSql AS mx FROM s)
          |ORDER BY doc_id""".stripMargin,
     "t_fingerprint" ->
       s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents)

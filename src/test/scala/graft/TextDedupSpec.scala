@@ -169,6 +169,17 @@ class TextDedupSpec extends AnyFunSuite {
     assert(decoded.forall(m => m.meta.width > 0 && m.meta.height > 0))
   }
 
+  test("predictedLangNgram scores char-trigram profiles with fixed tie order") {
+    val df = Seq(
+      "the thing and the ion",          // en trigrams
+      "der schein ich und",             // de trigrams
+      "xyzzy")                          // no profile hits: all-zero tie -> en
+      .toDF("t")
+    val out = df.select(TextFunctions.predictedLangNgram($"t")).as[String]
+      .collect().toSeq
+    assert(out == Seq("en", "de", "en"))
+  }
+
   test("connectedComponents property: equals union-find on random graphs") {
     // Long chains and dense blobs alike must converge to the same
     // components a sequential union-find produces (label = component min).
