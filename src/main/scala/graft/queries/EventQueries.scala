@@ -28,7 +28,16 @@ object EventQueries {
     "ev_json_prop" -> ((s, d) =>
       EventPipeline.withJsonProp(ev(s, d), "k", "k_val")
         .select(col("event_id"), col("k_val"))
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))),
+
+    // Weekly cohort retention (single user-keyed shuffle).
+    "ev_retention" -> ((s, d) =>
+      EventPipeline.cohortRetention(ev(s, d))
+        .orderBy(col("cohort"), col("week_n"))),
+
+    // Ordered view → click → purchase funnel over first event times.
+    "ev_funnel" -> ((s, d) =>
+      EventPipeline.funnel(ev(s, d), Seq("view", "click", "purchase")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -52,6 +61,26 @@ object EventQueries {
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_json_prop" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
-        |FROM events ORDER BY 1""".stripMargin
+        |FROM events ORDER BY 1""".stripMargin,
+    "ev_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |  CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort FROM a GROUP BY 1)
+        |SELECT cohort, CAST(date_diff('day', cohort, wk)/7 AS BIGINT) AS week_n,
+        |count(*) AS active_users
+        |FROM a JOIN c USING (user_id) GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "ev_funnel" ->
+      """WITH u AS (SELECT user_id,
+        |  min(ts) FILTER (WHERE event_type='view') AS t_view,
+        |  min(ts) FILTER (WHERE event_type='click') AS t_click,
+        |  min(ts) FILTER (WHERE event_type='purchase') AS t_purchase
+        |  FROM events GROUP BY 1)
+        |SELECT count(*) FILTER (WHERE t_view IS NOT NULL) AS n_view,
+        |count(*) FILTER (WHERE t_view IS NOT NULL AND t_click IS NOT NULL
+        |  AND t_view < t_click) AS n_click,
+        |count(*) FILTER (WHERE t_view IS NOT NULL AND t_click IS NOT NULL
+        |  AND t_view < t_click AND t_purchase IS NOT NULL
+        |  AND t_click < t_purchase) AS n_purchase
+        |FROM u""".stripMargin
   )
 }

@@ -107,6 +107,53 @@ object EventPipeline {
       .toDF()
   }
 
+  /** Weekly cohort retention — the classic event-warehouse rollup: cohort
+    * = a user's first-seen ISO week, and for each (cohort, week offset)
+    * the count of users still active.
+    *
+    * Single user-keyed shuffle: one aggregate collects the user's first
+    * week AND their distinct active-week set (bounded by the retention
+    * horizon — weeks, not events — so the set state is O(horizon), safe
+    * at any event volume), then explodes and re-aggregates. The naive
+    * distinct → join-back → groupBy formulation costs three shuffles of
+    * event-scale data; this shuffles events once and weeks-per-user after.
+    */
+  def cohortRetention(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      .groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort"), collect_set(col("wk")).as("weeks"))
+      .select(col("cohort"), explode(col("weeks")).as("wk"))
+      // both dates are week-truncated, so the day diff is an exact
+      // multiple of 7 and the double division is exact
+      .groupBy(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_n"))
+      .agg(count(lit(1)).as("active_users"))
+
+  /** Ordered conversion funnel over per-user FIRST event times: a user
+    * reaches step i when their first `steps(i)` event is strictly after
+    * their first `steps(i-1)` event (the min-timestamp funnel semantic).
+    * One user-keyed shuffle (conditional-min partials combine map-side),
+    * then a scalar rollup — no window, no per-user event ordering shuffle.
+    *
+    * @return one row: `n_<step>` = users reaching each step in order.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val mins = steps.map(st =>
+      min(when(col("event_type") === st, col("ts"))).as(s"t_$st"))
+    val perUser = events.groupBy(col("user_id")).agg(mins.head, mins.tail: _*)
+    val reached = steps.indices.map { i =>
+      val cond = (1 to i).foldLeft(col(s"t_${steps.head}").isNotNull) {
+        (acc, j) =>
+          acc && col(s"t_${steps(j)}").isNotNull &&
+            col(s"t_${steps(j - 1)}") < col(s"t_${steps(j)}")
+      }
+      count_if(cond).as(s"n_${steps(i)}")
+    }
+    perUser.agg(reached.head, reached.tail: _*)
+  }
+
   /** JSON property extraction from the props payload column. */
   def withJsonProp(events: DataFrame, field: String, out: String): DataFrame =
     events.withColumn(out,
