@@ -55,6 +55,25 @@ object SimilarityQueries {
       Similarity.partitionedTopK(v, v.where(col("vec_id") < 5),
         "vec_id", "embedding", "bucket", k = 5)
         .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Recall@5 of the LSH-pruned path against the exact brute-force top-k
+    // — the quality loop an ANN deployment runs when tuning nBits/probes.
+    // Per query: |lsh∩brute| / k, an exact-integer division identical on
+    // both engines.
+    "sim_recall_lsh" -> ((s, d) => {
+      val v = emb(s, d).withColumn("bucket",
+        Similarity.projectionBucket(col("embedding"), lshPlanes))
+      val q = v.where(col("vec_id") < 5)
+      val brute = Similarity.bruteForceTopK(v, q, "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("n_id"))
+      val lsh = Similarity.partitionedTopK(v, q, "vec_id", "embedding",
+        "bucket", k = 5)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      brute.join(lsh, Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))) / lit(5)).as("recall"))
+        .orderBy(col("q_id"))
     })
   )
 
@@ -120,6 +139,23 @@ object SimilarityQueries {
          |  FROM v a JOIN v b ON a.label=b.label AND a.vec_id<b.vec_id),
          |s AS (SELECT id_a, id_b, $cosSql AS cos FROM p)
          |SELECT id_a, id_b, cos FROM s WHERE cos>=0.35 ORDER BY 1,2""".stripMargin,
+    "sim_recall_lsh" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id, e, $bucketSql AS bucket FROM v),
+         |q AS (SELECT vec_id AS q_id, bucket, e AS q_vec FROM b WHERE vec_id<5),
+         |c AS (SELECT vec_id AS n_id, bucket, e AS n_vec FROM b),
+         |bs AS (SELECT q_id, n_id, $cosSql AS cos FROM c, q WHERE n_id<>q_id),
+         |brute AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM bs) WHERE rank<=5),
+         |ls AS (SELECT q_id, n_id, $cosSql AS cos FROM c JOIN q USING (bucket)
+         |  WHERE n_id<>q_id),
+         |lsh AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM ls) WHERE rank<=5)
+         |SELECT brute.q_id, CAST(count(lsh.n_id) AS DOUBLE)/5 AS recall
+         |FROM brute LEFT JOIN lsh ON brute.q_id=lsh.q_id AND brute.n_id=lsh.n_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_topk_ivf" ->
       s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |q AS (SELECT vec_id AS q_id, label, e AS q_vec FROM v WHERE vec_id<5),
