@@ -105,6 +105,44 @@ object Dedup {
   def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), simhash16(col(textCol)).as("simhash"))
 
+  /** SimHash near-duplicate pairs by Hamming distance, with MULTI-BLOCK
+    * candidate generation (the Manku/Jain/Sarma web-dedup recipe): split
+    * the 16-bit signature into `maxHamming + 1` blocks — any pair within
+    * the distance budget must agree EXACTLY on at least one block
+    * (pigeonhole), so candidates come from one equi-join per block on the
+    * block value, never an all-pairs product. Verification recomputes the
+    * exact bit-wise Hamming distance on candidates only.
+    *
+    * At 100 TB each block join is a hash shuffle on a short prefix key;
+    * block-value skew (a common signature prefix) is the LSH-bucket skew
+    * failure mode again and takes the same mitigations (AQE skew split /
+    * bucket-size cap).
+    */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 2): DataFrame = {
+    val t = simhashTable(df, idCol, textCol)
+    val nBlocks = maxHamming + 1
+    val bounds = (0 to nBlocks).map(i => 1 + i * 16 / nBlocks)
+    val perBlock = (0 until nBlocks).map { b =>
+      val (from, until) = (bounds(b), bounds(b + 1))
+      val block = substring(col("simhash"), from, until - from)
+      val side = t.select(col(idCol), col("simhash"), block.as("blk"))
+      side.as("a").join(side.as("b"),
+          col("a.blk") === col("b.blk") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+          col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+    }
+    val hamming = (1 to 16).map(i =>
+      when(substring(col("sh_a"), i, 1) =!= substring(col("sh_b"), i, 1),
+        lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+    perBlock.reduce(_ unionByName _)
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming)
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Near-dup CLUSTER assignment: connected components over the candidate
     * pair graph by iterative min-label propagation — each round every node
     * takes the minimum label among itself and its neighbors; fixpoint in

@@ -61,6 +61,13 @@ object TextQueries {
       Dedup.simhashTable(docs(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // SimHash near-dup pairs (Hamming <= 2) via multi-block candidate
+    // generation. The oracle computes ALL-PAIRS Hamming, so a green row
+    // proves the pigeonhole blocking dropped no qualifying pair.
+    "t_simhash_neardup" -> ((s, d) =>
+      Dedup.simhashNearDup(docs(s, d), "doc_id", "text", maxHamming = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // MinHash-LSH near-dup pairs, exact-Jaccard verified at 0.5.
     "t_neardup_pairs" -> ((s, d) =>
       Dedup.nearDupPairs(docs(s, d), "doc_id", "text", threshold = 0.5)
@@ -260,6 +267,18 @@ object TextQueries {
       s"""WITH w AS (SELECT doc_id, unnest($wsSql) AS word FROM documents),
          |b AS (SELECT doc_id, $simhashSums FROM w GROUP BY 1)
          |SELECT doc_id, $simhashBits AS simhash FROM b ORDER BY doc_id""".stripMargin,
+    "t_simhash_neardup" -> {
+      val ham = (1 to 16)
+        .map(i => s"CAST(substr(a.simhash,$i,1)<>substr(b.simhash,$i,1) AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, unnest($wsSql) AS word FROM documents),
+         |bs AS (SELECT doc_id, $simhashSums FROM w GROUP BY 1),
+         |sh AS (SELECT doc_id, $simhashBits AS simhash FROM bs),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, $ham AS hamming
+         |  FROM sh a JOIN sh b ON a.doc_id<b.doc_id)
+         |SELECT id_a, id_b, hamming FROM p WHERE hamming<=2
+         |ORDER BY 1,2""".stripMargin
+    },
     "t_neardup_pairs" ->
       s"""WITH ${neardupPairCtesFrom("documents")}
          |SELECT id_a, id_b, jac FROM j WHERE jac>=0.5 ORDER BY 1,2""".stripMargin,
