@@ -113,4 +113,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("an_out").count() == 5)
     } finally q.stop()
   }
+
+  test("funnel requires strictly ordered first event times") {
+    val evs = Seq(
+      // user 1: full ordered funnel view(5) < click(10) < purchase(15)
+      Ev(10, t(5), 1, "view", 0, "{}"),
+      Ev(11, t(10), 1, "click", 0, "{}"),
+      Ev(12, t(15), 1, "purchase", 0, "{}"),
+      // user 2: click BEFORE first view — reaches view only
+      Ev(20, t(5), 2, "click", 0, "{}"),
+      Ev(21, t(10), 2, "view", 0, "{}"),
+      // user 3: view then click, no purchase
+      Ev(30, t(5), 3, "view", 0, "{}"),
+      Ev(31, t(10), 3, "click", 0, "{}"),
+      // user 4: never viewed — reaches nothing
+      Ev(40, t(5), 4, "purchase", 0, "{}"))
+    val out = EventPipeline.funnel(evs.toDF(),
+      Seq("view", "click", "purchase"))
+      .as[(Long, Long, Long)].collect().head
+    assert(out == ((3L, 2L, 1L)))
+  }
+
+  test("cohortRetention: week offsets count distinct active users") {
+    def d(day: Int, hour: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+    // 2024-01-01 is a Monday: weeks are Jan 1, Jan 8, Jan 15.
+    val evs = Seq(
+      Ev(1, d(1, 1), 1, "view", 0, "{}"),   // u1 cohort w0
+      Ev(2, d(2, 1), 1, "view", 0, "{}"),   // same week, deduped
+      Ev(3, d(9, 1), 1, "view", 0, "{}"),   // u1 active w1
+      Ev(4, d(3, 1), 2, "view", 0, "{}"),   // u2 cohort w0, never returns
+      Ev(5, d(10, 1), 3, "view", 0, "{}"),  // u3 cohort w1
+      Ev(6, d(16, 1), 3, "view", 0, "{}"))  // u3 active w1+1
+    val out = EventPipeline.cohortRetention(evs.toDF())
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map { case (c, w, n) => (c.toString, w, n) }.toSet
+    assert(out == Set(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L),
+      ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
+  }
 }
