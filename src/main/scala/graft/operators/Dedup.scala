@@ -55,6 +55,33 @@ object Dedup {
       .dropDuplicates()
   }
 
+  /** MinHash calibration: for every LSH candidate pair, the sketch's
+    * Jaccard ESTIMATE (fraction of agreeing signature slots — the unbiased
+    * MinHash estimator) next to the exact shingle Jaccard. This is the
+    * query that validates a sketch deployment: at scale you spot-check the
+    * estimator's error on a sample before trusting it to gate dedup.
+    */
+  def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
+                         numBands: Int = 6, r: Int = 2,
+                         shingleN: Int = 3): DataFrame = {
+    val k = numBands * r
+    val sig = df.select(col(idCol),
+      minhashSignature(col(textCol), k, shingleN).as("sig"),
+      shingles(col(textCol), shingleN).as("sh"))
+    val matches = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (a, b) => when(a === b, lit(1L)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+    minhashCandidates(df, idCol, textCol, numBands, r, shingleN)
+      .join(sig.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
+        col("sh").as("sh_a")), Seq("id_a"))
+      .join(sig.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
+        col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (matches / lit(k.toDouble)).as("jac_est"),
+        jaccard(col("sh_a"), col("sh_b")).as("jac_exact"))
+  }
+
   /** Exact n-gram Jaccard similarity between two shingle-set columns,
     * via |A∩B| / (|A|+|B|-|A∩B|) — a ratio of exact integers.
     */

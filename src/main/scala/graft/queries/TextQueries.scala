@@ -73,6 +73,12 @@ object TextQueries {
       Dedup.nearDupPairs(docs(s, d), "doc_id", "text", threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Sketch calibration: MinHash Jaccard estimate vs exact Jaccard on
+    // every LSH candidate pair.
+    "t_minhash_est" -> ((s, d) =>
+      Dedup.minhashCalibration(docs(s, d), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Near-dup clusters: pairs → connected components (min-label).
     "t_neardup_clusters" -> ((s, d) =>
       Dedup.connectedComponents(
@@ -282,6 +288,15 @@ object TextQueries {
     "t_neardup_pairs" ->
       s"""WITH ${neardupPairCtesFrom("documents")}
          |SELECT id_a, id_b, jac FROM j WHERE jac>=0.5 ORDER BY 1,2""".stripMargin,
+    "t_minhash_est" ->
+      s"""WITH ${neardupPairCtesFrom("documents")},
+         |est AS (SELECT id_a, id_b,
+         |  CAST(len(list_filter(range(1,13), i -> x.sg[i] = y.sg[i]))
+         |    AS DOUBLE)/12 AS jac_est
+         |  FROM cand JOIN sig x ON cand.id_a=x.doc_id
+         |  JOIN sig y ON cand.id_b=y.doc_id)
+         |SELECT j.id_a, j.id_b, est.jac_est, j.jac AS jac_exact
+         |FROM j JOIN est USING (id_a, id_b) ORDER BY 1,2""".stripMargin,
     // Connected components via transitive closure: reach(src,dst) is the
     // reachable set over the undirected pair graph; the cluster label is
     // the minimum reachable id — identical to Spark's converged min-label
