@@ -169,6 +169,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(decoded.forall(m => m.meta.width > 0 && m.meta.height > 0))
   }
 
+  test("simhashNearDup finds planted near-identical docs, skips unrelated") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river edge"),
+      (3L, "completely different content about spark catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
   test("predictedLangNgram scores char-trigram profiles with fixed tie order") {
     val df = Seq(
       "the thing and the ion",          // en trigrams
