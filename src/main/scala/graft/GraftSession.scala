@@ -12,14 +12,29 @@ import org.apache.spark.sql.SparkSession
   * scale.
   */
 object GraftSession {
+
+  /** The engine's production configs, applied to any builder — on a
+    * cluster, master/memory/shuffle sizing come from spark-submit and this
+    * is the only piece the application must add (or pass
+    * `--conf spark.sql.extensions=graft.GraftExtensions` and the UTC/AQE
+    * pair directly). AQE stays ON: skew-join splitting and post-shuffle
+    * coalescing matter far more at 100 TB than at test scale. Timezone is
+    * pinned so timestamp semantics never depend on cluster locale.
+    */
+  def tuned(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+
+  /** Local-mode session: a single JVM with N executor threads, shuffle
+    * partitions = core count (at cluster scale set ≈ 2–3× total cores and
+    * let AQE coalesce).
+    */
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
-    val spark = SparkSession
-      .builder()
+    val spark = tuned(SparkSession.builder())
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
