@@ -83,6 +83,29 @@ object Similarity {
     concat(bits.toIndexedSeq: _*)
   }
 
+  /** Deterministic IVF "coarse quantizer" centroids: seeded gaussian
+    * vectors (same spec-fixed generator as [[lshPlanes]]). A production
+    * deployment would train these with k-means over a sample; seeded
+    * random centroids keep the cell assignment replayable in oracle SQL
+    * while exercising the identical plan shape.
+    */
+  def ivfCentroids(dim: Int, k: Int, seed: Long): Array[Array[Double]] =
+    lshPlanes(dim, k, seed)
+
+  /** IVF cell id: index of the centroid with the highest dot product
+    * (ties → lowest index — the same first-match CASE chain the oracle
+    * runs). Per-row projection over literal centroids: computing the cell
+    * never shuffles, exactly like [[projectionBucket]].
+    */
+  def centroidCell(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val v = vec.cast("array<double>")
+    val scores = centroids.map(c => dot(v, array(c.map(lit).toIndexedSeq: _*)))
+    val mx = greatest(scores.toIndexedSeq: _*)
+    scores.zipWithIndex.foldRight(lit(centroids.length - 1): Column) {
+      case ((s, i), els) => when(s === mx, lit(i)).otherwise(els)
+    }
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a, b) with
     * cosine ≥ threshold, compared only WITHIN a blocking column (cluster
     * id / LSH bucket) — never all-pairs. The self-join shuffles both sides

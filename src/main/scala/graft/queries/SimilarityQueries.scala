@@ -57,6 +57,17 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // True IVF shape: nearest-centroid (Voronoi) cell assignment over
+    // seeded literal centroids, then cell-pruned top-k — the coarse
+    // quantizer is a per-row projection, the cell equi-join is the prune.
+    "sim_topk_ivf_centroid" -> ((s, d) => {
+      val v = emb(s, d).withColumn("cell",
+        Similarity.centroidCell(col("embedding"), centroids))
+      Similarity.partitionedTopK(v, v.where(col("vec_id") < 5),
+        "vec_id", "embedding", "cell", k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Recall@5 of the LSH-pruned path against the exact brute-force top-k
     // — the quality loop an ANN deployment runs when tuning nBits/probes.
     // Per query: |lsh∩brute| / k, an exact-integer division identical on
@@ -82,6 +93,9 @@ object SimilarityQueries {
     */
   private val lshPlanes = Similarity.lshPlanes(dim = 64, nBits = 4, seed = 42L)
 
+  /** 8 IVF centroids, seed pinned for the same oracle-replay reason. */
+  private val centroids = Similarity.ivfCentroids(dim = 64, k = 8, seed = 7L)
+
   /** SQL recomputation of the sign-bit bucket over `e`, with the SAME
     * hyperplane constants as the Spark plan (Double.toString round-trips
     * exactly; the unnest-sum folds in element order like Spark's
@@ -92,6 +106,22 @@ object SimilarityQueries {
     s"""(CASE WHEN (SELECT sum(a*b) FROM (SELECT unnest(e) AS a,
        | unnest($arr::DOUBLE[]) AS b)) >= 0 THEN '1' ELSE '0' END)""".stripMargin
   }.mkString(" || ")
+
+  /** SQL recomputation of the IVF cell over `e`: per-centroid dot-product
+    * scores, then the first index achieving the max (same tie order as
+    * `centroidCell`).
+    */
+  private def cellSql: String = {
+    val scores = centroids.map { c =>
+      val arr = c.mkString("[", ",", "]")
+      s"""(SELECT sum(a*b) FROM (SELECT unnest(e) AS a,
+         | unnest($arr::DOUBLE[]) AS b))""".stripMargin
+    }
+    val mx = scores.mkString("greatest(", ",", ")")
+    val cases = scores.init.zipWithIndex
+      .map { case (s, i) => s"WHEN $s = $mx THEN $i" }.mkString(" ")
+    s"(CASE $cases ELSE ${centroids.length - 1} END)"
+  }
 
   private val cosSql =
     """round(
@@ -156,6 +186,18 @@ object SimilarityQueries {
          |SELECT brute.q_id, CAST(count(lsh.n_id) AS DOUBLE)/5 AS recall
          |FROM brute LEFT JOIN lsh ON brute.q_id=lsh.q_id AND brute.n_id=lsh.n_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sim_topk_ivf_centroid" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id, e, $cellSql AS cell FROM v),
+         |q AS (SELECT vec_id AS q_id, cell, e AS q_vec FROM b WHERE vec_id<5),
+         |c AS (SELECT vec_id AS n_id, cell, e AS n_vec FROM b),
+         |s AS (SELECT q_id, n_id, $cosSql AS cos FROM c JOIN q USING (cell)
+         |  WHERE n_id<>q_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM s)
+         |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=5
+         |ORDER BY q_id, rank""".stripMargin,
     "sim_topk_ivf" ->
       s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |q AS (SELECT vec_id AS q_id, label, e AS q_vec FROM v WHERE vec_id<5),
