@@ -129,6 +129,44 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** Multi-probe bucket set for sign-bit LSH: the query's own bucket plus
+    * every bucket at Hamming distance 1 (one flipped bit) — the standard
+    * recall/cost knob: probing `nBits + 1` of the `2^nBits` buckets
+    * recovers neighbors that fell just across one hyperplane.
+    */
+  def probeBuckets(bucket: Column, nBits: Int): Column = {
+    val flips = (1 to nBits).map { i =>
+      concat(
+        substring(bucket, 1, i - 1),
+        when(substring(bucket, i, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(bucket, i + 1, nBits - i))
+    }
+    array((bucket +: flips).toIndexedSeq: _*)
+  }
+
+  /** LSH top-k with 1-bit multi-probe: the (small, broadcast) query side
+    * explodes to its probe buckets, candidates join on their single home
+    * bucket — buckets partition the corpus, so each (query, candidate)
+    * pair arises at most once and needs no dedup before ranking. Same
+    * shuffle shape as [[partitionedTopK]], ×(nBits+1) broadcast rows.
+    */
+  def multiProbeTopK(candidates: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, bucketCol: String,
+                     nBits: Int, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      explode(probeBuckets(col(bucketCol), nBits)).as(bucketCol))
+    val c = candidates.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      col(bucketCol))
+    val scored = c.join(broadcast(q), Seq(bucketCol))
+      .where(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_vec"), col("n_vec")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** IVF-style pruned top-k: score only candidates sharing the query's
     * partition (cluster id / LSH bucket). The equi-join on the partition
     * column is the pruning step — at scale it turns a full corpus scan

@@ -57,6 +57,17 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Multi-probe LSH: query probes its own bucket plus every 1-bit
+    // neighbor — the recall knob that widens the search without touching
+    // the stored bucketing.
+    "sim_topk_lsh_probe" -> ((s, d) => {
+      val v = emb(s, d).withColumn("bucket",
+        Similarity.projectionBucket(col("embedding"), lshPlanes))
+      Similarity.multiProbeTopK(v, v.where(col("vec_id") < 5),
+        "vec_id", "embedding", "bucket", nBits = 4, k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // True IVF shape: nearest-centroid (Voronoi) cell assignment over
     // seeded literal centroids, then cell-pruned top-k — the coarse
     // quantizer is a per-row projection, the cell equi-join is the prune.
@@ -123,6 +134,19 @@ object SimilarityQueries {
     s"(CASE $cases ELSE ${centroids.length - 1} END)"
   }
 
+  /** Probe-bucket list SQL over a computed `bucket` varchar of `nBits`
+    * chars: the bucket itself plus each 1-bit flip (same order as
+    * `probeBuckets`; order is irrelevant post-join).
+    */
+  private def probeSql(nBits: Int): String = {
+    val flips = (1 to nBits).map { i =>
+      s"""substr(bucket,1,${i - 1}) ||
+         | (CASE WHEN substr(bucket,$i,1)='1' THEN '0' ELSE '1' END) ||
+         | substr(bucket,${i + 1},${nBits - i})""".stripMargin
+    }
+    ("bucket" +: flips).mkString("[", ",", "]")
+  }
+
   private val cosSql =
     """round(
       | (SELECT sum(a*b) FROM (SELECT unnest(q_vec) AS a, unnest(n_vec) AS b))
@@ -169,6 +193,19 @@ object SimilarityQueries {
          |  FROM v a JOIN v b ON a.label=b.label AND a.vec_id<b.vec_id),
          |s AS (SELECT id_a, id_b, $cosSql AS cos FROM p)
          |SELECT id_a, id_b, cos FROM s WHERE cos>=0.35 ORDER BY 1,2""".stripMargin,
+    "sim_topk_lsh_probe" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id, e, $bucketSql AS bucket FROM v),
+         |q0 AS (SELECT vec_id AS q_id, bucket, e AS q_vec FROM b WHERE vec_id<5),
+         |q AS (SELECT q_id, q_vec, unnest(${probeSql(4)}) AS bucket FROM q0),
+         |c AS (SELECT vec_id AS n_id, bucket, e AS n_vec FROM b),
+         |s AS (SELECT q_id, n_id, $cosSql AS cos FROM c JOIN q USING (bucket)
+         |  WHERE n_id<>q_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM s)
+         |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=5
+         |ORDER BY q_id, rank""".stripMargin,
     "sim_recall_lsh" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |b AS (SELECT vec_id, e, $bucketSql AS bucket FROM v),
