@@ -116,8 +116,7 @@ object Dedup {
                      shingleN: Int = 3): DataFrame = {
     val sh = df.select((blockCols.map(col) :+ col(idCol) :+
       shingles(col(textCol), shingleN).as("sh")): _*)
-    val a = blockCols.foldLeft(sh)((d, c) => d.withColumnRenamed(c, c))
-    a.as("a").join(sh.as("b"),
+    sh.as("a").join(sh.as("b"),
         blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
           .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("jac", jaccard(col("a.sh"), col("b.sh")))
@@ -126,30 +125,39 @@ object Dedup {
         col("jac"))
   }
 
-  /** SimHash table: 16-bit locality-sensitive bit signature per row —
+  /** SimHash table: 64-bit locality-sensitive bit signature per row —
     * near-dups differ in few bits (Hamming). Per-row projection.
     */
   def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), simhash16(col(textCol)).as("simhash"))
+    df.select(col(idCol), simhash64(col(textCol)).as("simhash"))
 
   /** SimHash near-duplicate pairs by Hamming distance, with MULTI-BLOCK
     * candidate generation (the Manku/Jain/Sarma web-dedup recipe): split
-    * the 16-bit signature into `maxHamming + 1` blocks — any pair within
+    * the 64-bit signature into `maxHamming + 1` blocks — any pair within
     * the distance budget must agree EXACTLY on at least one block
     * (pigeonhole), so candidates come from one equi-join per block on the
     * block value, never an all-pairs product. Verification recomputes the
     * exact bit-wise Hamming distance on candidates only.
     *
-    * At 100 TB each block join is a hash shuffle on a short prefix key;
-    * block-value skew (a common signature prefix) is the LSH-bucket skew
+    * With 64 signature bits each block spans ≥ 64/(maxHamming+1) bits
+    * (maxHamming=3 → the classic 4×16-bit split, 65,536 key values per
+    * block), so block-key cardinality grows with the corpus instead of
+    * capping out — the property that keeps Σ|block|² ≪ N² at 100 TB.
+    * Block-value skew (a common signature prefix) is the LSH-bucket skew
     * failure mode again and takes the same mitigations (AQE skew split /
     * bucket-size cap).
     */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 2): DataFrame = {
+                     maxHamming: Int = 3): DataFrame = {
+    // Guard: nBlocks > SimhashBits would create zero-width blocks whose
+    // empty-string key equi-joins everything with everything. Cap at 16
+    // blocks (≥4-bit keys) — beyond that the pigeonhole recipe is the
+    // wrong tool anyway.
+    require(maxHamming >= 0 && maxHamming < 16,
+      s"maxHamming must be in [0, 16), got $maxHamming")
     val t = simhashTable(df, idCol, textCol)
     val nBlocks = maxHamming + 1
-    val bounds = (0 to nBlocks).map(i => 1 + i * 16 / nBlocks)
+    val bounds = (0 to nBlocks).map(i => 1 + i * SimhashBits / nBlocks)
     val perBlock = (0 until nBlocks).map { b =>
       val (from, until) = (bounds(b), bounds(b + 1))
       val block = substring(col("simhash"), from, until - from)
@@ -160,7 +168,7 @@ object Dedup {
         .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
           col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
     }
-    val hamming = (1 to 16).map(i =>
+    val hamming = (1 to SimhashBits).map(i =>
       when(substring(col("sh_a"), i, 1) =!= substring(col("sh_b"), i, 1),
         lit(1L)).otherwise(lit(0L))).reduce(_ + _)
     perBlock.reduce(_ unionByName _)

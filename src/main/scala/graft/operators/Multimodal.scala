@@ -30,12 +30,18 @@ object Multimodal {
 
   case class MediaRow(id: Long, payload: Array[Byte], meta: MediaMeta)
 
+  /** Binary payload column for a text value (utf-8 bytes) — the column
+    * -level seam that lets metadata queries project payload-derived values
+    * straight off the source scan, with no join back to the media table.
+    */
+  def payloadOf(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    encode(textCol, "UTF-8")
+
   /** Wrap a text corpus as fake media rows: payload = utf-8 bytes. Lets
     * the whole pipeline be exercised on the synthetic corpus.
     */
   def asMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-      encode(col(textCol), "UTF-8").as("payload"))
+    df.select(col(idCol).as("id"), payloadOf(col(textCol)).as("payload"))
 
   /** STUB decoder: deterministic fake dimensions from the payload bytes.
     * A real implementation would hand `bytes` to a codec; everything

@@ -49,9 +49,11 @@ object Relational {
     * ascending, and `_mode_or_first` takes the head,
     * limpiezaSpotify.py:59-61; SURVEY.md §7.4.2). Spark's built-in
     * `mode()` is tie-nondeterministic, so this is the two-level aggregate
-    * rewrite: count per (group, value), then `max_by` on
-    * (count, -value) — one extra partial-aggregated shuffle, fully
-    * codegen'd, no custom UDAF needed.
+    * rewrite: count per (group, value), then `min_by` on
+    * (-count, value) — one extra partial-aggregated shuffle, fully
+    * codegen'd, no custom UDAF needed. Negating the COUNT (always a long)
+    * rather than the value keeps the tie-break type-agnostic: string,
+    * date, or numeric mode columns all order natively.
     *
     * @return DataFrame[groupCol, modeCol] with one row per group.
     */
@@ -60,8 +62,8 @@ object Relational {
     df.groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("_cnt"))
       .groupBy(col(groupCol))
-      .agg(max_by(col(valueCol),
-        struct(col("_cnt"), (col(valueCol) * lit(-1)).as("_neg"))).as(out))
+      .agg(min_by(col(valueCol),
+        struct((-col("_cnt")).as("_negcnt"), col(valueCol))).as(out))
 
   /** A1 fused: deterministic mode of `modeCol` AND order-stable first of
     * `firstCol` in ONE shuffle (vs deterministicMode + firstByOrder +
@@ -93,8 +95,8 @@ object Relational {
     val level1 = df.groupBy(col(groupCol), col(modeCol))
       .agg(count(lit(1)).as("_cnt"), carries: _*)
     val finals =
-      max_by(col(modeCol),
-        struct(col("_cnt"), (col(modeCol) * lit(-1)).as("_neg"))).as(modeOut) +:
+      min_by(col(modeCol),
+        struct((-col("_cnt")).as("_negcnt"), col(modeCol))).as(modeOut) +:
         carryCols.map(c => min(col(s"_first_$c")).as(s"_first_$c"))
     val level2 = level1.groupBy(col(groupCol)).agg(finals.head, finals.tail: _*)
     carryCols.foldLeft(level2)((d, c) =>
@@ -139,10 +141,13 @@ object Relational {
     df.agg(cnt(cols.head), cols.tail.map(cnt): _*)
   }
 
-  /** A10: exact summary statistics (count/mean/stddev/min/max) for numeric
-    * columns, one aggregate pass. (`df.summary()`'s quartiles are
-    * approximate by design; this exact variant is what the correctness
-    * oracle can check.)
+  /** A10: exact summary statistics (count/mean/stddev/min/25/50/75%/max —
+    * the full pandas `describe()` row set) for numeric columns, one
+    * aggregate pass. Quartiles are EXACT (`percentile`, linear
+    * interpolation at p·(n−1) — the same formula DuckDB's `quantile_cont`
+    * runs, so the oracle reproduces them); at 100 TB swap in
+    * `approx_percentile` with a pinned accuracy the same way [[nunique]]
+    * would swap to `approx_count_distinct`.
     */
   def stats(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
@@ -154,6 +159,9 @@ object Relational {
         (round(sum(col(c)), 2) / count(col(c))).as(s"mean_$c"),
         round(stddev(col(c)), 4).as(s"std_$c"),
         min(col(c)).as(s"min_$c"),
+        round(percentile(col(c), lit(0.25)), 4).as(s"p25_$c"),
+        round(percentile(col(c), lit(0.5)), 4).as(s"p50_$c"),
+        round(percentile(col(c), lit(0.75)), 4).as(s"p75_$c"),
         max(col(c)).as(s"max_$c"))
     }
     df.agg(aggs.head, aggs.tail: _*)

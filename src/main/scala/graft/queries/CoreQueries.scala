@@ -334,17 +334,28 @@ object CoreQueries {
         |count(*) FILTER (WHERE nullif(o_orderstatus,'O') IS NULL) AS nulls_status
         |FROM orders""".stripMargin,
     "a10_stats" ->
+      // Quartiles: DuckDB quantile_cont = linear interpolation at p·(n−1),
+      // the same formula as Spark's exact `percentile`.
       """SELECT count(l_quantity) AS cnt_l_quantity,
         |round(sum(l_quantity),2)/count(l_quantity) AS mean_l_quantity,
         |round(stddev(l_quantity),4) AS std_l_quantity, min(l_quantity) AS min_l_quantity,
+        |round(quantile_cont(l_quantity,0.25),4) AS p25_l_quantity,
+        |round(quantile_cont(l_quantity,0.5),4) AS p50_l_quantity,
+        |round(quantile_cont(l_quantity,0.75),4) AS p75_l_quantity,
         |max(l_quantity) AS max_l_quantity,
         |count(l_extendedprice) AS cnt_l_extendedprice,
         |round(sum(l_extendedprice),2)/count(l_extendedprice) AS mean_l_extendedprice,
         |round(stddev(l_extendedprice),4) AS std_l_extendedprice, min(l_extendedprice) AS min_l_extendedprice,
+        |round(quantile_cont(l_extendedprice,0.25),4) AS p25_l_extendedprice,
+        |round(quantile_cont(l_extendedprice,0.5),4) AS p50_l_extendedprice,
+        |round(quantile_cont(l_extendedprice,0.75),4) AS p75_l_extendedprice,
         |max(l_extendedprice) AS max_l_extendedprice,
         |count(l_discount) AS cnt_l_discount,
         |round(sum(l_discount),2)/count(l_discount) AS mean_l_discount,
         |round(stddev(l_discount),4) AS std_l_discount, min(l_discount) AS min_l_discount,
+        |round(quantile_cont(l_discount,0.25),4) AS p25_l_discount,
+        |round(quantile_cont(l_discount,0.5),4) AS p50_l_discount,
+        |round(quantile_cont(l_discount,0.75),4) AS p75_l_discount,
         |max(l_discount) AS max_l_discount
         |FROM lineitem""".stripMargin,
     "a12_sort" ->

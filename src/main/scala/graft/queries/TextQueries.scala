@@ -56,16 +56,17 @@ object TextQueries {
         TextFunctions.fingerprint(col("text"), 5).as("fp"))
         .orderBy(col("doc_id"))),
 
-    // 16-bit SimHash bit-strings.
+    // 64-bit SimHash bit-strings.
     "t_simhash" -> ((s, d) =>
       Dedup.simhashTable(docs(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
-    // SimHash near-dup pairs (Hamming <= 2) via multi-block candidate
-    // generation. The oracle computes ALL-PAIRS Hamming, so a green row
-    // proves the pigeonhole blocking dropped no qualifying pair.
+    // SimHash near-dup pairs (Hamming <= 3, the classic 4×16-bit
+    // pigeonhole split) via multi-block candidate generation. The oracle
+    // computes ALL-PAIRS Hamming, so a green row proves the blocking
+    // dropped no qualifying pair.
     "t_simhash_neardup" -> ((s, d) =>
-      Dedup.simhashNearDup(docs(s, d), "doc_id", "text", maxHamming = 2)
+      Dedup.simhashNearDup(docs(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
     // MinHash-LSH near-dup pairs, exact-Jaccard verified at 0.5.
@@ -143,16 +144,14 @@ object TextQueries {
     // Deterministic stratified sample: k docs per language, chosen by
     // md5(doc_id) order — the data-mixing primitive of a training
     // pipeline, reproducible on any engine (no RNG, no seed drift).
-    "t_stratified_sample" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang"))
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      docs(s, d)
-        .withColumn("_rn", row_number().over(w))
-        .where(col("_rn") <= 10)
+    // Scale-safe: a hash-threshold pre-filter bounds each stratum's
+    // window input to ~O(k) candidates (Sampling.stratifiedTopKByHash);
+    // the oracle stays the plain full-window SQL the result must equal.
+    "t_stratified_sample" -> ((s, d) =>
+      graft.operators.Sampling
+        .stratifiedTopKByHash(docs(s, d), "lang", "doc_id", k = 10)
         .select(col("doc_id"), col("lang"))
-        .orderBy(col("lang"), col("doc_id"))
-    }),
+        .orderBy(col("lang"), col("doc_id"))),
 
     // Corpus n-gram vocabulary: top-20 word bigrams by document frequency
     // (each doc counts a distinct bigram once) — the vocab-building scan
@@ -174,12 +173,13 @@ object TextQueries {
         .select(col("id").as("doc_id"), col("n_frames"))
         .orderBy(col("doc_id"))),
 
-    // Multimodal plumbing: payload byte length through the binary column.
+    // Multimodal plumbing: payload byte length through the binary column —
+    // ONE projection off the scan (payload + text metadata side by side),
+    // no join back to the media table.
     "mm_binary_meta" -> ((s, d) =>
-      Multimodal.asMedia(docs(s, d), "doc_id", "text")
-        .join(docs(s, d), col("id") === col("doc_id"))
+      docs(s, d)
         .select(col("doc_id"),
-          length(col("payload")).cast("long").as("byte_len"),
+          length(Multimodal.payloadOf(col("text"))).cast("long").as("byte_len"),
           ascii(substring(col("text"), 1, 1)).cast("long").as("first_char"))
         .orderBy(col("doc_id")))
   )
@@ -222,10 +222,17 @@ object TextQueries {
     TextFunctions.charTrigrams.map { case (lang, _) => s"s_$lang" }
       .mkString("greatest(", ",", ")")
 
-  private val simhashSums = (1 to 16)
-    .map(b => s"sum(CASE WHEN substr(md5(word),$b,1)>='8' THEN 1 ELSE -1 END) AS s$b")
+  // 64-bit SimHash oracle: bit b comes from hex digit (b-1)/4+1 of
+  // md5(word), masked at 8/4/2/1 (high bit first) — digit-for-digit the
+  // same decomposition as TextFunctions.simhash64.
+  private val simhashSums = (1 to TextFunctions.SimhashBits)
+    .map { b =>
+      val dpos = (b - 1) / 4 + 1
+      val mask = 1 << (3 - (b - 1) % 4)
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(word),$dpos,1))-1) & $mask) <> 0 THEN 1 ELSE -1 END) AS s$b"
+    }
     .mkString(", ")
-  private val simhashBits = (1 to 16)
+  private val simhashBits = (1 to TextFunctions.SimhashBits)
     .map(b => s"CASE WHEN s$b>0 THEN '1' ELSE '0' END")
     .mkString(" || ")
 
@@ -274,7 +281,7 @@ object TextQueries {
          |b AS (SELECT doc_id, $simhashSums FROM w GROUP BY 1)
          |SELECT doc_id, $simhashBits AS simhash FROM b ORDER BY doc_id""".stripMargin,
     "t_simhash_neardup" -> {
-      val ham = (1 to 16)
+      val ham = (1 to TextFunctions.SimhashBits)
         .map(i => s"CAST(substr(a.simhash,$i,1)<>substr(b.simhash,$i,1) AS BIGINT)")
         .mkString(" + ")
       s"""WITH w AS (SELECT doc_id, unnest($wsSql) AS word FROM documents),
@@ -282,7 +289,7 @@ object TextQueries {
          |sh AS (SELECT doc_id, $simhashBits AS simhash FROM bs),
          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, $ham AS hamming
          |  FROM sh a JOIN sh b ON a.doc_id<b.doc_id)
-         |SELECT id_a, id_b, hamming FROM p WHERE hamming<=2
+         |SELECT id_a, id_b, hamming FROM p WHERE hamming<=3
          |ORDER BY 1,2""".stripMargin
     },
     "t_neardup_pairs" ->

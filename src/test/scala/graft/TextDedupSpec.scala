@@ -62,7 +62,7 @@ class TextDedupSpec extends AnyFunSuite {
     assert(fp(0) == fp(1) && fp(0) != fp(2))
     val sh = Dedup.simhashTable(df, "id", "t").select($"simhash")
       .as[String].collect()
-    assert(sh(0) == sh(1) && sh(0).length == 16)
+    assert(sh(0) == sh(1) && sh(0).length == TextFunctions.SimhashBits)
     assert(sh(0).forall(c => c == '0' || c == '1'))
   }
 
