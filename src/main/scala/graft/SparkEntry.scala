@@ -22,12 +22,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.defs ++ SourceQueries.defs ++ DashboardQueries.defs ++
-      TextQueries.defs ++ SimilarityQueries.defs ++ EventQueries.defs
+      TextQueries.defs ++ SimilarityQueries.defs ++ EventQueries.defs ++
+      PipelineQueries.defs
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ SourceQueries.oracles ++ DashboardQueries.oracles ++
-      TextQueries.oracles ++ SimilarityQueries.oracles ++ EventQueries.oracles
+      TextQueries.oracles ++ SimilarityQueries.oracles ++ EventQueries.oracles ++
+      PipelineQueries.oracles
 }

@@ -32,11 +32,9 @@ object EtlJobs {
         spark.read.option("header", "true").csv(p)
           .select("track_genre", "genero", "subgenero")
       case None =>
-        import spark.implicits._
-        Seq(("pop", "Pop", "Dance-Pop"),
-          ("rock", "Rock", "Classic Rock"),
-          ("electro", "Electrónica", "House"))
-          .toDF("track_genre", "genero", "subgenero")
+        // Default: the reference's full mapping, shipped as data
+        // (src/main/resources/genre_map.csv ≙ limpiezaSpotify.py:12-57).
+        graft.etl.GenreMap.df(spark)
     }
 
   def main(args: Array[String]): Unit = {

@@ -106,6 +106,35 @@ object Similarity {
     }
   }
 
+  /** IVF multi-probe cell set: the query's nearest centroid cell plus the
+    * runner-up — the recall knob on the Voronoi path, mirroring what
+    * [[probeBuckets]] does for sign-bit LSH. A Voronoi boundary is exactly
+    * where a true neighbor lands in the adjacent cell; probing the
+    * 2nd-nearest cell recovers those misses without re-assigning the
+    * stored corpus. Per-row projection over literal centroids, like
+    * [[centroidCell]].
+    */
+  def ivfProbeCells(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val v = vec.cast("array<double>")
+    val scores = centroids.map(c => dot(v, array(c.map(lit).toIndexedSeq: _*)))
+    val mx = greatest(scores.toIndexedSeq: _*)
+    val first = scores.zipWithIndex
+      .foldRight(lit(centroids.length - 1): Column) {
+        case ((s, i), els) => when(s === mx, lit(i)).otherwise(els)
+      }
+    // Mask the winner's score and argmax again: the first index achieving
+    // the second-best score — never the winner itself.
+    val masked = scores.zipWithIndex.map { case (s, i) =>
+      when(lit(i) === first, lit(Double.MinValue)).otherwise(s)
+    }
+    val mx2 = greatest(masked.toIndexedSeq: _*)
+    val second = masked.zipWithIndex
+      .foldRight(lit(centroids.length - 1): Column) {
+        case ((s, i), els) => when(s === mx2, lit(i)).otherwise(els)
+      }
+    array(first, second)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a, b) with
     * cosine ≥ threshold, compared only WITHIN a blocking column (cluster
     * id / LSH bucket) — never all-pairs. The self-join shuffles both sides

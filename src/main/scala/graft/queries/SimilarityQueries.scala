@@ -79,6 +79,44 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // IVF multi-probe: the query searches its own Voronoi cell AND the
+    // 2nd-nearest centroid's cell — the recall knob on the IVF path
+    // (neighbors just across a cell boundary come back without touching
+    // the stored assignment).
+    "sim_topk_ivf_probe" -> ((s, d) => {
+      val v = emb(s, d).withColumn("cell",
+        Similarity.centroidCell(col("embedding"), centroids))
+      val q = v.where(col("vec_id") < 5).withColumn("cell",
+        explode(Similarity.ivfProbeCells(col("embedding"), centroids)))
+      Similarity.partitionedTopK(v, q, "vec_id", "embedding", "cell", k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Recall@5 of single-cell vs 2-cell-probed IVF against exact brute
+    // force, side by side — the measured recall LIFT the probe buys.
+    "sim_recall_ivf" -> ((s, d) => {
+      val v = emb(s, d).withColumn("cell",
+        Similarity.centroidCell(col("embedding"), centroids))
+      val q = v.where(col("vec_id") < 5)
+      val brute = Similarity.bruteForceTopK(v, q, "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("n_id"))
+      val single = Similarity.partitionedTopK(v, q, "vec_id", "embedding",
+        "cell", k = 5)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit_cell"))
+      val qProbe = q.withColumn("cell",
+        explode(Similarity.ivfProbeCells(col("embedding"), centroids)))
+      val probed = Similarity.partitionedTopK(v, qProbe, "vec_id", "embedding",
+        "cell", k = 5)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit_probe"))
+      brute
+        .join(single, Seq("q_id", "n_id"), "left")
+        .join(probed, Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg((sum(coalesce(col("hit_cell"), lit(0L))) / lit(5)).as("recall_cell"),
+          (sum(coalesce(col("hit_probe"), lit(0L))) / lit(5)).as("recall_probe"))
+        .orderBy(col("q_id"))
+    }),
+
     // Recall@5 of the LSH-pruned path against the exact brute-force top-k
     // — the quality loop an ANN deployment runs when tuning nBits/probes.
     // Per query: |lsh∩brute| / k, an exact-integer division identical on
