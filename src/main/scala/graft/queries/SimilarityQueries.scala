@@ -185,6 +185,35 @@ object SimilarityQueries {
     ("bucket" +: flips).mkString("[", ",", "]")
   }
 
+  /** Per-centroid dot-product scores over `e` as a SQL LIST — the list
+    * form lets the probe oracle take argmax and runner-up via
+    * `list_position`/`list_max` instead of a quadratic CASE blowup.
+    * `list_position` returns the FIRST index of the max, the same tie
+    * order as `centroidCell`'s first-match CASE chain.
+    */
+  private def scoreListSql: String =
+    centroids.map { c =>
+      val arr = c.mkString("[", ",", "]")
+      s"""(SELECT sum(a*b) FROM (SELECT unnest(e) AS a,
+         | unnest($arr::DOUBLE[]) AS b))""".stripMargin
+    }.mkString("[", ",", "]")
+
+  /** Shared cell-assignment CTE prefix for the IVF-probe oracles:
+    * `a1` = (vec_id, e, sc, cell1); `a2` adds the winner-masked score list
+    * `msc` whose argmax is the 2nd-nearest cell (same masking constant as
+    * `Similarity.ivfProbeCells`).
+    */
+  private def ivfProbeCtes: String =
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |s0 AS (SELECT vec_id, e, $scoreListSql AS sc FROM v),
+       |a1 AS (SELECT vec_id, e, sc,
+       |  list_position(sc, list_max(sc))-1 AS cell1 FROM s0),
+       |a2 AS (SELECT vec_id, e, cell1,
+       |  list_transform(generate_series(1,${centroids.length}),
+       |    i -> CASE WHEN i-1=cell1 THEN -1.7976931348623157e308
+       |         ELSE sc[i] END) AS msc
+       |  FROM a1)""".stripMargin
+
   private val cosSql =
     """round(
       | (SELECT sum(a*b) FROM (SELECT unnest(q_vec) AS a, unnest(n_vec) AS b))
@@ -273,6 +302,48 @@ object SimilarityQueries {
          |  FROM s)
          |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=5
          |ORDER BY q_id, rank""".stripMargin,
+    "sim_topk_ivf_probe" ->
+      s"""WITH $ivfProbeCtes,
+         |q AS (SELECT vec_id AS q_id, e AS q_vec,
+         |  unnest([cell1, list_position(msc, list_max(msc))-1]) AS cell
+         |  FROM a2 WHERE vec_id<5),
+         |c AS (SELECT vec_id AS n_id, cell1 AS cell, e AS n_vec FROM a1),
+         |s AS (SELECT q_id, n_id, $cosSql AS cos FROM c JOIN q USING (cell)
+         |  WHERE n_id<>q_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM s)
+         |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=5
+         |ORDER BY q_id, rank""".stripMargin,
+    "sim_recall_ivf" ->
+      s"""WITH $ivfProbeCtes,
+         |q0 AS (SELECT vec_id AS q_id, cell1, msc, e AS q_vec FROM a2 WHERE vec_id<5),
+         |qp AS (SELECT q_id, q_vec,
+         |  unnest([cell1, list_position(msc, list_max(msc))-1]) AS cell FROM q0),
+         |c AS (SELECT vec_id AS n_id, cell1 AS cell, e AS n_vec FROM a1),
+         |bs AS (SELECT q_id, n_id, $cosSql AS cos
+         |  FROM c, (SELECT q_id, q_vec FROM q0) q WHERE n_id<>q_id),
+         |brute AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM bs) WHERE rank<=5),
+         |ss AS (SELECT q_id, n_id, $cosSql AS cos
+         |  FROM c JOIN (SELECT q_id, cell1 AS cell, q_vec FROM q0) q USING (cell)
+         |  WHERE n_id<>q_id),
+         |single AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM ss) WHERE rank<=5),
+         |ps AS (SELECT q_id, n_id, $cosSql AS cos FROM c JOIN qp q USING (cell)
+         |  WHERE n_id<>q_id),
+         |probe AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM ps) WHERE rank<=5)
+         |SELECT brute.q_id,
+         |  CAST(count(single.n_id) AS DOUBLE)/5 AS recall_cell,
+         |  CAST(count(probe.n_id) AS DOUBLE)/5 AS recall_probe
+         |FROM brute
+         |LEFT JOIN single ON brute.q_id=single.q_id AND brute.n_id=single.n_id
+         |LEFT JOIN probe ON brute.q_id=probe.q_id AND brute.n_id=probe.n_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_topk_ivf" ->
       s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |q AS (SELECT vec_id AS q_id, label, e AS q_vec FROM v WHERE vec_id<5),
