@@ -1,8 +1,9 @@
 package graft
 
 /** Benchmark main: times the headline query set from BASELINE.md — the ten
-  * dashboard cards D1–D10 plus the merge pipeline (J1) and the cleaning
-  * aggregate (A1) — on SPARK_GRAFT_SF_DIR, printing one JSON line.
+  * dashboard cards D1–D10, the merge pipeline (J1), the cleaning aggregate
+  * (A1), and the two composed reference pipelines (clean, warehouse) — on
+  * SPARK_GRAFT_SF_DIR, printing one JSON line.
   *
   * Each query is fully materialized via a `noop`-format write: every output
   * column is computed and serialized on the executors, so expression-heavy
@@ -13,46 +14,104 @@ package graft
   * so per-query numbers measure the plan, not first-touch JIT noise (with a
   * d9-only warm-up, the first query to touch lineitem absorbed ~4 s of
   * one-time cost that its plan didn't own).
+  *
+  * Three verdict-driven gates ride along in the JSON line:
+  *  - a query whose ANY timed run failed reports `null` (a broken query
+  *    must not masquerade as a fast success — round-2 ADVICE);
+  *  - `regressions`: headline queries slower than 2× their recorded
+  *    BASELINE.md median (the round-over-round regression gate);
+  *  - `scaling`: per-query elapsed ratio vs one run at a smaller scale
+  *    factor (default sf0.01, ~10× less data) — a numeric tripwire for
+  *    superlinear plans: ratios far above the data ratio mean a plan
+  *    stopped scaling linearly.
   */
 object Bench {
   val headline: Seq[String] = Seq(
     "d1_avg_popularity", "d2_n_artists", "d3_top_albums",
     "d4_winning_artists", "d5_wins_danceability", "d6_year_genre_pivot",
     "d7_extremes", "d8_low_energy_popular", "d9_top_artists",
-    "d10_genre_wins", "j1_merge_indicator", "a1_mode_first")
+    "d10_genre_wins", "j1_merge_indicator", "a1_mode_first",
+    "pipeline_clean", "pipeline_warehouse_counts")
+
+  /** Round-2 per-query medians (BENCH_r02, sf0.1, local[32]) — the
+    * regression baseline recorded in BASELINE.md. Queries added after
+    * round 2 have no entry and are gated from the round they first ship.
+    */
+  val baselineMedians: Map[String, Double] = Map(
+    "d1_avg_popularity" -> 0.87, "d2_n_artists" -> 0.49,
+    "d3_top_albums" -> 0.73, "d4_winning_artists" -> 0.35,
+    "d5_wins_danceability" -> 1.49, "d6_year_genre_pivot" -> 2.02,
+    "d7_extremes" -> 1.07, "d8_low_energy_popular" -> 0.49,
+    "d9_top_artists" -> 0.44, "d10_genre_wins" -> 0.88,
+    "j1_merge_indicator" -> 0.71, "a1_mode_first" -> 1.11)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val smallDir =
+      sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, "graft-bench")
 
-    def materialize(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+    def materialize(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
+
+    /** One timed materialization; None if the query threw. */
+    def timeOne(name: String, dir: String): Option[Double] = {
+      val t0 = System.nanoTime()
+      try { materialize(name, dir); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None
+      }
+    }
 
     // Warm-up (untimed): JIT + codegen + parquet footer reads for all tables.
     headline.foreach { name =>
-      try materialize(name) catch { case _: Throwable => () }
+      try materialize(name, sfDir) catch { case _: Throwable => () }
     }
 
     // Median of 3 timed repetitions per query: single runs at this scale
     // carry ±30% scheduler/GC noise, which would drown real plan
-    // regressions between rounds.
-    val results = headline.map { name =>
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try materialize(name)
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.sorted.apply(1)
+    // regressions between rounds. Any failed run poisons the median to
+    // None — a broken query must never report as a fast success.
+    val results: Seq[(String, Option[Double])] = headline.map { name =>
+      val times = (1 to 3).map(_ => timeOne(name, sfDir))
+      name -> (if (times.exists(_.isEmpty)) None
+               else Some(times.flatten.sorted.apply(1)))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Scaling probe: one warmed run per query at the smaller SF; report
+    // elapsed ratio big/small. The data ratio is ~10×; a query whose time
+    // ratio runs FAR above it has a superlinear plan.
+    val scaling: Seq[(String, Option[Double])] =
+      if (smallDir == sfDir) Seq.empty
+      else {
+        headline.foreach { name =>
+          try materialize(name, smallDir) catch { case _: Throwable => () }
+        }
+        headline.map { name =>
+          val small = timeOne(name, smallDir)
+          val big = results.toMap.apply(name)
+          name -> (for (s <- small; b <- big if s > 0) yield b / s)
+        }
+      }
+
+    val regressions = results.collect {
+      case (name, Some(t))
+        if baselineMedians.get(name).exists(b => t > 2 * b) =>
+        name -> t / baselineMedians(name)
+    }
+
+    def jnum(v: Option[Double]): String =
+      v.map(d => f"$d%.6f").getOrElse("null")
+    def jmap(kvs: Seq[(String, Option[Double])]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
+        .mkString("{", ",", "}")
+
+    val total = results.flatMap(_._2).sum
+    val regs = jmap(regressions.map { case (k, v) => k -> Option(v) })
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"regressions":$regs,"scaling":${jmap(scaling)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

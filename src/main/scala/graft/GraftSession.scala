@@ -37,6 +37,11 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // spark.sql.extensions only applies when getOrCreate builds a NEW
+    // session; against a pre-existing one it is silently skipped. The
+    // explicit (idempotent) registration makes the native function surface
+    // unconditional for every GraftSession.local caller.
+    graft.functions.NativeFunctions.register(spark)
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -47,6 +47,23 @@ class ParityTrapsSpec extends AnyFunSuite {
     }
   }
 
+  test("trap 2b: mode works on STRING columns with the same tie order") {
+    // The tie-break negates the count, not the value, so non-numeric mode
+    // columns order natively (round-2 verdict: `value * -1` failed
+    // analysis on strings).
+    val df = Seq((1, "b"), (1, "a"), (1, "b"), (1, "a"), (2, "z"))
+      .toDF("g", "v")
+    val m = Relational.deterministicMode(df, "g", "v", "m")
+      .as[(Int, String)].collect().sortBy(_._1)
+    assert(m.toSeq == Seq((1, "a"), (2, "z")))
+    // Fused variant carries a string mode plus an order-stable carry.
+    val df2 = Seq((1, "b", 10, "x"), (1, "a", 11, "y"), (1, "b", 12, "z"))
+      .toDF("g", "v", "ord", "c")
+    val f = Relational.modeOrFirstMulti(df2, "g", "v", "ord", Seq("c"), "m")
+      .select("g", "m", "c").as[(Int, String, String)].collect()
+    assert(f.toSeq == Seq((1, "b", "x")))
+  }
+
   test("trap 4: lenient cast yields null on junk, value on digits") {
     val df = Seq("1-URGENT", "7", "").toDF("s")
     val out = df.select(expr("try_cast(s AS INT)")).as[Option[Int]].collect()

@@ -65,6 +65,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"a1 should shuffle exactly once (got $hashExchanges):\n$p")
   }
 
+  test("stratified sample's window input is hash-threshold pre-filtered") {
+    // The scale contract of Sampling.stratifiedTopKByHash: no task ever
+    // sorts a whole stratum — a Filter on the numeric md5 prefix (the
+    // `conv(substring(md5(...)))` bound) and the broadcast join that
+    // delivers per-stratum counts must both sit under the Window.
+    val p = plan("t_stratified_sample")
+    assert(p.contains("Window"), s"sample lost its exact top-k window:\n$p")
+    assert(p.contains("conv(substring(md5("),
+      s"window input is no longer pre-filtered by the hash bound:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-stratum counts stopped broadcasting:\n$p")
+  }
+
   test("headline aggregates keep whole-stage codegen on the hot path") {
     for (q <- Seq("d9_top_artists", "q1_agg")) {
       val p = plan(q)
