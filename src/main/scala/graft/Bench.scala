@@ -56,8 +56,14 @@ object Bench {
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
 
-    /** One timed materialization; None if the query threw. */
+    /** One timed materialization; None if the query threw. Caches left by
+      * a previous run (the warehouse pipeline persists its merge stage)
+      * are dropped BEFORE the timer starts, so every timed run pays its
+      * own materialization — a stale cache would report the plan's warm
+      * re-read cost as its build cost.
+      */
     def timeOne(name: String, dir: String): Option[Double] = {
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { materialize(name, dir); Some((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>

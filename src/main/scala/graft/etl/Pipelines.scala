@@ -46,10 +46,20 @@ object Pipelines {
       c == "track_id" || c == "popularity" || c == orderCol).toSeq
     // A1, fused: mode + all order-stable carries in one shuffle
     // (Relational.modeOrFirstMulti), instead of two aggregates + a join.
-    Relational.modeOrFirstMulti(mapped, "track_id", "popularity", orderCol,
-      carry, "popularity")
+    // Pre-partition by track_id: popularity rarely repeats inside a raw
+    // duplicate cluster, so the (track, popularity) pre-aggregate barely
+    // compresses and the generic two-level plan would shuffle ~|rows| of
+    // 20-wide carries twice. One explicit hash exchange satisfies BOTH
+    // aggregate levels' distribution requirements (partitioning on a
+    // subset of the grouping keys clusters them), so neither re-shuffles
+    // — same trick as the a1_mode_first headline plan.
+    Relational.modeOrFirstMulti(mapped.repartition(col("track_id")),
+      "track_id", "popularity", orderCol, carry, "popularity")
       .select((("track_id" +: carry) :+ "popularity").map(col): _*)
-      .dropDuplicates() // A2 (limpiezaSpotify.py:101)
+    // The reference follows with drop_duplicates (limpiezaSpotify.py:101);
+    // here it is subsumed: the aggregate emits exactly one row per
+    // track_id, so every row is already distinct and the extra wide
+    // shuffle a dropDuplicates() would add is provably a no-op.
   }
 
   /** Pipeline 3.1's merge step (`merge_spotify_and_grammys`,

@@ -146,8 +146,22 @@ object PipelineQueries {
     // Stage 1+2+3: the whole warehouse — six dims + two gated fact tables
     // (merge_to_dw.py:124-325) — as (table, row count), ONE composed plan
     // from raw inputs to star schema.
+    //
+    // The merge output is STAGED first (parquet write + re-scan,
+    // Tables.stage): buildWarehouse fans the SAME merged relation into 8
+    // outputs (6 dim distincts + 2 fact joins, the facts each
+    // re-referencing it through 6 FK joins), so without a stage boundary
+    // the clean→merge chain is recomputed per branch. A parquet stage
+    // beats `.persist()` here twice over: each branch scan is
+    // column-pruned (a dim build reads 1-4 of the 26 columns), and the
+    // in-memory cache's columnar encoding of all 26 columns cost more
+    // than the recompute it saved. At 100 TB this IS the design: the
+    // merge output is the staging table written to the lake between
+    // pipeline stages.
     "pipeline_warehouse_counts" -> ((s, d) => {
-      val tables = Pipelines.buildWarehouse(merged(s, d))
+      val mg = Tables.stage(merged(s, d),
+        s"${sys.props("java.io.tmpdir")}/graft_stage_merged_${d.hashCode}")
+      val tables = Pipelines.buildWarehouse(mg)
       tables.toSeq.sortBy(_._1).map { case (name, df) =>
         df.agg(count(lit(1)).as("n_rows"))
           .select(lit(name).as("table_name"), col("n_rows"))

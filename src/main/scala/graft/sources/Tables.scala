@@ -127,6 +127,20 @@ object Tables {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Stage boundary: materialize `df` as a parquet table and return a
+    * scan of it. For a relation fanned into many downstream branches
+    * (the warehouse build reads its merge output 8+ ways), this beats
+    * both recompute-per-branch and `.persist()`: each branch's scan is
+    * COLUMN-PRUNED and filter-pushed against parquet, while the in-memory
+    * cache pays columnar encoding for all columns and every branch scans
+    * the full width. At cluster scale this is the staging table written
+    * to the lake between pipeline stages.
+    */
+  def stage(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   /** Drop a managed table AND its warehouse files. The in-memory catalog
     * is session-scoped but warehouse files persist: a table created by a
     * previous session is invisible to DROP TABLE yet still blocks CREATE
