@@ -131,6 +131,58 @@ object TextFunctions {
   def fingerprint(text: Column, n: Int = 5): Column =
     array_min(transform(shingles(text, n), s => md5(s)))
 
+  /** Word n-gram sequence WITHOUT the distinct — occurrence counts
+    * preserved, for repetition measurement ([[topNgramFrac]]).
+    */
+  def shingleSeq(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
+      i => array_join(slice(ws, i, lit(n)), " "))
+  }
+
+  /** Gopher-family repetition signal: fraction of tokens that are
+    * repeats of an earlier token (1 − distinct/total). Exact integer
+    * ratio, per-row projection — no shuffle at any scale.
+    */
+  def dupTokenFrac(text: Column): Column = {
+    val ws = tokens(text)
+    lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws)
+  }
+
+  /** Gopher-family repetition signal: the fraction of n-gram occurrences
+    * taken by the single most frequent n-gram. Computed entirely in-row
+    * with higher-order functions (aggregate over distinct grams, filter
+    * to count occurrences): O(distinct·total) per document, embarrassingly
+    * parallel, zero shuffle — the explode→groupBy form shuffles
+    * |corpus|·|grams| rows for the same answer.
+    */
+  def topNgramFrac(text: Column, n: Int): Column = {
+    val grams = shingleSeq(text, n)
+    val top = aggregate(array_distinct(grams), lit(0),
+      (acc, g) => greatest(acc, size(filter(grams, x => x === g))))
+    top.cast("double") / size(grams)
+  }
+
+  /** PII patterns, shared by detector and redactor. Conservative
+    * char-class forms that Java regex and RE2 interpret identically (the
+    * correctness oracle re-runs them in DuckDB).
+    */
+  val EmailRegex: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRegex: String = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** Count of matches of a PII pattern. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Redact emails then phone numbers with typed placeholder tags —
+    * the scrub pass a corpus runs before release. Per-row, codegen'd.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRegex, "<EMAIL>"),
+      PhoneRegex, "<PHONE>")
+
   /** MinHash signature: k independent hash slots, slot i = min over
     * shingles of md5(i ++ ":" ++ shingle) (hex-string min). md5 rather
     * than xxhash64 keeps the signature reproducible by any engine

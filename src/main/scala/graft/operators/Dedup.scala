@@ -237,4 +237,33 @@ object Dedup {
         .select(col("node").as(idCol)),
       Seq(idCol), "left_anti")
   }
+
+  /** [[nearDedupKept]] with a QUALITY-AWARE keeper: each cluster keeps its
+    * highest-`score` member (ties → smallest id) instead of blindly the
+    * minimum id — what a curation pipeline actually wants, since near-dup
+    * clusters usually mix a clean original with degraded copies.
+    *
+    * The cluster labels cover only clustered docs (a small fraction of the
+    * corpus), so the label join and the keeper semi-join are
+    * broadcast-sized in practice; unclustered docs label themselves and
+    * are their own keeper. One extra hash aggregate over |clustered docs|
+    * versus [[nearDedupKept]] — negligible against candidate generation.
+    *
+    * @param score any deterministic expression over `df`'s columns
+    */
+  def nearDedupKeptBest(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, score: Column): DataFrame = {
+    val cc = connectedComponents(
+      nearDupPairs(df, idCol, textCol, threshold), "id_a", "id_b")
+    val labeled = df
+      .join(cc.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster"), col(idCol)).as("_cluster"),
+        score.as("_score"))
+    val keepers = labeled.groupBy(col("_cluster"))
+      .agg(min_by(col(idCol),
+        struct((-col("_score")).as("_neg"), col(idCol))).as(idCol))
+      .select(col(idCol))
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
 }

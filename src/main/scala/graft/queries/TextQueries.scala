@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal}
+import graft.operators.{Decontam, Dedup, Multimodal}
 import graft.sources.Tables
 
 /** LLM-data-pipeline queries over `documents.parquet`: dedup (exact,
@@ -181,7 +181,59 @@ object TextQueries {
         .select(col("doc_id"),
           length(Multimodal.payloadOf(col("text"))).cast("long").as("byte_len"),
           ascii(substring(col("text"), 1, 1)).cast("long").as("first_char"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Benchmark decontamination: every 37th doc plays the eval set; the
+    // rest is the training corpus. Shingle-join with the df<=50 stop-gram
+    // cap, >=2 shared trigrams flags the pair.
+    "t_decontam" -> ((s, d) => {
+      val all = docs(s, d)
+      val isEval = pmod(col("doc_id"), lit(37)) === 0
+      Decontam.overlaps(all.where(!isEval), all.where(isEval),
+        "doc_id", "text", n = 3, minOverlap = 2, maxShingleDf = 50L)
+        .orderBy(col("train_id"), col("eval_id"))
+    }),
+
+    // Gopher-family repetition signals, both pure per-row projections —
+    // zero shuffle at any corpus size.
+    "t_repetition" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextFunctions.dupTokenFrac(col("text")).as("dup_token_frac"),
+        TextFunctions.topNgramFrac(col("text"), 2).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))),
+
+    // PII detect + redact. The synthetic corpus carries no PII, so every
+    // 7th doc gets a deterministic planted email+phone suffix — the scrub
+    // then has real work whose counts and redacted lengths the oracle
+    // reproduces exactly.
+    "t_pii_scrub" -> ((s, d) => {
+      val planted = when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-123-4567")))
+        .otherwise(col("text"))
+      docs(s, d).select(col("doc_id"),
+        TextFunctions.piiCount(planted, TextFunctions.EmailRegex)
+          .as("n_emails"),
+        TextFunctions.piiCount(planted, TextFunctions.PhoneRegex)
+          .as("n_phones"),
+        length(TextFunctions.redactPii(planted)).cast("long")
+          .as("redacted_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Near-dedup keeping the BEST-quality doc per cluster (ties → min id)
+    // instead of the min id — quality formula shared with t_quality_score.
+    "t_neardup_best" -> ((s, d) => {
+      val nt = TextFunctions.tokenCount(col("text"))
+      val pr = TextFunctions.punctRatio(col("text"))
+      val awl = TextFunctions.avgWordLen(col("text"))
+      val quality =
+        lit(0.5) * (least(nt, lit(100L)).cast("double") / lit(100.0)) +
+          lit(0.3) * (lit(1.0) - pr) +
+          lit(0.2) * (least(awl, lit(10.0)) / lit(10.0))
+      Dedup.nearDedupKeptBest(docs(s, d), "doc_id", "text", 0.5, quality)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    })
   )
 
   private val wsSql = """string_split_regex(lower(trim(text)),'\s+')"""
@@ -394,6 +446,63 @@ object TextQueries {
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |CAST(ascii(substr(text,1,1)) AS BIGINT) AS first_char
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_decontam" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |shs AS (SELECT doc_id, $sh3Sql AS sh FROM w),
+         |tr AS (SELECT doc_id AS train_id, unnest(sh) AS s FROM shs
+         |  WHERE doc_id%37<>0),
+         |ev AS (SELECT doc_id AS eval_id, unnest(sh) AS s FROM shs
+         |  WHERE doc_id%37=0),
+         |rare AS (SELECT s FROM tr GROUP BY s HAVING count(*)<=50),
+         |ov AS (SELECT train_id, eval_id, count(*) AS n_overlap
+         |  FROM tr JOIN rare USING (s) JOIN ev USING (s) GROUP BY 1,2)
+         |SELECT train_id, eval_id, n_overlap FROM ov WHERE n_overlap>=2
+         |ORDER BY 1,2""".stripMargin,
+    "t_repetition" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |b AS (SELECT doc_id, list_transform(range(1, greatest(len(ws)-1,1)+1),
+         |  i -> array_to_string(ws[i:i+1],' ')) AS bgs FROM w),
+         |g AS (SELECT doc_id, unnest(bgs) AS bg FROM b),
+         |c AS (SELECT doc_id, bg, count(*) AS cnt FROM g GROUP BY 1,2),
+         |r AS (SELECT doc_id, max(cnt) AS topc, sum(cnt) AS tot FROM c GROUP BY 1)
+         |SELECT w.doc_id,
+         |  1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)/len(ws) AS dup_token_frac,
+         |  CAST(topc AS DOUBLE)/tot AS top_bigram_frac
+         |FROM w JOIN r ON w.doc_id=r.doc_id ORDER BY 1""".stripMargin,
+    "t_pii_scrub" ->
+      s"""WITH p AS (SELECT doc_id, CASE WHEN doc_id%7=0
+         |  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@example.com or 555-123-4567'
+         |  ELSE text END AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t,'${TextFunctions.EmailRegex}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t,'${TextFunctions.PhoneRegex}')) AS BIGINT) AS n_phones,
+         |  CAST(length(regexp_replace(regexp_replace(t,
+         |    '${TextFunctions.EmailRegex}','<EMAIL>','g'),
+         |    '${TextFunctions.PhoneRegex}','<PHONE>','g')) AS BIGINT) AS redacted_len
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "t_neardup_best" ->
+      s"""WITH RECURSIVE ${neardupPairCtesFrom("documents")},
+         |pairs AS (SELECT id_a, id_b FROM j WHERE jac>=0.5),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (SELECT src, src FROM e
+         |  UNION SELECT e.src, r.dst FROM e JOIN reach r ON e.dst=r.src),
+         |cc AS (SELECT src AS node, min(dst) AS cluster FROM reach GROUP BY 1),
+         |qf AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text))=0 THEN 0 ELSE len(qws) END AS nt,
+         |  CAST(length(regexp_replace(text,'[^.,!?;:]','','g')) AS DOUBLE)/length(text) AS pr,
+         |  CAST(length(regexp_replace(text,'\\s','','g')) AS DOUBLE)/len(qws) AS awl
+         |  FROM (SELECT doc_id, text, $wsSql AS qws FROM documents)),
+         |q AS (SELECT doc_id,
+         |  0.5*(CAST(least(nt,100) AS DOUBLE)/100.0) + 0.3*(1.0-pr)
+         |    + 0.2*(least(awl,10.0)/10.0) AS quality FROM qf),
+         |lab AS (SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster,
+         |  q.quality FROM documents d LEFT JOIN cc ON d.doc_id=cc.node
+         |  JOIN q ON d.doc_id=q.doc_id),
+         |k AS (SELECT doc_id, row_number() OVER (PARTITION BY cluster
+         |  ORDER BY quality DESC, doc_id) AS rn FROM lab)
+         |SELECT doc_id FROM k WHERE rn=1 ORDER BY 1""".stripMargin
   )
 }
