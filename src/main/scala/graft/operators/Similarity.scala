@@ -217,4 +217,48 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }
+
+  /** TRAINED IVF coarse quantizer: Lloyd k-means over the embedding
+    * column, [[ivfCentroids]]-seeded. Each iteration is one distributed
+    * aggregate — assign every vector to its nearest centroid (max dot,
+    * ties → lowest index, the [[centroidCell]] rule), then recompute each
+    * cell's mean; only the k×dim means ever reach the driver. Cells that
+    * lose all members keep their previous centroid.
+    *
+    * Determinism (so an oracle can replay training from the raw parquet):
+    * per-component means are an EXACT decimal sum cast to double, divided
+    * by the count — order-independent, identical on any engine — and a
+    * binary double can never sit exactly on a decimal(…,12) rounding
+    * half-tie (that needs a 5^12 denominator), so the decimal cast is
+    * rounding-mode-proof.
+    *
+    * At 100 TB train on a sampled subset (`df.sample` upstream) — k-means
+    * quality needs ~O(k·dim) effective samples, not the corpus; the
+    * assignment scan that follows is the part that must (and does) stay
+    * full-corpus and distributed.
+    */
+  def kmeansCentroids(df: DataFrame, vecCol: String, dim: Int, k: Int,
+                      iters: Int, seed: Long): Array[Array[Double]] = {
+    var cents = ivfCentroids(dim, k, seed)
+    for (_ <- 1 to iters) {
+      val rows = df
+        .select(centroidCell(col(vecCol), cents).as("cell"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("x").cast("decimal(25,12)")).cast("double") /
+          count(lit(1))).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      rows.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      // Spherical k-means step: cell assignment is max-DOT, so centroids
+      // must be unit-norm or high-norm cells swallow the space; for a
+      // cosine index the spherical variant is the standard. The norm
+      // folds left-to-right like the oracle's unnest-sum.
+      cents = next.map { m =>
+        val n = math.sqrt(m.map(x => x * x).sum)
+        if (n == 0.0) m else m.map(_ / n)
+      }
+    }
+    cents
+  }
 }

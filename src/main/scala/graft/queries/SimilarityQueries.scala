@@ -117,6 +117,57 @@ object SimilarityQueries {
         .orderBy(col("q_id"))
     }),
 
+    // TRAINED IVF: two Lloyd k-means iterations refine the seeded
+    // centroids over the corpus itself, then cell-pruned top-k — the full
+    // production IVF recipe (train coarse quantizer → assign → prune).
+    // The oracle REPLAYS the training from the raw parquet with exact
+    // decimal means, so even the k-means iterations are cross-engine
+    // verified, not just the final search.
+    "sim_topk_ivf_trained" -> ((s, d) => {
+      val v0 = emb(s, d)
+      val trained = Similarity.kmeansCentroids(v0, "embedding",
+        dim = 64, k = 8, iters = 2, seed = 7L)
+      val v = v0.withColumn("cell",
+        Similarity.centroidCell(col("embedding"), trained))
+      Similarity.partitionedTopK(v, v.where(col("vec_id") < 5),
+        "vec_id", "embedding", "cell", k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Recall@5 of seeded-random vs k-means-trained IVF cells against
+    // exact brute force, side by side. On THIS corpus the embeddings are
+    // isotropic noise (within-label cosine ≈ cross-label ≈ 0), so there
+    // is no structure to learn and trained ≈ seeded is the honest
+    // expected outcome; KmeansSpec proves the lift on planted blobs,
+    // where training drives cell purity and pruned recall to 1.0.
+    "sim_recall_ivf_trained" -> ((s, d) => {
+      val v0 = emb(s, d)
+      val trained = Similarity.kmeansCentroids(v0, "embedding",
+        dim = 64, k = 8, iters = 2, seed = 7L)
+      val vs = v0.withColumn("cell",
+        Similarity.centroidCell(col("embedding"), centroids))
+      val vt = v0.withColumn("cell",
+        Similarity.centroidCell(col("embedding"), trained))
+      val brute = Similarity.bruteForceTopK(v0,
+        v0.where(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("n_id"))
+      val seeded = Similarity.partitionedTopK(vs,
+        vs.where(col("vec_id") < 5), "vec_id", "embedding", "cell", k = 5)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit_seed"))
+      val tr = Similarity.partitionedTopK(vt,
+        vt.where(col("vec_id") < 5), "vec_id", "embedding", "cell", k = 5)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit_train"))
+      brute
+        .join(seeded, Seq("q_id", "n_id"), "left")
+        .join(tr, Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg((sum(coalesce(col("hit_seed"), lit(0L))) / lit(5))
+          .as("recall_seeded"),
+          (sum(coalesce(col("hit_train"), lit(0L))) / lit(5))
+            .as("recall_trained"))
+        .orderBy(col("q_id"))
+    }),
+
     // Recall@5 of the LSH-pruned path against the exact brute-force top-k
     // — the quality loop an ANN deployment runs when tuning nBits/probes.
     // Per query: |lsh∩brute| / k, an exact-integer division identical on
@@ -220,6 +271,43 @@ object SimilarityQueries {
       | / (sqrt((SELECT sum(a*a) FROM (SELECT unnest(q_vec) AS a)))
       |    * sqrt((SELECT sum(b*b) FROM (SELECT unnest(n_vec) AS b)))), 6)""".stripMargin
 
+  /** SQL replay of [[Similarity.kmeansCentroids]]: `cent0` holds the
+    * seeded init as literals; each unrolled iteration assigns every
+    * vector to its max-dot centroid (`row_number` ties → lowest cell,
+    * the `centroidCell` rule) and rebuilds each cell's mean as an exact
+    * DECIMAL sum cast to double over the count — the same
+    * order-independent arithmetic the Spark side uses, so the trained
+    * centroids are bit-identical. `aF` is the final assignment under
+    * `cent{iters}`.
+    */
+  private def kmeansCtes(k: Int, iters: Int, seed: Long): String = {
+    val init = Similarity.ivfCentroids(dim = 64, k = k, seed = seed)
+    val cent0 = init.zipWithIndex
+      .map { case (c, i) => s"($i, ${c.mkString("[", ",", "]")}::DOUBLE[])" }
+      .mkString("cent0(cell, c) AS (VALUES ", ", ", ")")
+    def assign(t: String, cent: String) =
+      s"""sc$t AS (SELECT v.vec_id, v.e, ct.cell,
+         |  (SELECT sum(a*b) FROM (SELECT unnest(v.e) AS a, unnest(ct.c) AS b)) AS s
+         |  FROM v, $cent ct),
+         |a$t AS (SELECT vec_id, e, cell FROM (SELECT vec_id, e, cell,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+         |  FROM sc$t) WHERE rn=1)""".stripMargin
+    val iterCtes = (0 until iters).map { t =>
+      s"""${assign(t.toString, s"cent$t")},
+         |m$t AS (SELECT cell, g.i AS pos,
+         |  CAST(sum(CAST(e[g.i] AS DECIMAL(25,12))) AS DOUBLE)/count(*) AS m
+         |  FROM a$t, generate_series(1,64) AS g(i) GROUP BY 1,2),
+         |u$t AS (SELECT c0.cell, coalesce(mm.mc, c0.c) AS cv,
+         |  sqrt((SELECT sum(y*y)
+         |    FROM (SELECT unnest(coalesce(mm.mc, c0.c)) AS y))) AS nrm
+         |  FROM cent$t c0 LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS mc
+         |    FROM m$t GROUP BY cell) mm ON c0.cell=mm.cell),
+         |cent${t + 1} AS (SELECT cell, CASE WHEN nrm=0 THEN cv
+         |  ELSE list_transform(cv, y -> y/nrm) END AS c FROM u$t)""".stripMargin
+    }.mkString(",\n")
+    s"$cent0,\n$iterCtes,\n${assign("F", s"cent$iters")}"
+  }
+
   val oracles: Map[String, String] = Map(
     "sim_topk_brute" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -273,6 +361,51 @@ object SimilarityQueries {
          |  FROM s)
          |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=5
          |ORDER BY q_id, rank""".stripMargin,
+    "sim_topk_ivf_trained" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |${kmeansCtes(k = 8, iters = 2, seed = 7L)},
+         |q AS (SELECT vec_id AS q_id, cell, e AS q_vec FROM aF WHERE vec_id<5),
+         |c AS (SELECT vec_id AS n_id, cell, e AS n_vec FROM aF),
+         |s AS (SELECT q_id, n_id, $cosSql AS cos FROM c JOIN q USING (cell)
+         |  WHERE n_id<>q_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM s)
+         |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=5
+         |ORDER BY q_id, rank""".stripMargin,
+    "sim_recall_ivf_trained" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |${kmeansCtes(k = 8, iters = 2, seed = 7L)},
+         |sb AS (SELECT vec_id, e, $cellSql AS cell FROM v),
+         |q0 AS (SELECT vec_id AS q_id, e AS q_vec FROM v WHERE vec_id<5),
+         |bs AS (SELECT q_id, n_id, $cosSql AS cos FROM
+         |  (SELECT vec_id AS n_id, e AS n_vec FROM v) c, q0 WHERE n_id<>q_id),
+         |brute AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM bs) WHERE rank<=5),
+         |ss AS (SELECT q_id, n_id, $cosSql AS cos
+         |  FROM (SELECT vec_id AS n_id, cell, e AS n_vec FROM sb) c
+         |  JOIN (SELECT vec_id AS q_id, cell, e AS q_vec FROM sb
+         |    WHERE vec_id<5) q USING (cell)
+         |  WHERE n_id<>q_id),
+         |seeded AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM ss) WHERE rank<=5),
+         |ts AS (SELECT q_id, n_id, $cosSql AS cos
+         |  FROM (SELECT vec_id AS n_id, cell, e AS n_vec FROM aF) c
+         |  JOIN (SELECT vec_id AS q_id, cell, e AS q_vec FROM aF
+         |    WHERE vec_id<5) q USING (cell)
+         |  WHERE n_id<>q_id),
+         |trained AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM ts) WHERE rank<=5)
+         |SELECT brute.q_id,
+         |  CAST(count(seeded.n_id) AS DOUBLE)/5 AS recall_seeded,
+         |  CAST(count(trained.n_id) AS DOUBLE)/5 AS recall_trained
+         |FROM brute
+         |LEFT JOIN seeded ON brute.q_id=seeded.q_id AND brute.n_id=seeded.n_id
+         |LEFT JOIN trained ON brute.q_id=trained.q_id AND brute.n_id=trained.n_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_recall_lsh" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |b AS (SELECT vec_id, e, $bucketSql AS bucket FROM v),
