@@ -89,6 +89,24 @@ object SourceQueries {
       s.read.parquet(out).orderBy(col("n_nationkey"))
     }),
 
+    // JSONL write → read round-trip over the documents corpus — the
+    // interchange format LLM training corpora actually ship in (one JSON
+    // object per line, newline-delimited, splittable for parallel scans).
+    // The schema is pinned on read: inference would cost an extra full
+    // pass AND can drift types (a lang column of all-numeric strings
+    // would come back BIGINT).
+    "s13_jsonl_roundtrip" -> ((s, d) => {
+      val out = s"$scratch/jsonl_documents"
+      Tables.writeJsonl(t(s, d, "documents"), out)
+      Tables.readJsonl(s, out, StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // S10: batched JDBC append into an embedded Derby database
     // (batchsize=1000 like the reference's executemany batching,
     // merge_to_dw.py:25, 191), then read back over JDBC. On a cluster the
@@ -168,6 +186,9 @@ object SourceQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s7_s8_parquet_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+    "s13_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "s10_jdbc_batch" ->
       "SELECT * FROM region ORDER BY r_regionkey",
     "p3_project" ->

@@ -127,6 +127,22 @@ object Tables {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** JSONL (newline-delimited JSON) export — the interchange format LLM
+    * training corpora ship in. Splittable: a 100 TB corpus of .jsonl
+    * files scans with full parallelism (unlike multiLine JSON).
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** JSONL scan with a PINNED schema: inference costs an extra full pass
+    * over 100 TB and can drift types between corpus drops (an all-numeric
+    * string column comes back BIGINT), so readers must state what they
+    * expect.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Stage boundary: materialize `df` as a parquet table and return a
     * scan of it. For a relation fanned into many downstream branches
     * (the warehouse build reads its merge output 8+ ways), this beats
