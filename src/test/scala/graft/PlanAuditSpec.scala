@@ -78,6 +78,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"per-stratum counts stopped broadcasting:\n$p")
   }
 
+  test("repetition and PII queries are shuffle-free projections") {
+    // SCALE.md's zero-shuffle claim for the per-row curation signals: the
+    // only exchange allowed is the output orderBy's range partitioning —
+    // no hash exchange, no window, no join anywhere in the plan.
+    for (q <- Seq("t_repetition", "t_pii_scrub")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q grew a hash shuffle:\n$p")
+      assert(!p.contains("Window") && !p.contains("Join"),
+        s"$q should be a pure projection:\n$p")
+    }
+  }
+
+  test("decontamination joins on the shingle, never all-pairs") {
+    val p = plan("t_decontam")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"decontam degenerated to an all-pairs join:\n$p")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findFirstIn(p).nonEmpty, s"decontam lost its equi-join:\n$p")
+  }
+
   test("headline aggregates keep whole-stage codegen on the hot path") {
     for (q <- Seq("d9_top_artists", "q1_agg")) {
       val p = plan(q)
