@@ -31,7 +31,10 @@ object Bench {
     "d4_winning_artists", "d5_wins_danceability", "d6_year_genre_pivot",
     "d7_extremes", "d8_low_energy_popular", "d9_top_artists",
     "d10_genre_wins", "j1_merge_indicator", "a1_mode_first",
-    "pipeline_clean", "pipeline_warehouse_counts")
+    "pipeline_clean", "pipeline_warehouse_counts",
+    // The curation surface (from round 3): full text-curation chain,
+    // decontamination overlap join, LSH-pruned ANN.
+    "t_curation_funnel", "t_decontam", "sim_topk_lsh")
 
   /** Round-2 per-query medians (BENCH_r02, sf0.1, local[32]) — the
     * regression baseline recorded in BASELINE.md. Queries added after
