@@ -183,16 +183,35 @@ object TextFunctions {
       regexp_replace(text, EmailRegex, "<EMAIL>"),
       PhoneRegex, "<PHONE>")
 
-  /** MinHash signature: k independent hash slots, slot i = min over
-    * shingles of md5(i ++ ":" ++ shingle) (hex-string min). md5 rather
-    * than xxhash64 keeps the signature reproducible by any engine
-    * (the correctness oracle recomputes it in SQL). Per-row, no shuffle.
+  /** MinHash slot modulus: slots live in [0, 2^30), so k·M stays far from
+    * long overflow and the double-precision oracle arithmetic stays exact.
+    */
+  val MinhashMod: Long = 1L << 30
+
+  /** MinHash signature: k hash slots via Kirsch–Mitzenmacher double
+    * hashing — ONE md5 per shingle yields two 48-bit halves (h1, h2), and
+    * slot i minimizes (h1 + i·h2) mod 2^30 over the shingles. Two hashes
+    * simulate k independent ones with no asymptotic loss (Kirsch &
+    * Mitzenmacher, ESA 2006, for Bloom-class sketches); versus hashing
+    * every (slot, shingle) pair this is k× fewer digests, and the mins
+    * compare longs instead of hex strings — the per-(i,s) md5 form made
+    * candidate generation the slowest stage of the whole curation funnel.
+    * md5 rather than xxhash64 keeps the signature reproducible by any
+    * engine (the correctness oracle recomputes it in SQL); each chained
+    * `transform` ranges over an evaluated lambda value, so the digest
+    * runs once per shingle, not once per reference. Per-row, no shuffle.
     */
   def minhashSignature(text: Column, k: Int, shingleN: Int = 3): Column = {
-    val sh = shingles(text, shingleN)
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh,
-        s => md5(concat(i.cast("string"), lit(":"), s)))))
+    val hexes = transform(shingles(text, shingleN), s => md5(s))
+    val pairs = transform(hexes, h => struct(
+      (conv(substring(h, 1, 12), 16, 10).cast("long") % MinhashMod).as("h1"),
+      (conv(substring(h, 13, 12), 16, 10).cast("long") % MinhashMod).as("h2")))
+    val slotVecs = transform(pairs, p =>
+      transform(sequence(lit(0), lit(k - 1)),
+        i => (p.getField("h1") + i * p.getField("h2")) % MinhashMod))
+    aggregate(slotVecs,
+      array_repeat(lit(MinhashMod), k),
+      (acc, v) => zip_with(acc, v, (a, b) => least(a, b)))
   }
 
   /** LSH band keys from a MinHash signature: bands of `r` consecutive

@@ -242,17 +242,31 @@ object TextQueries {
        | i -> array_to_string(ws[i:i+2],' ')))""".stripMargin
 
   /** Shared CTE chain producing near-dup candidate pairs with exact
-    * Jaccard (`j`) over a source relation: shingles → 12-slot MinHash →
-    * 6 bands → bucket join.
+    * Jaccard (`j`) over a source relation: shingles → 12-slot MinHash
+    * (Kirsch–Mitzenmacher double hashing, one md5 per shingle, slot i =
+    * min (h1 + i·h2) mod 2^30 — digit-for-digit the Spark construction:
+    * h1/h2 are the hex halves at positions 1-12 / 13-24, most-significant
+    * first, summed exactly below 2^53 so the DOUBLE powers are lossless)
+    * → 6 bands → bucket join.
     */
   private def neardupPairCtesFrom(src: String): String =
     s"""w AS (SELECT doc_id, $wsSql AS ws FROM $src),
        |shs AS (SELECT doc_id, $sh3Sql AS sh FROM w),
-       |sig AS (SELECT doc_id, list_transform(range(0,12),
-       |  i -> list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min')) AS sg
-       |  FROM shs),
+       |hx AS (SELECT doc_id, md5(s) AS h
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM shs)),
+       |hp AS (SELECT doc_id,
+       |  CAST((SELECT sum((strpos('0123456789abcdef', substr(h,p.i,1))-1)
+       |    *power(16,12-p.i)) FROM generate_series(1,12) p(i)) AS BIGINT)
+       |    % 1073741824 AS h1,
+       |  CAST((SELECT sum((strpos('0123456789abcdef', substr(h,12+p.i,1))-1)
+       |    *power(16,12-p.i)) FROM generate_series(1,12) p(i)) AS BIGINT)
+       |    % 1073741824 AS h2
+       |  FROM hx),
+       |sl AS (SELECT doc_id, t.i, min((h1 + t.i*h2) % 1073741824) AS v
+       |  FROM hp, generate_series(0,11) t(i) GROUP BY 1,2),
+       |sig AS (SELECT doc_id, list(v ORDER BY i) AS sg FROM sl GROUP BY 1),
        |bands AS (SELECT doc_id, unnest(list_transform(range(0,6),
-       |  j -> j::VARCHAR || '|' || sg[2*j+1] || '|' || sg[2*j+2])) AS bv FROM sig),
+       |  j -> concat(j, '|', sg[2*j+1], '|', sg[2*j+2]))) AS bv FROM sig),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b ON a.bv=b.bv AND a.doc_id<b.doc_id),
        |j AS (SELECT id_a, id_b,
