@@ -240,17 +240,22 @@ object TextFunctions {
     * decomposition is mirrored digit-for-digit by the DuckDB oracle.
     */
   def simhash64(text: Column): Column = {
-    val ws = tokens(text)
-    val bitsOf: Column => Column = w => {
-      val h = md5(w)
-      array((1 to 16).flatMap { d =>
-        val v = conv(substring(h, d, 1), 16, 10).cast("int")
-        Seq(8, 4, 2, 1).map(m =>
-          when(v.bitwiseAND(lit(m)) =!= 0, lit(1L)).otherwise(lit(-1L)))
-      }: _*)
-    }
-    val sums = aggregate(ws, array_repeat(lit(0L), SimhashBits),
-      (acc, w) => zip_with(acc, bitsOf(w), (a, b) => a + b))
+    // Chained transforms put a lambda-VALUE boundary after each expensive
+    // step: the digest runs once per word and the hex parse once per
+    // digit. Inlining md5 into the per-digit expression would evaluate it
+    // 16× per word (the trap that made MinHash the funnel's slowest
+    // stage).
+    val hexes = transform(tokens(text), w => md5(w))
+    val digitArrs = transform(hexes, h =>
+      transform(sequence(lit(1), lit(16)),
+        d => conv(substring(h, d, lit(1)), 16, 10).cast("int")))
+    val bitsFrom: Column => Column = dv => array((1 to SimhashBits).map { b =>
+      val v = element_at(dv, (b - 1) / 4 + 1)
+      val m = 8 >> ((b - 1) % 4)
+      when(v.bitwiseAND(lit(m)) =!= 0, lit(1L)).otherwise(lit(-1L))
+    }: _*)
+    val sums = aggregate(digitArrs, array_repeat(lit(0L), SimhashBits),
+      (acc, dv) => zip_with(acc, bitsFrom(dv), (a, b) => a + b))
     array_join(transform(sums,
       s => when(s > 0, lit("1")).otherwise(lit("0"))), "")
   }
