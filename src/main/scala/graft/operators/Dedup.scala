@@ -204,6 +204,15 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("cluster", col("node"))
       .localCheckpoint()
+    // Convergence probe: min-label propagation only ever DECREASES labels,
+    // so the label sum is strictly monotone while anything changes and
+    // equal exactly at the fixed point — one cheap aggregate per round
+    // instead of a self-join + isEmpty scan. Decimal sum: exact and
+    // overflow-free for any id range.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -217,8 +226,9 @@ object Dedup {
           least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
             .as("cluster"))
         .localCheckpoint()
-      converged = updated.join(labels.withColumnRenamed("cluster", "old"),
-        Seq("node")).where(col("cluster") =!= col("old")).isEmpty
+      val newSum = labelSum(updated)
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       labels = updated
       i += 1
     }

@@ -182,14 +182,19 @@ object Similarity {
   def multiProbeTopK(candidates: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, bucketCol: String,
                      nBits: Int, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+    // Per-row norms before the join, as in [[partitionedTopK]].
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec"),
       explode(probeBuckets(col(bucketCol), nBits)).as(bucketCol))
-    val c = candidates.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      col(bucketCol))
+      .withColumn("q_norm", norm(col("q_vec")))
+    val c = candidates.select(col(idCol).as("n_id"),
+      col(vecCol).cast("array<double>").as("n_vec"), col(bucketCol))
+      .withColumn("n_norm", norm(col("n_vec")))
     val scored = c.join(broadcast(q), Seq(bucketCol))
       .where(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
-        round(cosine(col("q_vec"), col("n_vec")), 6).as("cos"))
+        round(dot(col("q_vec"), col("n_vec")) /
+          (col("q_norm") * col("n_norm")), 6).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -204,14 +209,21 @@ object Similarity {
   def partitionedTopK(candidates: DataFrame, queries: DataFrame,
                       idCol: String, vecCol: String, partCol: String,
                       k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      col(partCol))
-    val c = candidates.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      col(partCol))
+    // Norms are computed ONCE per row in the projections, not per
+    // candidate pair: a corpus row's norm would otherwise be re-folded
+    // for every query sharing its bucket. Same expression tree as the
+    // fused `cosine` (sqrt of the self-dot), so results are bit-identical.
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec"), col(partCol))
+      .withColumn("q_norm", norm(col("q_vec")))
+    val c = candidates.select(col(idCol).as("n_id"),
+      col(vecCol).cast("array<double>").as("n_vec"), col(partCol))
+      .withColumn("n_norm", norm(col("n_vec")))
     val scored = c.join(broadcast(q), Seq(partCol))
       .where(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
-        round(cosine(col("q_vec"), col("n_vec")), 6).as("cos"))
+        round(dot(col("q_vec"), col("n_vec")) /
+          (col("q_norm") * col("n_norm")), 6).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
