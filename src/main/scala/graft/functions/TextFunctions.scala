@@ -201,8 +201,15 @@ object TextFunctions {
     * `transform` ranges over an evaluated lambda value, so the digest
     * runs once per shingle, not once per reference. Per-row, no shuffle.
     */
-  def minhashSignature(text: Column, k: Int, shingleN: Int = 3): Column = {
-    val hexes = transform(shingles(text, shingleN), s => md5(s))
+  def minhashSignature(text: Column, k: Int, shingleN: Int = 3): Column =
+    minhashFromShingles(shingles(text, shingleN), k)
+
+  /** [[minhashSignature]] over an ALREADY-COMPUTED shingle column, so
+    * operators that also need the raw shingles (the verify join) derive
+    * both from one pass.
+    */
+  def minhashFromShingles(sh: Column, k: Int): Column = {
+    val hexes = transform(sh, s => md5(s))
     val pairs = transform(hexes, h => struct(
       (conv(substring(h, 1, 12), 16, 10).cast("long") % MinhashMod).as("h1"),
       (conv(substring(h, 13, 12), 16, 10).cast("long") % MinhashMod).as("h2")))

@@ -36,16 +36,22 @@ object Dedup {
         .select(col("keeper").as(idCol)),
       Seq(idCol), "left_semi")
 
-  /** MinHash-LSH near-duplicate candidate pairs (id_a < id_b), via
-    * `numBands` bands of `r` signature slots. Only bucket-mates become
-    * candidates.
+  /** Per-doc (shingles, 12-slot signature) table, EAGERLY materialized
+    * (`localCheckpoint`): the banded self-join reads it twice and the
+    * verify join twice more, so without a boundary the signature scan —
+    * the funnel's dominant linear pass — re-runs once per reference. At
+    * 100 TB this is the signature staging table written to the lake.
     */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        numBands: Int = 6, r: Int = 2,
-                        shingleN: Int = 3): DataFrame = {
-    val sig = df.select(col(idCol),
-      minhashSignature(col(textCol), numBands * r, shingleN).as("sig"))
-    val banded = sig.select(col(idCol),
+  private def minhashBase(df: DataFrame, idCol: String, textCol: String,
+                          k: Int, shingleN: Int): DataFrame =
+    df.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+      .select(col(idCol), col("sh"),
+        minhashFromShingles(col("sh"), k).as("sig"))
+      .localCheckpoint()
+
+  private def candidatesFromBase(base: DataFrame, idCol: String,
+                                 numBands: Int, r: Int): DataFrame = {
+    val banded = base.select(col(idCol),
       explode(lshBands(col("sig"), numBands, r)).as("band"))
     banded.as("a")
       .join(banded.as("b"),
@@ -54,6 +60,16 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .dropDuplicates()
   }
+
+  /** MinHash-LSH near-duplicate candidate pairs (id_a < id_b), via
+    * `numBands` bands of `r` signature slots. Only bucket-mates become
+    * candidates.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        numBands: Int = 6, r: Int = 2,
+                        shingleN: Int = 3): DataFrame =
+    candidatesFromBase(minhashBase(df, idCol, textCol, numBands * r, shingleN),
+      idCol, numBands, r)
 
   /** MinHash calibration: for every LSH candidate pair, the sketch's
     * Jaccard ESTIMATE (fraction of agreeing signature slots — the unbiased
@@ -65,17 +81,15 @@ object Dedup {
                          numBands: Int = 6, r: Int = 2,
                          shingleN: Int = 3): DataFrame = {
     val k = numBands * r
-    val sig = df.select(col(idCol),
-      minhashSignature(col(textCol), k, shingleN).as("sig"),
-      shingles(col(textCol), shingleN).as("sh"))
+    val base = minhashBase(df, idCol, textCol, k, shingleN)
     val matches = aggregate(
       zip_with(col("sig_a"), col("sig_b"),
         (a, b) => when(a === b, lit(1L)).otherwise(lit(0L))),
       lit(0L), (acc, v) => acc + v)
-    minhashCandidates(df, idCol, textCol, numBands, r, shingleN)
-      .join(sig.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
+    candidatesFromBase(base, idCol, numBands, r)
+      .join(base.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
         col("sh").as("sh_a")), Seq("id_a"))
-      .join(sig.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
+      .join(base.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
         col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (matches / lit(k.toDouble)).as("jac_est"),
@@ -96,12 +110,12 @@ object Dedup {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, numBands: Int = 6, r: Int = 2,
                    shingleN: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
-    minhashCandidates(df, idCol, textCol, numBands, r, shingleN)
-      .join(sh.withColumnRenamed(idCol, "id_a")
-        .withColumnRenamed("sh", "sh_a"), Seq("id_a"))
-      .join(sh.withColumnRenamed(idCol, "id_b")
-        .withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+    val base = minhashBase(df, idCol, textCol, numBands * r, shingleN)
+    candidatesFromBase(base, idCol, numBands, r)
+      .join(base.select(col(idCol).as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(base.select(col(idCol).as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
       .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
@@ -155,7 +169,10 @@ object Dedup {
     // wrong tool anyway.
     require(maxHamming >= 0 && maxHamming < 16,
       s"maxHamming must be in [0, 16), got $maxHamming")
-    val t = simhashTable(df, idCol, textCol)
+    // Eagerly materialized: the 4-block candidate generation reads this
+    // table 8 ways (2 sides x 4 blocks) — without the boundary the
+    // signature scan re-runs per reference.
+    val t = simhashTable(df, idCol, textCol).localCheckpoint()
     val nBlocks = maxHamming + 1
     val bounds = (0 to nBlocks).map(i => 1 + i * SimhashBits / nBlocks)
     val perBlock = (0 until nBlocks).map { b =>
