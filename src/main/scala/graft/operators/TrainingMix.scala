@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-mix assembly: the last mile of a training-data pipeline, after
+  * curation — decide HOW MUCH of each source to keep ([[weightedMix]],
+  * [[trimToTokenBudget]]) and HOW the surviving documents are laid out into
+  * fixed-size training sequences ([[packSequences]]).
+  *
+  * Scale design:
+  *  - mixing is a pure per-row hash predicate — map-side, zero shuffle, and
+  *    reproducible on any engine (md5 threshold, no RNG state);
+  *  - packing and trimming both need a RUNNING TOTAL over a global (or
+  *    per-source) document order. The naive form is one `sum() OVER
+  *    (ORDER BY ...)` window — a single task sorting the whole corpus. Here
+  *    it is the classic two-phase distributed prefix sum instead
+  *    ([[withRunningTotal]]): range-partition by the order key, local
+  *    window per partition, plus a broadcast of per-partition totals
+  *    (thousands of rows, not billions) whose tiny running sum provides
+  *    each partition's offset. Every data-sized operation stays
+  *    partition-parallel; the only serial window runs over the partition
+  *    COUNT, not the row count.
+  */
+object TrainingMix {
+
+  /** Adds `out` = running total of `valCol` (cast to long) over the total
+    * order `ordCols` within each `partCols` group (empty `partCols` =
+    * one global order), computed as a two-phase distributed prefix sum.
+    *
+    * `ordCols` must be a TOTAL order (include a unique id as the last
+    * key): the result is then independent of how rows land in range
+    * partitions, so the range partitioner's sampled bounds never affect
+    * values. The staged frame is materialized (`localCheckpoint`) because
+    * `spark_partition_id()` must stay pinned across the two reads (totals
+    * + join-back); at warehouse scale this is the staging table the job
+    * would persist anyway.
+    */
+  def withRunningTotal(df: DataFrame, partCols: Seq[String],
+                       ordCols: Seq[Column], valCol: Column, out: String,
+                       numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val rangeKeys = partCols.map(col) ++ ordCols
+    val staged = df.withColumn("_val", valCol.cast("long"))
+      .repartitionByRange(n, rangeKeys: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    // Per-(partition, group) totals: ≤ n · |groups| rows. The running sum
+    // over them is the ONLY unbounded window in the plan and it ranges
+    // over this tiny relation, never the data.
+    val totals = staged
+      .groupBy(col("_pid") +: partCols.map(col): _*)
+      .agg(sum(col("_val")).as("_psum"))
+    val offW = Window.partitionBy(partCols.map(col): _*).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("_offset", coalesce(sum(col("_psum")).over(offW), lit(0L)))
+      .drop("_psum")
+    val localW = Window.partitionBy(col("_pid") +: partCols.map(col): _*)
+      .orderBy(ordCols: _*).rowsBetween(Window.unboundedPreceding, 0)
+    staged.join(broadcast(offsets), "_pid" +: partCols)
+      .withColumn(out, sum(col("_val")).over(localW) + col("_offset"))
+      .drop("_pid", "_val")
+  }
+
+  /** Hex threshold for a keep-rate: `md5(id) < threshold` keeps exactly
+    * `floor(rate·16^8)/16^8` of a uniform hash population. String
+    * comparison is hex-order-correct (lowercase hex: '0'-'9' < 'a'-'f' in
+    * ASCII), so both Spark and any SQL oracle evaluate it identically
+    * with no hex→integer conversion.
+    */
+  def rateThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate < 1.0, s"rate must be in [0,1), got $rate")
+    f"${(rate * 4294967296L).toLong}%08x"
+  }
+
+  /** Deterministic weighted source mixing: keep each row of source `s`
+    * with probability `rates(s)` (default rate for unlisted sources),
+    * decided by the row's own id hash — no RNG, no seed drift, identical
+    * on re-runs and across engines. Per-row predicate: zero shuffle at
+    * any corpus size, and the filter pushes toward the scan.
+    *
+    * Rates ≥ 1.0 keep the source whole.
+    */
+  def weightedMix(df: DataFrame, sourceCol: String, idCol: String,
+                  rates: Map[String, Double],
+                  defaultRate: Double = 1.0): DataFrame = {
+    def keep(rate: Double): Column =
+      if (rate >= 1.0) lit(true)
+      else md5(col(idCol).cast("string")) < lit(rateThreshold(rate))
+    val pred = rates.foldLeft(keep(defaultRate)) { case (els, (src, rate)) =>
+      when(col(sourceCol) === lit(src), keep(rate)).otherwise(els)
+    }
+    df.where(pred)
+  }
+
+  /** Concat-and-chunk sequence packing (the standard LM training layout):
+    * documents are laid out in a deterministic pseudorandom order
+    * (md5(id) — the training shuffle), token counts are concatenated, and
+    * the stream is cut every `budgetTokens`; a document belongs to the
+    * pack where it STARTS. Returns (id, n_tok, pack_id).
+    *
+    * The global running total uses [[withRunningTotal]] — no task ever
+    * sorts or sums the whole corpus.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: Column,
+                    budgetTokens: Long,
+                    numPartitions: Int = 0): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    val ord = Seq(md5(col(idCol).cast("string")), col(idCol))
+    withRunningTotal(df.select(col(idCol), tokenCol.cast("long").as("n_tok")),
+        Nil, ord, col("n_tok"), "_cum", numPartitions)
+      .select(col(idCol), col("n_tok"),
+        floor((col("_cum") - col("n_tok")) / lit(budgetTokens.toDouble))
+          .cast("long").as("pack_id"))
+  }
+
+  /** Per-source token-budget trimming: within each source, keep documents
+    * best-first (by `scoreCol` descending, id tie-break) until the token
+    * budget is reached — a document is kept iff the tokens BEFORE it in
+    * its source's quality order are under budget (so each source overshoots
+    * by at most one document, and never undershoots).
+    *
+    * The per-source running totals ride the same two-phase prefix sum;
+    * range partitioning on (source, score desc, id) spreads every large
+    * source across many partitions instead of funneling it through one
+    * task — the exact failure mode the stratified-sampling rewrite
+    * eliminated, avoided here by construction.
+    */
+  def trimToTokenBudget(df: DataFrame, sourceCol: String, idCol: String,
+                        scoreCol: Column, tokenCol: Column,
+                        budgetTokens: Long,
+                        numPartitions: Int = 0): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    val prepared = df
+      .withColumn("_score", scoreCol)
+      .withColumn("_tok", tokenCol.cast("long"))
+    withRunningTotal(prepared, Seq(sourceCol),
+        Seq(col("_score").desc, col(idCol)), col("_tok"), "_cum",
+        numPartitions)
+      .where(col("_cum") - col("_tok") < budgetTokens)
+      .drop("_score", "_tok", "_cum")
+  }
+}

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.TrainingMix
+import graft.sources.Tables
+
+/** Training-mix assembly queries over `documents.parquet`: deterministic
+  * weighted source mixing, concat-and-chunk sequence packing, and
+  * per-source token-budget trimming (operators.TrainingMix). The oracles
+  * recompute the same md5 thresholds and running totals as plain window
+  * SQL — the Spark side must EQUAL the naive global-window answer while
+  * executing as a partition-parallel two-phase prefix sum.
+  */
+object MixQueries {
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  /** Mixture spec shared by query and oracle: per-language keep rates. */
+  private val mixRates: Seq[(String, Double)] =
+    Seq("en" -> 0.75, "de" -> 0.5, "es" -> 0.25, "fr" -> 0.125)
+
+  private val PackBudget = 256L
+  private val TrimBudget = 2000L
+
+  private def quality: org.apache.spark.sql.Column = {
+    val nt = TextFunctions.tokenCount(col("text"))
+    val pr = TextFunctions.punctRatio(col("text"))
+    val awl = TextFunctions.avgWordLen(col("text"))
+    lit(0.5) * (least(nt, lit(100L)).cast("double") / lit(100.0)) +
+      lit(0.3) * (lit(1.0) - pr) +
+      lit(0.2) * (least(awl, lit(10.0)) / lit(10.0))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Weighted source mixing: per-row md5-threshold predicate (zero
+    // shuffle), per-language keep rates, unlisted languages kept whole.
+    "t_mix_weighted" -> ((s, d) =>
+      TrainingMix.weightedMix(docs(s, d), "lang", "doc_id",
+          mixRates.toMap)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // Concat-and-chunk sequence packing in md5 shuffle order: each doc
+    // joins the pack where its token stream starts. Global running total
+    // via the two-phase prefix sum — no whole-corpus window.
+    "t_pack_sequences" -> ((s, d) =>
+      TrainingMix.packSequences(docs(s, d), "doc_id",
+          TextFunctions.tokenCount(col("text")), PackBudget)
+        .orderBy(col("doc_id"))),
+
+    // Per-pack layout check: sequence count and token fill per pack —
+    // what the training loader actually consumes.
+    "t_pack_stats" -> ((s, d) =>
+      TrainingMix.packSequences(docs(s, d), "doc_id",
+          TextFunctions.tokenCount(col("text")), PackBudget)
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_fill"))
+        .orderBy(col("pack_id"))),
+
+    // Token-budget trimming: per language, best-quality docs first until
+    // the budget is covered (kept iff tokens before it are under budget).
+    "t_token_budget" -> ((s, d) =>
+      TrainingMix.trimToTokenBudget(docs(s, d), "lang", "doc_id",
+          quality, TextFunctions.tokenCount(col("text")), TrimBudget)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")))
+  )
+
+  private val wsSql = """string_split_regex(lower(trim(text)),'\s+')"""
+  private val ntSql =
+    "CASE WHEN length(trim(text))=0 THEN 0 ELSE len(ws) END"
+
+  // CASE chain generated from the SAME rate literals the Spark side uses
+  // (TrainingMix.rateThreshold), so the two can never drift.
+  private val mixCaseSql = mixRates.map { case (lang, rate) =>
+    s"WHEN lang='$lang' THEN md5(CAST(doc_id AS VARCHAR)) < '${TrainingMix.rateThreshold(rate)}'"
+  }.mkString("CASE ", " ", " ELSE true END")
+
+  private val qualitySql =
+    """0.5*(CAST(least(nt,100) AS DOUBLE)/100.0) + 0.3*(1.0-pr)
+      |    + 0.2*(least(awl,10.0)/10.0)""".stripMargin
+
+  private val packCteSql =
+    s"""WITH w AS (SELECT doc_id, $ntSql AS n_tok
+       |  FROM (SELECT doc_id, text, $wsSql AS ws FROM documents)),
+       |c AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       |  sum(n_tok) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM w),
+       |p AS (SELECT doc_id, n_tok,
+       |  CAST(floor((cum - n_tok)/$PackBudget.0) AS BIGINT) AS pack_id
+       |  FROM c)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "t_mix_weighted" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $mixCaseSql ORDER BY doc_id""".stripMargin,
+    "t_pack_sequences" ->
+      s"""$packCteSql
+         |SELECT doc_id, n_tok, pack_id FROM p ORDER BY doc_id""".stripMargin,
+    "t_pack_stats" ->
+      s"""$packCteSql
+         |SELECT pack_id, count(*) AS n_docs, sum(n_tok) AS tok_fill
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t_token_budget" ->
+      s"""WITH f AS (SELECT doc_id, lang, $ntSql AS nt,
+         |  CAST(length(regexp_replace(text,'[^.,!?;:]','','g')) AS DOUBLE)/length(text) AS pr,
+         |  CAST(length(regexp_replace(text,'\\s','','g')) AS DOUBLE)/len(ws) AS awl
+         |  FROM (SELECT doc_id, lang, text, $wsSql AS ws FROM documents)),
+         |q AS (SELECT doc_id, lang, nt, $qualitySql AS quality FROM f),
+         |c AS (SELECT doc_id, lang, nt,
+         |  sum(nt) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM q)
+         |SELECT doc_id, lang FROM c WHERE cum - nt < $TrimBudget
+         |ORDER BY doc_id""".stripMargin
+  )
+}
