@@ -117,6 +117,32 @@ object TrainingMix {
           .cast("long").as("pack_id"))
   }
 
+  /** Deterministic shard assignment for training export: documents land in
+    * md5 shuffle order, `docsPerShard` per shard — [[packSequences]] with a
+    * unit token weight (shard = floor(rank/docsPerShard)). Returns
+    * (id, shard_id).
+    */
+  def shardAssignments(df: DataFrame, idCol: String, docsPerShard: Long,
+                       numPartitions: Int = 0): DataFrame =
+    packSequences(df, idCol, lit(1L), docsPerShard, numPartitions)
+      .select(col(idCol), col("pack_id").as("shard_id"))
+
+  /** Write the corpus as training shards: assign shard ids
+    * ([[shardAssignments]]), cluster rows by shard, and write
+    * shard-partitioned parquet. One file per shard directory
+    * (shards are budget-bounded by construction — that bound, not a file
+    *-size knob, is what keeps output files uniform), rows inside a shard
+    * laid out in the deterministic shuffle order a training loader reads
+    * sequentially.
+    */
+  def writeShards(df: DataFrame, idCol: String, docsPerShard: Long,
+                  outDir: String): Unit =
+    df.join(shardAssignments(df, idCol, docsPerShard), Seq(idCol))
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), md5(col(idCol).cast("string")),
+        col(idCol))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+
   /** Per-source token-budget trimming: within each source, keep documents
     * best-first (by `scoreCol` descending, id tie-break) until the token
     * budget is reached — a document is kept iff the tokens BEFORE it in

@@ -59,6 +59,12 @@ object MixQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_fill"))
         .orderBy(col("pack_id"))),
 
+    // Shard assignment: 64 docs per shard in md5 shuffle order — the
+    // export layout of a training corpus (unit-weight packing).
+    "t_shard_assign" -> ((s, d) =>
+      TrainingMix.shardAssignments(docs(s, d), "doc_id", 64L)
+        .orderBy(col("doc_id"))),
+
     // Token-budget trimming: per language, best-quality docs first until
     // the budget is covered (kept iff tokens before it are under budget).
     "t_token_budget" -> ((s, d) =>
@@ -103,6 +109,12 @@ object MixQueries {
       s"""$packCteSql
          |SELECT pack_id, count(*) AS n_docs, sum(n_tok) AS tok_fill
          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t_shard_assign" ->
+      """WITH c AS (SELECT doc_id, row_number() OVER (
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, CAST(floor((rn-1)/64.0) AS BIGINT) AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "t_token_budget" ->
       s"""WITH f AS (SELECT doc_id, lang, $ntSql AS nt,
          |  CAST(length(regexp_replace(text,'[^.,!?;:]','','g')) AS DOUBLE)/length(text) AS pr,

@@ -88,6 +88,28 @@ class TrainingMixSpec extends AnyFunSuite {
     assert(kept === Set(10L, 6L, 8L, 9L, 5L, 7L, 4L))
   }
 
+  test("shardAssignments: unit-weight packing = rank/docsPerShard") {
+    val got = TrainingMix.shardAssignments(docsDf, "id", 3L,
+      numPartitions = 3)
+    val naive = docsDf.withColumn("rn",
+        row_number().over(Window.orderBy(md5($"id".cast("string")), $"id")))
+      .select($"id", (($"rn" - 1) / 3).cast("long").as("shard_id"))
+    assert(got.except(naive).isEmpty && naive.except(got).isEmpty)
+  }
+
+  test("writeShards lays out one directory per shard with full rows") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    TrainingMix.writeShards(docsDf, "id", 4L, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 10)
+    assert(back.columns.toSet === Set("id", "src", "tok", "shard_id"))
+    // 10 docs / 4 per shard → shards 0,1,2 as directories
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard_id=")).map(_.getName).sorted
+    assert(shardDirs.toSeq ===
+      Seq("shard_id=0", "shard_id=1", "shard_id=2"))
+  }
+
   test("rateThreshold is the 8-hex-digit floor of rate·2^32") {
     assert(TrainingMix.rateThreshold(0.5) === "80000000")
     assert(TrainingMix.rateThreshold(0.75) === "c0000000")
