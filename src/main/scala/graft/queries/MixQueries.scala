@@ -59,6 +59,21 @@ object MixQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_fill"))
         .orderBy(col("pack_id"))),
 
+    // Corpus composition report: per-(source, lang) doc/token counts and
+    // token share of the whole corpus — the mixture sheet a training run
+    // records. Share uses the broadcast-scalar total (no `over ()`
+    // single-partition window), same pattern as the dashboard shares.
+    "t_corpus_report" -> ((s, d) => {
+      val agg = docs(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text"))).as("n_tok"))
+      agg.crossJoin(broadcast(agg.agg(sum(col("n_tok")).as("_tot"))))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tok"),
+          (col("n_tok").cast("double") / col("_tot")).as("tok_share"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // Shard assignment: 64 docs per shard in md5 shuffle order — the
     // export layout of a training corpus (unit-weight packing).
     "t_shard_assign" -> ((s, d) =>
@@ -109,6 +124,14 @@ object MixQueries {
       s"""$packCteSql
          |SELECT pack_id, count(*) AS n_docs, sum(n_tok) AS tok_fill
          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t_corpus_report" ->
+      s"""WITH w AS (SELECT source, lang, $ntSql AS nt
+         |  FROM (SELECT source, lang, text, $wsSql AS ws FROM documents)),
+         |a AS (SELECT source, lang, count(*) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tok FROM w GROUP BY 1,2)
+         |SELECT source, lang, n_docs, n_tok,
+         |  CAST(n_tok AS DOUBLE)/(SELECT sum(n_tok) FROM a) AS tok_share
+         |FROM a ORDER BY source, lang""".stripMargin,
     "t_shard_assign" ->
       """WITH c AS (SELECT doc_id, row_number() OVER (
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn

@@ -194,6 +194,21 @@ object TextQueries {
         .orderBy(col("train_id"), col("eval_id"))
     }),
 
+    // Decontamination APPLIED: the training corpus with every flagged doc
+    // anti-joined out — detect (t_decontam) composed with remove, the
+    // step that actually ships. The flagged set is overlap-sized (tiny),
+    // so the anti-join broadcasts.
+    "t_decontam_clean" -> ((s, d) => {
+      val all = docs(s, d)
+      val isEval = pmod(col("doc_id"), lit(37)) === 0
+      val train = all.where(!isEval)
+      val flagged = Decontam.overlaps(train, all.where(isEval),
+          "doc_id", "text", n = 3, minOverlap = 2, maxShingleDf = 50L)
+        .select(col("train_id").as("doc_id")).distinct()
+      train.join(flagged, Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // Gopher-family repetition signals, both pure per-row projections —
     // zero shuffle at any corpus size.
     "t_repetition" -> ((s, d) =>
@@ -473,6 +488,19 @@ object TextQueries {
          |  FROM tr JOIN rare USING (s) JOIN ev USING (s) GROUP BY 1,2)
          |SELECT train_id, eval_id, n_overlap FROM ov WHERE n_overlap>=2
          |ORDER BY 1,2""".stripMargin,
+    "t_decontam_clean" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |shs AS (SELECT doc_id, $sh3Sql AS sh FROM w),
+         |tr AS (SELECT doc_id AS train_id, unnest(sh) AS s FROM shs
+         |  WHERE doc_id%37<>0),
+         |ev AS (SELECT doc_id AS eval_id, unnest(sh) AS s FROM shs
+         |  WHERE doc_id%37=0),
+         |rare AS (SELECT s FROM tr GROUP BY s HAVING count(*)<=50),
+         |ov AS (SELECT train_id, eval_id, count(*) AS n_overlap
+         |  FROM tr JOIN rare USING (s) JOIN ev USING (s) GROUP BY 1,2)
+         |SELECT doc_id FROM documents WHERE doc_id%37<>0
+         |AND doc_id NOT IN (SELECT train_id FROM ov WHERE n_overlap>=2)
+         |ORDER BY doc_id""".stripMargin,
     "t_repetition" ->
       s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
          |b AS (SELECT doc_id, list_transform(range(1, greatest(len(ws)-1,1)+1),
