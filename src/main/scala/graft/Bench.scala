@@ -34,7 +34,10 @@ object Bench {
     "pipeline_clean", "pipeline_warehouse_counts",
     // The curation surface (from round 3): full text-curation chain,
     // decontamination overlap join, LSH-pruned ANN.
-    "t_curation_funnel", "t_decontam", "sim_topk_lsh")
+    "t_curation_funnel", "t_decontam", "sim_topk_lsh",
+    // Training-mix assembly: global-order sequence packing (distributed
+    // prefix sum) and per-source token-budget trimming.
+    "t_pack_sequences", "t_token_budget")
 
   /** Round-2 per-query medians (BENCH_r02, sf0.1, local[32]) — the
     * regression baseline recorded in BASELINE.md. Queries added after

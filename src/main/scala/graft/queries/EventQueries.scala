@@ -37,7 +37,51 @@ object EventQueries {
 
     // Ordered view → click → purchase funnel over first event times.
     "ev_funnel" -> ((s, d) =>
-      EventPipeline.funnel(ev(s, d), Seq("view", "click", "purchase")))
+      EventPipeline.funnel(ev(s, d), Seq("view", "click", "purchase"))),
+
+    // As-of join: each purchase picks the user's most recent
+    // prior-or-equal view (AsofJoin union–carry-forward plan; the oracle
+    // is DuckDB's native ASOF LEFT JOIN — an independent implementation
+    // of the same semantics). Right side pre-aggregated unique per
+    // (user, ts); gap in exact integer microseconds.
+    "ev_asof_view" -> ((s, d) => {
+      val e = ev(s, d)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"))
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("event_id"))
+        .groupBy(col("user_id"), col("view_ts"))
+        .agg(max(col("event_id")).as("view_id"))
+      graft.operators.AsofJoin.asofJoin(purchases, views,
+          Seq("user_id"), "ts", "view_ts", Seq("view_id", "view_ts"))
+        .select(col("purchase_id"), col("user_id"), col("view_id"),
+          (unix_micros(col("ts")) - unix_micros(col("view_ts")))
+            .as("gap_us"))
+        .orderBy(col("purchase_id"))
+    }),
+
+    // Range join: events against overlapping per-segment campaign windows
+    // (RangeJoin bucket-explode equi-join, 1-day buckets — never a
+    // nested-loop). Campaign windows derive deterministically from the
+    // region table; events map to segments by user_id mod 5.
+    "ev_range_campaign" -> ((s, d) => {
+      val campaigns = Tables.load(s, d, "region").select(
+        col("r_regionkey").as("seg"),
+        date_add(to_date(lit("2024-01-01")),
+          (col("r_regionkey") * 5).cast("int")).cast("timestamp")
+          .as("c_start"),
+        date_add(to_date(lit("2024-01-01")),
+          (col("r_regionkey") * 5 + 7).cast("int")).cast("timestamp")
+          .as("c_end"))
+      val e = ev(s, d).withColumn("seg", pmod(col("user_id"), lit(5)))
+      graft.operators.RangeJoin.rangeJoin(e, campaigns, Seq("seg"),
+          "ts", "c_start", "c_end", bucketMicros = 86400L * 1000000L)
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_events"),
+          (round(sum(col("value")), 4) / count(lit(1))).as("avg_value"))
+        .orderBy(col("seg"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -81,6 +125,26 @@ object EventQueries {
         |count(*) FILTER (WHERE t_view IS NOT NULL AND t_click IS NOT NULL
         |  AND t_view < t_click AND t_purchase IS NOT NULL
         |  AND t_click < t_purchase) AS n_purchase
-        |FROM u""".stripMargin
+        |FROM u""".stripMargin,
+    "ev_asof_view" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+        |  FROM events WHERE event_type='purchase'),
+        |v AS (SELECT user_id, ts, max(event_id) AS view_id
+        |  FROM events WHERE event_type='view' GROUP BY 1,2)
+        |SELECT p.purchase_id, p.user_id, v.view_id,
+        |  date_diff('microsecond', v.ts, p.ts) AS gap_us
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY purchase_id""".stripMargin,
+    "ev_range_campaign" ->
+      """WITH c AS (SELECT r_regionkey AS seg,
+        |  TIMESTAMP '2024-01-01' + INTERVAL (r_regionkey*5) DAY AS c_start,
+        |  TIMESTAMP '2024-01-01' + INTERVAL (r_regionkey*5+7) DAY AS c_end
+        |  FROM region),
+        |e AS (SELECT ts, value, user_id % 5 AS seg FROM events)
+        |SELECT seg, count(*) AS n_events,
+        |  round(sum(value),4)/count(*) AS avg_value
+        |FROM e JOIN c USING (seg)
+        |WHERE ts >= c_start AND ts < c_end
+        |GROUP BY seg ORDER BY seg""".stripMargin
   )
 }

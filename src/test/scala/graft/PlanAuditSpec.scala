@@ -100,6 +100,22 @@ class PlanAuditSpec extends AnyFunSuite {
       .findFirstIn(p).nonEmpty, s"decontam lost its equi-join:\n$p")
   }
 
+  test("time joins stay equi-joins: no nested loop, no cartesian") {
+    // RangeJoin's bucketization and AsofJoin's union–carry-forward both
+    // exist to keep inequality time predicates OUT of the join operator;
+    // a BroadcastNestedLoopJoin reappearing means the rewrite regressed
+    // to all-pairs-per-key.
+    for (q <- Seq("ev_asof_view", "ev_range_campaign")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to an all-pairs join:\n$p")
+    }
+    // The as-of carry-forward is exactly one key-partitioned window.
+    assert(plan("ev_asof_view").contains("Window"),
+      "asof lost its carry-forward window")
+  }
+
   test("headline aggregates keep whole-stage codegen on the hot path") {
     for (q <- Seq("d9_top_artists", "q1_agg")) {
       val p = plan(q)
