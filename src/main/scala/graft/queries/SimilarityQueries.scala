@@ -134,6 +134,22 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Multi-probe over the TRAINED quantizer: the query searches its
+    // nearest and 2nd-nearest k-means cell — the recall knob composed
+    // with the trained-centroid path (same probe rule as the seeded
+    // sim_topk_ivf_probe; the oracle replays training then probes).
+    "sim_topk_ivf_trained_probe" -> ((s, d) => {
+      val v0 = emb(s, d)
+      val trained = Similarity.kmeansCentroids(v0, "embedding",
+        dim = 64, k = 8, iters = 2, seed = 7L)
+      val v = v0.withColumn("cell",
+        Similarity.centroidCell(col("embedding"), trained))
+      val q = v0.where(col("vec_id") < 5).withColumn("cell",
+        explode(Similarity.ivfProbeCells(col("embedding"), trained)))
+      Similarity.partitionedTopK(v, q, "vec_id", "embedding", "cell", k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Recall@5 of seeded-random vs k-means-trained IVF cells against
     // exact brute force, side by side. On THIS corpus the embeddings are
     // isotropic noise (within-label cosine ≈ cross-label ≈ 0), so there
@@ -441,6 +457,25 @@ object SimilarityQueries {
          |  unnest([cell1, list_position(msc, list_max(msc))-1]) AS cell
          |  FROM a2 WHERE vec_id<5),
          |c AS (SELECT vec_id AS n_id, cell1 AS cell, e AS n_vec FROM a1),
+         |s AS (SELECT q_id, n_id, $cosSql AS cos FROM c JOIN q USING (cell)
+         |  WHERE n_id<>q_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM s)
+         |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=5
+         |ORDER BY q_id, rank""".stripMargin,
+    "sim_topk_ivf_trained_probe" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |${kmeansCtes(k = 8, iters = 2, seed = 7L)},
+         |q0 AS (SELECT vec_id, e FROM v WHERE vec_id<5),
+         |qs AS (SELECT q0.vec_id, q0.e, ct.cell,
+         |  (SELECT sum(a*b) FROM (SELECT unnest(q0.e) AS a, unnest(ct.c) AS b)) AS s
+         |  FROM q0, cent2 ct),
+         |q AS (SELECT vec_id AS q_id, e AS q_vec, cell FROM (
+         |  SELECT vec_id, e, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+         |  FROM qs) WHERE rn<=2),
+         |c AS (SELECT vec_id AS n_id, cell, e AS n_vec FROM aF),
          |s AS (SELECT q_id, n_id, $cosSql AS cos FROM c JOIN q USING (cell)
          |  WHERE n_id<>q_id),
          |r AS (SELECT q_id, n_id, cos,
