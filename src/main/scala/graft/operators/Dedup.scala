@@ -265,6 +265,47 @@ object Dedup {
       Seq(idCol), "left_anti")
   }
 
+  /** Incremental dedup: the rows of a NEW batch that survive against an
+    * EXISTING corpus — exact duplicates (same content hash as any corpus
+    * doc) and near-duplicates (MinHash-LSH candidate sharing a band key
+    * with a corpus doc, verified by exact shingle Jaccard >= threshold)
+    * are dropped; the corpus itself is never rewritten. This is the
+    * recurring-ingest shape: each crawl increment dedups against the
+    * lake, not only against itself.
+    *
+    * Scale: the exact pass is a hash anti-join (shuffle partitioned by
+    * the content hash). The near-dup pass generates candidates ONLY
+    * across the band-key equi-join between batch and corpus signatures —
+    * |batch| is increment-sized, so the verify join touches batch-side
+    * posting lists, never corpus×corpus. At the lake the corpus
+    * signature table is the staging table [[minhashBase]] materializes —
+    * computed once per increment here, persisted once ever there.
+    */
+  def incrementalKept(newDf: DataFrame, corpus: DataFrame, idCol: String,
+                      textCol: String, threshold: Double,
+                      numBands: Int = 6, r: Int = 2,
+                      shingleN: Int = 3): DataFrame = {
+    val exactSurvivors = newDf.join(
+      corpus.select(md5(col(textCol)).as("_h")).distinct(),
+      md5(col(textCol)) === col("_h"), "left_anti")
+    val k = numBands * r
+    val nb = minhashBase(exactSurvivors, idCol, textCol, k, shingleN)
+    val cb = minhashBase(corpus, idCol, textCol, k, shingleN)
+    def bandKeys(base: DataFrame, side: String) = base.select(
+      col(idCol).as(s"id_$side"),
+      explode(lshBands(col("sig"), numBands, r)).as("band"))
+    val cand = bandKeys(nb, "new").join(bandKeys(cb, "old"), Seq("band"))
+      .select(col("id_new"), col("id_old")).dropDuplicates()
+    val flagged = cand
+      .join(nb.select(col(idCol).as("id_new"), col("sh").as("sh_new")),
+        Seq("id_new"))
+      .join(cb.select(col(idCol).as("id_old"), col("sh").as("sh_old")),
+        Seq("id_old"))
+      .where(jaccard(col("sh_new"), col("sh_old")) >= threshold)
+      .select(col("id_new").as(idCol)).distinct()
+    exactSurvivors.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** [[nearDedupKept]] with a QUALITY-AWARE keeper: each cluster keeps its
     * highest-`score` member (ties → smallest id) instead of blindly the
     * minimum id — what a curation pipeline actually wants, since near-dup

@@ -194,6 +194,19 @@ object TextQueries {
         .orderBy(col("train_id"), col("eval_id"))
     }),
 
+    // Incremental dedup: a new batch (every 3rd doc) deduped against the
+    // existing corpus — exact content-hash anti-join, then cross-relation
+    // MinHash-LSH near-dup flagging verified by exact Jaccard. The
+    // recurring-ingest operation: increments dedup against the lake.
+    "t_dedup_incremental" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.incrementalKept(
+          all.where(pmod(col("doc_id"), lit(3)) === 0),
+          all.where(pmod(col("doc_id"), lit(3)) =!= 0),
+          "doc_id", "text", threshold = 0.5)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // Decontamination APPLIED: the training corpus with every flagged doc
     // anti-joined out — detect (t_decontam) composed with remove, the
     // step that actually ships. The flagged set is overlap-sized (tiny),
@@ -264,7 +277,7 @@ object TextQueries {
     * first, summed exactly below 2^53 so the DOUBLE powers are lossless)
     * → 6 bands → bucket join.
     */
-  private def neardupPairCtesFrom(src: String): String =
+  private def minhashBandCtes(src: String): String =
     s"""w AS (SELECT doc_id, $wsSql AS ws FROM $src),
        |shs AS (SELECT doc_id, $sh3Sql AS sh FROM w),
        |hx AS (SELECT doc_id, md5(s) AS h
@@ -281,7 +294,10 @@ object TextQueries {
        |  FROM hp, generate_series(0,11) t(i) GROUP BY 1,2),
        |sig AS (SELECT doc_id, list(v ORDER BY i) AS sg FROM sl GROUP BY 1),
        |bands AS (SELECT doc_id, unnest(list_transform(range(0,6),
-       |  j -> concat(j, '|', sg[2*j+1], '|', sg[2*j+2]))) AS bv FROM sig),
+       |  j -> concat(j, '|', sg[2*j+1], '|', sg[2*j+2]))) AS bv FROM sig)""".stripMargin
+
+  private def neardupPairCtesFrom(src: String): String =
+    s"""${minhashBandCtes(src)},
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b ON a.bv=b.bv AND a.doc_id<b.doc_id),
        |j AS (SELECT id_a, id_b,
@@ -488,6 +504,22 @@ object TextQueries {
          |  FROM tr JOIN rare USING (s) JOIN ev USING (s) GROUP BY 1,2)
          |SELECT train_id, eval_id, n_overlap FROM ov WHERE n_overlap>=2
          |ORDER BY 1,2""".stripMargin,
+    "t_dedup_incremental" ->
+      s"""WITH ${minhashBandCtes("documents")},
+         |exs AS (SELECT doc_id FROM documents WHERE doc_id%3=0
+         |  AND md5(text) NOT IN (SELECT md5(text) FROM documents
+         |    WHERE doc_id%3<>0)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+         |  FROM bands a JOIN bands b ON a.bv=b.bv
+         |  WHERE a.doc_id IN (SELECT doc_id FROM exs) AND b.doc_id%3<>0),
+         |jj AS (SELECT id_new, id_old,
+         |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |    /(len(x.sh)+len(y.sh)-len(list_intersect(x.sh,y.sh))) AS jac
+         |  FROM cand JOIN shs x ON cand.id_new=x.doc_id
+         |    JOIN shs y ON cand.id_old=y.doc_id)
+         |SELECT doc_id FROM exs
+         |WHERE doc_id NOT IN (SELECT id_new FROM jj WHERE jac>=0.5)
+         |ORDER BY doc_id""".stripMargin,
     "t_decontam_clean" ->
       s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
          |shs AS (SELECT doc_id, $sh3Sql AS sh FROM w),

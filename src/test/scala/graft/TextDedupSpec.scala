@@ -54,6 +54,23 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("incremental dedup drops exact and near copies of corpus docs only") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 30).map(i => if (i == 7) "CHANGED" else s"w$i")
+      .mkString(" ")
+    val fresh = (200 to 230).map(i => s"q$i").mkString(" ")
+    val corpus = Seq((1L, base), (2L, (50 to 80).map(i => s"y$i")
+      .mkString(" "))).toDF("id", "t")
+    val batch = Seq(
+      (10L, base),    // exact copy of corpus doc 1 → dropped
+      (11L, nearDup), // near-dup of corpus doc 1 → dropped
+      (12L, fresh)    // genuinely new → kept
+    ).toDF("id", "t")
+    val kept = Dedup.incrementalKept(batch, corpus, "id", "t",
+      threshold = 0.5).select($"id").as[Long].collect().toSeq
+    assert(kept === Seq(12L))
+  }
+
   test("identical texts share fingerprint and simhash") {
     val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon zeta"),
