@@ -105,15 +105,32 @@ object NativeFunctions {
     CosineSimilarity(exprs.head, exprs(1))
   }
 
-  /** Register `cosine_sim` in the session's function registry (idempotent).
-    * After this, the expression is usable from both the Column API
-    * ([[cosineSim]]) and SQL text. Sessions created with
+  val hammingIdentifier: FunctionIdentifier = FunctionIdentifier("hamming_dist")
+
+  val hammingInfo: ExpressionInfo =
+    new ExpressionInfo(classOf[HammingDistance].getName, "hamming_dist")
+
+  val hammingBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2, "hamming_dist takes exactly 2 arguments")
+    HammingDistance(exprs.head, exprs(1))
+  }
+
+  /** Register the native expressions in the session's function registry
+    * (idempotent). After this they are usable from both the Column API
+    * ([[cosineSim]], [[hammingDist]]) and SQL text. Sessions created with
     * `spark.sql.extensions=graft.GraftExtensions` get this automatically.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       cosineSimIdentifier, cosineSimInfo, cosineSimBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      hammingIdentifier, hammingInfo, hammingBuilder)
+  }
 
   /** Column-API form; requires [[register]] on the owning session first. */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** Column-API form; requires [[register]] on the owning session first. */
+  def hammingDist(a: Column, b: Column): Column =
+    call_function("hamming_dist", a, b)
 }

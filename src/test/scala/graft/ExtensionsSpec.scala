@@ -30,4 +30,25 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(math.abs(v - 1.0) < 1e-12)
   }
+
+  test("hamming_dist equals the chained-substring form and handles overhang") {
+    NativeFunctions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("0000", "0000"), ("0101", "0000"), ("1111", "0000"),
+      ("10", "1011")).toDF("a", "b")
+    val declarative = (1 to 4).map(i =>
+      when(substring($"a", i, 1) =!= substring($"b", i, 1) &&
+        length($"a") >= i && length($"b") >= i, 1L).otherwise(0L))
+      .reduce(_ + _) +
+      abs(length($"a") - length($"b")).cast("long")
+    val rows = df.select(
+      NativeFunctions.hammingDist($"a", $"b").as("nat"),
+      declarative.as("dec")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    val sql = spark.sql("SELECT hamming_dist('0101','1101') AS h")
+      .head().getLong(0)
+    assert(sql === 1L)
+  }
 }
