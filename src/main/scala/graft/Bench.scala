@@ -39,17 +39,22 @@ object Bench {
     // prefix sum) and per-source token-budget trimming.
     "t_pack_sequences", "t_token_budget")
 
-  /** Round-2 per-query medians (BENCH_r02, sf0.1, local[32]) — the
-    * regression baseline recorded in BASELINE.md. Queries added after
-    * round 2 have no entry and are gated from the round they first ship.
+  /** Round-3 exit per-query medians (sf0.1, local[32], median-of-3) —
+    * the regression baseline recorded in BASELINE.md (strictly tighter
+    * than the r2 medians it replaces). Queries added after round 3 have
+    * no entry and are gated from the round they first ship.
     */
   val baselineMedians: Map[String, Double] = Map(
-    "d1_avg_popularity" -> 0.87, "d2_n_artists" -> 0.49,
-    "d3_top_albums" -> 0.73, "d4_winning_artists" -> 0.35,
-    "d5_wins_danceability" -> 1.49, "d6_year_genre_pivot" -> 2.02,
-    "d7_extremes" -> 1.07, "d8_low_energy_popular" -> 0.49,
-    "d9_top_artists" -> 0.44, "d10_genre_wins" -> 0.88,
-    "j1_merge_indicator" -> 0.71, "a1_mode_first" -> 1.11)
+    "d1_avg_popularity" -> 0.39, "d2_n_artists" -> 0.29,
+    "d3_top_albums" -> 0.47, "d4_winning_artists" -> 0.25,
+    "d5_wins_danceability" -> 0.81, "d6_year_genre_pivot" -> 0.44,
+    "d7_extremes" -> 0.66, "d8_low_energy_popular" -> 0.32,
+    "d9_top_artists" -> 0.32, "d10_genre_wins" -> 0.65,
+    "j1_merge_indicator" -> 0.49, "a1_mode_first" -> 0.74,
+    "pipeline_clean" -> 2.09, "pipeline_warehouse_counts" -> 8.16,
+    "t_curation_funnel" -> 5.60, "t_decontam" -> 2.99,
+    "sim_topk_lsh" -> 0.34, "t_pack_sequences" -> 0.57,
+    "t_token_budget" -> 0.85)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

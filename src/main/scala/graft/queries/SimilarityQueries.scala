@@ -27,6 +27,21 @@ object SimilarityQueries {
         "vec_id", "embedding", "label", k = 5)
         .orderBy(col("q_id"), col("rank"))
     }),
+    // Int8 vector quantization: per-vector symmetric scale (127/max|x|),
+    // verified via the quantized norm² — exact integer arithmetic — and
+    // the 6dp-rounded scale. The compression pass an embedding store
+    // runs before an ANN index ships; per-row projection, zero shuffle.
+    "sim_quantize_int8" -> ((s, d) => {
+      val dv = transform(col("embedding"), x => abs(x.cast("double")))
+      val scale = lit(127.0) / array_max(dv)
+      val q = transform(col("embedding"),
+        x => round(x.cast("double") * scale).cast("long"))
+      emb(s, d).select(col("vec_id"),
+          round(scale, 6).as("scale"),
+          aggregate(q, lit(0L), (acc, v) => acc + v * v).as("qnorm2"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Same brute-force top-k through the NATIVE fused CosineSimilarity
     // expression (single-pass codegen) — shares sim_topk_brute's oracle,
     // proving the custom Expression is bit-identical to the declarative
@@ -335,6 +350,14 @@ object SimilarityQueries {
          |  FROM s)
          |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=10
          |ORDER BY q_id, rank""".stripMargin,
+    "sim_quantize_int8" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |  127.0/(SELECT max(abs(x)) FROM unnest(e) t(x)) AS sc FROM v)
+        |SELECT vec_id, round(sc,6) AS scale,
+        |  (SELECT sum(CAST(round(x*sc) AS BIGINT)*CAST(round(x*sc) AS BIGINT))
+        |   FROM unnest(e) t(x)) AS qnorm2
+        |FROM s ORDER BY vec_id""".stripMargin,
     "sim_topk_native" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |q AS (SELECT vec_id AS q_id, e AS q_vec FROM v WHERE vec_id<5),
