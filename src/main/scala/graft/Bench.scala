@@ -37,7 +37,9 @@ object Bench {
     "t_curation_funnel", "t_decontam", "sim_topk_lsh",
     // Training-mix assembly: global-order sequence packing (distributed
     // prefix sum) and per-source token-budget trimming.
-    "t_pack_sequences", "t_token_budget")
+    "t_pack_sequences", "t_token_budget",
+    // The whole curation→mix→pack chain as one plan.
+    "t_training_pipeline")
 
   /** Round-3 exit per-query medians (sf0.1, local[32], median-of-3) —
     * the regression baseline recorded in BASELINE.md (strictly tighter

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.TrainingMix
+import graft.operators.{Decontam, Dedup, TrainingMix}
 import graft.sources.Tables
 
 /** Training-mix assembly queries over `documents.parquet`: deterministic
@@ -80,6 +80,36 @@ object MixQueries {
       TrainingMix.shardAssignments(docs(s, d), "doc_id", 64L)
         .orderBy(col("doc_id"))),
 
+    // THE WHOLE TRAINING-DATA PIPELINE as one declarative plan: quality
+    // gate → exact dedup → near-dup clustering keeper → benchmark
+    // decontamination (flagged docs removed) → weighted source mixing →
+    // concat-and-chunk sequence packing. Every stage is the registered
+    // operator; the oracle replays the entire chain in one SQL statement
+    // (recursive CTE for the clustering, ASOF-free) — the strongest
+    // end-to-end correctness statement the engine makes.
+    "t_training_pipeline" -> ((s, d) => {
+      val all = docs(s, d)
+      val nt = TextFunctions.tokenCount(col("text"))
+      val pr = TextFunctions.punctRatio(col("text"))
+      val awl = TextFunctions.avgWordLen(col("text"))
+      val quality = all
+        .where(nt >= 5 && pr <= 0.1 && awl >= 2.0 && awl <= 10.0)
+      val exact = Dedup.exactDedup(quality, "doc_id", "text")
+      val kept = Dedup.nearDedupKept(exact, "doc_id", "text",
+        threshold = 0.5)
+      val evalSet = all.where(pmod(col("doc_id"), lit(37)) === 0)
+      val train = kept.where(pmod(col("doc_id"), lit(37)) =!= 0)
+      val flagged = Decontam.overlaps(train, evalSet, "doc_id", "text",
+          n = 3, minOverlap = 2, maxShingleDf = 50L)
+        .select(col("train_id").as("doc_id")).distinct()
+      val cleanCorpus = train.join(flagged, Seq("doc_id"), "left_anti")
+      val mixed = TrainingMix.weightedMix(cleanCorpus, "lang", "doc_id",
+        mixRates.toMap)
+      TrainingMix.packSequences(mixed, "doc_id",
+          TextFunctions.tokenCount(col("text")), PackBudget)
+        .orderBy(col("doc_id"))
+    }),
+
     // Token-budget trimming: per language, best-quality docs first until
     // the budget is covered (kept iff tokens before it are under budget).
     "t_token_budget" -> ((s, d) =>
@@ -132,6 +162,48 @@ object MixQueries {
          |SELECT source, lang, n_docs, n_tok,
          |  CAST(n_tok AS DOUBLE)/(SELECT sum(n_tok) FROM a) AS tok_share
          |FROM a ORDER BY source, lang""".stripMargin,
+    "t_training_pipeline" ->
+      s"""WITH RECURSIVE qual AS (
+         |  SELECT doc_id, text, lang FROM (
+         |    SELECT doc_id, text, lang,
+         |      CASE WHEN length(trim(text))=0 THEN 0 ELSE len(ws) END AS nt,
+         |      CAST(length(regexp_replace(text,'[^.,!?;:]','','g')) AS DOUBLE)/length(text) AS pr,
+         |      CAST(length(regexp_replace(text,'\\s','','g')) AS DOUBLE)/len(ws) AS awl
+         |    FROM (SELECT doc_id, text, lang, $wsSql AS ws FROM documents))
+         |  WHERE nt>=5 AND pr<=0.1 AND awl>=2.0 AND awl<=10.0),
+         |ex AS (SELECT q.* FROM qual q
+         |  JOIN (SELECT min(doc_id) AS doc_id FROM qual GROUP BY md5(text)) k
+         |  USING (doc_id)),
+         |${TextQueries.neardupPairCtesFrom("ex")},
+         |pairs AS (SELECT id_a, id_b FROM j WHERE jac>=0.5),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (SELECT src, src FROM e
+         |  UNION SELECT e.src, r.dst FROM e JOIN reach r ON e.dst=r.src),
+         |cc AS (SELECT src AS node, min(dst) AS cluster FROM reach GROUP BY 1),
+         |kept AS (SELECT doc_id, lang FROM ex
+         |  WHERE doc_id NOT IN (SELECT node FROM cc WHERE node<>cluster)),
+         |w0 AS (SELECT doc_id, text, lang, $wsSql AS ws FROM documents),
+         |shs0 AS (SELECT doc_id, ${TextQueries.sh3Sql} AS sh FROM w0),
+         |trq AS (SELECT doc_id AS train_id, unnest(sh) AS s FROM shs0
+         |  WHERE doc_id IN (SELECT doc_id FROM kept) AND doc_id%37<>0),
+         |evq AS (SELECT doc_id AS eval_id, unnest(sh) AS s FROM shs0
+         |  WHERE doc_id%37=0),
+         |rare AS (SELECT s FROM trq GROUP BY s HAVING count(*)<=50),
+         |ovp AS (SELECT train_id, eval_id, count(*) AS n
+         |  FROM trq JOIN rare USING (s) JOIN evq USING (s) GROUP BY 1,2),
+         |clean2 AS (SELECT k.doc_id, k.lang FROM kept k
+         |  WHERE k.doc_id%37<>0
+         |  AND k.doc_id NOT IN (SELECT train_id FROM ovp WHERE n>=2)),
+         |mixk AS (SELECT doc_id FROM clean2 WHERE $mixCaseSql),
+         |tok AS (SELECT doc_id, CAST($ntSql AS BIGINT) AS n_tok
+         |  FROM w0 JOIN mixk USING (doc_id)),
+         |cum AS (SELECT doc_id, n_tok,
+         |  sum(n_tok) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM tok)
+         |SELECT doc_id, n_tok,
+         |  CAST(floor((cum - n_tok)/$PackBudget.0) AS BIGINT) AS pack_id
+         |FROM cum ORDER BY doc_id""".stripMargin,
     "t_shard_assign" ->
       """WITH c AS (SELECT doc_id, row_number() OVER (
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn

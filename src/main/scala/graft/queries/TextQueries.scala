@@ -264,8 +264,8 @@ object TextQueries {
     })
   )
 
-  private val wsSql = """string_split_regex(lower(trim(text)),'\s+')"""
-  private val sh3Sql =
+  private[queries] val wsSql = """string_split_regex(lower(trim(text)),'\s+')"""
+  private[queries] val sh3Sql =
     s"""list_distinct(list_transform(range(1, greatest(len(ws)-2,1)+1),
        | i -> array_to_string(ws[i:i+2],' ')))""".stripMargin
 
@@ -277,7 +277,7 @@ object TextQueries {
     * first, summed exactly below 2^53 so the DOUBLE powers are lossless)
     * → 6 bands → bucket join.
     */
-  private def minhashBandCtes(src: String): String =
+  private[queries] def minhashBandCtes(src: String): String =
     s"""w AS (SELECT doc_id, $wsSql AS ws FROM $src),
        |shs AS (SELECT doc_id, $sh3Sql AS sh FROM w),
        |hx AS (SELECT doc_id, md5(s) AS h
@@ -296,7 +296,7 @@ object TextQueries {
        |bands AS (SELECT doc_id, unnest(list_transform(range(0,6),
        |  j -> concat(j, '|', sg[2*j+1], '|', sg[2*j+2]))) AS bv FROM sig)""".stripMargin
 
-  private def neardupPairCtesFrom(src: String): String =
+  private[queries] def neardupPairCtesFrom(src: String): String =
     s"""${minhashBandCtes(src)},
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b ON a.bv=b.bv AND a.doc_id<b.doc_id),
