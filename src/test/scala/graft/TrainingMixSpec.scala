@@ -110,6 +110,30 @@ class TrainingMixSpec extends AnyFunSuite {
       Seq("shard_id=0", "shard_id=1", "shard_id=2"))
   }
 
+  test("property: two-phase prefix sum == sequential scan on random frames") {
+    // Random sizes, values, group counts, and partition counts — the
+    // distributed result must equal a driver-side sequential scan in the
+    // same total order every time.
+    val rnd = new scala.util.Random(11)
+    (1 to 5).foreach { _ =>
+      val n = 20 + rnd.nextInt(40)
+      val nGroups = 1 + rnd.nextInt(3)
+      val rows = (1 to n).map(i =>
+        (i.toLong, s"g${rnd.nextInt(nGroups)}", rnd.nextInt(100).toLong))
+      val df = rows.toDF("id", "src", "tok")
+      val parts = 2 + rnd.nextInt(5)
+      val got = TrainingMix.withRunningTotal(df, Seq("src"),
+          Seq($"id"), $"tok", "cum", numPartitions = parts)
+        .select($"id", $"cum").as[(Long, Long)].collect().toMap
+      val expected = rows.groupBy(_._2).values.flatMap { grp =>
+        grp.sortBy(_._1).scanLeft((0L, 0L)) { case ((_, acc), (id, _, tok)) =>
+          (id, acc + tok)
+        }.drop(1)
+      }.toMap
+      assert(got === expected, s"parts=$parts rows=$rows")
+    }
+  }
+
   test("rateThreshold is the 8-hex-digit floor of rate·2^32") {
     assert(TrainingMix.rateThreshold(0.5) === "80000000")
     assert(TrainingMix.rateThreshold(0.75) === "c0000000")
