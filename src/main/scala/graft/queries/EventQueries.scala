@@ -61,6 +61,25 @@ object EventQueries {
         .orderBy(col("purchase_id"))
     }),
 
+    // Feature standardization: per-event-type z-score of `value` — the
+    // scaling pass before features feed a model. Moments accumulate as
+    // EXACT decimals (value is cent-discrete, so sums and sums of squares
+    // are order-independent), then one deterministic double expression
+    // per row; the tiny per-type stats broadcast.
+    "ev_zscore" -> ((s, d) => {
+      val e = ev(s, d)
+      val dec = col("value").cast("decimal(20,2)")
+      val stats = e.groupBy(col("event_type")).agg(
+        sum(dec).as("s"), sum(dec * dec).as("sq"),
+        count(lit(1)).as("n"))
+      val mean = col("s").cast("double") / col("n")
+      val variance = col("sq").cast("double") / col("n") - mean * mean
+      e.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_id"),
+          ((col("value") - mean) / sqrt(variance)).as("z"))
+        .orderBy(col("event_id"))
+    }),
+
     // Range join: events against overlapping per-segment campaign windows
     // (RangeJoin bucket-explode equi-join, 1-day buckets — never a
     // nested-loop). Campaign windows derive deterministically from the
@@ -135,6 +154,17 @@ object EventQueries {
         |  date_diff('microsecond', v.ts, p.ts) AS gap_us
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY purchase_id""".stripMargin,
+    "ev_zscore" ->
+      """WITH st AS (SELECT event_type,
+        |  sum(CAST(value AS DECIMAL(20,2))) AS s,
+        |  sum(CAST(value AS DECIMAL(20,2))*CAST(value AS DECIMAL(20,2))) AS sq,
+        |  count(*) AS n FROM events GROUP BY 1),
+        |m AS (SELECT event_type, CAST(s AS DOUBLE)/n AS mean,
+        |  CAST(sq AS DOUBLE)/n - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n) AS vr
+        |  FROM st)
+        |SELECT e.event_id, (e.value - m.mean)/sqrt(m.vr) AS z
+        |FROM events e JOIN m USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
     "ev_range_campaign" ->
       """WITH c AS (SELECT r_regionkey AS seg,
         |  TIMESTAMP '2024-01-01' + INTERVAL (r_regionkey*5) DAY AS c_start,
