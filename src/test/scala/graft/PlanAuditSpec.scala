@@ -116,6 +116,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "asof lost its carry-forward window")
   }
 
+  test("composed training pipeline keeps its stage plans under composition") {
+    // Composing six stages into one plan must not lose the decontam
+    // broadcast prune or degenerate any stage to an all-pairs join.
+    val p = plan("t_training_pipeline")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pipeline degenerated to an all-pairs join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"pipeline lost its broadcast joins:\n$p")
+  }
+
   test("headline aggregates keep whole-stage codegen on the hot path") {
     for (q <- Seq("d9_top_artists", "q1_agg")) {
       val p = plan(q)
