@@ -194,6 +194,23 @@ object TextQueries {
         .orderBy(col("train_id"), col("eval_id"))
     }),
 
+    // Length-outlier trimming: keep docs inside their language's
+    // [p10, p90] token-count band — the distribution-aware length filter
+    // a curation pipeline runs instead of fixed cutoffs. Exact
+    // percentiles (linear interpolation, same definition as DuckDB's
+    // quantile_cont); per-language bounds broadcast.
+    "t_length_trim" -> ((s, d) => {
+      val t = docs(s, d).select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"))
+      val bounds = t.groupBy(col("lang")).agg(
+        percentile(col("n_tok"), lit(0.1)).as("lo"),
+        percentile(col("n_tok"), lit(0.9)).as("hi"))
+      t.join(broadcast(bounds), Seq("lang"))
+        .where(col("n_tok") >= col("lo") && col("n_tok") <= col("hi"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental dedup: a new batch (every 3rd doc) deduped against the
     // existing corpus — exact content-hash anti-join, then cross-relation
     // MinHash-LSH near-dup flagging verified by exact Jaccard. The
@@ -504,6 +521,14 @@ object TextQueries {
          |  FROM tr JOIN rare USING (s) JOIN ev USING (s) GROUP BY 1,2)
          |SELECT train_id, eval_id, n_overlap FROM ov WHERE n_overlap>=2
          |ORDER BY 1,2""".stripMargin,
+    "t_length_trim" ->
+      s"""WITH w AS (SELECT doc_id, lang,
+         |  CASE WHEN length(trim(text))=0 THEN 0 ELSE len(ws) END AS n_tok
+         |  FROM (SELECT doc_id, lang, text, $wsSql AS ws FROM documents)),
+         |b AS (SELECT lang, quantile_cont(n_tok, 0.1) AS lo,
+         |  quantile_cont(n_tok, 0.9) AS hi FROM w GROUP BY 1)
+         |SELECT doc_id, lang FROM w JOIN b USING (lang)
+         |WHERE n_tok >= lo AND n_tok <= hi ORDER BY doc_id""".stripMargin,
     "t_dedup_incremental" ->
       s"""WITH ${minhashBandCtes("documents")},
          |exs AS (SELECT doc_id FROM documents WHERE doc_id%3=0
