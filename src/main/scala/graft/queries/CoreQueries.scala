@@ -219,6 +219,21 @@ object CoreQueries {
       Relational.nunique(t(s, d, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
 
+    // A8 at-scale path: HyperLogLog++ approximate distinct counts gated
+    // against their accuracy contract — |approx − exact| within 5% of
+    // exact at the default rsd (0.05 ⇒ ~2.3σ here; the seed is fixed, so
+    // the sketch is deterministic and the booleans are stable). The
+    // oracle asserts the CONTRACT (all true), not the sketch values —
+    // how an engine verifies an approximation it cannot replay.
+    "a8_hll_bound" -> ((s, d) => {
+      def ok(c: String) =
+        (abs(approx_count_distinct(col(c)) - countDistinct(col(c)))
+          .cast("double") <= countDistinct(col(c)).cast("double") * 0.05)
+          .as(s"ok_$c")
+      t(s, d, "lineitem").agg(ok("l_orderkey"), ok("l_partkey"),
+        ok("l_suppkey"))
+    }),
+
     // A9: null count per column, one pass (one genuinely nullable column
     // injected via nullif).
     "a9_nullcount" -> ((s, d) =>
@@ -329,6 +344,10 @@ object CoreQueries {
         |count(DISTINCT o_custkey) AS nu_o_custkey,
         |count(DISTINCT o_orderstatus) AS nu_o_orderstatus,
         |count(DISTINCT o_orderpriority) AS nu_o_orderpriority FROM orders""".stripMargin,
+    "a8_hll_bound" ->
+      """SELECT CAST(1 AS BOOLEAN) AS ok_l_orderkey,
+        |CAST(1 AS BOOLEAN) AS ok_l_partkey,
+        |CAST(1 AS BOOLEAN) AS ok_l_suppkey""".stripMargin,
     "a9_nullcount" ->
       """SELECT count(*) FILTER (WHERE o_custkey IS NULL) AS nulls_custkey,
         |count(*) FILTER (WHERE nullif(o_orderstatus,'O') IS NULL) AS nulls_status
