@@ -32,7 +32,9 @@ object TrainingMix {
     * `ordCols` must be a TOTAL order (include a unique id as the last
     * key): the result is then independent of how rows land in range
     * partitions, so the range partitioner's sampled bounds never affect
-    * values. The staged frame is materialized (`localCheckpoint`) because
+    * values. `partCols` values must be non-null (the offset join-back is
+    * an equi-join; a null group key would silently drop its rows) —
+    * `coalesce` a nullable source column before grouping on it. The staged frame is materialized (`localCheckpoint`) because
     * `spark_partition_id()` must stay pinned across the two reads (totals
     * + join-back); at warehouse scale this is the staging table the job
     * would persist anyway.
