@@ -61,6 +61,24 @@ object EventQueries {
         .orderBy(col("purchase_id"))
     }),
 
+    // Rolling 1-hour time-range window per user: event count and
+    // decimal-exact mean value over each event's trailing hour — the
+    // time-series feature window. Partitioned by user (parallel across
+    // keys, never a global sort); the RANGE frame is over exact integer
+    // microseconds, and the frame's value sum accumulates as exact
+    // decimals, so the per-row doubles are bit-reproducible.
+    "ev_rolling_1h" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      ev(s, d).withColumn("us", unix_micros(col("ts")))
+        .select(col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          (sum(col("value").cast("decimal(20,2)")).over(w).cast("double") /
+            count(lit(1)).over(w)).as("avg_1h"))
+        .orderBy(col("event_id"))
+    }),
+
     // Feature standardization: per-event-type z-score of `value` — the
     // scaling pass before features feed a model. Moments accumulate as
     // EXACT decimals (value is cent-discrete, so sums and sums of squares
@@ -154,6 +172,14 @@ object EventQueries {
         |  date_diff('microsecond', v.ts, p.ts) AS gap_us
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY purchase_id""".stripMargin,
+    "ev_rolling_1h" ->
+      """SELECT event_id, count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(20,2))) OVER w AS DOUBLE)
+        |    / (count(*) OVER w) AS avg_1h
+        |FROM (SELECT *, epoch_us(ts) AS us FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "ev_zscore" ->
       """WITH st AS (SELECT event_type,
         |  sum(CAST(value AS DECIMAL(20,2))) AS s,
