@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TextFunctions
+import graft.operators.TrainingMix
 
 /** Streaming corpus ingestion: the continuous-arrival counterpart of the
   * batch curation funnel (`t_curation_funnel`). New document files land in
@@ -52,4 +53,15 @@ object CorpusStream {
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
         col("content_hash"), nt.as("n_tokens"), col("ingest_ts"))
   }
+
+  /** [[curateStream]] followed by deterministic weighted source mixing
+    * (TrainingMix.weightedMix). The mix predicate is a stateless per-row
+    * hash threshold, so it composes with any streaming plan and yields
+    * the SAME kept set as the batch mix over the same rows — micro-batch
+    * boundaries cannot change a row's own md5.
+    */
+  def curateAndMixStream(docs: DataFrame, rates: Map[String, Double],
+                         watermark: String = "1 hour"): DataFrame =
+    TrainingMix.weightedMix(curateStream(docs, watermark),
+      "lang", "doc_id", rates)
 }

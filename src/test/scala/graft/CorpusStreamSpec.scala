@@ -39,6 +39,29 @@ class CorpusStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curateAndMixStream keeps exactly the batch mix's kept set") {
+    val docs = (1 to 40).map(i =>
+      Doc(i.toLong, s"$good variant $i", if (i % 2 == 0) "en" else "de",
+        "s0", t(i)))
+    val rates = Map("en" -> 0.5, "de" -> 0.25)
+    val input = MemoryStream[Doc](spark)
+    val q = CorpusStream.curateAndMixStream(input.toDF(), rates)
+      .select($"doc_id")
+      .writeStream.format("memory").queryName("mix_out")
+      .outputMode("append").start()
+    try {
+      // Two micro-batches: the kept set must not depend on batching.
+      input.addData(docs.take(20)); q.processAllAvailable()
+      input.addData(docs.drop(20)); q.processAllAvailable()
+      val streamed = spark.table("mix_out").as[Long].collect().toSet
+      val batch = graft.operators.TrainingMix.weightedMix(
+          docs.toDF(), "lang", "doc_id", rates)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty && streamed.size < 40)
+    } finally q.stop()
+  }
+
   test("jsonl corpus files stream exactly once via availableNow") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-corpus")
     val src = tmp.resolve("src").toString
