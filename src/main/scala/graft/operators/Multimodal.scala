@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   *    (`targetPartitionBytes`), since row counts mean nothing when rows
   *    are 10 KB–100 MB.
   *
-  * The codec itself is STUBBED (this container has no image/audio libs):
-  * `decodeStub` derives deterministic fake dimensions from the payload
-  * bytes. The seam where a real decoder plugs in is `decodePartition`.
+  * Two codec paths exist: a STUB (`decodeStub` — deterministic fake
+  * dimensions; the seam a heavyweight codec/model plugs into at
+  * `decodePartition`), and a REAL image path (`renderPng`/`decodeImage`/
+  * `resizeImage`) built on `javax.imageio`, which ships with the JDK —
+  * actual PNG encode/decode and raster resize, no external libraries.
   */
 object Multimodal {
 
@@ -115,6 +117,85 @@ object Multimodal {
         val out = resizeStub(bytes, factor)
         MediaRow(id, out, decodeStub(out))
       })
+  }
+
+  // ---- REAL image codec path (javax.imageio — ships with the JDK) ----
+
+  /** Render a deterministic RGB image (LCG pixels from `seed`) and
+    * PNG-encode it. The synthetic payload generator for exercising the
+    * real codec path without external image libraries.
+    */
+  def renderPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var s = seed
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        img.setRGB(x, y, ((s >>> 24) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode: hand the payload to ImageIO, read true dimensions. */
+  def decodeImage(bytes: Array[Byte]): MediaMeta = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image")
+    MediaMeta(bytes.length.toLong, "image/png", img.getWidth, img.getHeight)
+  }
+
+  /** REAL resize: decode, scale through Graphics2D (bilinear), re-encode
+    * PNG — payload-in/payload-out like [[resizeStub]], but an actual
+    * raster operation.
+    */
+  def resizeImage(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val src = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    val dst = new java.awt.image.BufferedImage(targetW, targetH,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, targetW, targetH, null)
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Per-doc decoded/resized dimensions from the real codec round-trip. */
+  case class ImageRoundTrip(doc_id: Long, w: Int, h: Int, rw: Int, rh: Int)
+
+  /** Real-codec round-trip over ids: render a (seeded, id-derived) PNG,
+    * decode it, halve it through the raster scaler, decode again. The
+    * emitted dimensions must equal the id-derived formula — a contract an
+    * oracle can assert without replaying the codec. mapPartitions keeps
+    * the iterator-in/iterator-out batch shape of every codec stage.
+    */
+  def pngRoundTrip(spark: SparkSession, df: DataFrame,
+                   idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 + id % 16).toInt
+        val h = (8 + id % 8).toInt
+        val png = renderPng(w, h, seed = id)
+        val m = decodeImage(png)
+        val half = resizeImage(png,
+          math.max(1, m.width / 2), math.max(1, m.height / 2))
+        val m2 = decodeImage(half)
+        ImageRoundTrip(id, m.width, m.height, m2.width, m2.height)
+      })
+      .toDF()
   }
 
   /** One sampled frame of a media payload. */

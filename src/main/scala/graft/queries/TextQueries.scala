@@ -173,6 +173,15 @@ object TextQueries {
         .select(col("id").as("doc_id"), col("n_frames"))
         .orderBy(col("doc_id"))),
 
+    // REAL image codec round-trip (javax.imageio, no external libs):
+    // render an id-derived PNG per doc, decode it, halve it through the
+    // raster scaler, decode again. The oracle asserts the id-derived
+    // dimension formulas — decoded values only match if the codec
+    // actually ran.
+    "mm_png_roundtrip" -> ((s, d) =>
+      Multimodal.pngRoundTrip(s, docs(s, d), "doc_id")
+        .orderBy(col("doc_id"))),
+
     // Multimodal plumbing: payload byte length through the binary column —
     // ONE projection off the scan (payload + text metadata side by side),
     // no join back to the media table.
@@ -502,6 +511,12 @@ object TextQueries {
          |  i -> array_to_string(ws[i:i+1],' ')))) AS ngram FROM w)
          |SELECT ngram, count(*) AS df FROM g GROUP BY 1
          |ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
+    "mm_png_roundtrip" ->
+      """SELECT doc_id, CAST(8 + doc_id%16 AS INT) AS w,
+        |CAST(8 + doc_id%8 AS INT) AS h,
+        |CAST(greatest((8 + doc_id%16)//2, 1) AS INT) AS rw,
+        |CAST(greatest((8 + doc_id%8)//2, 1) AS INT) AS rh
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, CAST(ceil(ceil(octet_length(encode(text))/32.0)/2.0)
         |AS BIGINT) AS n_frames FROM documents ORDER BY doc_id""".stripMargin,

@@ -54,6 +54,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("real PNG codec: encode → decode → resize round-trips dimensions") {
+    val png = graft.operators.Multimodal.renderPng(20, 10, seed = 42L)
+    // PNG magic bytes prove a real encoder ran.
+    assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte)
+    val m = graft.operators.Multimodal.decodeImage(png)
+    assert(m.width === 20 && m.height === 10 && m.mime === "image/png")
+    val half = graft.operators.Multimodal.resizeImage(png, 10, 5)
+    val m2 = graft.operators.Multimodal.decodeImage(half)
+    assert(m2.width === 10 && m2.height === 5)
+    // Determinism: same seed → identical bytes.
+    assert(graft.operators.Multimodal.renderPng(20, 10, 42L)
+      .sameElements(png))
+  }
+
   test("incremental dedup drops exact and near copies of corpus docs only") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 30).map(i => if (i == 7) "CHANGED" else s"w$i")
