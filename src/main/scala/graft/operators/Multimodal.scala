@@ -198,6 +198,90 @@ object Multimodal {
       .toDF()
   }
 
+  // ---- REAL audio codec path (javax.sound.sampled — JDK built-in) ----
+
+  /** Render deterministic 16-bit mono PCM (LCG samples) and WAV-encode. */
+  def renderWav(nFrames: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    var s = seed
+    var i = 0
+    while (i < nFrames) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val v = (s >>> 48).toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  case class AudioMeta(byteLen: Long, sampleRate: Int, channels: Int,
+                       nFrames: Long)
+
+  /** REAL decode: parse the WAV container, read true format + length. */
+  def decodeWav(bytes: Array[Byte]): AudioMeta = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    AudioMeta(bytes.length.toLong, ais.getFormat.getSampleRate.toInt,
+      ais.getFormat.getChannels, ais.getFrameLength)
+  }
+
+  /** REAL downsample: decode the PCM frames, keep every `factor`-th one,
+    * re-encode at the divided rate — an actual sample-domain operation,
+    * not byte decimation.
+    */
+  def downsampleWav(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    val pcm = ais.readAllBytes()
+    val frameSize = fmt.getFrameSize
+    val kept = pcm.grouped(frameSize).zipWithIndex
+      .collect { case (f, i) if i % factor == 0 => f }
+      .flatten.toArray
+    val outFrames = kept.length / frameSize
+    val outFmt = new javax.sound.sampled.AudioFormat(
+      fmt.getSampleRate / factor, fmt.getSampleSizeInBits,
+      fmt.getChannels, true, fmt.isBigEndian)
+    val out = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(kept), outFmt, outFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(out,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Per-doc decoded/downsampled audio stats from the real codec. */
+  case class AudioRoundTrip(doc_id: Long, n_frames: Long, sr: Int,
+                            dn_frames: Long, dn_sr: Int)
+
+  /** Real-audio round-trip over ids: render an id-derived WAV, decode,
+    * downsample 2×, decode again — dimensions must equal the id-derived
+    * formula (the oracle's contract).
+    */
+  def wavRoundTrip(spark: SparkSession, df: DataFrame,
+                   idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (64 + id % 64).toInt
+        val wav = renderWav(n, 8000, seed = id)
+        val m = decodeWav(wav)
+        val down = downsampleWav(wav, 2)
+        val m2 = decodeWav(down)
+        AudioRoundTrip(id, m.nFrames, m.sampleRate, m2.nFrames,
+          m2.sampleRate)
+      })
+      .toDF()
+  }
+
   /** One sampled frame of a media payload. */
   case class MediaFrame(id: Long, frameIdx: Int, frame: Array[Byte])
 

@@ -182,6 +182,13 @@ object TextQueries {
       Multimodal.pngRoundTrip(s, docs(s, d), "doc_id")
         .orderBy(col("doc_id"))),
 
+    // REAL audio codec round-trip (javax.sound.sampled): id-derived PCM →
+    // WAV encode → decode → 2× frame-domain downsample → decode. Oracle
+    // asserts the id-derived frame/rate formulas.
+    "mm_wav_roundtrip" -> ((s, d) =>
+      Multimodal.wavRoundTrip(s, docs(s, d), "doc_id")
+        .orderBy(col("doc_id"))),
+
     // Multimodal plumbing: payload byte length through the binary column —
     // ONE projection off the scan (payload + text metadata side by side),
     // no join back to the media table.
@@ -516,6 +523,12 @@ object TextQueries {
         |CAST(8 + doc_id%8 AS INT) AS h,
         |CAST(greatest((8 + doc_id%16)//2, 1) AS INT) AS rw,
         |CAST(greatest((8 + doc_id%8)//2, 1) AS INT) AS rh
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_wav_roundtrip" ->
+      """SELECT doc_id, CAST(64 + doc_id%64 AS BIGINT) AS n_frames,
+        |CAST(8000 AS INT) AS sr,
+        |CAST((64 + doc_id%64 + 1)//2 AS BIGINT) AS dn_frames,
+        |CAST(4000 AS INT) AS dn_sr
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, CAST(ceil(ceil(octet_length(encode(text))/32.0)/2.0)

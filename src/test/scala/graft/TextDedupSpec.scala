@@ -68,6 +68,17 @@ class TextDedupSpec extends AnyFunSuite {
       .sameElements(png))
   }
 
+  test("real WAV codec: encode → decode → downsample round-trips frames") {
+    val wav = graft.operators.Multimodal.renderWav(100, 8000, seed = 7L)
+    // RIFF magic proves a real container writer ran.
+    assert(new String(wav.take(4), "ASCII") === "RIFF")
+    val m = graft.operators.Multimodal.decodeWav(wav)
+    assert(m.nFrames === 100L && m.sampleRate === 8000 && m.channels === 1)
+    val down = graft.operators.Multimodal.downsampleWav(wav, 2)
+    val m2 = graft.operators.Multimodal.decodeWav(down)
+    assert(m2.nFrames === 50L && m2.sampleRate === 4000)
+  }
+
   test("incremental dedup drops exact and near copies of corpus docs only") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 30).map(i => if (i == 7) "CHANGED" else s"w$i")
