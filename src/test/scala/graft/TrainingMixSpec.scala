@@ -134,6 +134,19 @@ class TrainingMixSpec extends AnyFunSuite {
     }
   }
 
+  test("CorpusJobs.curateToShards produces readable shard-partitioned output") {
+    val dir = java.nio.file.Files.createTempDirectory("corpus-shards").toString
+    graft.jobs.CorpusJobs.curateToShards(spark,
+      "/root/testdata/sf0.001/documents.parquet", dir, docsPerShard = 16L)
+    val back = spark.read.parquet(dir)
+    assert(back.count() > 0)
+    assert(back.columns.contains("shard_id") && back.columns.contains("text"))
+    // The chain must have dropped something (quality gate + mix at least).
+    val total = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(back.count() < total)
+  }
+
   test("rateThreshold is the 8-hex-digit floor of rate·2^32") {
     assert(TrainingMix.rateThreshold(0.5) === "80000000")
     assert(TrainingMix.rateThreshold(0.75) === "c0000000")
