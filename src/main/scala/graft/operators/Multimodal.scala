@@ -198,6 +198,41 @@ object Multimodal {
       .toDF()
   }
 
+  /** Per-(doc, format) decoded dimensions across the JDK's standard
+    * still-image writers.
+    */
+  case class FormatProbe(doc_id: Long, fmt: String, w: Int, h: Int)
+
+  /** Codec format matrix: the same id-derived raster encoded as PNG, BMP,
+    * and GIF, each decoded back — one row per (doc, format). Exercises
+    * ImageIO's format dispatch end-to-end; dimensions must survive every
+    * container.
+    */
+  def formatMatrix(spark: SparkSession, df: DataFrame,
+                   idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .flatMap { id =>
+        val w = (4 + id % 8).toInt
+        val h = (4 + id % 4).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var s = id
+        for (y <- 0 until h; x <- 0 until w) {
+          s = s * 6364136223846793005L + 1442695040888963407L
+          img.setRGB(x, y, ((s >>> 24) & 0xffffff).toInt)
+        }
+        Seq("png", "bmp", "gif").map { fmt =>
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, fmt, bos)
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          FormatProbe(id, fmt, back.getWidth, back.getHeight)
+        }
+      }
+      .toDF()
+  }
+
   // ---- REAL audio codec path (javax.sound.sampled — JDK built-in) ----
 
   /** Render deterministic 16-bit mono PCM (LCG samples) and WAV-encode. */

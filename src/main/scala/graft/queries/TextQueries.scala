@@ -182,6 +182,13 @@ object TextQueries {
       Multimodal.pngRoundTrip(s, docs(s, d), "doc_id")
         .orderBy(col("doc_id"))),
 
+    // Codec format matrix: one raster through PNG, BMP, and GIF and back
+    // — dimensions must survive every container (ImageIO format dispatch
+    // exercised end-to-end; id-derived contract oracle).
+    "mm_format_matrix" -> ((s, d) =>
+      Multimodal.formatMatrix(s, docs(s, d), "doc_id")
+        .orderBy(col("doc_id"), col("fmt"))),
+
     // REAL audio codec round-trip (javax.sound.sampled): id-derived PCM →
     // WAV encode → decode → 2× frame-domain downsample → decode. Oracle
     // asserts the id-derived frame/rate formulas.
@@ -524,6 +531,11 @@ object TextQueries {
         |CAST(greatest((8 + doc_id%16)//2, 1) AS INT) AS rw,
         |CAST(greatest((8 + doc_id%8)//2, 1) AS INT) AS rh
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_format_matrix" ->
+      """SELECT doc_id, fmt, CAST(4 + doc_id%8 AS INT) AS w,
+        |CAST(4 + doc_id%4 AS INT) AS h
+        |FROM documents, (SELECT unnest(['bmp','gif','png']) AS fmt)
+        |ORDER BY doc_id, fmt""".stripMargin,
     "mm_wav_roundtrip" ->
       """SELECT doc_id, CAST(64 + doc_id%64 AS BIGINT) AS n_frames,
         |CAST(8000 AS INT) AS sr,
