@@ -23,7 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.defs ++ SourceQueries.defs ++ DashboardQueries.defs ++
       TextQueries.defs ++ SimilarityQueries.defs ++ EventQueries.defs ++
-      PipelineQueries.defs ++ MixQueries.defs
+      PipelineQueries.defs ++ MixQueries.defs ++ OlapQueries.defs
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -31,5 +31,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ SourceQueries.oracles ++ DashboardQueries.oracles ++
       TextQueries.oracles ++ SimilarityQueries.oracles ++ EventQueries.oracles ++
-      PipelineQueries.oracles ++ MixQueries.oracles
+      PipelineQueries.oracles ++ MixQueries.oracles ++ OlapQueries.oracles
 }

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multi-level OLAP aggregates (ROLLUP / CUBE / GROUPING SETS) and
+  * analytic window queries — the subtotal/ranking surface a BI layer
+  * builds on top of the warehouse. The reference serves these shapes
+  * interactively (Metabase cards slice the DW by region/year —
+  * `Metabase - workshop2dashboard.pdf`; the DW build groups at several
+  * granularities in `dags/merge_to_dw.py:124-325`); here each multi-level
+  * result is ONE grouping pass, not one query per level.
+  *
+  * Scale notes:
+  *   - Rollup/cube/grouping-sets run as a single Expand + hash aggregate:
+  *     the fact table is scanned once and each row fans out only to the
+  *     grouping sets it belongs to. Partial (map-side) aggregation still
+  *     applies, so the shuffle carries per-set partials, not facts.
+  *   - Every window here runs AFTER an aggregation, so the window input
+  *     is group-sized (regions × artists, or years), never fact-sized.
+  *     The unpartitioned windows (`w_yoy_delta`) see only the per-year
+  *     aggregate — a handful of rows by construction, safe at any SF.
+  *   - Dims (customer, nation, region) broadcast; the only base-table
+  *     shuffle is the aggregation itself.
+  */
+object OlapQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** orders ⋈ customer ⋈ nation ⋈ region with all dims broadcast. */
+  private def ordersGeo(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+
+  /** Exact revenue: o_totalprice is cent-discrete, so summing as
+    * decimal(20,2) is order-independent and the final double cast is
+    * bit-reproducible across engines (same pattern as ev_zscore).
+    */
+  private val revenue =
+    sum(col("o_totalprice").cast("decimal(20,2)")).cast("double")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ROLLUP over the region → nation hierarchy: per-nation rows, per-
+    // region subtotals, and a grand total in one grouping pass.
+    // grouping_id() disambiguates a real group from a rolled-up level
+    // (no nation is named 'ALL', but the id is the contract).
+    "olap_rollup" -> ((s, d) =>
+      ordersGeo(s, d)
+        .rollup(col("r_name"), col("n_name"))
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n_orders"), revenue.as("revenue"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("gid"), col("n_orders"), col("revenue"))
+        .orderBy(col("region"), col("nation"))),
+
+    // CUBE over (year, order status): every marginal of the 2-D
+    // contingency table — the slice-and-dice backing a year×status card.
+    "olap_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("yr", year(col("o_orderdate")).cast("long"))
+        .cube(col("yr"), col("o_orderstatus"))
+        .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("yr").cast("string"), lit("ALL")).as("yr"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("gid"), col("n"))
+        .orderBy(col("yr"), col("status"), col("gid"))),
+
+    // GROUPING SETS — two independent one-column groupings plus the
+    // grand total, one scan (the general form rollup/cube sugar over).
+    "olap_grouping_sets" -> ((s, d) =>
+      ordersGeo(s, d)
+        .groupingSets(
+          Seq(Seq(col("r_name")), Seq(col("o_orderstatus")), Seq.empty),
+          col("r_name"), col("o_orderstatus"))
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n_orders"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("gid"), col("n_orders"))
+        .orderBy(col("gid"), col("region"), col("status"))),
+
+    // Top-3 artists per region by wins — the canonical top-n-per-group.
+    // dense_rank runs over the PRE-AGGREGATED (region, artist, wins)
+    // rows: the window input is artist-count-sized and each of the 5
+    // region partitions holds at most |customer| rows, never facts.
+    "w_rank_region" -> ((s, d) => {
+      val wins = ordersGeo(s, d)
+        .where(col("o_orderstatus") === "F")
+        .groupBy(col("r_name"), col("c_name"))
+        .agg(countDistinct(col("o_orderkey")).as("wins"))
+      val w = Window.partitionBy(col("r_name"))
+        .orderBy(desc("wins"), col("c_name"))
+      wins
+        .withColumn("rnk", dense_rank().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select(col("r_name").as("region"), col("c_name"), col("wins"),
+          col("rnk"))
+        .orderBy(col("region"), col("rnk"), col("c_name"))
+    }),
+
+    // Year-over-year nomination delta — lag over the per-year aggregate.
+    // The unpartitioned window is safe BECAUSE its input is the yearly
+    // rollup (single-digit rows at any SF); the heavy lifting is the
+    // ordinary groupBy before it.
+    "w_yoy_delta" -> ((s, d) => {
+      val perYear = t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n"), revenue.as("revenue"))
+      val w = Window.orderBy(col("yr"))
+      perYear
+        .withColumn("n_prev", lag(col("n"), 1).over(w))
+        .withColumn("delta", col("n") - col("n_prev"))
+        .withColumn("cum_n", sum(col("n")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy(col("yr"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "olap_rollup" ->
+      """SELECT coalesce(r_name,'ALL') AS region, coalesce(n_name,'ALL') AS nation,
+        |CAST(GROUPING(r_name, n_name) AS INT) AS gid,
+        |count(*) AS n_orders,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey=c_custkey
+        |JOIN nation ON c_nationkey=n_nationkey
+        |JOIN region ON n_regionkey=r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+    "olap_cube" ->
+      """WITH o AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  o_orderstatus FROM orders)
+        |SELECT coalesce(CAST(yr AS VARCHAR),'ALL') AS yr,
+        |coalesce(o_orderstatus,'ALL') AS status,
+        |CAST(GROUPING(yr, o_orderstatus) AS INT) AS gid, count(*) AS n
+        |FROM o GROUP BY CUBE(yr, o_orderstatus)
+        |ORDER BY yr, status, gid""".stripMargin,
+    "olap_grouping_sets" ->
+      """SELECT coalesce(r_name,'ALL') AS region,
+        |coalesce(o_orderstatus,'ALL') AS status,
+        |CAST(GROUPING(r_name, o_orderstatus) AS INT) AS gid,
+        |count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey=c_custkey
+        |JOIN nation ON c_nationkey=n_nationkey
+        |JOIN region ON n_regionkey=r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (o_orderstatus), ())
+        |ORDER BY gid, region, status""".stripMargin,
+    "w_rank_region" ->
+      """WITH w AS (SELECT r_name, c_name, count(DISTINCT o_orderkey) AS wins
+        |  FROM orders JOIN customer ON o_custkey=c_custkey
+        |  JOIN nation ON c_nationkey=n_nationkey
+        |  JOIN region ON n_regionkey=r_regionkey
+        |  WHERE o_orderstatus='F' GROUP BY 1, 2),
+        |r AS (SELECT r_name AS region, c_name, wins,
+        |  dense_rank() OVER (PARTITION BY r_name
+        |    ORDER BY wins DESC, c_name) AS rnk FROM w)
+        |SELECT region, c_name, wins, rnk FROM r WHERE rnk <= 3
+        |ORDER BY region, rnk, c_name""".stripMargin,
+    "w_yoy_delta" ->
+      """WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT yr, n, revenue,
+        |lag(n, 1) OVER (ORDER BY yr) AS n_prev,
+        |n - lag(n, 1) OVER (ORDER BY yr) AS delta,
+        |sum(n) OVER (ORDER BY yr ROWS BETWEEN UNBOUNDED PRECEDING
+        |  AND CURRENT ROW) AS cum_n
+        |FROM y ORDER BY yr""".stripMargin
+  )
+}
