@@ -107,6 +107,41 @@ object SourceQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // S14 (ext): ORC write → read round-trip — the second columnar lake
+    // format, same pushdown/pruning story as parquet. A hash match against
+    // the parquet-derived oracle proves the ORC encode/decode pair is
+    // lossless for every column type in the table.
+    "s14_orc_roundtrip" -> ((s, d) => {
+      val out = s"$scratch/orc_customer"
+      Tables.writeOrc(t(s, d, "customer"), out)
+      Tables.readOrc(s, out).orderBy(col("c_custkey"))
+    }),
+
+    // S15 (ext): Hive-style partitioned write + partition-pruned read.
+    // Orders land partitioned by year; the reader filters on the
+    // partition column, so planning selects ONE directory and the scan
+    // never opens the others (PartitionFilters asserted in
+    // PlanAuditSpec). The oracle replays the same filter over the
+    // unpartitioned original — a hash match proves the partitioned
+    // layout loses nothing and the pruned read sees exactly the
+    // filtered rows.
+    "s15_partition_prune" -> ((s, d) => {
+      val out = s"$scratch/orders_by_year"
+      Tables.writePartitioned(
+        t(s, d, "orders").withColumn(
+          "yr", year(col("o_orderdate")).cast("int")),
+        out, "yr")
+      s.read.parquet(out)
+        .where(col("yr") === 1995)
+        // yr is read back from the directory layout, not file contents —
+        // grouping on it proves the partition column decodes.
+        .groupBy(col("yr"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(20,2)")).cast("double")
+            .as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // S10: batched JDBC append into an embedded Derby database
     // (batchsize=1000 like the reference's executemany batching,
     // merge_to_dw.py:25, 191), then read back over JDBC. On a cluster the
@@ -189,6 +224,14 @@ object SourceQueries {
     "s13_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "s14_orc_roundtrip" ->
+      "SELECT * FROM customer ORDER BY c_custkey",
+    "s15_partition_prune" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS revenue,
+        |CAST(1995 AS INT) AS yr
+        |FROM orders WHERE year(o_orderdate)=1995
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s10_jdbc_batch" ->
       "SELECT * FROM region ORDER BY r_regionkey",
     "p3_project" ->

@@ -143,6 +143,30 @@ object Tables {
                 schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC write/read — the second columnar lake format (built into Spark).
+    * Same pushdown/pruning story as parquet: predicate pushdown, column
+    * pruning, and min/max stripe skipping all apply, so a corpus landed
+    * by an ORC-native upstream needs no conversion pass to query.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Hive-style partitioned write: one directory per distinct value of
+    * `partCols` (e.g. `yr=1995/`). At 100 TB this is THE first-line scan
+    * reducer: a reader filtering on a partition column never opens the
+    * other directories at all (partition pruning happens at planning,
+    * before any I/O — asserted in PlanAuditSpec). Partition columns must
+    * be low-cardinality (dates, sources, languages): one dir per value,
+    * and a high-cardinality key would shatter the table into millions of
+    * tiny files.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+
   /** Stage boundary: materialize `df` as a parquet table and return a
     * scan of it. For a relation fanned into many downstream branches
     * (the warehouse build reads its merge output 8+ ways), this beats

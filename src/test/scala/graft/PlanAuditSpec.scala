@@ -127,6 +127,46 @@ class PlanAuditSpec extends AnyFunSuite {
       s"pipeline lost its broadcast joins:\n$p")
   }
 
+  test("partition-pruned read selects one directory at planning time") {
+    // s15's scale contract: the year filter must resolve against the
+    // Hive-style directory layout (PartitionFilters on the scan), not as
+    // a data filter that opens every file. One selected partition out of
+    // the seven order years proves pruning happened before I/O.
+    val p = plan("s15_partition_prune")
+    assert(p.contains("PartitionFilters: [isnotnull(yr"),
+      s"partition filter did not reach the scan:\n$p")
+    assert(p.contains("(yr") && p.contains("1995"),
+      s"year predicate missing from partition filters:\n$p")
+    // A data-filter fallback would also render a PushedFilters entry on yr.
+    assert(!p.contains("PushedFilters: [IsNotNull(yr)"),
+      s"yr degraded to a data filter:\n$p")
+  }
+
+  test("rollup/cube/grouping-sets run as one Expand + aggregate pass") {
+    // The multi-level aggregates must not re-scan the facts per level:
+    // exactly one Expand node, broadcast dim joins below it, and one
+    // hash-aggregate pair above it.
+    for (q <- Seq("olap_rollup", "olap_cube", "olap_grouping_sets")) {
+      val p = plan(q)
+      assert("Expand".r.findAllIn(p).size >= 1 &&
+        p.indexOf("Expand") == p.lastIndexOf("Expand"),
+        s"$q should contain exactly one Expand:\n$p")
+      assert(!p.contains("Union"), s"$q re-scans per grouping level:\n$p")
+    }
+  }
+
+  test("top-n-per-group windows run over pre-aggregated input") {
+    // w_rank_region's window must sit ABOVE the aggregation (group-sized
+    // input, with the rank-filter pushed down as WindowGroupLimit), never
+    // directly on the fact join.
+    val p = plan("w_rank_region")
+    assert(p.contains("Window"), s"rank query lost its window:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter no longer prunes below the window:\n$p")
+    assert(p.indexOf("Window") < p.indexOf("HashAggregate"),
+      s"window must consume the aggregate, not raw facts:\n$p")
+  }
+
   test("headline aggregates keep whole-stage codegen on the hot path") {
     for (q <- Seq("d9_top_artists", "q1_agg")) {
       val p = plan(q)
