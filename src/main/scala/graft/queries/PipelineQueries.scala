@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.etl.{GenreMap, Pipelines}
-import graft.operators.StarSchema
+import graft.operators.{Scd2, StarSchema}
 import graft.sources.Tables
 
 /** The reference's WHOLE pipeline chain — clean (limpiezaSpotify.py:72-105)
@@ -132,6 +132,25 @@ object PipelineQueries {
   private def merged(s: SparkSession, d: String): DataFrame =
     Pipelines.mergeSpotifyGrammys(clean(s, d), grammyLike(s, d))
 
+  /** SCD2 fixture: customer-segment dimension loaded at 1995-01-01 from a
+    * partial snapshot (80% of keys), then a 1996-01-01 snapshot of ALL
+    * keys where every third key's segment changed — exercising all four
+    * apply paths (unchanged / changed / new key / absent key).
+    */
+  private def scd2Dim(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer")
+    val snap1 = cust.where(pmod(col("c_custkey"), lit(5)) =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val snap2 = cust.select(col("c_custkey"),
+      when(pmod(col("c_custkey"), lit(3)) === 0,
+        concat(lit("CHG-"), col("c_mktsegment")))
+        .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+    Scd2.applySnapshot(
+      Scd2.init(snap1, Seq("c_custkey"), Seq("c_mktsegment"),
+        lit("1995-01-01")),
+      snap2, Seq("c_custkey"), Seq("c_mktsegment"), lit("1996-01-01"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Stage 1 end-to-end: genre map → mode-or-first dedup → distinct,
     // with the SHIPPED genre mapping (limpiezaSpotify.py:72-105).
@@ -166,6 +185,33 @@ object PipelineQueries {
         df.agg(count(lit(1)).as("n_rows"))
           .select(lit(name).as("table_name"), col("n_rows"))
       }.reduce(_ unionByName _).orderBy(col("table_name"))
+    }),
+
+    // SCD2 versioned dimension (Scd2.init + applySnapshot): the full
+    // version table after the 1996 snapshot lands — closed rows carry
+    // their [valid_from, valid_to) interval. Open rows surface the
+    // conventional 9999-12-31 high-date sentinel (kept NULL inside the
+    // operator; the sentinel also keeps the compare free of NULL-vs-NULL
+    // date semantics).
+    "scd2_versions" -> ((s, d) =>
+      scd2Dim(s, d)
+        .withColumn("valid_to",
+          coalesce(col("valid_to"), lit("9999-12-31").cast("date")))
+        .orderBy(col("c_custkey"), col("valid_from"))),
+
+    // SCD2 point-in-time resolution: segment populations AS OF two probe
+    // dates straddling the snapshot, in ONE pass over the version table
+    // (each version row fans out to the probe dates it covers).
+    "scd2_asof" -> ((s, d) => {
+      val probes = Seq("1995-06-01", "1996-06-01")
+      scd2Dim(s, d)
+        .withColumn("at",
+          explode(array(probes.map(p => lit(p).cast("date")): _*)))
+        .where(col("valid_from") <= col("at") &&
+          (col("valid_to").isNull || col("at") < col("valid_to")))
+        .groupBy(col("at"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("at"), col("c_mktsegment"))
     }),
 
     // Incremental dim upsert (StarSchema.upsertDim): load half the parts,
@@ -283,6 +329,31 @@ object PipelineQueries {
        |  FROM ln l FULL JOIN rn r
        |    ON l.track_name=r.track_name AND l.artists=r.artists)""".stripMargin
 
+  /** SCD2 oracle: replays [[scd2Dim]] declaratively — the version table
+    * is fully determined by the two snapshots and the apply semantics
+    * (`IS DISTINCT FROM` is DuckDB's null-safe inequality, matching the
+    * operator's `!(a <=> b)` change test).
+    */
+  private val scd2Cte =
+    """s1 AS (SELECT c_custkey, c_mktsegment FROM customer
+      |  WHERE c_custkey%5<>0),
+      |s2 AS (SELECT c_custkey,
+      |  CASE WHEN c_custkey%3=0 THEN 'CHG-'||c_mktsegment
+      |    ELSE c_mktsegment END AS c_mktsegment FROM customer),
+      |v AS (
+      |  SELECT s1.c_custkey, s1.c_mktsegment,
+      |    DATE '1995-01-01' AS valid_from,
+      |    CASE WHEN s2.c_custkey IS NOT NULL
+      |      AND s2.c_mktsegment IS DISTINCT FROM s1.c_mktsegment
+      |      THEN DATE '1996-01-01' END AS valid_to
+      |  FROM s1 LEFT JOIN s2 ON s1.c_custkey=s2.c_custkey
+      |  UNION ALL
+      |  SELECT s2.c_custkey, s2.c_mktsegment, DATE '1996-01-01',
+      |    CAST(NULL AS DATE)
+      |  FROM s2 LEFT JOIN s1 ON s2.c_custkey=s1.c_custkey
+      |  WHERE s1.c_custkey IS NULL
+      |     OR s2.c_mktsegment IS DISTINCT FROM s1.c_mktsegment)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "pipeline_clean" ->
       s"WITH $cleanCte SELECT * FROM clean ORDER BY track_id",
@@ -312,6 +383,20 @@ object PipelineQueries {
          |UNION ALL SELECT 'Fact_Spotify_Tracks', count(*) FILTER (
          |  WHERE _merge IN ('both','left_only') AND album_name IS NOT NULL) FROM mg
          |ORDER BY table_name""".stripMargin,
+
+    "scd2_versions" ->
+      s"""WITH $scd2Cte
+         |SELECT c_custkey, c_mktsegment, valid_from,
+         |coalesce(valid_to, DATE '9999-12-31') AS valid_to
+         |FROM v ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "scd2_asof" ->
+      s"""WITH $scd2Cte,
+         |a AS (SELECT * FROM (VALUES (DATE '1995-06-01'),
+         |  (DATE '1996-06-01')) t(at))
+         |SELECT at, c_mktsegment, count(*) AS n FROM v CROSS JOIN a
+         |WHERE valid_from <= at AND (valid_to IS NULL OR at < valid_to)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Every brand present, every id equal to a fresh full build.
     "pipeline_upsert_dim" ->
