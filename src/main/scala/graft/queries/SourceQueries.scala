@@ -142,6 +142,20 @@ object SourceQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // S16 (ext): small-file compaction round-trip — the documents corpus
+    // deliberately shattered into 48 fragments, compacted back to
+    // size-targeted files (file-count arithmetic asserted in
+    // CompactionSpec). The oracle hash-match proves the rewrite is
+    // content-preserving.
+    "s16_compaction_roundtrip" -> ((s, d) => {
+      val shattered = s"$scratch/docs_shattered"
+      val compacted = s"$scratch/docs_compacted"
+      t(s, d, "documents").repartition(48)
+        .write.mode("overwrite").parquet(shattered)
+      Tables.compact(s, shattered, compacted, targetBytes = 4L << 20)
+      s.read.parquet(compacted).orderBy(col("doc_id"))
+    }),
+
     // S10: batched JDBC append into an embedded Derby database
     // (batchsize=1000 like the reference's executemany batching,
     // merge_to_dw.py:25, 191), then read back over JDBC. On a cluster the
@@ -226,6 +240,9 @@ object SourceQueries {
         |ORDER BY doc_id""".stripMargin,
     "s14_orc_roundtrip" ->
       "SELECT * FROM customer ORDER BY c_custkey",
+    "s16_compaction_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "s15_partition_prune" ->
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS revenue,

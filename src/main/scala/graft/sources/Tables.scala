@@ -167,6 +167,29 @@ object Tables {
                        partCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetBytes` files. Streaming sinks and fine-grained partitioned
+    * writers accumulate kilobyte-sized files; every later scan then pays
+    * one task launch and one file open per fragment, and the driver pays
+    * the listing. Sizing comes from the directory's file statuses — a
+    * driver-side METADATA listing, no data scan — and the rewrite is one
+    * round-robin repartition to the computed file count. Returns the
+    * number of output files. Run it per partition directory on a
+    * partitioned table (compaction must not merge across partition
+    * boundaries).
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long = 128L << 20): Int = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.listStatus(p).filter(_.isFile)
+      .map(_.getLen).filter(_ > 0).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath).repartition(n)
+      .write.mode("overwrite").parquet(outPath)
+    n
+  }
+
   /** Stage boundary: materialize `df` as a parquet table and return a
     * scan of it. For a relation fanned into many downstream branches
     * (the warehouse build reads its merge output 8+ ways), this beats
