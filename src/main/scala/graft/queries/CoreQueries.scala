@@ -125,6 +125,40 @@ object CoreQueries {
             col("o_orderstatus")).as("pick"))
         .orderBy(col("o_orderkey"))),
 
+    // P15 (ext): unpivot/melt — wide numeric columns to long (attr, val)
+    // form, the reshape feeding generic per-metric pipelines (pandas
+    // `melt`). Zero-shuffle: each row expands map-side; value columns
+    // unify to double up front (unpivot requires one value type).
+    "p15_unpivot" -> ((s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+          col("p_retailprice").cast("double").as("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "attr", "val")
+        .orderBy(col("p_partkey"), col("attr"))),
+
+    // J4 (ext): fuzzy record linkage — edit-distance matching within
+    // blocks, the natural extension of the reference's merge on
+    // NORMALIZED names (merge_to_dw.py:47-64: lower/trim exact-match
+    // loses near-misses). Scale: the block key (name minus its last two
+    // chars) bounds each block, so levenshtein only ever runs inside a
+    // block — candidate pairs are Σ|block|², never N².
+    "j4_fuzzy_block" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+        .withColumn("blk", expr("substring(name, 1, length(name)-2)"))
+      val a = c.select(col("blk"), col("id").as("id_a"),
+        col("name").as("name_a"))
+      val b = c.select(col("blk"), col("id").as("id_b"),
+        col("name").as("name_b"))
+      a.join(b, Seq("blk"))
+        .where(col("id_a") < col("id_b") &&
+          levenshtein(col("name_a"), col("name_b")) <= 1)
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // J1: full-outer equi-join with pandas-style _merge indicator over
     // orders ⟗ (customers in debt) — all three indicator buckets occur.
     "j1_merge_indicator" -> ((s, d) => {
@@ -296,6 +330,21 @@ object CoreQueries {
     "p14_coalesce_pick" ->
       """SELECT o_orderkey, coalesce(nullif(o_orderpriority,'4-NOT SPECIFIED'),
         |o_orderstatus) AS pick FROM orders ORDER BY 1""".stripMargin,
+    "p15_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
+        |FROM part
+        |ORDER BY p_partkey, attr""".stripMargin,
+    "j4_fuzzy_block" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS name,
+        |  substring(c_name, 1, length(c_name)-2) AS blk FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM c a JOIN c b ON a.blk=b.blk AND a.id<b.id
+        |WHERE levenshtein(a.name, b.name) <= 1
+        |ORDER BY 1, 2""".stripMargin,
     "j1_merge_indicator" ->
       """SELECT coalesce(o.o_custkey, c.c_custkey) AS custkey, o.o_orderkey, c.c_acctbal,
         |CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NOT NULL THEN 'both'
