@@ -61,6 +61,18 @@ object EventQueries {
         .orderBy(col("purchase_id"))
     }),
 
+    // Click attribution: view ⋈ same-user clicks within a 30-minute
+    // horizon — the batch face of the STREAM–STREAM interval join
+    // (EventPipeline.attributeClicks; StreamingSpec proves stream ≡
+    // batch and cross-batch pairing on the same function).
+    "ev_attribution" -> ((s, d) => {
+      val e = ev(s, d)
+      EventPipeline.attributeClicks(
+          e.where(col("event_type") === "view"),
+          e.where(col("event_type") === "click"))
+        .orderBy(col("view_id"), col("click_id"))
+    }),
+
     // Rolling 1-hour time-range window per user: event count and
     // decimal-exact mean value over each event's trailing hour — the
     // time-series feature window. Partitioned by user (parallel across
@@ -172,6 +184,17 @@ object EventQueries {
         |  date_diff('microsecond', v.ts, p.ts) AS gap_us
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY purchase_id""".stripMargin,
+    "ev_attribution" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |  FROM events WHERE event_type='view'),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type='click')
+        |SELECT v.user_id, v.view_id, c.click_id,
+        |  date_diff('microsecond', v.view_ts, c.click_ts) AS gap_us
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND c.click_ts >= v.view_ts
+        |  AND c.click_ts < v.view_ts + INTERVAL 30 MINUTE
+        |ORDER BY view_id, click_id""".stripMargin,
     "ev_rolling_1h" ->
       """SELECT event_id, count(*) OVER w AS n_1h,
         |  CAST(sum(CAST(value AS DECIMAL(20,2))) OVER w AS DOUBLE)

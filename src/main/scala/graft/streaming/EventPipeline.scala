@@ -154,6 +154,32 @@ object EventPipeline {
     perUser.agg(reached.head, reached.tail: _*)
   }
 
+  /** Click attribution — each view joined to the same user's clicks
+    * landing within `horizonMinutes` after it. ONE definition for both
+    * engines: on batch frames it's a user-keyed equi-join with the time
+    * band as a post-join filter; on two watermarked streams it is a
+    * STREAM–STREAM interval join, where the same band is what lets Spark
+    * expire buffered rows — each side's state holds only the watermark +
+    * horizon window, never the full history. Without the band (or the
+    * watermarks) stream state grows forever; with them, state is
+    * O(traffic within the horizon).
+    */
+  def attributeClicks(views: DataFrame, clicks: DataFrame,
+                      horizonMinutes: Int = 30): DataFrame = {
+    val v = views.select(col("user_id"), col("event_id").as("view_id"),
+      col("ts").as("view_ts"))
+    val c = clicks.select(col("user_id").as("_cu"),
+      col("event_id").as("click_id"), col("ts").as("click_ts"))
+    v.join(c,
+      col("user_id") === col("_cu") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") < col("view_ts") +
+          expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          .as("gap_us"))
+  }
+
   /** JSON property extraction from the props payload column. */
   def withJsonProp(events: DataFrame, field: String, out: String): DataFrame =
     events.withColumn(out,

@@ -114,6 +114,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("attributeClicks: stream-stream interval join matches batch, " +
+    "pairs across micro-batches") {
+    val viewsIn = MemoryStream[Ev](spark)
+    val clicksIn = MemoryStream[Ev](spark)
+    val views = Seq(
+      Ev(100, t(10), 1, "view", 0, "{}"),
+      Ev(101, t(60), 2, "view", 0, "{}"))
+    val clicks = Seq(
+      Ev(200, t(20), 1, "click", 0, "{}"),  // within 30m of view 100
+      Ev(201, t(55), 1, "click", 0, "{}"),  // 45m after view 100: outside
+      Ev(202, t(70), 2, "click", 0, "{}"))  // within 30m of view 101
+    val q = EventPipeline.attributeClicks(
+        viewsIn.toDF().withWatermark("ts", "1 hour"),
+        clicksIn.toDF().withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      // views land a batch BEFORE their clicks: the join must buffer the
+      // view side's state across micro-batches to pair them.
+      viewsIn.addData(views)
+      q.processAllAvailable()
+      clicksIn.addData(clicks)
+      q.processAllAvailable()
+      // append-mode results flush as the watermark passes; push both
+      // watermarks far forward to drain the buffered matches.
+      viewsIn.addData(Seq(Ev(999, t(600), 99, "view", 0, "{}")))
+      clicksIn.addData(Seq(Ev(998, t(600), 98, "click", 0, "{}")))
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out")
+        .select($"view_id", $"click_id", $"gap_us")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = EventPipeline.attributeClicks(
+          views.toDF(), clicks.toDF())
+        .select($"view_id", $"click_id", $"gap_us")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(batch == Set(
+        (100L, 200L, 10L * 60 * 1000000),
+        (101L, 202L, 10L * 60 * 1000000)))
+    } finally q.stop()
+  }
+
   test("funnel requires strictly ordered first event times") {
     val evs = Seq(
       // user 1: full ordered funnel view(5) < click(10) < purchase(15)
