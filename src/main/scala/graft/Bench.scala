@@ -39,7 +39,11 @@ object Bench {
     // prefix sum) and per-source token-budget trimming.
     "t_pack_sequences", "t_token_budget",
     // The whole curation→mix→pack chain as one plan.
-    "t_training_pipeline")
+    "t_training_pipeline",
+    // BI/warehouse surface (first ship in round 3's exit bench): one-pass
+    // multi-level rollup, SCD2 snapshot apply, stream-stream attribution
+    // batch face.
+    "olap_rollup", "scd2_versions", "ev_attribution")
 
   /** Round-3 exit per-query medians (sf0.1, local[32], median-of-3) —
     * the regression baseline recorded in BASELINE.md (strictly tighter

@@ -268,6 +268,22 @@ object CoreQueries {
         ok("l_suppkey"))
     }),
 
+    // A10 at-scale path: approximate percentiles (Greenwald–Khanna via
+    // `approx_percentile`, pinned accuracy 10000 ⇒ ε = 1e-4) gated
+    // against the exact `percentile` — same contract style as
+    // a8_hll_bound. Exact percentiles collect the full column per group
+    // at 100 TB; the sketch is the mergeable one-pass answer, and the
+    // gate machine-checks it stays within rank-ε of exact.
+    "a10_approx_quantile" -> ((s, d) => {
+      def ok(c: String, p: Double, tol: Double) =
+        (abs(expr(s"approx_percentile($c, $p, 10000)") -
+          expr(s"percentile($c, $p)")) <= tol)
+          .as(s"ok_${c}_p${(p * 100).toInt}")
+      t(s, d, "lineitem").agg(
+        ok("l_quantity", 0.5, 1.0), ok("l_quantity", 0.9, 1.0),
+        ok("l_extendedprice", 0.5, 100.0), ok("l_extendedprice", 0.9, 100.0))
+    }),
+
     // A9: null count per column, one pass (one genuinely nullable column
     // injected via nullif).
     "a9_nullcount" -> ((s, d) =>
@@ -397,6 +413,11 @@ object CoreQueries {
       """SELECT CAST(1 AS BOOLEAN) AS ok_l_orderkey,
         |CAST(1 AS BOOLEAN) AS ok_l_partkey,
         |CAST(1 AS BOOLEAN) AS ok_l_suppkey""".stripMargin,
+    "a10_approx_quantile" ->
+      """SELECT CAST(1 AS BOOLEAN) AS ok_l_quantity_p50,
+        |CAST(1 AS BOOLEAN) AS ok_l_quantity_p90,
+        |CAST(1 AS BOOLEAN) AS ok_l_extendedprice_p50,
+        |CAST(1 AS BOOLEAN) AS ok_l_extendedprice_p90""".stripMargin,
     "a9_nullcount" ->
       """SELECT count(*) FILTER (WHERE o_custkey IS NULL) AS nulls_custkey,
         |count(*) FILTER (WHERE nullif(o_orderstatus,'O') IS NULL) AS nulls_status

@@ -167,6 +167,36 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window must consume the aggregate, not raw facts:\n$p")
   }
 
+  test("scd2 apply runs ONE join; generator emits the version classes") {
+    // The keep/close/open row classes must come from one explode over
+    // the single full-outer join — three filter branches would
+    // re-execute the join per branch.
+    val p = plan("scd2_versions")
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).size
+    assert(joins == 1, s"scd2 apply must join exactly once (got $joins):\n$p")
+    assert(p.contains("Generate"), s"scd2 lost its generator fan-out:\n$p")
+  }
+
+  test("attribution joins on the user key, never all-pairs") {
+    // The time band must ride as a post-join condition on a user-keyed
+    // equi-join — a nested-loop reappearing means the band became the
+    // join condition itself.
+    val p = plan("ev_attribution")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"attribution degenerated to an all-pairs join:\n$p")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findFirstIn(p).nonEmpty, s"attribution lost its equi-join:\n$p")
+  }
+
+  test("fuzzy linkage equi-joins on the block key") {
+    val p = plan("j4_fuzzy_block")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy match degenerated to an all-pairs join:\n$p")
+  }
+
   test("headline aggregates keep whole-stage codegen on the hot path") {
     for (q <- Seq("d9_top_artists", "q1_agg")) {
       val p = plan(q)
