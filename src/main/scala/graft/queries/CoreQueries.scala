@@ -284,6 +284,34 @@ object CoreQueries {
         ok("l_extendedprice", 0.5, 100.0), ok("l_extendedprice", 0.9, 100.0))
     }),
 
+    // A13 (ext): set operations — INTERSECT / EXCEPT with set semantics
+    // (both engines dedup), counted. Spark plans these as aggregates +
+    // joins, so they shuffle on the compared columns like any equi-join.
+    "a13_set_ops" -> ((s, d) => {
+      def keys(status: String) =
+        t(s, d, "orders").where(col("o_orderstatus") === status)
+          .select(col("o_custkey"))
+      val f = keys("F")
+      val p = keys("P")
+      f.intersect(p).agg(count(lit(1)).as("n"))
+        .select(lit("both").as("op"), col("n"))
+        .unionByName(
+          f.except(p).agg(count(lit(1)).as("n"))
+            .select(lit("f_only").as("op"), col("n")))
+        .orderBy(col("op"))
+    }),
+
+    // P17 (ext): higher-order array functions — filter / transform /
+    // aggregate lambdas over a split column, all codegen'd per-row
+    // projections (zero shuffle; the 100 TB cost is the scan).
+    "p17_higher_order" -> ((s, d) =>
+      t(s, d, "part").select(col("p_partkey"),
+        size(filter(split(col("p_name"), " "),
+          w => length(w) > 5)).cast("long").as("n_long_words"),
+        aggregate(transform(split(col("p_name"), " "), w => length(w)),
+          lit(0), (acc, x) => acc + x).cast("long").as("total_chars"))
+        .orderBy(col("p_partkey"))),
+
     // A9: null count per column, one pass (one genuinely nullable column
     // injected via nullif).
     "a9_nullcount" -> ((s, d) =>
@@ -413,6 +441,24 @@ object CoreQueries {
       """SELECT CAST(1 AS BOOLEAN) AS ok_l_orderkey,
         |CAST(1 AS BOOLEAN) AS ok_l_partkey,
         |CAST(1 AS BOOLEAN) AS ok_l_suppkey""".stripMargin,
+    "a13_set_ops" ->
+      """SELECT 'both' AS op, count(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus='P')
+        |UNION ALL
+        |SELECT 'f_only', count(*) FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus='P')
+        |ORDER BY op""".stripMargin,
+    "p17_higher_order" ->
+      """SELECT p_partkey,
+        |CAST(len(list_filter(string_split(p_name,' '),
+        |  w -> len(w)>5)) AS BIGINT) AS n_long_words,
+        |CAST(list_sum(list_transform(string_split(p_name,' '),
+        |  w -> len(w))) AS BIGINT) AS total_chars
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "a10_approx_quantile" ->
       """SELECT CAST(1 AS BOOLEAN) AS ok_l_quantity_p50,
         |CAST(1 AS BOOLEAN) AS ok_l_quantity_p90,

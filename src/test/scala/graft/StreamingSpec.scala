@@ -156,6 +156,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops late events: closed windows never reopen") {
+    val input = MemoryStream[Ev](spark)
+    val q = EventPipeline.windowedAgg(
+        input.toDF().withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      // two events in the [0:00, 1:00) window
+      input.addData(Seq(Ev(1, t(5), 1, "view", 1.0, "{}"),
+        Ev(2, t(10), 1, "view", 2.0, "{}")))
+      q.processAllAvailable()
+      // advance the watermark past the window end (3:20 - 1h = 2:20):
+      // the window closes and flushes to the append sink
+      input.addData(Seq(Ev(3, t(200), 1, "view", 3.0, "{}")))
+      q.processAllAvailable()
+      val closed = spark.table("late_out")
+        .select($"ws", $"cnt").as[(Timestamp, Long)].collect().toMap
+      assert(closed(t(0)) == 2L)
+      // a LATE event inside the closed window arrives: it must be
+      // dropped, not reopen or duplicate the emitted window
+      input.addData(Seq(Ev(4, t(15), 1, "view", 9.0, "{}")))
+      q.processAllAvailable()
+      val after = spark.table("late_out")
+        .select($"ws", $"cnt").as[(Timestamp, Long)].collect()
+        .filter(_._1 == t(0))
+      assert(after.toSeq == Seq((t(0), 2L)),
+        s"late event must be dropped, got ${after.toSeq}")
+    } finally q.stop()
+  }
+
   test("funnel requires strictly ordered first event times") {
     val evs = Seq(
       // user 1: full ordered funnel view(5) < click(10) < purchase(15)
