@@ -325,6 +325,47 @@ object CoreQueries {
       Relational.stats(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"))),
 
+    // A14 (ext): fixed-width histogram — the EDA distribution profile as
+    // one aggregate pass (bucket = floor(x / width); empty buckets simply
+    // don't appear — at 100 TB a dense bucket spine would need a
+    // broadcast range join, the counts themselves never change).
+    "a14_histogram" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("lo", (col("bucket") * 50000).cast("double"))
+        .orderBy(col("bucket"))),
+
+    // A15 (ext): correlation matrix entries from DECIMAL-EXACT moment
+    // sums — `corr()` accumulates doubles in partition order and is not
+    // bit-reproducible across engines; the five exact sums are, and the
+    // final double expression is evaluated identically on both sides
+    // (same pattern as ev_zscore). One pass, three pairs.
+    "a15_corr" -> ((s, d) => {
+      // Sums accumulate as EXACT decimals (cent-discrete inputs, so the
+      // five moments are order-independent), are cast to double, and the
+      // corr formula then runs the SAME IEEE scalar expression both
+      // engines evaluate on identical operands — bit-reproducible.
+      // (Products of sums would overflow decimal widths; doubles on
+      // exact operands are the portable form.)
+      def dec(c: String) = col(c).cast("decimal(18,2)")
+      def entry(x: String, y: String) = {
+        val n = count(lit(1)).cast("double")
+        val sx = sum(dec(x)).cast("double")
+        val sy = sum(dec(y)).cast("double")
+        val sxy = sum(dec(x) * dec(y)).cast("double")
+        val sxx = sum(dec(x) * dec(x)).cast("double")
+        val syy = sum(dec(y) * dec(y)).cast("double")
+        round((n * sxy - sx * sy) /
+          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+          .as(s"corr_${x}_$y")
+      }
+      t(s, d, "lineitem").agg(
+        entry("l_quantity", "l_extendedprice"),
+        entry("l_quantity", "l_discount"),
+        entry("l_extendedprice", "l_tax"))
+    }),
+
     // A12: row-set sort with deterministic tie-break.
     "a12_sort" -> ((s, d) =>
       t(s, d, "orders")
@@ -441,6 +482,33 @@ object CoreQueries {
       """SELECT CAST(1 AS BOOLEAN) AS ok_l_orderkey,
         |CAST(1 AS BOOLEAN) AS ok_l_partkey,
         |CAST(1 AS BOOLEAN) AS ok_l_suppkey""".stripMargin,
+    "a14_histogram" ->
+      """SELECT CAST(floor(o_totalprice/50000) AS BIGINT) AS bucket,
+        |count(*) AS n,
+        |CAST(CAST(floor(o_totalprice/50000) AS BIGINT)*50000 AS DOUBLE) AS lo
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a15_corr" ->
+      """WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_e,
+        |CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_d,
+        |CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS s_t,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))*CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_qe,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))*CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_qd,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS s_et,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))*CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_qq,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))*CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_ee,
+        |CAST(sum(CAST(l_discount AS DECIMAL(18,2))*CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_dd,
+        |CAST(sum(CAST(l_tax AS DECIMAL(18,2))*CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS s_tt
+        |FROM lineitem)
+        |SELECT
+        |round((n*s_qe - s_q*s_e)/sqrt((n*s_qq - s_q*s_q)*(n*s_ee - s_e*s_e)),6)
+        |  AS corr_l_quantity_l_extendedprice,
+        |round((n*s_qd - s_q*s_d)/sqrt((n*s_qq - s_q*s_q)*(n*s_dd - s_d*s_d)),6)
+        |  AS corr_l_quantity_l_discount,
+        |round((n*s_et - s_e*s_t)/sqrt((n*s_ee - s_e*s_e)*(n*s_tt - s_t*s_t)),6)
+        |  AS corr_l_extendedprice_l_tax
+        |FROM m""".stripMargin,
     "a13_set_ops" ->
       """SELECT 'both' AS op, count(*) AS n FROM (
         |  SELECT o_custkey FROM orders WHERE o_orderstatus='F'
