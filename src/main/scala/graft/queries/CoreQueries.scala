@@ -366,6 +366,25 @@ object CoreQueries {
         entry("l_extendedprice", "l_tax"))
     }),
 
+    // A16 (ext): decile assignment WITHOUT a global window — the
+    // scale-safe NTILE replacement. NTILE over the whole table funnels
+    // every row through one sorting task; here nine quantile bounds are
+    // computed once (exact at test scale; `approx_percentile` is the
+    // 100 TB drop-in), broadcast, and each row buckets map-side by
+    // counting bounds strictly below its value.
+    "a16_deciles" -> ((s, d) => {
+      val ps = (1 to 9).map(p => s"0.$p").mkString("array(", ",", ")")
+      val bounds = t(s, d, "orders")
+        .agg(expr(s"percentile(o_totalprice, $ps)").as("bs"))
+      t(s, d, "orders").crossJoin(broadcast(bounds))
+        .select(col("o_orderkey"),
+          aggregate(col("bs"), lit(0),
+            (acc, b) => acc + when(col("o_totalprice") > b, 1).otherwise(0))
+            .cast("long").as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("n"))
+        .orderBy(col("decile"))
+    }),
+
     // A12: row-set sort with deterministic tie-break.
     "a12_sort" -> ((s, d) =>
       t(s, d, "orders")
@@ -482,6 +501,15 @@ object CoreQueries {
       """SELECT CAST(1 AS BOOLEAN) AS ok_l_orderkey,
         |CAST(1 AS BOOLEAN) AS ok_l_partkey,
         |CAST(1 AS BOOLEAN) AS ok_l_suppkey""".stripMargin,
+    "a16_deciles" ->
+      """WITH b AS (SELECT quantile_cont(o_totalprice,
+        |  [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM orders),
+        |a AS (SELECT o_orderkey,
+        |  CAST(list_sum(list_transform(b.bs,
+        |    x -> CASE WHEN o_totalprice > x THEN 1 ELSE 0 END)) AS BIGINT)
+        |    AS decile
+        |  FROM orders, b)
+        |SELECT decile, count(*) AS n FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     "a14_histogram" ->
       """SELECT CAST(floor(o_totalprice/50000) AS BIGINT) AS bucket,
         |count(*) AS n,

@@ -186,6 +186,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches events with a dimension") {
+    // The production enrichment pattern: a streamed fact side joined to a
+    // static (batch) dimension — the dim broadcasts once per micro-batch,
+    // no stream state at all (unlike stream-stream joins).
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Ev](spark)
+    val q = input.toDF()
+      .join(org.apache.spark.sql.functions.broadcast(dim),
+        Seq("user_id"), "left")
+      .select($"event_id", $"tier")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      input.addData(events) // users 1 and 2
+      q.processAllAvailable()
+      input.addData(Seq(Ev(9, t(300), 7, "view", 0, "{}"))) // no dim row
+      q.processAllAvailable()
+      val out = spark.table("enrich_out")
+        .as[(Long, Option[String])].collect().toMap
+      assert(out(1L).contains("gold") && out(3L).contains("gold"))
+      assert(out(4L).contains("basic") && out(5L).contains("basic"))
+      assert(out(9L).isEmpty, "unmatched stream row must keep null tier")
+    } finally q.stop()
+  }
+
   test("funnel requires strictly ordered first event times") {
     val evs = Seq(
       // user 1: full ordered funnel view(5) < click(10) < purchase(15)
