@@ -23,7 +23,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.defs ++ SourceQueries.defs ++ DashboardQueries.defs ++
       TextQueries.defs ++ SimilarityQueries.defs ++ EventQueries.defs ++
-      PipelineQueries.defs ++ MixQueries.defs ++ OlapQueries.defs
+      PipelineQueries.defs ++ MixQueries.defs ++ OlapQueries.defs ++
+      RetrievalQueries.defs
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
@@ -31,5 +32,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ SourceQueries.oracles ++ DashboardQueries.oracles ++
       TextQueries.oracles ++ SimilarityQueries.oracles ++ EventQueries.oracles ++
-      PipelineQueries.oracles ++ MixQueries.oracles ++ OlapQueries.oracles
+      PipelineQueries.oracles ++ MixQueries.oracles ++ OlapQueries.oracles ++
+      RetrievalQueries.oracles
 }

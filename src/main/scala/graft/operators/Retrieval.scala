@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus-level relevance scoring (BM25 family) — ranking documents
+  * against a query term set, the retrieval half of a RAG/data-curation
+  * pipeline.
+  *
+  * Scale design: the only aggregation is ONE tiny pass producing the
+  * corpus statistics the formula needs — document count, total token
+  * count, and one document-frequency counter per query term (a single
+  * row, map-side combined). That row broadcasts back over the corpus and
+  * every score is then a per-row projection over the token array. No
+  * per-term explode, no inverted-index shuffle, no join keyed by terms:
+  * at 100 TB the cost is two scans (one agg, one score), both at scan
+  * speed.
+  *
+  * The idf is the Robertson–Sparck-Jones odds ratio WITHOUT the log:
+  * `(N - df + 0.5) / (df + 0.5)`. Dropping the log keeps every operation
+  * rational arithmetic on exact integer counts, so scores are
+  * bit-reproducible across engines (IEEE `+ * /` only — no libm, whose
+  * last-ulp `ln` differences would break cross-engine hash comparison).
+  * Rank order per term is unchanged (the transform is monotone in df).
+  */
+object Retrieval {
+
+  /** Score every document against `queryTerms`; returns (idCol, score).
+    * `k1` damps term-frequency saturation, `b` the length normalization —
+    * the classic BM25 knobs (defaults 1.2 / 0.75).
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val base = df.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("_ws"),
+      TextFunctions.tokenCount(col(textCol)).as("_dl"))
+    // One-row corpus stats: N, total tokens, df per query term.
+    val dfAggs = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(col("_ws"), t), 1L).otherwise(0L)).as(s"_df_$i")
+    }
+    val stats = base.agg(
+      count(lit(1)).as("_n_docs"),
+      (sum(col("_dl")).as("_tot_dl") +: dfAggs): _*)
+    val scored = base.crossJoin(broadcast(stats))
+    // Per-term contribution; mirrored op-for-op by the SQL oracle so the
+    // doubles land bit-identical.
+    def term(t: String, i: Int): Column = {
+      val tf = size(filter(col("_ws"), w => w === t)).cast("double")
+      val idf = (col("_n_docs").cast("double") - col(s"_df_$i") + 0.5) /
+        (col(s"_df_$i") + lit(0.5))
+      val avgdl = col("_tot_dl").cast("double") / col("_n_docs")
+      idf * (tf * (k1 + 1)) /
+        (tf + lit(k1) * (lit(1) - b + lit(b) * (col("_dl") / avgdl)))
+    }
+    val score = queryTerms.zipWithIndex
+      .map { case (t, i) => term(t, i) }
+      .reduce(_ + _)
+    scored.select(col(idCol), score.as("score"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-size frequency/membership sketches — the approximate structures a
+  * 100 TB pipeline uses where exact state would be data-sized.
+  *
+  * Both sketches here are built from deterministic md5-derived bucket keys
+  * (the engine's standard cross-engine hash), so every estimate is exactly
+  * reproducible by the DuckDB oracle — the correctness gate checks the
+  * ESTIMATES, not just a tolerance band.
+  */
+object Sketches {
+
+  /** Count–min sketch heavy hitters: estimate the frequency of the exact
+    * top-`k` keys through a depth×width counter grid and report estimate
+    * vs truth side by side.
+    *
+    * Output: (key, exact_cnt, est_cnt, overestimate) for the top-`k` keys
+    * by exact count (ties broken by key).
+    *
+    * Scale design: the sketch is ONE aggregate over (seed, bucket) —
+    * depth × 16^prefixLen counters TOTAL, regardless of row count. Partial
+    * aggregation combines map-side, the grid is mergeable across
+    * partitions/days by construction (counter-wise add), and the grid
+    * broadcasts back for the estimate join. The exact top-k here is the
+    * calibration baseline (same posture as `t_minhash_est` /
+    * `a8_hll_bound`): at 100 TB you keep the sketch and drop the exact
+    * pass. CM guarantees est ≥ exact always; est ≤ exact + εN with
+    * ε = e/width at confidence 1 − e^−depth.
+    */
+  def cmsHeavyHitters(df: DataFrame, keyCol: String, k: Int = 10,
+                      depth: Int = 3, prefixLen: Int = 2): DataFrame = {
+    require(depth >= 1 && prefixLen >= 1, "depth and prefixLen must be >= 1")
+    val keyed = df.select(col(keyCol).cast("string").as("k"))
+    // The counter grid: one row per live (seed, bucket) cell.
+    val grid = keyed
+      .select(col("k"), explode(array((0 until depth).map(lit): _*)).as("s"))
+      .withColumn("bucket",
+        substring(md5(concat_ws(":", col("s"), col("k"))), 1, prefixLen))
+      .groupBy(col("s"), col("bucket")).agg(count(lit(1)).as("c"))
+    val top = keyed.groupBy(col("k")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("k")).limit(k)
+    // Estimate = min over depth rows of the key's bucket counter.
+    val est = (0 until depth).foldLeft(top) { (acc, s) =>
+      acc.join(
+        broadcast(grid.where(col("s") === s).select(
+          col("bucket").as(s"_b$s"), col("c").as(s"_c$s"))),
+        substring(md5(concat_ws(":", lit(s), col("k"))), 1, prefixLen)
+          === col(s"_b$s"))
+    }
+    est.select(col("k"), col("exact_cnt"),
+        least((0 until depth).map(s => col(s"_c$s")): _*).as("est_cnt"))
+      .withColumn("overestimate", col("est_cnt") - col("exact_cnt"))
+  }
+
+  /** Membership-pruned incremental exact dedup: keep the batch rows whose
+    * content hash is absent from the corpus, consulting a tiny hash-prefix
+    * bitmap BEFORE the anti-join.
+    *
+    * The bitmap is a one-hash Bloom filter: the set of distinct
+    * `prefixLen`-hex-char md5 prefixes present in the corpus (≤ 16^prefixLen
+    * values — at prefixLen 4 that is ≤ 64 KiB collected and broadcast, the
+    * same broadcast-tiny-bounds pattern as the decile operator). Batch rows
+    * whose prefix misses the bitmap are DEFINITELY new and bypass the join
+    * entirely; only possible members pay the shuffle. False positives cost
+    * a join probe, never correctness — the result is proven identical to
+    * the plain anti-join by the oracle. At full saturation (every prefix
+    * live) the plan degrades gracefully to the plain anti-join.
+    */
+  def bloomPrunedNewRows(batch: DataFrame, corpus: DataFrame, idCol: String,
+                         textCol: String, prefixLen: Int = 2): DataFrame = {
+    val h = md5(col(textCol))
+    val pfx = substring(h, 1, prefixLen)
+    val live: Array[String] = corpus.select(pfx.as("p")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val maybe = array_contains(typedLit(live.toSeq), pfx)
+    val definite = batch.where(!maybe).select(col(idCol))
+    val candidates = batch.where(maybe)
+      .join(corpus.select(h.as("_h")).distinct(),
+        h === col("_h"), "left_anti")
+      .select(col(idCol))
+    definite.unionByName(candidates)
+  }
+}
