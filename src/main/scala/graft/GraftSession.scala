@@ -25,6 +25,11 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", "graft.GraftExtensions")
+    // Fact⋈fact posture: when neither side broadcasts, a selective build
+    // side injects a bloom filter that prunes the probe scan BEFORE the
+    // shuffle. Pinned on (its size gates keep it scoped to big scans);
+    // PlanAuditSpec asserts the injection fires.
+    .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
 
   /** Local-mode session: a single JVM with N executor threads, shuffle
     * partitions = core count (at cluster scale set ≈ 2–3× total cores and

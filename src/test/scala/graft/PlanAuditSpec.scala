@@ -197,6 +197,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s"fuzzy match degenerated to an all-pairs join:\n$p")
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // The fact⋈fact posture at 100 TB: when neither side broadcasts, a
+    // selective filter on the build side should inject a bloom filter
+    // that prunes the probe-side scan BEFORE the shuffle
+    // (spark.sql.optimizer.runtime.bloomFilter, on in GraftSession). The
+    // thresholds here only shrink the size gates so the sf0.001 fixture
+    // qualifies — the rewrite under test is the production one.
+    import org.apache.spark.sql.functions.col
+    val saved = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1"
+    ).map { case (k, v) =>
+      val old = spark.conf.getOption(k); spark.conf.set(k, v); k -> old
+    }
+    try {
+      val li = graft.sources.Tables.load(spark, dir, "lineitem")
+      val ord = graft.sources.Tables.load(spark, dir, "orders")
+        .where(col("o_orderstatus") === "P")
+      val p = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter injected on the probe side:\n$p")
+    } finally saved.foreach { case (k, old) =>
+      old.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("headline aggregates keep whole-stage codegen on the hot path") {
     for (q <- Seq("d9_top_artists", "q1_agg")) {
       val p = plan(q)
