@@ -63,6 +63,11 @@ object Bench {
     "t_token_budget" -> 0.85)
 
   def main(args: Array[String]): Unit = {
+    // Optional args: restrict to the named queries (local plan iteration
+    // on one slow query without paying the whole headline set). The
+    // driver passes none.
+    val only = if (args.isEmpty) headline
+               else headline.filter(args.toSet)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val smallDir =
       sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
@@ -90,7 +95,7 @@ object Bench {
     }
 
     // Warm-up (untimed): JIT + codegen + parquet footer reads for all tables.
-    headline.foreach { name =>
+    only.foreach { name =>
       try materialize(name, sfDir) catch { case _: Throwable => () }
     }
 
@@ -98,7 +103,7 @@ object Bench {
     // carry ±30% scheduler/GC noise, which would drown real plan
     // regressions between rounds. Any failed run poisons the median to
     // None — a broken query must never report as a fast success.
-    val results: Seq[(String, Option[Double])] = headline.map { name =>
+    val results: Seq[(String, Option[Double])] = only.map { name =>
       val times = (1 to 3).map(_ => timeOne(name, sfDir))
       name -> (if (times.exists(_.isEmpty)) None
                else Some(times.flatten.sorted.apply(1)))
@@ -110,10 +115,10 @@ object Bench {
     val scaling: Seq[(String, Option[Double])] =
       if (smallDir == sfDir) Seq.empty
       else {
-        headline.foreach { name =>
+        only.foreach { name =>
           try materialize(name, smallDir) catch { case _: Throwable => () }
         }
-        headline.map { name =>
+        only.map { name =>
           val small = timeOne(name, smallDir)
           val big = results.toMap.apply(name)
           name -> (for (s <- small; b <- big if s > 0) yield b / s)

@@ -98,7 +98,14 @@ object MixQueries {
       val kept = Dedup.nearDedupKept(exact, "doc_id", "text",
         threshold = 0.5)
       val evalSet = all.where(pmod(col("doc_id"), lit(37)) === 0)
+      // Stage boundary: `train` fans into TWO consumers (the decontam
+      // shingle join and the anti-join that removes its flagged rows), so
+      // without it the whole quality→exact→near-dup chain (including the
+      // iterative clustering) is recomputed per consumer. At the lake this
+      // is the curated-corpus staging table between pipeline stages — the
+      // same posture as the warehouse merge stage.
       val train = kept.where(pmod(col("doc_id"), lit(37)) =!= 0)
+        .localCheckpoint()
       val flagged = Decontam.overlaps(train, evalSet, "doc_id", "text",
           n = 3, minOverlap = 2, maxShingleDf = 50L)
         .select(col("train_id").as("doc_id")).distinct()
