@@ -43,7 +43,10 @@ object Bench {
     // BI/warehouse surface (first ship in round 3's exit bench): one-pass
     // multi-level rollup, SCD2 snapshot apply, stream-stream attribution
     // batch face.
-    "olap_rollup", "scd2_versions", "ev_attribution")
+    "olap_rollup", "scd2_versions", "ev_attribution",
+    // Retrieval/sketch surface (round 3): chunk generator, BM25 scoring,
+    // count-min heavy hitters, bloom-pruned incremental dedup.
+    "t_chunk_overlap", "t_bm25", "t_cms_heavy", "t_dedup_bloom")
 
   /** Round-3 exit per-query medians (sf0.1, local[32], median-of-3) —
     * the regression baseline recorded in BASELINE.md (strictly tighter
@@ -60,7 +63,12 @@ object Bench {
     "pipeline_clean" -> 2.09, "pipeline_warehouse_counts" -> 8.16,
     "t_curation_funnel" -> 5.60, "t_decontam" -> 2.99,
     "sim_topk_lsh" -> 0.34, "t_pack_sequences" -> 0.57,
-    "t_token_budget" -> 0.85)
+    "t_token_budget" -> 0.85,
+    // Round-4 first-ship medians (same harness).
+    "t_training_pipeline" -> 10.44, "olap_rollup" -> 0.64,
+    "scd2_versions" -> 0.35, "ev_attribution" -> 0.33,
+    "t_chunk_overlap" -> 2.43, "t_bm25" -> 0.56,
+    "t_cms_heavy" -> 0.47, "t_dedup_bloom" -> 0.45)
 
   def main(args: Array[String]): Unit = {
     // Optional args: restrict to the named queries (local plan iteration
