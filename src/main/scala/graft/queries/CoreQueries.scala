@@ -159,6 +159,26 @@ object CoreQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // J5 (ext): explicit semi/anti join surface — customers WITH orders
+    // (left_semi: probe rows pass at the first build match, no fan-out)
+    // vs WITHOUT (left_anti), rolled up per segment. Both shuffle once on
+    // the key like any equi-join and never duplicate probe rows.
+    "j5_semi_anti" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      // High-value orders only, so BOTH populations are non-empty (every
+      // customer has some order; not every customer has a big one).
+      val o = t(s, d, "orders").where(col("o_totalprice") > 300000)
+        .select(col("o_custkey"))
+      def side(joinType: String, kind: String) =
+        c.join(o, col("c_custkey") === col("o_custkey"), joinType)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"))
+          .withColumn("kind", lit(kind))
+      side("left_semi", "with_orders")
+        .unionByName(side("left_anti", "no_orders"))
+        .orderBy(col("kind"), col("c_mktsegment"))
+    }),
+
     // J1: full-outer equi-join with pandas-style _merge indicator over
     // orders ⟗ (customers in debt) — all three indicator buckets occur.
     "j1_merge_indicator" -> ((s, d) => {
@@ -453,6 +473,18 @@ object CoreQueries {
         |FROM c a JOIN c b ON a.blk=b.blk AND a.id<b.id
         |WHERE levenshtein(a.name, b.name) <= 1
         |ORDER BY 1, 2""".stripMargin,
+    "j5_semi_anti" ->
+      """WITH big AS (SELECT o_custkey FROM orders
+        |  WHERE o_totalprice > 300000)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |  'with_orders' AS kind FROM customer
+        |WHERE EXISTS (SELECT 1 FROM big WHERE o_custkey = c_custkey)
+        |GROUP BY 1
+        |UNION ALL
+        |SELECT c_mktsegment, count(*), 'no_orders' FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM big WHERE o_custkey = c_custkey)
+        |GROUP BY 1
+        |ORDER BY kind, c_mktsegment""".stripMargin,
     "j1_merge_indicator" ->
       """SELECT coalesce(o.o_custkey, c.c_custkey) AS custkey, o.o_orderkey, c.c_acctbal,
         |CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NOT NULL THEN 'both'

@@ -130,10 +130,29 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"),
           (round(sum(col("value")), 4) / count(lit(1))).as("avg_value"))
         .orderBy(col("seg"))
-    })
+    }),
+
+    // Dense hourly grid per event type: absent (type, hour) buckets
+    // zero-filled — the generated-spine gap fill (no re-scan of events to
+    // discover the grid; see operators/TimeSeries.scala).
+    "ev_gapfill" -> ((s, d) =>
+      graft.operators.TimeSeries.gapFillHourly(ev(s, d), "event_type", "ts")
+        .orderBy(col("event_type"), col("bucket")))
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_gapfill" ->
+      """WITH sp AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |  date_trunc('hour', max(ts)) AS hi FROM events),
+        |grid AS (SELECT event_type,
+        |  unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        |  FROM (SELECT DISTINCT event_type FROM events), sp),
+        |sparse AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |  count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT g.event_type, g.bucket, coalesce(s.n, 0) AS n
+        |FROM grid g LEFT JOIN sparse s
+        |  ON g.event_type = s.event_type AND g.bucket = s.bucket
+        |ORDER BY 1, 2""".stripMargin,
     "ev_window_agg" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS cnt,
         |round(sum(value),4)/count(*) AS avg_value
