@@ -25,11 +25,20 @@ object TimeSeries {
   def gapFillHourly(df: DataFrame, keyCol: String, tsCol: String)
       : DataFrame = {
     val hour: Column = date_trunc("hour", col(tsCol))
+    // Span AND key dimension both derive from the sparse aggregate, not
+    // from the raw log: min/max of the observed buckets ≡ the truncated
+    // min/max timestamp, and the key set ≡ the aggregate's key values.
+    // The aggregate is |keys|×|buckets| — tiny — so it is STAGED
+    // (localCheckpoint) and its three consumers (span, keys, join probe)
+    // share one materialization of ONE events scan; per-branch column
+    // pruning would otherwise specialize the aggregate per consumer and
+    // re-scan the log three times (asserted in PlanAuditSpec).
     val sparse = df.groupBy(col(keyCol), hour.as("bucket"))
       .agg(count(lit(1)).as("_n"))
-    val span = df.agg(date_trunc("hour", min(col(tsCol))).as("_lo"),
-      date_trunc("hour", max(col(tsCol))).as("_hi"))
-    val spine = df.select(col(keyCol)).distinct()
+      .localCheckpoint()
+    val span = sparse.agg(min(col("bucket")).as("_lo"),
+      max(col("bucket")).as("_hi"))
+    val spine = sparse.select(col(keyCol)).distinct()
       .crossJoin(broadcast(span))
       .select(col(keyCol), explode(
         sequence(col("_lo"), col("_hi"), expr("interval 1 hour")))

@@ -197,6 +197,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"fuzzy match degenerated to an all-pairs join:\n$p")
   }
 
+  test("gap fill scans the event log exactly once") {
+    // Span, key dimension and join probe all read the STAGED sparse
+    // aggregate: the final plan contains no parquet scan at all — the one
+    // events scan lives inside the staging job. Three `Scan parquet`
+    // nodes reappearing means per-branch pruning re-specialized the
+    // aggregate and the log is being re-read per consumer.
+    val p = plan("ev_gapfill")
+    assert(!p.contains("Scan parquet"),
+      s"gap fill re-scans the event log per consumer:\n$p")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective join") {
     // The fact⋈fact posture at 100 TB: when neither side broadcasts, a
     // selective filter on the build side should inject a bloom filter
