@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.NativeFunctions
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 import graft.sources.Tables
 
 /** Similarity-search queries over `embeddings.parquet` (500×64-dim float
@@ -60,6 +60,22 @@ object SimilarityQueries {
       Similarity.cosineNearDupPairs(emb(s, d), "vec_id", "embedding",
         "label", threshold = 0.35)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // SEMANTIC dedup end-to-end: cosine near-dup pairs → connected
+    // components → keep each cluster's min id — the embedding-space
+    // analog of t_neardup_kept (same min-label clustering operator, a
+    // recursive-CTE oracle re-deriving the components independently).
+    "sim_semantic_kept" -> ((s, d) => {
+      val e = emb(s, d)
+      val cc = Dedup.connectedComponents(
+        Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
+          "label", threshold = 0.35),
+        "id_a", "id_b")
+      e.join(cc.where(col("node") =!= col("cluster"))
+          .select(col("node").as("vec_id")),
+          Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label")).orderBy(col("vec_id"))
+    }),
 
     // Real LSH path: sign-bit random-projection buckets (4 seeded
     // hyperplanes → 16 buckets), then bucket-pruned top-k. The planes are
@@ -387,6 +403,22 @@ object SimilarityQueries {
          |  FROM v a JOIN v b ON a.label=b.label AND a.vec_id<b.vec_id),
          |s AS (SELECT id_a, id_b, $cosSql AS cos FROM p)
          |SELECT id_a, id_b, cos FROM s WHERE cos>=0.35 ORDER BY 1,2""".stripMargin,
+    "sim_semantic_kept" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id, label,
+         |  CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  a.e AS q_vec, b.e AS n_vec
+         |  FROM v a JOIN v b ON a.label=b.label AND a.vec_id<b.vec_id),
+         |s AS (SELECT id_a, id_b, $cosSql AS cos FROM p),
+         |pairs AS (SELECT id_a, id_b FROM s WHERE cos>=0.35),
+         |eg AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (SELECT src, src FROM eg
+         |  UNION SELECT eg.src, r.dst FROM eg JOIN reach r ON eg.dst=r.src),
+         |cc AS (SELECT src AS node, min(dst) AS cluster FROM reach GROUP BY 1)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT node FROM cc WHERE node<>cluster)
+         |ORDER BY 1""".stripMargin,
     "sim_topk_lsh_probe" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |b AS (SELECT vec_id, e, $bucketSql AS bucket FROM v),
