@@ -292,6 +292,27 @@ object CoreQueries {
         ok("l_suppkey"))
     }),
 
+    // Order-independent table fingerprint: SUM of a per-row content hash
+    // (first 12 md5 hex chars as a 48-bit integer, decimal-exact sum) —
+    // one scalar that equality-checks a replica/migration without moving
+    // data. Commutative sum ⇒ partition/order independent; map-side
+    // partial aggregation ⇒ one scan, no shuffle of data rows. Columns
+    // are non-null key/string/date (doubles excluded: their string
+    // rendering is engine-specific). The oracle recomputes the identical
+    // checksum in DuckDB — cross-engine replica verification, literally.
+    "q_fingerprint" -> ((s, d) => {
+      def fp(df: DataFrame, name: String, cols: Seq[String]) =
+        df.select(concat_ws("|", cols.map(col): _*).as("_r"))
+          .agg(sum(conv(substring(md5(col("_r")), 1, 12), 16, 10)
+            .cast("decimal(38,0)")).as("fingerprint"))
+          .select(lit(name).as("tbl"), col("fingerprint"))
+      fp(t(s, d, "customer"), "customer",
+          Seq("c_custkey", "c_name", "c_mktsegment"))
+        .unionByName(fp(t(s, d, "orders"), "orders",
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")))
+        .orderBy(col("tbl"))
+    }),
+
     // A8 sketch-MERGE contract (DataSketches HLL): per-partition sketches
     // union into the whole-relation answer — the incremental-distinct
     // pattern at the lake (per-day sketches merged without re-scanning
@@ -561,6 +582,18 @@ object CoreQueries {
         |count(DISTINCT o_custkey) AS nu_o_custkey,
         |count(DISTINCT o_orderstatus) AS nu_o_orderstatus,
         |count(DISTINCT o_orderpriority) AS nu_o_orderpriority FROM orders""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT 'customer' AS tbl,
+        |  sum(CAST('0x' || substr(md5(c_custkey || '|' || c_name || '|'
+        |    || c_mktsegment), 1, 12) AS BIGINT)) AS fingerprint
+        |FROM customer
+        |UNION ALL
+        |SELECT 'orders',
+        |  sum(CAST('0x' || substr(md5(o_orderkey || '|' || o_custkey
+        |    || '|' || o_orderstatus || '|' || o_orderdate), 1, 12)
+        |    AS BIGINT))
+        |FROM orders
+        |ORDER BY tbl""".stripMargin,
     "a8_hll_merge" ->
       """SELECT CAST(1 AS BOOLEAN) AS merge_near_whole,
         |CAST(1 AS BOOLEAN) AS within_5pct""".stripMargin,

@@ -137,10 +137,54 @@ object EventQueries {
     // discover the grid; see operators/TimeSeries.scala).
     "ev_gapfill" -> ((s, d) =>
       graft.operators.TimeSeries.gapFillHourly(ev(s, d), "event_type", "ts")
-        .orderBy(col("event_type"), col("bucket")))
+        .orderBy(col("event_type"), col("bucket"))),
+
+    // CDC log compaction: latest state per (user, event_type) in ONE
+    // grouped aggregate — `max_by` over a (ts, event_id) struct gives the
+    // deterministic last-writer-wins row with no per-key window sort.
+    // This is the materialized-view refresh shape: one shuffle on the
+    // key, map-side partial max, never row_number over the full log.
+    "ev_latest_compact" -> ((s, d) =>
+      ev(s, d).groupBy(col("user_id"), col("event_type"))
+        .agg(
+          max_by(col("value"), struct(col("ts"), col("event_id")))
+            .as("last_value"),
+          max(col("ts")).as("last_ts"))
+        .orderBy(col("user_id"), col("event_type"))),
+
+    // Behavioral transition matrix: (event_type → next event_type) counts
+    // in per-user time order — `lead` over user-partitioned windows (each
+    // partition is one user's events; no global sort), then one count
+    // aggregate over the bigram.
+    "ev_transitions" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, d)
+        .select(col("event_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("next_type"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_latest_compact" ->
+      """WITH r AS (SELECT user_id, event_type, value, ts,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, value AS last_value, ts AS last_ts
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "ev_transitions" ->
+      """WITH nx AS (SELECT event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type, next_type, count(*) AS n FROM nx
+        |WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_gapfill" ->
       """WITH sp AS (SELECT date_trunc('hour', min(ts)) AS lo,
         |  date_trunc('hour', max(ts)) AS hi FROM events),
