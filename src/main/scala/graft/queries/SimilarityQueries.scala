@@ -61,6 +61,35 @@ object SimilarityQueries {
         "label", threshold = 0.35)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Embedding whitening: per-DIMENSION z-standardization (the prep step
+    // before cosine/IVF when dimensions carry different scales). One
+    // grouped aggregate over the exploded (dim, x) pairs, stats broadcast
+    // back, transform per-row. Cross-engine exactness: floats quantize by
+    // floor(x·2^20) — float→double is exact, ·2^20 is an exponent shift,
+    // floor is deterministic — so the moments are exact INTEGER sums and
+    // every remaining op (double divide, sqrt) is IEEE-identical in both
+    // engines. (A decimal(18,9) cast is NOT portable: Spark rounds the
+    // float's shortest string, DuckDB the double expansion.) Output
+    // sampled to 5 vectors in long (vec_id, dim, z) form; the stats still
+    // aggregate the WHOLE corpus.
+    "sim_whiten" -> ((s, d) => {
+      val x = emb(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .toDF("vec_id", "dim", "x")
+        .withColumn("dx",
+          floor(col("x").cast("double") * 1048576).cast("long"))
+      val stats = x.groupBy(col("dim")).agg(
+        sum(col("dx")).as("s"), sum(col("dx") * col("dx")).as("sq"),
+        count(lit(1)).as("n"))
+      val mean = col("s").cast("double") / col("n")
+      val variance = col("sq").cast("double") / col("n") - mean * mean
+      x.join(broadcast(stats), Seq("dim"))
+        .where(col("vec_id") < 5)
+        .select(col("vec_id"), col("dim"),
+          ((col("dx").cast("double") - mean) / sqrt(variance)).as("z"))
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
     // SEMANTIC dedup end-to-end: cosine near-dup pairs → connected
     // components → keep each cluster's min id — the embedding-space
     // analog of t_neardup_kept (same min-label clustering operator, a
@@ -403,6 +432,20 @@ object SimilarityQueries {
          |  FROM v a JOIN v b ON a.label=b.label AND a.vec_id<b.vec_id),
          |s AS (SELECT id_a, id_b, $cosSql AS cos FROM p)
          |SELECT id_a, id_b, cos FROM s WHERE cos>=0.35 ORDER BY 1,2""".stripMargin,
+    "sim_whiten" ->
+      """WITH x AS (SELECT vec_id, i-1 AS dim,
+        |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
+        |    AS dx
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+        |st AS (SELECT dim, sum(dx) AS s, sum(dx*dx) AS sq, count(*) AS n
+        |  FROM x GROUP BY 1),
+        |m AS (SELECT dim, CAST(s AS DOUBLE)/n AS mean,
+        |  CAST(sq AS DOUBLE)/n
+        |    - (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n) AS vr
+        |  FROM st)
+        |SELECT x.vec_id, x.dim, (CAST(dx AS DOUBLE) - m.mean)/sqrt(m.vr) AS z
+        |FROM x JOIN m USING (dim) WHERE vec_id < 5
+        |ORDER BY 1, 2""".stripMargin,
     "sim_semantic_kept" ->
       s"""WITH RECURSIVE v AS (SELECT vec_id, label,
          |  CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
