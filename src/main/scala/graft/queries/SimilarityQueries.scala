@@ -61,6 +61,33 @@ object SimilarityQueries {
         "label", threshold = 0.35)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Distributed PCA contract: covariance from ONE map-side-combinable
+    // Gram aggregate, eigensolve on the driver (64×64 — the tiny-bounds
+    // collect posture), components back as plan literals. The gates tie
+    // the driver eigensolve to the DATA distributedly: the corpus
+    // variance along each component must equal its eigenvalue, the two
+    // projections must be uncorrelated, and the top-2 captured-variance
+    // share must clear the uniform floor (top-k eigenvalues ≥ k·mean, so
+    // ≥ 2/64 is structurally guaranteed — blob-structured embeddings land
+    // far above it).
+    "sim_pca" -> ((s, d) => {
+      val e = emb(s, d)
+      val (evals, evecs) = graft.operators.Pca.jacobiEigen(
+        graft.operators.Pca.covariance(e, "embedding", 64))
+      val top2Share = (evals(0) + evals(1)) / evals.sum
+      val p0 = graft.operators.Pca.project(col("embedding"), evecs(0))
+      val p1 = graft.operators.Pca.project(col("embedding"), evecs(1))
+      e.agg(var_pop(p0).as("v0"), var_pop(p1).as("v1"),
+          covar_pop(p0, p1).as("c01"))
+        .select(
+          (abs(col("v0") - evals(0)) <= lit(1e-6) * evals(0))
+            .as("var0_is_eigval"),
+          (abs(col("v1") - evals(1)) <= lit(1e-6) * evals(1))
+            .as("var1_is_eigval"),
+          (abs(col("c01")) <= lit(1e-9)).as("projections_uncorrelated"),
+          lit(top2Share >= 2.0 / 64).as("captures_at_least_uniform"))
+    }),
+
     // Embedding whitening: per-DIMENSION z-standardization (the prep step
     // before cosine/IVF when dimensions carry different scales). One
     // grouped aggregate over the exploded (dim, x) pairs, stats broadcast
@@ -432,6 +459,11 @@ object SimilarityQueries {
          |  FROM v a JOIN v b ON a.label=b.label AND a.vec_id<b.vec_id),
          |s AS (SELECT id_a, id_b, $cosSql AS cos FROM p)
          |SELECT id_a, id_b, cos FROM s WHERE cos>=0.35 ORDER BY 1,2""".stripMargin,
+    "sim_pca" ->
+      """SELECT CAST(1 AS BOOLEAN) AS var0_is_eigval,
+        |CAST(1 AS BOOLEAN) AS var1_is_eigval,
+        |CAST(1 AS BOOLEAN) AS projections_uncorrelated,
+        |CAST(1 AS BOOLEAN) AS captures_at_least_uniform""".stripMargin,
     "sim_whiten" ->
       """WITH x AS (SELECT vec_id, i-1 AS dim,
         |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
