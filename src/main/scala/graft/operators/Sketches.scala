@@ -34,12 +34,17 @@ object Sketches {
                       depth: Int = 3, prefixLen: Int = 2): DataFrame = {
     require(depth >= 1 && prefixLen >= 1, "depth and prefixLen must be >= 1")
     val keyed = df.select(col(keyCol).cast("string").as("k"))
-    // The counter grid: one row per live (seed, bucket) cell.
+    // The counter grid: one row per live (seed, bucket) cell. STAGED
+    // (localCheckpoint): its ≤ depth×16^prefixLen rows are consulted once
+    // per depth row by the estimate joins — without the stage each join
+    // branch would re-scan and re-aggregate the full input (the sketch IS
+    // the thing you materialize; re-deriving it per probe defeats it).
     val grid = keyed
       .select(col("k"), explode(array((0 until depth).map(lit): _*)).as("s"))
       .withColumn("bucket",
         substring(md5(concat_ws(":", col("s"), col("k"))), 1, prefixLen))
       .groupBy(col("s"), col("bucket")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val top = keyed.groupBy(col("k")).agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("k")).limit(k)
     // Estimate = min over depth rows of the key's bucket counter.
