@@ -55,15 +55,32 @@ object CorpusJobs {
     TrainingMix.writeShards(
       curated(spark.read.parquet(inPath)), "doc_id", docsPerShard, outDir)
 
+  /** Curate, then explode into overlapping retrieval chunks (the RAG
+    * export): same curation chain, `Chunking.chunk` fan-out, parquet out.
+    */
+  def curateToChunks(spark: SparkSession, inPath: String, outDir: String,
+                     size: Int, stride: Int): Unit =
+    graft.operators.Chunking
+      .chunk(curated(spark.read.parquet(inPath)), "doc_id", "text",
+        size, stride)
+      .write.mode("overwrite").parquet(outDir)
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: shards <documentsParquet> <outDir> [docsPerShard]")
+      "usage: shards <documentsParquet> <outDir> [docsPerShard] | " +
+        "chunks <documentsParquet> <outDir> [size] [stride]")
     val Array(job, inPath, outDir) = args.take(3)
-    require(job == "shards", s"unknown job $job")
-    val docsPerShard = args.lift(3).map(_.toLong).getOrElse(1024L)
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, s"graft-$job")
-    try curateToShards(spark, inPath, outDir, docsPerShard)
-    finally spark.stop()
+    try job match {
+      case "shards" =>
+        curateToShards(spark, inPath, outDir,
+          args.lift(3).map(_.toLong).getOrElse(1024L))
+      case "chunks" =>
+        curateToChunks(spark, inPath, outDir,
+          args.lift(3).map(_.toInt).getOrElse(512),
+          args.lift(4).map(_.toInt).getOrElse(384))
+      case other => sys.error(s"unknown job $other")
+    } finally spark.stop()
   }
 }
