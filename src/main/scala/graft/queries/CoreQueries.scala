@@ -357,6 +357,25 @@ object CoreQueries {
         ok("l_extendedprice", 0.5, 100.0), ok("l_extendedprice", 0.9, 100.0))
     }),
 
+    // A10g (ext): GROUPED approximate quantiles — the per-segment stats
+    // sheet (p50/p90 of order value per status) as one mergeable sketch
+    // pass, gated per group against the exact percentile. Exact grouped
+    // percentiles collect each group's column; the GK sketch is the
+    // at-scale path and this contract machine-checks it per group. The
+    // gate is RELATIVE (1%): the sketch returns an actual data value
+    // while exact interpolates, so the gap is bounded by the local
+    // inter-value spacing — an absolute bound breaks on sparse groups.
+    "a10_group_quantiles" -> ((s, d) => {
+      def ok(p: Double) =
+        (abs(expr(s"approx_percentile(o_totalprice, $p, 10000)") -
+          expr(s"percentile(o_totalprice, $p)")) <=
+          expr(s"percentile(o_totalprice, $p)") * 0.01)
+          .as(s"ok_p${(p * 100).toInt}")
+      t(s, d, "orders").groupBy(col("o_orderstatus"))
+        .agg(ok(0.5), ok(0.9), count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // A13 (ext): set operations — INTERSECT / EXCEPT with set semantics
     // (both engines dedup), counted. Spark plans these as aggregates +
     // joins, so they shuffle on the compared columns like any equi-join.
@@ -582,6 +601,10 @@ object CoreQueries {
         |count(DISTINCT o_custkey) AS nu_o_custkey,
         |count(DISTINCT o_orderstatus) AS nu_o_orderstatus,
         |count(DISTINCT o_orderpriority) AS nu_o_orderpriority FROM orders""".stripMargin,
+    "a10_group_quantiles" ->
+      """SELECT o_orderstatus, CAST(1 AS BOOLEAN) AS ok_p50,
+        |CAST(1 AS BOOLEAN) AS ok_p90, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_fingerprint" ->
       """SELECT 'customer' AS tbl,
         |  sum(CAST('0x' || substr(md5(c_custkey || '|' || c_name || '|'

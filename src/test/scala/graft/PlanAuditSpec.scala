@@ -197,6 +197,33 @@ class PlanAuditSpec extends AnyFunSuite {
       s"fuzzy match degenerated to an all-pairs join:\n$p")
   }
 
+  test("bm25 is two scans: one stats row broadcast over a per-row score") {
+    val p = plan("t_bm25")
+    assert("Scan parquet".r.findAllIn(p).length / 2 <= 2,
+      s"bm25 grew beyond its two-scan design:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"bm25 stats row is not broadcast:\n$p")
+    assert(!p.contains("Generate"),
+      s"bm25 gained a per-term explode it was designed to avoid:\n$p")
+  }
+
+  test("chunking shuffles only for the compare sort") {
+    // The generator itself is map-side: the ONLY exchange is the final
+    // orderBy that the oracle compare needs (rangepartitioning). A hash
+    // exchange appearing means the fan-out started shuffling data.
+    val p = plan("t_chunk_overlap")
+    assert(!p.contains("hashpartitioning"),
+      s"chunk generator gained a hash shuffle:\n$p")
+  }
+
+  test("bloom-pruned dedup anti-joins only the maybe branch") {
+    // The definite-new branch must reach the union without any join;
+    // exactly one anti-join (the maybe branch probe) may appear.
+    val p = plan("t_dedup_bloom")
+    assert("LeftAnti".r.findAllIn(p).length == 1,
+      s"bloom prune lost its single-anti-join shape:\n$p")
+  }
+
   test("gap fill scans the event log exactly once") {
     // Span, key dimension and join probe all read the STAGED sparse
     // aggregate: the final plan contains no parquet scan at all — the one
