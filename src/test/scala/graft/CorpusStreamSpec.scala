@@ -62,6 +62,30 @@ class CorpusStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chunk generator is stream-safe: streamed chunks equal batch chunks") {
+    // Chunking is a pure per-row generator (explode over a computed
+    // sequence), so the SAME operator composes onto a stream with no
+    // state, and batching cannot change the output.
+    val docs = Seq(
+      Doc(1, (1 to 23).map(i => s"w$i").mkString(" "), "en", "s0", t(1)),
+      Doc(2, "short doc", "en", "s0", t(2)))
+    val input = MemoryStream[Doc](spark)
+    val q = graft.operators.Chunking
+      .chunk(input.toDF(), "doc_id", "text", size = 8, stride = 5)
+      .writeStream.format("memory").queryName("chunks_out")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(1)); q.processAllAvailable()
+      input.addData(docs.drop(1)); q.processAllAvailable()
+      val streamed = spark.table("chunks_out")
+        .as[(Long, Long, Long, String)].collect().toSet
+      val batch = graft.operators.Chunking
+        .chunk(docs.toDF(), "doc_id", "text", size = 8, stride = 5)
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(streamed === batch && streamed.size == 5)
+    } finally q.stop()
+  }
+
   test("jsonl corpus files stream exactly once via availableNow") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-corpus")
     val src = tmp.resolve("src").toString
