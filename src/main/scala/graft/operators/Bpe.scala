@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** BPE (byte-pair encoding) merge-rule induction over a corpus — the
+  * tokenizer-training step of an LLM data pipeline.
+  *
+  * Scale design — the classic two-level trick, distributed:
+  *  1. The corpus collapses to a WORD-FREQUENCY table first (one shuffle
+  *     on the word). Merge training then runs over |distinct words| rows,
+  *     not corpus rows — at 100 TB the vocabulary is millions of rows
+  *     while the corpus is trillions of tokens, so every training round
+  *     costs a small-table aggregate, independent of corpus size.
+  *  2. Each round is: count adjacent symbol pairs weighted by word
+  *     frequency (map-side combinable aggregate), collect the SINGLE best
+  *     pair (one row — the tiny-bounds collect posture), and rewrite the
+  *     symbol arrays with a per-row fold. The driver controls only the
+  *     loop, exactly like [[Dedup.connectedComponents]];
+  *     `localCheckpoint` bounds lineage across rounds.
+  *
+  * Pair counting uses all adjacent occurrences (the standard ranking
+  * statistic); the rewrite is the standard greedy left-to-right
+  * non-overlapping merge, expressed as an `aggregate` fold (codegen'd
+  * per-row — no UDF): "aaa" under merge (a,a) becomes [aa, a], never
+  * [aa, aa] from overlapping matches.
+  */
+object Bpe {
+
+  /** Word → initial symbol array: characters plus the "</w>" terminal. */
+  def initSymbols(word: Column): Column =
+    concat(split(word, ""), array(lit("</w>")))
+
+  /** Greedy left-to-right non-overlapping merge of (a, b) → a+b. */
+  def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(get(acc, size(acc) - 1) === a && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** The word-frequency table with initial symbol arrays. */
+  def wordTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(initSymbols(col("w")).as("syms"), col("freq"))
+
+  /** Learn `rounds` merge rules; returns (merge_ix, left, right, weight)
+    * — weight is the pair's frequency-weighted count when it was chosen.
+    * Ties break lexicographically on (left, right), so the rule list is
+    * deterministic for a given corpus.
+    */
+  def topMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = wordTable(df, textCol).localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      // Fully-merged single-symbol words have no pairs: guard the
+      // sequence (Spark's sequence(1, 0) would count DOWN) with an empty
+      // array so explode drops them.
+      val pairsOf = when(size(col("syms")) >= 2,
+        transform(sequence(lit(1), size(col("syms")) - 1),
+          i => struct(get(col("syms"), i - 1).as("l"),
+            get(col("syms"), i).as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>"))
+      val best = words
+        .select(col("freq"), explode(pairsOf).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("w"))
+        .orderBy(col("w").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, rr, w) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r + 1, l, rr, w))
+        words = words
+          .withColumn("syms", mergePair(col("syms"), l, rr))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.result()
+      .toDF("merge_ix", "left", "right", "weight")
+  }
+}

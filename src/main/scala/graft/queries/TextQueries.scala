@@ -262,6 +262,17 @@ object TextQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // BPE merge-rule induction (operators/Bpe.scala): the corpus
+    // collapses to a word-frequency table, then each round is one
+    // small-table aggregate + a one-row collect + a per-row fold rewrite.
+    // NO DuckDB oracle — the driver-looped training is not
+    // SQL-replayable; the driver records a rows-only check and BpeSpec
+    // carries the correctness weight (hand-computed merge sequence,
+    // greedy-rewrite semantics, exhaustion, determinism).
+    "t_bpe_merges" -> ((s, d) =>
+      graft.operators.Bpe.topMerges(docs(s, d), "text", rounds = 8)
+        .orderBy(col("merge_ix"))),
+
     // Gopher-family repetition signals, both pure per-row projections —
     // zero shuffle at any corpus size.
     "t_repetition" -> ((s, d) =>

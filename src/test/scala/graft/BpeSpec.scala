@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE merge induction: hand-computed rules on the classic fixture,
+  * greedy non-overlapping rewrite semantics, determinism.
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("learns the hand-computed merge sequence with frequency weighting") {
+    // low:3 lower:2 newest:1 ⇒
+    //  r1: (l,o)=5 ties (o,w)=5, lexicographic pick (l,o)
+    //  r2: (lo,w)=5
+    //  r3: (low,</w>)=3
+    val df = Seq("low low low lower lower newest").toDF("t")
+    val merges = Bpe.topMerges(df, "t", rounds = 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(merges == Seq(
+      (1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "low", "</w>", 3L)))
+  }
+
+  test("greedy merge is left-to-right non-overlapping") {
+    val df = Seq(Tuple1(Seq("a", "a", "a"))).toDF("syms")
+    val out = df.select(Bpe.mergePair(col("syms"), "a", "a").as("m"))
+      .as[Seq[String]].collect().head
+    assert(out == Seq("aa", "a"))
+  }
+
+  test("stops when a corpus is fully merged") {
+    // One distinct word of 2 chars + terminal: 3 merges exhaust it; a
+    // 10-round ask must return only the learnable rules.
+    val df = Seq("ab ab").toDF("t")
+    val merges = Bpe.topMerges(df, "t", rounds = 10)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(merges.size == 2)
+    assert(merges.map(m => (m._2, m._3)) ==
+      Seq(("a", "b"), ("ab", "</w>")))
+  }
+
+  test("merge list is deterministic on the synthetic corpus") {
+    val docs = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "documents")
+    val a = Bpe.topMerges(docs, "text", rounds = 5).collect().toSeq
+    val b = Bpe.topMerges(docs, "text", rounds = 5).collect().toSeq
+    assert(a == b && a.size == 5)
+  }
+}
