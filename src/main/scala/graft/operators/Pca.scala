@@ -23,12 +23,15 @@ object Pca {
   /** Upper-triangle covariance sums via pair-explode: one row per
     * (i ≤ j) dim pair per vector, aggregated with map-side combine.
     * Returns the dense symmetric covariance matrix (divided by n).
+    * `idCol` keys the self-join (a caller-provided stable id — a
+    * generated monotonically_increasing_id would not be guaranteed
+    * consistent across the two join branches).
     */
-  def covariance(df: DataFrame, vecCol: String, d: Int)
+  def covariance(df: DataFrame, idCol: String, vecCol: String, d: Int)
       : Array[Array[Double]] = {
     // n rides in the aggregate itself (count per cell), no 2nd pass.
     val pairs = df
-      .select(monotonically_increasing_id().as("_rid"),
+      .select(col(idCol).as("_rid"),
         col(vecCol).cast("array<double>").as("_v"))
       .select(col("_rid"), posexplode(col("_v"))).toDF("_rid", "i", "xi")
     val sums = pairs.as("a").join(pairs.as("b"),

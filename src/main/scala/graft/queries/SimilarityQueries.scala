@@ -73,7 +73,7 @@ object SimilarityQueries {
     "sim_pca" -> ((s, d) => {
       val e = emb(s, d)
       val (evals, evecs) = graft.operators.Pca.jacobiEigen(
-        graft.operators.Pca.covariance(e, "embedding", 64))
+        graft.operators.Pca.covariance(e, "vec_id", "embedding", 64))
       val top2Share = (evals(0) + evals(1)) / evals.sum
       val p0 = graft.operators.Pca.project(col("embedding"), evecs(0))
       val p1 = graft.operators.Pca.project(col("embedding"), evecs(1))

@@ -44,7 +44,7 @@ class PcaSpec extends AnyFunSuite {
       Array(0.0f, 0.0f, 2.0f), Array(1.0f, 1.0f, 1.0f))
     val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
       .toDF("id", "vec")
-    val cov = Pca.covariance(df, "vec", 3)
+    val cov = Pca.covariance(df, "id", "vec", 3)
     val n = vecs.length.toDouble
     for (i <- 0 until 3; j <- 0 until 3) {
       val mi = vecs.map(_(i).toDouble).sum / n
