@@ -59,6 +59,26 @@ object OlapQueries {
           col("gid"), col("n_orders"), col("revenue"))
         .orderBy(col("region"), col("nation"))),
 
+    // Share-of-parent from ONE rollup pass: nation rows join their
+    // region subtotal out of the SAME Expand+aggregate (staged — it is
+    // group-sized), so the facts are scanned once for both levels; the
+    // share divides two decimal-exact revenues (bit-reproducible).
+    "olap_share_of_parent" -> ((s, d) => {
+      val roll = ordersGeo(s, d)
+        .rollup(col("r_name"), col("n_name"))
+        .agg(grouping_id().cast("int").as("gid"), revenue.as("revenue"))
+        .localCheckpoint()
+      val nations = roll.where(col("gid") === 0)
+        .select(col("r_name"), col("n_name"), col("revenue").as("nrev"))
+      val regions = roll.where(col("gid") === 1)
+        .select(col("r_name"), col("revenue").as("rrev"))
+      nations.join(broadcast(regions), Seq("r_name"))
+        .select(col("r_name").as("region"), col("n_name").as("nation"),
+          col("nrev").as("revenue"),
+          (col("nrev") / col("rrev")).as("share_of_region"))
+        .orderBy(col("region"), col("nation"))
+    }),
+
     // CUBE over (year, order status): every marginal of the 2-D
     // contingency table — the slice-and-dice backing a year×status card.
     "olap_cube" -> ((s, d) =>
@@ -134,6 +154,20 @@ object OlapQueries {
         |JOIN nation ON c_nationkey=n_nationkey
         |JOIN region ON n_regionkey=r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+    "olap_share_of_parent" ->
+      """WITH roll AS (SELECT r_name, n_name,
+        |  CAST(GROUPING(r_name, n_name) AS INT) AS gid,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE)
+        |    AS revenue
+        |  FROM orders JOIN customer ON o_custkey=c_custkey
+        |  JOIN nation ON c_nationkey=n_nationkey
+        |  JOIN region ON n_regionkey=r_regionkey
+        |  GROUP BY ROLLUP(r_name, n_name))
+        |SELECT n.r_name AS region, n.n_name AS nation,
+        |  n.revenue AS revenue, n.revenue / r.revenue AS share_of_region
+        |FROM (SELECT * FROM roll WHERE gid=0) n
+        |JOIN (SELECT * FROM roll WHERE gid=1) r ON n.r_name=r.r_name
         |ORDER BY region, nation""".stripMargin,
     "olap_cube" ->
       """WITH o AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
