@@ -39,12 +39,7 @@ object Sketches {
     // per depth row by the estimate joins — without the stage each join
     // branch would re-scan and re-aggregate the full input (the sketch IS
     // the thing you materialize; re-deriving it per probe defeats it).
-    val grid = keyed
-      .select(col("k"), explode(array((0 until depth).map(lit): _*)).as("s"))
-      .withColumn("bucket",
-        substring(md5(concat_ws(":", col("s"), col("k"))), 1, prefixLen))
-      .groupBy(col("s"), col("bucket")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+    val grid = cmsGrid(df, keyCol, depth, prefixLen).localCheckpoint()
     val top = keyed.groupBy(col("k")).agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("k")).limit(k)
     // Estimate = min over depth rows of the key's bucket counter.
@@ -59,6 +54,20 @@ object Sketches {
         least((0 until depth).map(s => col(s"_c$s")): _*).as("est_cnt"))
       .withColumn("overestimate", col("est_cnt") - col("exact_cnt"))
   }
+
+  /** The bare counter-grid aggregate — (s, bucket, c) — shared by the
+    * batch path and Structured Streaming (a plain grouped count, so the
+    * SAME definition runs under `outputMode(complete)` and the streamed
+    * grid equals the batch grid on any batching: the mergeability claim,
+    * machine-checked in StreamingSpec).
+    */
+  def cmsGrid(df: DataFrame, keyCol: String, depth: Int,
+              prefixLen: Int): DataFrame =
+    df.select(col(keyCol).cast("string").as("k"))
+      .select(col("k"), explode(array((0 until depth).map(lit): _*)).as("s"))
+      .withColumn("bucket",
+        substring(md5(concat_ws(":", col("s"), col("k"))), 1, prefixLen))
+      .groupBy(col("s"), col("bucket")).agg(count(lit(1)).as("c"))
 
   /** Membership-pruned incremental exact dedup: keep the batch rows whose
     * content hash is absent from the corpus, consulting a tiny hash-prefix

@@ -50,6 +50,17 @@ object TextQueries {
         TextFunctions.predictedLangNgram(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // Classifier evaluation: the (actual, predicted) confusion matrix of
+    // the marker-word language ID against the corpus labels — one count
+    // aggregate over two per-row projections; the accuracy sheet a
+    // curation run records next to its filters.
+    "t_lang_confusion" -> ((s, d) =>
+      docs(s, d)
+        .groupBy(col("lang"),
+          TextFunctions.predictedLang(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))),
+
     // Document fingerprint (min-md5 over 5-gram shingles).
     "t_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -459,6 +470,22 @@ object TextQueries {
          | WHEN s_es=mx THEN 'es' WHEN s_fr=mx THEN 'fr' ELSE 'zh' END AS lang_pred
          |FROM (SELECT *, greatest(s_en,s_de,s_es,s_fr,s_zh) AS mx FROM s)
          |ORDER BY doc_id""".stripMargin,
+    "t_lang_confusion" ->
+      s"""WITH w AS (SELECT doc_id, lang, list_distinct($wsSql) AS dw
+         |  FROM documents),
+         |s AS (SELECT doc_id, lang,
+         | len(list_intersect(dw, ['the','and','of','is','to'])) AS s_en,
+         | len(list_intersect(dw, ['der','die','und','das','ist'])) AS s_de,
+         | len(list_intersect(dw, ['el','la','de','que','los'])) AS s_es,
+         | len(list_intersect(dw, ['le','les','des','et','est'])) AS s_fr,
+         | len(list_intersect(dw, ['de5','shi4','le5','zai4','he2'])) AS s_zh
+         | FROM w),
+         |p AS (SELECT lang, CASE WHEN s_en=mx THEN 'en' WHEN s_de=mx THEN 'de'
+         | WHEN s_es=mx THEN 'es' WHEN s_fr=mx THEN 'fr' ELSE 'zh' END
+         |   AS lang_pred
+         | FROM (SELECT *, greatest(s_en,s_de,s_es,s_fr,s_zh) AS mx FROM s))
+         |SELECT lang, lang_pred, count(*) AS n FROM p
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t_lang_id_ngram" ->
       s"""WITH s AS (SELECT doc_id, $ngramScoreSql FROM documents)
          |SELECT doc_id, CASE $ngramCaseSql

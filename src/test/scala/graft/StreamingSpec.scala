@@ -249,4 +249,26 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L),
       ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
   }
+
+  test("count-min grid streams: streamed counters equal the batch grid") {
+    // The sketch is a plain grouped count, so the SAME cmsGrid definition
+    // runs as a streaming aggregate and the counters are batching-
+    // invariant — the counter-wise mergeability the 100 TB design leans
+    // on, exercised through Structured Streaming's own merge path.
+    val input = MemoryStream[Ev](spark)
+    val q = graft.operators.Sketches.cmsGrid(input.toDF(), "user_id",
+        depth = 3, prefixLen = 2)
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(events.take(2)); q.processAllAvailable()
+      input.addData(events.drop(2)); q.processAllAvailable()
+      val streamed = spark.table("cms_out")
+        .as[(Int, String, Long)].collect().toSet
+      val batch = graft.operators.Sketches.cmsGrid(events.toDF(), "user_id",
+          depth = 3, prefixLen = 2)
+        .as[(Int, String, Long)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
