@@ -42,6 +42,33 @@ object SimilarityQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Quantized ANN closed loop: top-k ranked by INT8 dot products (per-
+    // vector symmetric scale, exact integer arithmetic) overlapped
+    // against the float cosine top-k — the memory/bandwidth-for-recall
+    // trade (4× smaller vectors) measured per query, and both rankings
+    // fully replayed by the oracle (no tolerance bands: integer dots are
+    // exact on both engines).
+    "sim_recall_int8" -> ((s, d) => {
+      val v = emb(s, d)
+      def q8(vec: org.apache.spark.sql.Column) = {
+        val sc = lit(127.0) /
+          array_max(transform(vec, x => abs(x.cast("double"))))
+        transform(vec, x => round(x.cast("double") * sc).cast("long"))
+      }
+      val int8Scorer = (a: org.apache.spark.sql.Column,
+                        b: org.apache.spark.sql.Column) =>
+        aggregate(zip_with(q8(a), q8(b), (x, y) => x * y), lit(0L), _ + _)
+          .cast("double")
+      val qs = v.where(col("vec_id") < 5)
+      val i8 = Similarity.bruteForceTopK(v, qs, "vec_id", "embedding",
+        k = 10, scorer = int8Scorer).select(col("q_id"), col("n_id"))
+      val fl = Similarity.bruteForceTopK(v, qs, "vec_id", "embedding",
+        k = 10).select(col("q_id"), col("n_id"))
+      i8.join(fl, Seq("q_id", "n_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+        .orderBy(col("q_id"))
+    }),
+
     // Same brute-force top-k through the NATIVE fused CosineSimilarity
     // expression (single-pass codegen) — shares sim_topk_brute's oracle,
     // proving the custom Expression is bit-identical to the declarative
@@ -422,6 +449,29 @@ object SimilarityQueries {
          |  FROM s)
          |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=10
          |ORDER BY q_id, rank""".stripMargin,
+    "sim_recall_int8" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |sc AS (SELECT vec_id, e,
+         |  127.0/(SELECT max(abs(x)) FROM unnest(e) t(x)) AS s FROM v),
+         |d8 AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |  (SELECT sum(CAST(round(a*q.s) AS BIGINT)
+         |            * CAST(round(b*c.s) AS BIGINT))
+         |   FROM (SELECT unnest(q.e) AS a, unnest(c.e) AS b)) AS dot
+         |  FROM sc c, (SELECT * FROM sc WHERE vec_id<5) q
+         |  WHERE c.vec_id <> q.vec_id),
+         |r8 AS (SELECT q_id, n_id, row_number()
+         |  OVER (PARTITION BY q_id ORDER BY dot DESC, n_id) AS rk FROM d8),
+         |f AS (SELECT q_id, n_id, $cosSql AS cos FROM
+         |  (SELECT vec_id AS n_id, e AS n_vec FROM v) c2,
+         |  (SELECT vec_id AS q_id, e AS q_vec FROM v WHERE vec_id<5) q2
+         |  WHERE n_id <> q_id),
+         |rf AS (SELECT q_id, n_id, row_number()
+         |  OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk FROM f)
+         |SELECT a.q_id, count(*) AS n_overlap
+         |FROM (SELECT q_id, n_id FROM r8 WHERE rk<=10) a
+         |JOIN (SELECT q_id, n_id FROM rf WHERE rk<=10) b
+         |  USING (q_id, n_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_quantize_int8" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |s AS (SELECT vec_id, e,
