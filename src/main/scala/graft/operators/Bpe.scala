@@ -46,6 +46,37 @@ object Bpe {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(initSymbols(col("w")).as("syms"), col("freq"))
 
+  /** A fixed, shipped merge-rule list for the ENCODE (tokenizer
+    * application) path — the artifact a BPE training run like
+    * [[topMerges]] produces, pinned as literals so the oracle SQL can be
+    * generated from the same rules. Order is significant: rules apply
+    * sequentially, each as a greedy left-to-right pass.
+    */
+  val defaultRules: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "the" -> "</w>",
+    "a" -> "</w>",
+    "r" -> "o", "ro" -> "w", "row" -> "</w>",
+    "k" -> "e", "ke" -> "y", "key" -> "</w>")
+
+  /** Encode text with a fixed merge-rule list: tokenize, seed per-word
+    * character symbols (word-terminal `</w>`), then fold every rule in
+    * order over the document's symbol stream. Rule lefts never contain
+    * `</w>`, so no merge can cross a word boundary and the whole document
+    * folds in ONE pass per rule instead of one per word. Pure per-row
+    * projection — zero shuffle at any corpus size; this is the map stage
+    * that turns a curated corpus into token ids for training.
+    */
+  def encode(text: Column,
+             rules: Seq[(String, String)] = defaultRules): Column = {
+    require(rules.forall(!_._1.contains("</w>")),
+      "rule lefts must not contain the word terminal </w> " +
+        "(cross-word merges would differ between per-word and " +
+        "per-document folding)")
+    val words = filter(TextFunctions.tokens(text), w => length(w) > 0)
+    val syms = flatten(transform(words, w => initSymbols(w)))
+    rules.foldLeft(syms) { case (acc, (a, b)) => mergePair(acc, a, b) }
+  }
+
   /** Learn `rounds` merge rules; returns (merge_ix, left, right, weight)
     * — weight is the pair's frequency-weighted count when it was chosen.
     * Ties break lexicographically on (left, right), so the rule list is

@@ -294,6 +294,21 @@ object TextQueries {
       graft.operators.Bpe.topMerges(docs(s, d), "text", rounds = 8)
         .orderBy(col("merge_ix"))),
 
+    // Tokenizer APPLICATION: encode every document with the shipped
+    // merge-rule list (Bpe.defaultRules) — a pure per-row fold, zero
+    // shuffle at any corpus size. The oracle replays the same greedy
+    // left-to-right merges as sentinel-wrapped string rewrites generated
+    // from the SAME rule literals, so both engines must agree on every
+    // token boundary of every document.
+    "t_bpe_encode" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          graft.operators.Bpe.encode(col("text")).as("toks"))
+        .select(col("doc_id"),
+          array_join(col("toks"), " ").as("bpe_text"),
+          size(col("toks")).cast("long").as("n_bpe"))
+        .orderBy(col("doc_id"))),
+
     // Gopher-family repetition signals, both pure per-row projections —
     // zero shuffle at any corpus size.
     "t_repetition" -> ((s, d) =>
@@ -492,6 +507,24 @@ object TextQueries {
          |  ELSE '${TextFunctions.charTrigrams.last._1}' END AS lang_pred
          |FROM (SELECT *, $ngramGreatestSql AS mx FROM s)
          |ORDER BY doc_id""".stripMargin,
+    "t_bpe_encode" -> {
+      // Symbols ride as chr(2)<sym>chr(3) so a replace can never match
+      // across a symbol boundary; each rule is one global replace (the
+      // same greedy left-to-right non-overlapping pass as the engine's
+      // aggregate fold), generated from Bpe.defaultRules.
+      def w(sym: String) = s"chr(2)||'$sym'||chr(3)"
+      val seed = s"""array_to_string(list_transform(list_filter($wsSql, x -> length(x) > 0), w -> array_to_string(list_transform(string_split(w, ''), c -> chr(2)||c||chr(3)), '') || ${w("</w>")}), '')"""
+      val folded = graft.operators.Bpe.defaultRules.foldLeft(seed) {
+        case (acc, (a, b)) =>
+          s"replace($acc, ${w(a)}||${w(b)}, ${w(a + b)})"
+      }
+      s"""WITH s AS (SELECT doc_id, $folded AS enc FROM documents)
+         |SELECT doc_id,
+         |trim(replace(enc, chr(3)||chr(2), ' '), chr(2)||chr(3)) AS bpe_text,
+         |CAST(length(enc) - length(replace(enc, chr(2), '')) AS BIGINT)
+         |  AS n_bpe
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     "t_fingerprint" ->
       s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents)
          |SELECT doc_id, list_aggregate(list_transform(

@@ -41,6 +41,25 @@ class BpeSpec extends AnyFunSuite {
       Seq(("a", "b"), ("ab", "</w>")))
   }
 
+  test("encode applies the shipped rule list — hand-computed tokens") {
+    val df = Seq("the key row", "aaa a", "sort").toDF("t")
+    val out = df.select(Bpe.encode(col("t")).as("e"))
+      .as[Seq[String]].collect().toSeq
+    assert(out == Seq(
+      Seq("the</w>", "key</w>", "row</w>"),
+      Seq("a", "a", "a</w>", "a</w>"),
+      Seq("s", "o", "r", "t", "</w>")))
+  }
+
+  test("encode never merges across a word boundary") {
+    // (ke, y) must not fire between word "ke" and word "y": the terminal
+    // symbol sits between them.
+    val out = Seq("ke y").toDF("t")
+      .select(Bpe.encode(col("t")).as("e"))
+      .as[Seq[String]].collect().head
+    assert(out == Seq("ke", "</w>", "y", "</w>"))
+  }
+
   test("merge list is deterministic on the synthetic corpus") {
     val docs = graft.sources.Tables.load(spark,
       "/root/testdata/sf0.001", "documents")
