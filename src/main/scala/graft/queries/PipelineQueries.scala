@@ -187,6 +187,35 @@ object PipelineQueries {
       }.reduce(_ unionByName _).orderBy(col("table_name"))
     }),
 
+    // Generic MERGE INTO (LakeMerge.mergeInto): a CDC change-set against
+    // the customer table — every third key updates its balance, every
+    // ninth deletes, and a disjoint synthetic batch inserts — as ONE
+    // full-outer join + projection + filter. Balances ride as
+    // DECIMAL(12,2) so update arithmetic is exact in both engines.
+    "lake_merge" -> ((s, d) => {
+      val bal = col("c_acctbal").cast("decimal(12,2)")
+      val cust = t(s, d, "customer")
+      val tgt = cust.select(col("c_custkey"), col("c_name"),
+        bal.as("c_acctbal"))
+      val updates = cust.where(pmod(col("c_custkey"), lit(3)) === 0)
+        .select(col("c_custkey"), (bal + 100).as("new_bal"),
+          (pmod(col("c_custkey"), lit(9)) === 0).as("del"))
+      val inserts = cust.where(pmod(col("c_custkey"), lit(10)) === 7)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          lit(1.23).cast("decimal(13,2)").as("new_bal"),
+          lit(false).as("del"))
+      graft.operators.LakeMerge.mergeInto(
+        tgt, updates.unionByName(inserts), "c_custkey",
+        whenMatchedUpdate = Map("c_acctbal" -> col("s.new_bal")),
+        whenMatchedDelete = col("s.del"),
+        whenNotMatchedInsert = Map(
+          "c_custkey" -> col("s.c_custkey"),
+          "c_name" -> lit("merged-insert"),
+          "c_acctbal" -> col("s.new_bal")))
+        .withColumn("c_acctbal", col("c_acctbal").cast("decimal(14,2)"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // SCD2 versioned dimension (Scd2.init + applySnapshot): the full
     // version table after the 1996 snapshot lands — closed rows carry
     // their [valid_from, valid_to) interval. Open rows surface the
@@ -355,6 +384,29 @@ object PipelineQueries {
       |     OR s2.c_mktsegment IS DISTINCT FROM s1.c_mktsegment)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "lake_merge" ->
+      """WITH tgt AS (SELECT c_custkey, c_name,
+        |  CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal FROM customer),
+        |src AS (
+        |  SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(12,2)) + 100
+        |      AS new_bal, (c_custkey % 9 = 0) AS del
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, CAST(1.23 AS DECIMAL(13,2)), false
+        |  FROM customer WHERE c_custkey % 10 = 7),
+        |m AS (SELECT t.c_custkey AS tk, s.k AS sk, t.c_name, t.c_acctbal,
+        |        s.new_bal, s.del
+        |      FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.k)
+        |SELECT CAST(coalesce(tk, sk) AS BIGINT) AS c_custkey,
+        |  CASE WHEN tk IS NULL THEN 'merged-insert' ELSE c_name END
+        |    AS c_name,
+        |  CAST(CASE WHEN tk IS NULL OR sk IS NOT NULL THEN new_bal
+        |       ELSE c_acctbal END AS DECIMAL(14,2)) AS c_acctbal
+        |FROM m
+        |WHERE NOT (tk IS NOT NULL AND sk IS NOT NULL
+        |           AND coalesce(del, false))
+        |ORDER BY c_custkey""".stripMargin,
+
     "pipeline_clean" ->
       s"WITH $cleanCte SELECT * FROM clean ORDER BY track_id",
 
