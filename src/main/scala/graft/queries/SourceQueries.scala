@@ -156,6 +156,28 @@ object SourceQueries {
       s.read.parquet(compacted).orderBy(col("doc_id"))
     }),
 
+    // S17: Z-order (Morton) clustered rewrite of lineitem on
+    // (l_orderkey, l_partkey), then a two-dimensional box query over the
+    // re-laid table. The oracle runs the same box over the RAW table —
+    // the hash match proves the multi-dimensional re-layout is lossless;
+    // LayoutSpec proves the pruning claim mechanically (per-file min/max
+    // spans shrink on BOTH clustered dims, unlike a 1-D sort).
+    "s17_zorder_box" -> ((s, d) => {
+      val zdir = s"$scratch/lineitem_zorder"
+      graft.operators.Layout.writeZOrdered(
+        t(s, d, "lineitem"), zdir, Seq("l_orderkey", "l_partkey"))
+      val bounds = t(s, d, "lineitem").agg(
+        floor(max(col("l_orderkey")) / 4).cast("long").as("k1"),
+        floor(max(col("l_partkey")) / 4).cast("long").as("k2"))
+      s.read.parquet(zdir).crossJoin(broadcast(bounds))
+        .where(col("l_orderkey") <= col("k1") &&
+          col("l_partkey") <= col("k2"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(20,2)")).as("rev"))
+        .select(col("n"),
+          col("rev").cast("decimal(20,2)").as("rev"))
+    }),
+
     // S10: batched JDBC append into an embedded Derby database
     // (batchsize=1000 like the reference's executemany batching,
     // merge_to_dw.py:25, 191), then read back over JDBC. On a cluster the
@@ -251,6 +273,14 @@ object SourceQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s10_jdbc_batch" ->
       "SELECT * FROM region ORDER BY r_regionkey",
+    "s17_zorder_box" ->
+      """WITH b AS (SELECT CAST(floor(max(l_orderkey)/4) AS BIGINT) AS k1,
+        |  CAST(floor(max(l_partkey)/4) AS BIGINT) AS k2 FROM lineitem)
+        |SELECT count(*) AS n,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)))
+        |  AS DECIMAL(20,2)) AS rev
+        |FROM lineitem, b
+        |WHERE l_orderkey <= k1 AND l_partkey <= k2""".stripMargin,
     "p3_project" ->
       "SELECT n_nationkey, n_name FROM nation ORDER BY 1",
     "p4_schema_gate" ->
