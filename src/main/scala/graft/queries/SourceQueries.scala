@@ -178,6 +178,24 @@ object SourceQueries {
           col("rev").cast("decimal(20,2)").as("rev"))
     }),
 
+    // S18: schema evolution across lake batches — an early batch (1994
+    // orders) carries o_totalprice, a later batch (1995) drops it and
+    // adds o_orderstatus; the mergeSchema read unions the footer schemas
+    // and null-fills per file. The oracle rebuilds the same null-filled
+    // union from the raw table.
+    "s18_schema_evolution" -> ((s, d) => {
+      val evo = s"$scratch/orders_evolved"
+      val orders = t(s, d, "orders")
+      orders.where(year(col("o_orderdate")) === 1994)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$evo/batch=1")
+      orders.where(year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$evo/batch=2")
+      Tables.readEvolved(s, evo)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // S10: batched JDBC append into an embedded Derby database
     // (batchsize=1000 like the reference's executemany batching,
     // merge_to_dw.py:25, 191), then read back over JDBC. On a cluster the
@@ -273,6 +291,14 @@ object SourceQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s10_jdbc_batch" ->
       "SELECT * FROM region ORDER BY r_regionkey",
+    "s18_schema_evolution" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |  CAST(NULL AS VARCHAR) AS o_orderstatus, CAST(1 AS INT) AS batch
+        |FROM orders WHERE year(o_orderdate) = 1994
+        |UNION ALL
+        |SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderstatus, 2
+        |FROM orders WHERE year(o_orderdate) = 1995
+        |ORDER BY o_orderkey""".stripMargin,
     "s17_zorder_box" ->
       """WITH b AS (SELECT CAST(floor(max(l_orderkey)/4) AS BIGINT) AS k1,
         |  CAST(floor(max(l_partkey)/4) AS BIGINT) AS k2 FROM lineitem)

@@ -190,6 +190,17 @@ object Tables {
     n
   }
 
+  /** Schema-evolution read: a lake table's batches drift over time
+    * (columns added/dropped); `mergeSchema` unions every footer schema at
+    * planning time and null-fills absent columns per file. Planning cost
+    * is one footer read per file — fine for a one-off backfill; a
+    * long-lived 100 TB table should pin the merged schema in a catalog
+    * instead of re-deriving it per query (the read path is then [[load]]
+    * with the pinned schema).
+    */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Stage boundary: materialize `df` as a parquet table and return a
     * scan of it. For a relation fanned into many downstream branches
     * (the warehouse build reads its merge output 8+ ways), this beats
