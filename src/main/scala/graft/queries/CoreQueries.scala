@@ -477,6 +477,27 @@ object CoreQueries {
         .orderBy(col("decile"))
     }),
 
+    // A18 (ext): materialized-aggregate MAINTENANCE — merge a stored
+    // aggregate state with a delta batch's state instead of re-scanning
+    // history (count and decimal sum are mergeable: sum-of-counts,
+    // sum-of-sums). The oracle computes the full aggregate directly from
+    // scratch, so the hash match proves merge ≡ recompute — the numeric
+    // analog of the HLL sketch-merge contract (a8_hll_merge). At the
+    // lake this is the nightly rollup: yesterday's state + today's
+    // partition, never the full history scan.
+    "a18_incr_rollup" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      def state(df: DataFrame) = df.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(20,2)")).as("qty"))
+      val old = state(li.where(pmod(col("l_orderkey"), lit(5)) =!= 0))
+      val delta = state(li.where(pmod(col("l_orderkey"), lit(5)) === 0))
+      old.unionByName(delta).groupBy(col("l_returnflag"))
+        .agg(sum(col("cnt")).cast("long").as("cnt"),
+          sum(col("qty")).cast("decimal(20,2)").as("qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // A12: row-set sort with deterministic tie-break.
     "a12_sort" -> ((s, d) =>
       t(s, d, "orders")
@@ -624,6 +645,11 @@ object CoreQueries {
       """SELECT CAST(1 AS BOOLEAN) AS ok_l_orderkey,
         |CAST(1 AS BOOLEAN) AS ok_l_partkey,
         |CAST(1 AS BOOLEAN) AS ok_l_suppkey""".stripMargin,
+    "a18_incr_rollup" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DECIMAL(20,2))
+        |  AS qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "a16_deciles" ->
       """WITH b AS (SELECT quantile_cont(o_totalprice,
         |  [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM orders),

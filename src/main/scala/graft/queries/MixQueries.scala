@@ -80,6 +80,24 @@ object MixQueries {
       TrainingMix.shardAssignments(docs(s, d), "doc_id", 64L)
         .orderBy(col("doc_id"))),
 
+    // Export manifest (the data card beside the shards): per shard, row
+    // count, token total, and an order-independent content fingerprint
+    // (decimal-exact md5-checksum sum, same construction as
+    // q_fingerprint) — what a training loader checks before it trusts a
+    // delivered shard, and what replica verification diffs across lakes.
+    "t_shard_manifest" -> ((s, d) => {
+      val dd = docs(s, d)
+      dd.join(TrainingMix.shardAssignments(dd, "doc_id", 64L),
+          Seq("doc_id"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"),
+          sum(conv(substring(md5(concat_ws("|",
+              col("doc_id"), col("text"))), 1, 12), 16, 10)
+            .cast("decimal(38,0)")).as("fingerprint"))
+        .orderBy(col("shard_id"))
+    }),
+
     // THE WHOLE TRAINING-DATA PIPELINE as one declarative plan: quality
     // gate → exact dedup → near-dup clustering keeper → benchmark
     // decontamination (flagged docs removed) → weighted source mixing →
@@ -217,6 +235,18 @@ object MixQueries {
         |  FROM documents)
         |SELECT doc_id, CAST(floor((rn-1)/64.0) AS BIGINT) AS shard_id
         |FROM c ORDER BY doc_id""".stripMargin,
+    "t_shard_manifest" ->
+      s"""WITH c AS (SELECT doc_id, text, row_number() OVER (
+         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM documents),
+         |a AS (SELECT doc_id, text,
+         |  CAST(floor((rn-1)/64.0) AS BIGINT) AS shard_id,
+         |  $wsSql AS ws FROM c)
+         |SELECT shard_id, count(*) AS n_docs,
+         |  CAST(sum($ntSql) AS BIGINT) AS n_tokens,
+         |  sum(CAST('0x' || substr(md5(doc_id || '|' || text), 1, 12)
+         |    AS BIGINT)) AS fingerprint
+         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     "t_token_budget" ->
       s"""WITH f AS (SELECT doc_id, lang, $ntSql AS nt,
          |  CAST(length(regexp_replace(text,'[^.,!?;:]','','g')) AS DOUBLE)/length(text) AS pr,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.{Decontam, Dedup, Multimodal}
+import graft.operators.{Decontam, Dedup, Graph, Multimodal}
 import graft.sources.Tables
 
 /** LLM-data-pipeline queries over `documents.parquet`: dedup (exact,
@@ -311,6 +311,25 @@ object TextQueries {
 
     // Gopher-family repetition signals, both pure per-row projections —
     // zero shuffle at any corpus size.
+    // Link-graph PageRank (integer micro-units — see Graph.pagerankInt)
+    // over a deterministic synthetic citation graph (each doc links to
+    // (7i+1) mod N and (13i+3) mod N, self-loops dropped): the
+    // importance prior web-scale curation assigns from link structure.
+    // The oracle unrolls all three iterations as SQL, bit-for-bit.
+    "g_pagerank" -> ((s, d) => {
+      val dd = docs(s, d)
+      val withN = dd.select(col("doc_id"))
+        .crossJoin(broadcast(dd.agg(count(lit(1)).as("nn"))))
+      val edges = withN.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 1, col("nn")).as("dst"))
+        .unionByName(withN.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 13 + 3, col("nn")).as("dst")))
+        .where(col("src") =!= col("dst"))
+      Graph.pagerankInt(edges, dd.select(col("doc_id").as("id")),
+          iters = 3)
+        .orderBy(col("id"))
+    }),
+
     "t_repetition" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         TextFunctions.dupTokenFrac(col("text")).as("dup_token_frac"),
@@ -717,6 +736,29 @@ object TextQueries {
          |SELECT doc_id FROM documents WHERE doc_id%37<>0
          |AND doc_id NOT IN (SELECT train_id FROM ov WHERE n_overlap>=2)
          |ORDER BY doc_id""".stripMargin,
+    "g_pagerank" -> {
+      // Unrolled iterations generated for the same damping rational and
+      // scale as Graph.pagerankInt.
+      val rounds = (1 to 3).map { i =>
+        s"""m$i AS (SELECT e2.dst AS id, sum(r${i - 1}.r // od.outdeg) AS c
+           |  FROM e2 JOIN r${i - 1} ON e2.src = r${i - 1}.id
+           |  JOIN od ON e2.src = od.src GROUP BY 1),
+           |r$i AS (SELECT r${i - 1}.id,
+           |  150000 + (17 * coalesce(m$i.c, 0)) // 20 AS r
+           |  FROM r${i - 1} LEFT JOIN m$i USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH n AS (SELECT count(*) AS c FROM documents),
+         |e AS (SELECT doc_id AS src, (doc_id*7+1) % c AS dst
+         |        FROM documents, n
+         |      UNION ALL
+         |      SELECT doc_id, (doc_id*13+3) % c FROM documents, n),
+         |e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+         |od AS (SELECT src, count(*) AS outdeg FROM e2 GROUP BY 1),
+         |r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS r
+         |       FROM documents),
+         |$rounds
+         |SELECT id, r AS rank FROM r3 ORDER BY id""".stripMargin
+    },
     "t_repetition" ->
       s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
          |b AS (SELECT doc_id, list_transform(range(1, greatest(len(ws)-1,1)+1),

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Graph
+
+/** Integer PageRank: stationary distribution on a cycle, hand-computed
+  * ranks on a star, and mass conservation bounds.
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("a cycle is stationary at the initial rank") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L).toDF("id")
+    val out = Graph.pagerankInt(edges, nodes, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    // outdeg 1 everywhere: share = rank, contrib = rank, and
+    // 150000 + (17 * 1000000) div 20 = 1000000 — a fixed point.
+    assert(out == Map(0L -> 1000000L, 1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("star graph matches hand-computed two-iteration ranks") {
+    val edges = Seq((1L, 0L), (2L, 0L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L).toDF("id")
+    val out = Graph.pagerankInt(edges, nodes, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    // iter1: a = 150000 + (17*2000000) div 20 = 1850000; b = c = 150000.
+    // iter2: a = 150000 + (17*300000) div 20 = 405000.
+    assert(out == Map(0L -> 405000L, 1L -> 150000L, 2L -> 150000L))
+  }
+
+  test("total mass never exceeds the initial mass") {
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 0L))
+      .toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val total = Graph.pagerankInt(edges, nodes, iters = 3)
+      .as[(Long, Long)].collect().map(_._2).sum
+    // Damping leaks (1-d) of propagated mass per round and node 2 is a
+    // dangling sink; floor divisions only lose further mass.
+    assert(total <= 4L * 1000000L && total > 0L)
+  }
+}
