@@ -498,6 +498,58 @@ object CoreQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // J6 (ext): join-skew REPORT — the diagnosis that decides between a
+    // plain shuffle join, AQE skew split, and manual salting
+    // (Relational.saltedJoin): the 10 heaviest join keys with their load
+    // share and skew factor (× the mean key load). One count aggregate
+    // over the fact table + one tiny aggregate over the |keys| rows;
+    // share/skew are single divisions of exact integers, so doubles are
+    // deterministic.
+    "j6_skew_report" -> ((s, d) => {
+      val f = t(s, d, "lineitem").groupBy(col("l_partkey").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = f.agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("nkeys"))
+      f.crossJoin(broadcast(tot))
+        .select(col("key"), col("cnt"),
+          (col("cnt").cast("double") / col("total")).as("share"),
+          ((col("cnt") * col("nkeys")).cast("double") / col("total"))
+            .as("skew_factor"))
+        .orderBy(desc("cnt"), col("key")).limit(10)
+    }),
+
+    // A19 (ext): table-version DIFF — classify every key across two
+    // versions of a table as added / removed / changed / same in one
+    // full-outer join on the key with md5 row checksums (never a
+    // column-by-column compare of wide rows). The replica-drift
+    // diagnosis that runs when q_fingerprint's table totals disagree:
+    // the fingerprint says WHETHER replicas drifted, the diff says
+    // WHERE. Version B here: every 7th key dropped, every 5th balance
+    // bumped, plus a synthetic added batch.
+    "a19_table_diff" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val verA = cust.select(col("c_custkey").as("k"),
+        md5(concat_ws("|", col("c_name"),
+          col("c_acctbal").cast("decimal(12,2)"))).as("h"))
+      val verB = cust.where(pmod(col("c_custkey"), lit(7)) =!= 0)
+        .select(col("c_custkey").as("k"),
+          md5(concat_ws("|", col("c_name"),
+            (col("c_acctbal").cast("decimal(12,2)") +
+              when(pmod(col("c_custkey"), lit(5)) === 0, 1)
+                .otherwise(0)).cast("decimal(12,2)"))).as("h"))
+        .unionByName(cust.where(pmod(col("c_custkey"), lit(11)) === 3)
+          .select((col("c_custkey") + 1000000).as("k"),
+            md5(col("c_name")).as("h")))
+      verA.alias("a").join(verB.alias("b"), col("a.k") === col("b.k"),
+          "full_outer")
+        .select(when(col("a.k").isNull, "added")
+          .when(col("b.k").isNull, "removed")
+          .when(col("a.h") =!= col("b.h"), "changed")
+          .otherwise("same").as("status"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status"))
+    }),
+
     // A12: row-set sort with deterministic tie-break.
     "a12_sort" -> ((s, d) =>
       t(s, d, "orders")
@@ -645,6 +697,30 @@ object CoreQueries {
       """SELECT CAST(1 AS BOOLEAN) AS ok_l_orderkey,
         |CAST(1 AS BOOLEAN) AS ok_l_partkey,
         |CAST(1 AS BOOLEAN) AS ok_l_suppkey""".stripMargin,
+    "j6_skew_report" ->
+      """WITH f AS (SELECT l_partkey AS key, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |s AS (SELECT sum(cnt) AS total, count(*) AS nkeys FROM f)
+        |SELECT key, cnt, CAST(cnt AS DOUBLE)/total AS share,
+        |  CAST(cnt*nkeys AS DOUBLE)/total AS skew_factor
+        |FROM f, s ORDER BY cnt DESC, key LIMIT 10""".stripMargin,
+    "a19_table_diff" ->
+      """WITH a AS (SELECT c_custkey AS k,
+        |  md5(c_name || '|' || CAST(c_acctbal AS DECIMAL(12,2))) AS h
+        |  FROM customer),
+        |b AS (SELECT c_custkey AS k,
+        |  md5(c_name || '|' || CAST(CAST(c_acctbal AS DECIMAL(12,2))
+        |    + CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END
+        |    AS DECIMAL(12,2))) AS h
+        |  FROM customer WHERE c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, md5(c_name)
+        |  FROM customer WHERE c_custkey % 11 = 3),
+        |j AS (SELECT CASE WHEN a.k IS NULL THEN 'added'
+        |  WHEN b.k IS NULL THEN 'removed'
+        |  WHEN a.h <> b.h THEN 'changed' ELSE 'same' END AS status
+        |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+        |SELECT status, count(*) AS n FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "a18_incr_rollup" ->
       """SELECT l_returnflag, count(*) AS cnt,
         |CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DECIMAL(20,2))

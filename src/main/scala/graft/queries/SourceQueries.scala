@@ -196,6 +196,33 @@ object SourceQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // S19: federated ingestion — three corpus slices arrive as three
+    // different formats (parquet, header CSV, JSONL), each read with its
+    // pinned schema and normalized into ONE corpus relation via
+    // unionByName. The oracle is the intact documents table: the union
+    // must reassemble it exactly, proving every format round-trips and
+    // the normalization loses nothing.
+    "s19_federated_union" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val fed = s"$scratch/docs_federated"
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val dd = t(s, d, "documents")
+      dd.where(pmod(col("doc_id"), lit(3)) === 0)
+        .write.mode("overwrite").parquet(s"$fed/pq")
+      dd.where(pmod(col("doc_id"), lit(3)) === 1)
+        .write.mode("overwrite").option("header", "true").csv(s"$fed/csv")
+      Tables.writeJsonl(dd.where(pmod(col("doc_id"), lit(3)) === 2),
+        s"$fed/jsonl")
+      s.read.parquet(s"$fed/pq")
+        .unionByName(s.read.option("header", "true").schema(docsSchema)
+          .csv(s"$fed/csv"))
+        .unionByName(Tables.readJsonl(s, s"$fed/jsonl", docsSchema))
+        .orderBy(col("doc_id"))
+    }),
+
     // S10: batched JDBC append into an embedded Derby database
     // (batchsize=1000 like the reference's executemany batching,
     // merge_to_dw.py:25, 191), then read back over JDBC. On a cluster the
@@ -291,6 +318,9 @@ object SourceQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s10_jdbc_batch" ->
       "SELECT * FROM region ORDER BY r_regionkey",
+    "s19_federated_union" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "s18_schema_evolution" ->
       """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
         |  CAST(NULL AS VARCHAR) AS o_orderstatus, CAST(1 AS INT) AS batch
