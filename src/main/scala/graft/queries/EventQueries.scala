@@ -73,6 +73,18 @@ object EventQueries {
         .orderBy(col("view_id"), col("click_id"))
     }),
 
+    // Left-outer attribution (EventPipeline.attributeClicksOuter): every
+    // view emits, matched or not — the batch face of the stream-stream
+    // OUTER interval join (StreamingSpec proves the streamed null
+    // emission after watermark passage equals this).
+    "ev_attribution_outer" -> ((s, d) => {
+      val e = ev(s, d)
+      EventPipeline.attributeClicksOuter(
+          e.where(col("event_type") === "view"),
+          e.where(col("event_type") === "click"))
+        .orderBy(col("view_id"), asc_nulls_first("click_id"))
+    }),
+
     // Rolling 1-hour time-range window per user: event count and
     // decimal-exact mean value over each event's trailing hour — the
     // time-series feature window. Partitioned by user (parallel across
@@ -258,6 +270,17 @@ object EventQueries {
         |  AND c.click_ts >= v.view_ts
         |  AND c.click_ts < v.view_ts + INTERVAL 30 MINUTE
         |ORDER BY view_id, click_id""".stripMargin,
+    "ev_attribution_outer" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |  FROM events WHERE event_type='view'),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type='click')
+        |SELECT v.user_id, v.view_id, c.click_id,
+        |  date_diff('microsecond', v.view_ts, c.click_ts) AS gap_us
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |  AND c.click_ts >= v.view_ts
+        |  AND c.click_ts < v.view_ts + INTERVAL 30 MINUTE
+        |ORDER BY view_id, click_id NULLS FIRST""".stripMargin,
     "ev_rolling_1h" ->
       """SELECT event_id, count(*) OVER w AS n_1h,
         |  CAST(sum(CAST(value AS DECIMAL(20,2))) OVER w AS DOUBLE)

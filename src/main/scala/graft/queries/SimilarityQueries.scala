@@ -248,6 +248,41 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Index PERSISTENCE — build once, query many: the trained quantizer
+    // (8 centroid rows) and the per-vector cell assignments land as
+    // parquet lake artifacts; the query path then reads the INDEX (one
+    // tiny-bounds 8-row collect for the centroid literals + the
+    // assignment table join) and never re-trains or re-assigns the
+    // corpus. Result must be identical to the train-inline path, so the
+    // two queries share the oracle replay.
+    "sim_topk_ivf_persist" -> ((s, d) => {
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ivf_idx_${d.hashCode}"
+      val v0 = emb(s, d)
+      val trained = Similarity.kmeansCentroids(v0, "embedding",
+        dim = 64, k = 8, iters = 2, seed = 7L)
+      // Index build (one-time): assignments + centroid table.
+      v0.withColumn("cell",
+          Similarity.centroidCell(col("embedding"), trained))
+        .select(col("vec_id"), col("cell"))
+        .write.mode("overwrite").parquet(s"$idx/assign")
+      import s.implicits._
+      trained.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
+        .write.mode("overwrite").parquet(s"$idx/centroids")
+      // Query path: centroids reload from the index (k rows), corpus
+      // cells come from the assignment table — no training, no
+      // re-assignment scan.
+      val reloaded = s.read.parquet(s"$idx/centroids")
+        .orderBy(col("cell")).collect()
+        .map(_.getSeq[Double](1).toArray)
+      val v = v0.join(s.read.parquet(s"$idx/assign"), "vec_id")
+      val q = v0.where(col("vec_id") < 5).withColumn("cell",
+        Similarity.centroidCell(col("embedding"), reloaded))
+      Similarity.partitionedTopK(v, q, "vec_id", "embedding", "cell",
+          k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Multi-probe over the TRAINED quantizer: the query searches its
     // nearest and 2nd-nearest k-means cell — the recall knob composed
     // with the trained-centroid path (same probe rule as the seeded
@@ -438,6 +473,23 @@ object SimilarityQueries {
     s"$cent0,\n$iterCtes,\n${assign("F", s"cent$iters")}"
   }
 
+  /** Shared replay for the trained-IVF top-k: training unrolled in SQL,
+    * then cell-pruned cosine ranking — used by both the train-inline
+    * query and the persisted-index query (which must agree exactly).
+    */
+  private lazy val trainedTopkSql =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |${kmeansCtes(k = 8, iters = 2, seed = 7L)},
+       |q AS (SELECT vec_id AS q_id, cell, e AS q_vec FROM aF WHERE vec_id<5),
+       |c AS (SELECT vec_id AS n_id, cell, e AS n_vec FROM aF),
+       |s AS (SELECT q_id, n_id, $cosSql AS cos FROM c JOIN q USING (cell)
+       |  WHERE n_id<>q_id),
+       |r AS (SELECT q_id, n_id, cos,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM s)
+       |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=5
+       |ORDER BY q_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_topk_brute" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -557,18 +609,10 @@ object SimilarityQueries {
          |  FROM s)
          |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=5
          |ORDER BY q_id, rank""".stripMargin,
-    "sim_topk_ivf_trained" ->
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |${kmeansCtes(k = 8, iters = 2, seed = 7L)},
-         |q AS (SELECT vec_id AS q_id, cell, e AS q_vec FROM aF WHERE vec_id<5),
-         |c AS (SELECT vec_id AS n_id, cell, e AS n_vec FROM aF),
-         |s AS (SELECT q_id, n_id, $cosSql AS cos FROM c JOIN q USING (cell)
-         |  WHERE n_id<>q_id),
-         |r AS (SELECT q_id, n_id, cos,
-         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
-         |  FROM s)
-         |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=5
-         |ORDER BY q_id, rank""".stripMargin,
+    "sim_topk_ivf_trained" -> trainedTopkSql,
+    // The persisted-index path must return EXACTLY the train-inline
+    // result — same oracle.
+    "sim_topk_ivf_persist" -> trainedTopkSql,
     "sim_recall_ivf_trained" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |${kmeansCtes(k = 8, iters = 2, seed = 7L)},

@@ -165,7 +165,8 @@ object EventPipeline {
     * O(traffic within the horizon).
     */
   def attributeClicks(views: DataFrame, clicks: DataFrame,
-                      horizonMinutes: Int = 30): DataFrame = {
+                      horizonMinutes: Int = 30,
+                      joinType: String = "inner"): DataFrame = {
     val v = views.select(col("user_id"), col("event_id").as("view_id"),
       col("ts").as("view_ts"))
     val c = clicks.select(col("user_id").as("_cu"),
@@ -174,11 +175,24 @@ object EventPipeline {
       col("user_id") === col("_cu") &&
         col("click_ts") >= col("view_ts") &&
         col("click_ts") < col("view_ts") +
-          expr(s"INTERVAL $horizonMinutes MINUTES"))
+          expr(s"INTERVAL $horizonMinutes MINUTES"),
+      joinType)
       .select(col("user_id"), col("view_id"), col("click_id"),
         (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
           .as("gap_us"))
   }
+
+  /** Left-outer attribution: every view emits, matched or not — the
+    * "which impressions never converted" face of [[attributeClicks]].
+    * On streams this is the stream–stream OUTER interval join: an
+    * unmatched view's null row can only be emitted once the click-side
+    * watermark has passed the view's whole horizon (no later click can
+    * still match), so the same band + watermarks that bound join state
+    * also bound the null-emission delay. State stays O(horizon traffic).
+    */
+  def attributeClicksOuter(views: DataFrame, clicks: DataFrame,
+                           horizonMinutes: Int = 30): DataFrame =
+    attributeClicks(views, clicks, horizonMinutes, "left_outer")
 
   /** JSON property extraction from the props payload column. */
   def withJsonProp(events: DataFrame, field: String, out: String): DataFrame =
