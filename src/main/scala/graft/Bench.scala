@@ -46,7 +46,10 @@ object Bench {
     "olap_rollup", "scd2_versions", "ev_attribution",
     // Retrieval/sketch surface (round 3): chunk generator, BM25 scoring,
     // count-min heavy hitters, bloom-pruned incremental dedup.
-    "t_chunk_overlap", "t_bm25", "t_cms_heavy", "t_dedup_bloom")
+    "t_chunk_overlap", "t_bm25", "t_cms_heavy", "t_dedup_bloom",
+    // Lakehouse + graph surface (round 3, late): MERGE INTO upsert,
+    // Z-order clustered rewrite, iterative integer PageRank.
+    "lake_merge", "s17_zorder_box", "g_pagerank")
 
   /** Round-3 exit per-query medians (sf0.1, local[32], median-of-3) —
     * the regression baseline recorded in BASELINE.md (strictly tighter
@@ -68,7 +71,11 @@ object Bench {
     "t_training_pipeline" -> 10.44, "olap_rollup" -> 0.64,
     "scd2_versions" -> 0.35, "ev_attribution" -> 0.33,
     "t_chunk_overlap" -> 2.43, "t_bm25" -> 0.56,
-    "t_cms_heavy" -> 0.47, "t_dedup_bloom" -> 0.45)
+    "t_cms_heavy" -> 0.47, "t_dedup_bloom" -> 0.45,
+    // Round-5 first-ship medians (same harness; from the clean full-set
+    // run — the one with zero regressions).
+    "lake_merge" -> 0.39, "s17_zorder_box" -> 7.36,
+    "g_pagerank" -> 1.34)
 
   def main(args: Array[String]): Unit = {
     // Optional args: restrict to the named queries (local plan iteration
