@@ -263,6 +263,41 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE INTO and table diff are single full-outer joins") {
+    for (q <- Seq("lake_merge", "a19_table_diff")) {
+      val p = plan(q)
+      assert(p.contains("FullOuter"), s"$q lost its full-outer join:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+    }
+  }
+
+  test("skew report and PageRank never sort globally or go all-pairs") {
+    // j6's top-10 must be a TakeOrdered (k rows per partition + tiny
+    // merge), never a materialized global sort; g_pagerank's iterations
+    // must stay equi-joins.
+    val skew = plan("j6_skew_report")
+    assert(skew.contains("TakeOrderedAndProject"),
+      s"skew report regressed to a global sort:\n$skew")
+    val pr = plan("g_pagerank")
+    assert(!pr.contains("CartesianProduct") && !pr.contains("Window"),
+      s"pagerank plan degraded:\n$pr")
+  }
+
+  test("BPE encode shuffles nothing but the presentation sort") {
+    // The encode itself is a per-row fold: the only exchange allowed in
+    // the plan is the final orderBy's range partitioning.
+    val p = plan("t_bpe_encode")
+    assert(!p.contains("hashpartitioning"),
+      s"t_bpe_encode gained a hash shuffle:\n$p")
+  }
+
+  test("outer attribution keeps the interval-join shape") {
+    val p = plan("ev_attribution_outer")
+    assert(p.contains("LeftOuter"), s"outer join type lost:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"band condition stopped equi-joining:\n$p")
+  }
+
   test("headline aggregates keep whole-stage codegen on the hot path") {
     for (q <- Seq("d9_top_artists", "q1_agg")) {
       val p = plan(q)
