@@ -35,11 +35,16 @@ object LakeMerge {
     *                           this holds are dropped.
     * @param whenNotMatchedInsert target column → value for source-only
     *                           rows; unlisted columns insert NULL.
+    * @param whenNotMatchedInsertCond boolean over `s`: source-only rows
+    *                           failing it are skipped instead of
+    *                           inserted (e.g. a CDC delete for a key the
+    *                           target never had).
     */
   def mergeInto(target: DataFrame, source: DataFrame, key: String,
                 whenMatchedUpdate: Map[String, Column],
                 whenMatchedDelete: Column = lit(false),
-                whenNotMatchedInsert: Map[String, Column] = Map.empty)
+                whenNotMatchedInsert: Map[String, Column] = Map.empty,
+                whenNotMatchedInsertCond: Column = lit(true))
   : DataFrame = {
     val joined = target.alias("t")
       .join(source.alias("s"), col(s"t.$key") === col(s"s.$key"),
@@ -54,10 +59,11 @@ object LakeMerge {
         .when(matched, whenMatchedUpdate.getOrElse(c, keep))
         .otherwise(keep).as(c)
     }
-    // NULL delete-condition must mean "keep" (SQL: false AND NULL = false
-    // already guards the unmatched side; coalesce guards a NULL cond on
-    // matched rows).
-    joined.where(!(matched && coalesce(whenMatchedDelete, lit(false))))
+    // NULL delete-condition must mean "keep", NULL insert-condition must
+    // mean "skip" — coalesce pins both against three-valued surprises.
+    joined
+      .where(!(matched && coalesce(whenMatchedDelete, lit(false))) &&
+        !(srcOnly && !coalesce(whenNotMatchedInsertCond, lit(false))))
       .select(outCols.toIndexedSeq: _*)
   }
 }

@@ -498,6 +498,35 @@ object CoreQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // P18 (ext): nested-JSON round trip — order lines rendered as nested
+    // JSON documents (struct + sorted array of item structs via to_json),
+    // parsed back with a pinned schema (from_json) and NORMALIZED to
+    // relational rows by explode. The oracle aggregates the raw table
+    // directly, so the hash match proves serialize→parse→flatten loses
+    // nothing — the ingest path for API/event payloads that arrive as
+    // JSON documents, not rows.
+    "p18_nested_json" -> ((s, d) => {
+      val docsJson = t(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          struct(col("l_linenumber").as("ln"),
+            col("l_quantity").cast("decimal(12,2)").as("qty")).as("item"))
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_list(col("item"))).as("items"))
+        .select(to_json(struct(col("l_orderkey").as("oid"),
+          col("items"))).as("doc"))
+      val schema =
+        "struct<oid:bigint,items:array<struct<ln:int,qty:decimal(12,2)>>>"
+      docsJson
+        .select(from_json(col("doc"), schema, Map.empty[String, String])
+          .as("j"))
+        .select(col("j.oid").as("oid"), explode(col("j.items")).as("it"))
+        .groupBy(col("oid"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("it.qty")).cast("decimal(20,2)").as("qty"),
+          min(col("it.ln")).as("first_ln"))
+        .orderBy(col("oid"))
+    }),
+
     // J6 (ext): join-skew REPORT — the diagnosis that decides between a
     // plain shuffle join, AQE skew split, and manual salting
     // (Relational.saltedJoin): the 10 heaviest join keys with their load
@@ -697,6 +726,12 @@ object CoreQueries {
       """SELECT CAST(1 AS BOOLEAN) AS ok_l_orderkey,
         |CAST(1 AS BOOLEAN) AS ok_l_partkey,
         |CAST(1 AS BOOLEAN) AS ok_l_suppkey""".stripMargin,
+    "p18_nested_json" ->
+      """SELECT l_orderkey AS oid, count(*) AS n_items,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,2))
+        |  AS qty,
+        |CAST(min(l_linenumber) AS INT) AS first_ln
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "j6_skew_report" ->
       """WITH f AS (SELECT l_partkey AS key, count(*) AS cnt
         |  FROM lineitem GROUP BY 1),
