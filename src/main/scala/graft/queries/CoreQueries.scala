@@ -498,6 +498,31 @@ object CoreQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // DQ (ext): declarative constraint suite (Quality.check/report) —
+    // uniqueness, completeness, range, and FK integrity over the star
+    // schema as one report. Single-table rules fuse into one aggregate
+    // pass per table; the FK check is a broadcastable anti-join. The
+    // range rule is deliberately tighter than the data so the report
+    // shows a FAILING gate too, not just zeros.
+    "dq_constraints" -> ((s, d) => {
+      import graft.operators.Quality
+      val cust = t(s, d, "customer")
+      val custReport = Quality.check(cust, Seq(
+        "customer_pk_unique" ->
+          Quality.uniqueViolations(col("c_custkey")),
+        "customer_name_not_null" ->
+          Quality.nullViolations(col("c_name"))))
+      val liReport = Quality.check(t(s, d, "lineitem"), Seq(
+        "lineitem_qty_in_1_30" ->
+          Quality.rangeViolations(col("l_quantity"), lit(1), lit(30)),
+        "lineitem_price_positive" ->
+          Quality.rangeViolations(col("l_extendedprice"), lit(0),
+            lit(Double.MaxValue))))
+      val fkReport = Quality.fkViolations("fk_orders_customer",
+        t(s, d, "orders"), "o_custkey", cust, "c_custkey")
+      Quality.report(custReport, liReport, fkReport)
+    }),
+
     // P18 (ext): nested-JSON round trip — order lines rendered as nested
     // JSON documents (struct + sorted array of item structs via to_json),
     // parsed back with a pinned schema (from_json) and NORMALIZED to
@@ -726,6 +751,28 @@ object CoreQueries {
       """SELECT CAST(1 AS BOOLEAN) AS ok_l_orderkey,
         |CAST(1 AS BOOLEAN) AS ok_l_partkey,
         |CAST(1 AS BOOLEAN) AS ok_l_suppkey""".stripMargin,
+    "dq_constraints" ->
+      """WITH r AS (
+        |SELECT 'customer_pk_unique' AS rule,
+        |  count(*) - count(DISTINCT c_custkey) AS violations FROM customer
+        |UNION ALL
+        |SELECT 'customer_name_not_null',
+        |  count(*) FILTER (WHERE c_name IS NULL) FROM customer
+        |UNION ALL
+        |SELECT 'lineitem_qty_in_1_30',
+        |  count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 30)
+        |  FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_price_positive',
+        |  count(*) FILTER (WHERE l_extendedprice < 0) FROM lineitem
+        |UNION ALL
+        |SELECT 'fk_orders_customer',
+        |  (SELECT count(*) FROM orders o LEFT JOIN customer c
+        |   ON o.o_custkey = c.c_custkey
+        |   WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL))
+        |SELECT rule, CAST(violations AS BIGINT) AS violations,
+        |  violations = 0 AS pass
+        |FROM r ORDER BY rule""".stripMargin,
     "p18_nested_json" ->
       """SELECT l_orderkey AS oid, count(*) AS n_items,
         |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,2))
