@@ -74,7 +74,7 @@ object Bench {
     "t_cms_heavy" -> 0.47, "t_dedup_bloom" -> 0.45,
     // Round-5 first-ship medians (same harness; from the clean full-set
     // run — the one with zero regressions).
-    "lake_merge" -> 0.39, "s17_zorder_box" -> 7.36,
+    "lake_merge" -> 0.39, "s17_zorder_box" -> 4.96,
     "g_pagerank" -> 1.34)
 
   def main(args: Array[String]): Unit = {

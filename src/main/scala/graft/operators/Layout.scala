@@ -48,15 +48,21 @@ object Layout {
 
   /** The equal-depth cell bounds for each clustered column, as one
     * single-row broadcastable aggregate (2^bits − 1 quantiles per
-    * column).
+    * column). approx_percentile, deliberately: the GK sketch is one-pass
+    * and MERGEABLE (map-side partials, no single-reducer sort of the
+    * whole column — exact `percentile` collects every value into one
+    * task, the failure mode the decile operator documents), and cell
+    * bounds only steer LAYOUT, never answers — a slightly off bound
+    * shifts file boundaries, not results.
     */
   def cellBounds(df: DataFrame, cols: Seq[String], bits: Int): DataFrame = {
     val ps = (1 until (1 << bits))
       .map(i => i.toDouble / (1 << bits)).mkString("array(", ",", ")")
     df.agg(
-      expr(s"percentile(${cols.head}, $ps)").as(s"bounds_${cols.head}"),
+      expr(s"approx_percentile(${cols.head}, $ps, 10000)")
+        .as(s"bounds_${cols.head}"),
       cols.tail.map(c =>
-        expr(s"percentile($c, $ps)").as(s"bounds_$c")): _*)
+        expr(s"approx_percentile($c, $ps, 10000)").as(s"bounds_$c")): _*)
   }
 
   /** `df` with a `zkey` column appended (broadcast bounds + map-side
