@@ -151,6 +151,31 @@ object EventQueries {
       graft.operators.TimeSeries.gapFillHourly(ev(s, d), "event_type", "ts")
         .orderBy(col("event_type"), col("bucket"))),
 
+    // Cascaded rollup maintenance: the summary-table ladder every metrics
+    // warehouse keeps — events aggregate ONCE into minute partials, hours
+    // build from minute PARTIALS, days from hour partials; raw events are
+    // scanned exactly once for all three grains. Counts and decimal sums
+    // are mergeable, so cascade ≡ direct — and the oracle proves it by
+    // computing the DAY grain straight from raw events. At 100 TB this is
+    // why the day rollup costs |hour rows|, not a history re-scan (the
+    // batch face of a18_incr_rollup, stacked).
+    "ev_rollup_cascade" -> ((s, d) => {
+      val minutes = ev(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("minute", col("ts")).as("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,2)")).as("v"))
+      val hours = minutes
+        .groupBy(col("event_type"), date_trunc("hour", col("m")).as("h"))
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("v")).cast("decimal(20,2)").as("v"))
+      hours
+        .groupBy(col("event_type"), date_trunc("day", col("h")).as("day"))
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("v")).cast("decimal(20,2)").as("v"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // CDC log compaction: latest state per (user, event_type) in ONE
     // grouped aggregate — `max_by` over a (ts, event_id) struct gives the
     // deterministic last-writer-wins row with no per-key window sort.
@@ -197,6 +222,11 @@ object EventQueries {
         |SELECT event_type, next_type, count(*) AS n FROM nx
         |WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_rollup_cascade" ->
+      """SELECT event_type, date_trunc('day', ts) AS day,
+        |count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(20,2))) AS DECIMAL(20,2)) AS v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_gapfill" ->
       """WITH sp AS (SELECT date_trunc('hour', min(ts)) AS lo,
         |  date_trunc('hour', max(ts)) AS hi FROM events),

@@ -46,6 +46,36 @@ class LakeMergeSpec extends AnyFunSuite {
     assert(out.find(_._1 == 2L).get._3 == 99L)
   }
 
+  test("merge matches the executable map-based spec on random change-sets") {
+    // Deterministic pseudo-random cases; the spec is a Scala Map fold.
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 25) {
+      val tgtRows = (1 to rnd.nextInt(20))
+        .map(_ => rnd.nextInt(15).toLong).distinct
+        .map(k => k -> rnd.nextInt(100).toLong)
+      // unique keys per side (the MERGE precondition)
+      val srcRows = (1 to rnd.nextInt(15))
+        .map(_ => rnd.nextInt(20).toLong).distinct
+        .map(k => (k, rnd.nextInt(100).toLong, rnd.nextBoolean()))
+      val expected = srcRows.foldLeft(tgtRows.toMap) {
+        case (m, (k, v, del)) =>
+          if (del) { if (m.contains(k)) m - k else m }
+          else m.updated(k, v)
+      }
+      val out = LakeMerge.mergeInto(
+        tgtRows.map { case (k, v) => (k, v) }.toDF("k", "v"),
+        srcRows.toDF("k", "new_v", "del"), "k",
+        whenMatchedUpdate = Map("v" -> col("s.new_v")),
+        whenMatchedDelete = col("s.del"),
+        whenNotMatchedInsert =
+          Map("k" -> col("s.k"), "v" -> col("s.new_v")),
+        whenNotMatchedInsertCond = !col("s.del"))
+        .as[(Long, Long)].collect().toMap
+      assert(out == expected,
+        s"tgt=$tgtRows src=$srcRows")
+    }
+  }
+
   test("empty source is the identity merge") {
     val source = Seq.empty[(Long, Long, Boolean)]
       .toDF("k", "new_v", "del")
