@@ -223,6 +223,37 @@ object SourceQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // S20: corrupt-record-tolerant ingestion — a JSONL landing zone where
+    // every 10th line is garbage. PERMISSIVE read with a pinned schema +
+    // columnNameOfCorruptRecord quarantines bad lines as rows (never
+    // fails the job, never silently drops): good rows parse, corrupt
+    // rows carry the raw line. The report proves the split is exact —
+    // counts AND the content checksum of the good partition.
+    "s20_corrupt_records" -> ((s, d) => {
+      val land = s"$scratch/docs_landing"
+      val dd = t(s, d, "documents")
+      dd.select(when(pmod(col("doc_id"), lit(10)) === 0,
+          concat(lit("corrupt line "), col("doc_id")))
+        .otherwise(to_json(struct(col("doc_id"), col("lang"))))
+        .as("value"))
+        .write.mode("overwrite").text(land)
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("_corrupt_record", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(land)
+        .agg(
+          sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+            .as("n_good"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+            .as("n_corrupt"),
+          sum(when(col("_corrupt_record").isNull, col("doc_id")))
+            .cast("long").as("good_id_sum"))
+    }),
+
     // S10: batched JDBC append into an embedded Derby database
     // (batchsize=1000 like the reference's executemany batching,
     // merge_to_dw.py:25, 191), then read back over JDBC. On a cluster the
@@ -318,6 +349,12 @@ object SourceQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s10_jdbc_batch" ->
       "SELECT * FROM region ORDER BY r_regionkey",
+    "s20_corrupt_records" ->
+      """SELECT count(*) FILTER (WHERE doc_id % 10 <> 0) AS n_good,
+        |count(*) FILTER (WHERE doc_id % 10 = 0) AS n_corrupt,
+        |CAST(sum(doc_id) FILTER (WHERE doc_id % 10 <> 0) AS BIGINT)
+        |  AS good_id_sum
+        |FROM documents""".stripMargin,
     "s19_federated_union" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
