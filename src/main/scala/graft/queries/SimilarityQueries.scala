@@ -144,6 +144,37 @@ object SimilarityQueries {
         .orderBy(col("vec_id"), col("dim"))
     }),
 
+    // Nearest-centroid classification EVAL over the labeled embeddings —
+    // the accuracy sheet for an embedding space: per-class centroids from
+    // quantized integer moments (floor(x·2^20) — exact sums, same trick
+    // as sim_whiten), per-vector squared distance scaled by n² so every
+    // comparison is a single division of exact integers, argmin with a
+    // label tie-break, then the (label, pred) confusion matrix. All in
+    // long (vec_id, dim) form: two grouped aggregates + one broadcast
+    // join — no per-class scan, no driver-side centroids.
+    "sim_centroid_classify" -> ((s, d) => {
+      val x = emb(s, d)
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .toDF("vec_id", "label", "dim", "x")
+        .withColumn("dx",
+          floor(col("x").cast("double") * 1048576).cast("long"))
+      val cent = x.groupBy(col("label").as("c"), col("dim"))
+        .agg(sum(col("dx")).as("sv"), count(lit(1)).as("n"))
+      val dist = x.join(broadcast(cent), Seq("dim"))
+        .withColumn("diff", col("n") * col("dx") - col("sv"))
+        .groupBy(col("vec_id"), col("label"), col("c"))
+        .agg(sum(col("diff").cast("decimal(38,0)") *
+            col("diff").cast("decimal(38,0)")).as("a"),
+          max(col("n")).as("n"))
+        .withColumn("dist",
+          col("a").cast("double") / (col("n") * col("n")).cast("double"))
+      dist.groupBy(col("vec_id"), col("label"))
+        .agg(min_by(col("c"), struct(col("dist"), col("c"))).as("pred"))
+        .groupBy(col("label"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("pred"))
+    }),
+
     // SEMANTIC dedup end-to-end: cosine near-dup pairs → connected
     // components → keep each cluster's min id — the embedding-space
     // analog of t_neardup_kept (same min-label clustering operator, a
@@ -580,6 +611,25 @@ object SimilarityQueries {
         |SELECT x.vec_id, x.dim, (CAST(dx AS DOUBLE) - m.mean)/sqrt(m.vr) AS z
         |FROM x JOIN m USING (dim) WHERE vec_id < 5
         |ORDER BY 1, 2""".stripMargin,
+    "sim_centroid_classify" ->
+      """WITH x AS (SELECT vec_id, label, i-1 AS dim,
+        |  CAST(floor(CAST(embedding[i] AS DOUBLE)*1048576) AS BIGINT)
+        |    AS dx
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+        |cent AS (SELECT label AS c, dim, sum(dx) AS sv, count(*) AS n
+        |  FROM x GROUP BY 1, 2),
+        |dd AS (SELECT x.vec_id, x.label, cent.c,
+        |    sum(CAST(cent.n*x.dx - cent.sv AS HUGEINT)
+        |        * (cent.n*x.dx - cent.sv)) AS a,
+        |    max(cent.n) AS n
+        |  FROM x JOIN cent USING (dim) GROUP BY 1, 2, 3),
+        |dist AS (SELECT vec_id, label, c,
+        |    CAST(a AS DOUBLE)/(n*n) AS dist FROM dd),
+        |p AS (SELECT vec_id, label, c,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, c)
+        |      AS rk FROM dist)
+        |SELECT label, c AS pred, count(*) AS n FROM p WHERE rk = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sim_semantic_kept" ->
       s"""WITH RECURSIVE v AS (SELECT vec_id, label,
          |  CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
