@@ -523,6 +523,23 @@ object CoreQueries {
       Quality.report(custReport, liReport, fkReport)
     }),
 
+    // DQ (ext): k-anonymity audit — the re-identification gate beside
+    // the PII scrub: group the table by its quasi-identifier tuple and
+    // report how many equivalence classes fall below k=5 and how many
+    // rows they expose. One grouped count + one tiny aggregate over the
+    // |groups| rows; the release decision (suppress/generalize) reads
+    // this report.
+    "dq_k_anonymity" -> ((s, d) => {
+      val g = t(s, d, "customer")
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+      g.agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n") < 5, 1L).otherwise(0L)).as("groups_below_k"),
+        sum(when(col("n") < 5, col("n")).otherwise(lit(0L)))
+          .cast("long").as("rows_at_risk"),
+        min(col("n")).as("min_group_size"))
+    }),
+
     // P18 (ext): nested-JSON round trip — order lines rendered as nested
     // JSON documents (struct + sorted array of item structs via to_json),
     // parsed back with a pinned schema (from_json) and NORMALIZED to
@@ -773,6 +790,14 @@ object CoreQueries {
         |SELECT rule, CAST(violations AS BIGINT) AS violations,
         |  violations = 0 AS pass
         |FROM r ORDER BY rule""".stripMargin,
+    "dq_k_anonymity" ->
+      """WITH g AS (SELECT c_mktsegment, c_nationkey, count(*) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT count(*) AS n_groups,
+        |count(*) FILTER (WHERE n < 5) AS groups_below_k,
+        |CAST(coalesce(sum(n) FILTER (WHERE n < 5), 0) AS BIGINT)
+        |  AS rows_at_risk,
+        |min(n) AS min_group_size FROM g""".stripMargin,
     "p18_nested_json" ->
       """SELECT l_orderkey AS oid, count(*) AS n_items,
         |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,2))
