@@ -46,11 +46,17 @@ object LakeMerge {
                 whenNotMatchedInsert: Map[String, Column] = Map.empty,
                 whenNotMatchedInsertCond: Column = lit(true))
   : DataFrame = {
-    val joined = target.alias("t")
-      .join(source.alias("s"), col(s"t.$key") === col(s"s.$key"),
-        "full_outer")
-    val matched = col(s"t.$key").isNotNull && col(s"s.$key").isNotNull
-    val srcOnly = col(s"t.$key").isNull
+    // Row-presence markers, NOT key nullness, discriminate the merge
+    // classes: a NULL-key target row is still a present target row (it
+    // can never match, `===` rejects null pairs — it must pass through
+    // unchanged), while testing `t.key IS NULL` would misclassify it as
+    // source-only and overwrite it with insert values.
+    val joined = target.withColumn("_t_present", lit(true)).alias("t")
+      .join(source.withColumn("_s_present", lit(true)).alias("s"),
+        col(s"t.$key") === col(s"s.$key"), "full_outer")
+    val matched =
+      col("t._t_present").isNotNull && col("s._s_present").isNotNull
+    val srcOnly = col("t._t_present").isNull
     val outCols = target.columns.map { c =>
       val keep = col(s"t.$c")
       val ins = whenNotMatchedInsert.getOrElse(c,

@@ -279,6 +279,23 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // kNN self-JOIN: top-3 neighbors for EVERY corpus vector (not a
+    // 5-query probe set) through the trained-IVF cell blocking — the
+    // neighbor-graph build that semantic dedup, diversity sampling, and
+    // retrieval eval all start from. Same Σ|cell|² candidate bound as
+    // every blocked operator; per-cell top-k, never an all-pairs corpus
+    // join.
+    "sim_knn_join" -> ((s, d) => {
+      val v0 = emb(s, d)
+      val trained = Similarity.kmeansCentroids(v0, "embedding",
+        dim = 64, k = 8, iters = 2, seed = 7L)
+      val v = v0.withColumn("cell",
+        Similarity.centroidCell(col("embedding"), trained))
+      Similarity.partitionedTopK(v, v, "vec_id", "embedding", "cell",
+          k = 3)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Index PERSISTENCE — build once, query many: the trained quantizer
     // (8 centroid rows) and the per-vector cell assignments land as
     // parquet lake artifacts; the query path then reads the INDEX (one
@@ -660,6 +677,18 @@ object SimilarityQueries {
          |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=5
          |ORDER BY q_id, rank""".stripMargin,
     "sim_topk_ivf_trained" -> trainedTopkSql,
+    "sim_knn_join" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |${kmeansCtes(k = 8, iters = 2, seed = 7L)},
+         |q AS (SELECT vec_id AS q_id, cell, e AS q_vec FROM aF),
+         |c AS (SELECT vec_id AS n_id, cell, e AS n_vec FROM aF),
+         |s AS (SELECT q_id, n_id, $cosSql AS cos FROM c JOIN q USING (cell)
+         |  WHERE n_id<>q_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM s)
+         |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=3
+         |ORDER BY q_id, rank""".stripMargin,
     // The persisted-index path must return EXACTLY the train-inline
     // result — same oracle.
     "sim_topk_ivf_persist" -> trainedTopkSql,

@@ -84,4 +84,30 @@ class ParityTrapsSpec extends AnyFunSuite {
       .collect().head
     assert(days == 14)
   }
+
+  test("trap 8: NULL merge keys never match — both sides pass through") {
+    // lake_merge's `===` join: a null-key source row is source-only
+    // (inserted, if the insert condition allows), a null-key target row
+    // is target-only (kept) — they must NOT pair with each other.
+    val tgt = Seq((Option.empty[Long], 1L), (Some(5L), 2L)).toDF("k", "v")
+    val src = Seq((Option.empty[Long], 9L, false)).toDF("k", "new_v", "del")
+    val out = graft.operators.LakeMerge.mergeInto(tgt, src, "k",
+      whenMatchedUpdate = Map("v" -> col("s.new_v")),
+      whenNotMatchedInsert = Map("k" -> col("s.k"), "v" -> col("s.new_v")))
+      .as[(Option[Long], Long)].collect().toSeq.sortBy(_._2)
+    assert(out == Seq((None, 1L), (Some(5L), 2L), (None, 9L)))
+  }
+
+  test("trap 9: uniqueViolations counts NULL keys as violations, " +
+    "count_distinct would not") {
+    // count(*) includes nulls, count_distinct excludes them — so two
+    // null PKs report 2 violations (null PKs ARE a PK violation). Pin
+    // the behavior so a refactor to a null-exempt rule is a visible
+    // choice, not an accident.
+    val df = Seq(Option(1L), Option(1L), None, None).toDF("k")
+    val v = graft.operators.Quality.check(df,
+      Seq("pk" -> graft.operators.Quality.uniqueViolations(col("k"))))
+      .as[(String, Long)].collect().head._2
+    assert(v == 3L) // 4 rows, 1 distinct non-null value
+  }
 }
