@@ -243,6 +243,27 @@ object PipelineQueries {
         .orderBy(col("at"), col("c_mktsegment"))
     }),
 
+    // SCD2 fact ENRICHMENT — the query versioned dimensions exist for:
+    // each order joins the segment its customer was in AS OF the order
+    // date (key equi-join + interval post-filter; intervals partition
+    // time per key, so each fact matches at most one version). Orders
+    // predating the customer's first version report UNKNOWN — visible
+    // history gaps, never silent drops.
+    "scd2_enrich" -> ((s, d) => {
+      val dim = scd2Dim(s, d)
+      val o = t(s, d, "orders")
+      o.join(dim, o("o_custkey") === dim("c_custkey") &&
+          dim("valid_from") <= o("o_orderdate") &&
+          (dim("valid_to").isNull ||
+            o("o_orderdate") < dim("valid_to")), "left")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(20,2)"))
+            .cast("decimal(20,2)").as("rev"))
+        .orderBy(col("yr"), col("segment"))
+    }),
+
     // Incremental dim upsert (StarSchema.upsertDim): load half the parts,
     // upsert the full set, and check every surrogate id equals a fresh
     // single-shot build — hash surrogates make incremental loads
@@ -441,6 +462,18 @@ object PipelineQueries {
          |SELECT c_custkey, c_mktsegment, valid_from,
          |coalesce(valid_to, DATE '9999-12-31') AS valid_to
          |FROM v ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "scd2_enrich" ->
+      s"""WITH $scd2Cte
+         |SELECT CAST(year(o_orderdate) AS INT) AS yr,
+         |  coalesce(v.c_mktsegment, 'UNKNOWN') AS segment,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2)))
+         |    AS DECIMAL(20,2)) AS rev
+         |FROM orders o LEFT JOIN v ON o.o_custkey = v.c_custkey
+         |  AND v.valid_from <= o.o_orderdate
+         |  AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "scd2_asof" ->
       s"""WITH $scd2Cte,
