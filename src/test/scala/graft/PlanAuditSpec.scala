@@ -298,6 +298,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"band condition stopped equi-joining:\n$p")
   }
 
+  test("SCD2 enrichment extracts the equi-key from the interval join") {
+    // The version-interval condition must ride as a post-join filter on
+    // a key equi-join — a nested-loop/cartesian here would scan
+    // |facts|×|versions| at the warehouse.
+    val p = plan("scd2_enrich")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join lost its equi-key:\n$p")
+  }
+
   test("headline aggregates keep whole-stage codegen on the hot path") {
     for (q <- Seq("d9_top_artists", "q1_agg")) {
       val p = plan(q)
