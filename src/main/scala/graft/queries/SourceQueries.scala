@@ -254,6 +254,16 @@ object SourceQueries {
             .cast("long").as("good_id_sum"))
     }),
 
+    // S21: native DataSource V2 connector (sources/synth/SynthSource —
+    // TableProvider → pruning ScanBuilder → partitioned readers). Rows
+    // are pure functions of the id, so the oracle replays the whole
+    // table from range(n): the hash match proves connector planning,
+    // split boundaries, and row encoding end-to-end.
+    "s21_dsv2_source" -> ((s, d) =>
+      s.read.format("graft-synth")
+        .option("rows", "2000").option("parts", "8").load()
+        .orderBy(col("id"))),
+
     // S10: batched JDBC append into an embedded Derby database
     // (batchsize=1000 like the reference's executemany batching,
     // merge_to_dw.py:25, 191), then read back over JDBC. On a cluster the
@@ -349,6 +359,9 @@ object SourceQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s10_jdbc_batch" ->
       "SELECT * FROM region ORDER BY r_regionkey",
+    "s21_dsv2_source" ->
+      """SELECT i AS id, md5(CAST(i AS VARCHAR)) AS text
+        |FROM range(0, 2000) t(i) ORDER BY id""".stripMargin,
     "s20_corrupt_records" ->
       """SELECT count(*) FILTER (WHERE doc_id % 10 <> 0) AS n_good,
         |count(*) FILTER (WHERE doc_id % 10 = 0) AS n_corrupt,
