@@ -621,6 +621,25 @@ object CoreQueries {
         .orderBy(col("status"))
     }),
 
+    // A13b (ext): BAG-semantics set operations — INTERSECT ALL keeps the
+    // minimum multiplicity per value, EXCEPT ALL subtracts
+    // multiplicities (Spark intersectAll/exceptAll ≙ SQL ALL variants).
+    // Distinct-based a13 loses duplicate counts; reconciliation jobs
+    // (ledger diffs, event replays) need the bag answer.
+    "a13_set_ops_all" -> ((s, d) => {
+      def keys(status: String) =
+        t(s, d, "orders").where(col("o_orderstatus") === status)
+          .select(col("o_custkey"))
+      val f = keys("F")
+      val p = keys("P")
+      f.intersectAll(p).agg(count(lit(1)).as("n"))
+        .select(lit("both_all").as("op"), col("n"))
+        .unionByName(
+          f.exceptAll(p).agg(count(lit(1)).as("n"))
+            .select(lit("f_minus_p_all").as("op"), col("n")))
+        .orderBy(col("op"))
+    }),
+
     // A12: row-set sort with deterministic tie-break.
     "a12_sort" -> ((s, d) =>
       t(s, d, "orders")
@@ -869,6 +888,15 @@ object CoreQueries {
         |round((n*s_et - s_e*s_t)/sqrt((n*s_ee - s_e*s_e)*(n*s_tt - s_t*s_t)),6)
         |  AS corr_l_extendedprice_l_tax
         |FROM m""".stripMargin,
+    "a13_set_ops_all" ->
+      """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus='F'),
+        |p AS (SELECT o_custkey FROM orders WHERE o_orderstatus='P')
+        |SELECT 'both_all' AS op, count(*) AS n FROM
+        |  (SELECT o_custkey FROM f INTERSECT ALL SELECT o_custkey FROM p)
+        |UNION ALL
+        |SELECT 'f_minus_p_all', count(*) FROM
+        |  (SELECT o_custkey FROM f EXCEPT ALL SELECT o_custkey FROM p)
+        |ORDER BY op""".stripMargin,
     "a13_set_ops" ->
       """SELECT 'both' AS op, count(*) AS n FROM (
         |  SELECT o_custkey FROM orders WHERE o_orderstatus='F'

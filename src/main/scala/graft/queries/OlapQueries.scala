@@ -130,6 +130,24 @@ object OlapQueries {
     // The unpartitioned window is safe BECAUSE its input is the yearly
     // rollup (single-digit rows at any SF); the heavy lifting is the
     // ordinary groupBy before it.
+    // Distribution windows (percent_rank / cume_dist) over the per-
+    // nation revenue rollup — the "where does this market stand"
+    // analytic. Window input is the |nations| aggregate, never facts
+    // (same posture as every analytic window here); both measures are
+    // exact rationals of rank integers, so doubles replay bitwise.
+    "w_cume_dist" -> ((s, d) => {
+      val perNation = ordersGeo(s, d)
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"), revenue.as("revenue"))
+      val w = Window.orderBy(col("revenue"), col("n_name"))
+      perNation
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .select(col("n_name"), col("n"), col("revenue"),
+          col("pct_rank"), col("cume"))
+        .orderBy(col("n_name"))
+    }),
+
     "w_yoy_delta" -> ((s, d) => {
       val perYear = t(s, d, "orders")
         .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
@@ -198,6 +216,18 @@ object OlapQueries {
         |    ORDER BY wins DESC, c_name) AS rnk FROM w)
         |SELECT region, c_name, wins, rnk FROM r WHERE rnk <= 3
         |ORDER BY region, rnk, c_name""".stripMargin,
+    "w_cume_dist" ->
+      """WITH g AS (SELECT n_name, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE)
+        |    AS revenue
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1)
+        |SELECT n_name, n, revenue,
+        |  percent_rank() OVER (ORDER BY revenue, n_name) AS pct_rank,
+        |  cume_dist() OVER (ORDER BY revenue, n_name) AS cume
+        |FROM g ORDER BY n_name""".stripMargin,
     "w_yoy_delta" ->
       """WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
         |  count(*) AS n,
