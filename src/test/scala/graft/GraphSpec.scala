@@ -30,6 +30,29 @@ class GraphSpec extends AnyFunSuite {
     assert(out == Map(0L -> 405000L, 1L -> 150000L, 2L -> 150000L))
   }
 
+  test("integer ranks track a double-precision reference within quantization") {
+    // Reference: the same damped propagation in doubles on the driver.
+    val edges = (0L until 40L).flatMap(i =>
+      Seq((i, (i * 7 + 1) % 40), (i, (i * 13 + 3) % 40)))
+      .filter { case (a, b) => a != b }
+    val out = Graph.pagerankInt(edges.toDF("src", "dst"),
+        (0L until 40L).toDF("id"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    var r = (0L until 40L).map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / outdeg(s) }.sum).toMap
+      r = r.keys.map(k => k -> (0.15 + 0.85 * contrib.getOrElse(k, 0.0)))
+        .toMap
+    }
+    // Each floor division loses < 1 micro-unit; 3 iterations compound to
+    // well under 100 micro-units on a 1e6 scale (0.01%).
+    for (k <- r.keys)
+      assert(math.abs(out(k) - r(k) * 1e6) < 100.0,
+        s"node $k: int ${out(k)} vs ref ${r(k) * 1e6}")
+  }
+
   test("total mass never exceeds the initial mass") {
     val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 0L))
       .toDF("src", "dst")
