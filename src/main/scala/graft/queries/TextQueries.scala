@@ -340,6 +340,38 @@ object TextQueries {
     // 7th doc gets a deterministic planted email+phone suffix — the scrub
     // then has real work whose counts and redacted lengths the oracle
     // reproduces exactly.
+    // PII DISCOVERY scan — the lake-wide "where does PII live" report
+    // that decides which columns need t_pii_scrub's redaction: for each
+    // (table, column) pair, rows containing email/phone patterns. One
+    // aggregate pass per column, patterns shared verbatim with the
+    // scrub (and with the oracle). documents.text carries the same
+    // planted PII as t_pii_scrub so the scanner has true positives;
+    // the name columns prove true negatives.
+    "dq_pii_scan" -> ((s, d) => {
+      def scan(df: DataFrame, table: String, column: String,
+               c: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n_rows"),
+          sum(when(TextFunctions.piiCount(lower(c),
+            TextFunctions.EmailRegex) > 0, 1L).otherwise(0L))
+            .as("email_rows"),
+          sum(when(TextFunctions.piiCount(lower(c),
+            TextFunctions.PhoneRegex) > 0, 1L).otherwise(0L))
+            .as("phone_rows"))
+          .select(lit(table).as("tbl"), lit(column).as("col"),
+            col("n_rows"), col("email_rows"), col("phone_rows"))
+      val planted = when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"),
+          lit("@example.com or 555-123-4567")))
+        .otherwise(col("text"))
+      scan(docs(s, d), "documents", "text", planted)
+        .unionByName(scan(Tables.load(s, d, "customer"),
+          "customer", "c_name", col("c_name")))
+        .unionByName(scan(Tables.load(s, d, "part"),
+          "part", "p_name", col("p_name")))
+        .orderBy(col("tbl"))
+    }),
+
     "t_pii_scrub" -> ((s, d) => {
       val planted = when(pmod(col("doc_id"), lit(7)) === 0,
         concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
@@ -770,6 +802,35 @@ object TextQueries {
          |  1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)/len(ws) AS dup_token_frac,
          |  CAST(topc AS DOUBLE)/tot AS top_bigram_frac
          |FROM w JOIN r ON w.doc_id=r.doc_id ORDER BY 1""".stripMargin,
+    "dq_pii_scan" -> {
+      val em = TextFunctions.EmailRegex
+      val ph = TextFunctions.PhoneRegex
+      s"""WITH p AS (SELECT CASE WHEN doc_id%7=0
+         |  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@example.com or 555-123-4567'
+         |  ELSE text END AS t FROM documents)
+         |SELECT 'customer' AS tbl, 'c_name' AS col, count(*) AS n_rows,
+         |  count(*) FILTER (WHERE len(regexp_extract_all(lower(c_name),
+         |    '$em')) > 0) AS email_rows,
+         |  count(*) FILTER (WHERE len(regexp_extract_all(lower(c_name),
+         |    '$ph')) > 0) AS phone_rows
+         |FROM customer
+         |UNION ALL
+         |SELECT 'documents', 'text', count(*),
+         |  count(*) FILTER (WHERE len(regexp_extract_all(lower(t),
+         |    '$em')) > 0),
+         |  count(*) FILTER (WHERE len(regexp_extract_all(lower(t),
+         |    '$ph')) > 0)
+         |FROM p
+         |UNION ALL
+         |SELECT 'part', 'p_name', count(*),
+         |  count(*) FILTER (WHERE len(regexp_extract_all(lower(p_name),
+         |    '$em')) > 0),
+         |  count(*) FILTER (WHERE len(regexp_extract_all(lower(p_name),
+         |    '$ph')) > 0)
+         |FROM part
+         |ORDER BY tbl""".stripMargin
+    },
     "t_pii_scrub" ->
       s"""WITH p AS (SELECT doc_id, CASE WHEN doc_id%7=0
          |  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
