@@ -13,6 +13,9 @@ case class SessionAcc(lastTs: Long, sessions: Long, events: Long)
 /** Output row of [[EventPipeline.sessionStatsWithState]]. */
 case class UserSessionStats(user_id: Long, n_sessions: Long, n_events: Long)
 
+/** Emitted once per key that has gone silent past the horizon. */
+case class SilenceAlert(user_id: Long, last_seen: java.sql.Timestamp)
+
 /** Structured-Streaming event pipeline.
   *
   * The reference has no streaming (SURVEY.md §2.8 — its "streaming" is an
@@ -104,6 +107,46 @@ object EventPipeline {
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionAcc, UserSessionStats](
         OutputMode.Update, GroupStateTimeout.NoTimeout)(fold)
+      .toDF()
+  }
+
+  /** Silence / heartbeat detection — the state-TIMEOUT primitive: a key
+    * that stops sending events is invisible to every aggregation over
+    * arriving rows (you cannot aggregate rows that never come); only a
+    * state timeout can emit "key X went quiet". One tiny state row per
+    * key holds its last-seen event time; the timeout arms at
+    * `lastSeen + silenceMinutes` in EVENT time, so the watermark both
+    * drives detection and bounds state — a key silent past the horizon
+    * emits one alert and its state is removed (state is O(live keys),
+    * and dead keys cost nothing forever after).
+    */
+  def detectSilence(events: DataFrame,
+                    silenceMinutes: Int = 60): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val silenceMs = silenceMinutes * 60000L
+    // The watermarked timestamp COLUMN must reach the stateful operator
+    // (event-time timeouts read it) — so no epoch-long re-mapping here.
+    val fold = (userId: Long, it: Iterator[(Long, java.sql.Timestamp)],
+                state: GroupState[Long]) => {
+      if (state.hasTimedOut) {
+        val last = state.get
+        state.remove()
+        Iterator.single(SilenceAlert(userId,
+          new java.sql.Timestamp(last)))
+      } else {
+        val latest =
+          (it.map(_._2.getTime) ++ state.getOption.iterator).max
+        state.update(latest)
+        state.setTimeoutTimestamp(latest + silenceMs)
+        Iterator.empty
+      }
+    }
+    events.select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, SilenceAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
       .toDF()
   }
 

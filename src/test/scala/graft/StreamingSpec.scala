@@ -250,6 +250,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("detectSilence alerts exactly the keys that went quiet, once") {
+    val input = MemoryStream[Ev](spark)
+    val q = EventPipeline.detectSilence(
+        input.toDF().withWatermark("ts", "10 minutes"),
+        silenceMinutes = 30)
+      .writeStream.format("memory").queryName("silence_out")
+      .outputMode("append").start()
+    try {
+      // Users 1 and 2 both seen at t0.
+      input.addData(Seq(Ev(1, t(0), 1, "view", 0, "{}"),
+        Ev(2, t(0), 2, "view", 0, "{}")))
+      q.processAllAvailable()
+      // User 2 keeps heartbeating; user 1 goes dark. The watermark
+      // ride-along events push event time forward.
+      input.addData(Seq(Ev(3, t(50), 2, "view", 0, "{}")))
+      q.processAllAvailable()
+      input.addData(Seq(Ev(4, t(70), 2, "view", 0, "{}")))
+      q.processAllAvailable()
+      input.addData(Seq(Ev(5, t(95), 2, "view", 0, "{}")))
+      q.processAllAvailable()
+      val alerts = spark.table("silence_out")
+        .as[(Long, java.sql.Timestamp)].collect().toSeq
+      // Only user 1 timed out (silent since t0, horizon 30m, watermark
+      // well past t30); user 2 re-armed before every deadline. Exactly
+      // one alert — state is removed on firing.
+      assert(alerts == Seq((1L, t(0))))
+    } finally q.stop()
+  }
+
   test("funnel requires strictly ordered first event times") {
     val evs = Seq(
       // user 1: full ordered funnel view(5) < click(10) < purchase(15)
