@@ -151,6 +151,23 @@ object EventQueries {
       graft.operators.TimeSeries.gapFillHourly(ev(s, d), "event_type", "ts")
         .orderBy(col("event_type"), col("bucket"))),
 
+    // Batch face of silence detection (EventPipeline.detectSilence is
+    // the streaming form with event-time state timeouts): users whose
+    // last event is older than the 30-minute horizon before the stream's
+    // end — one grouped max + a broadcast-scalar horizon comparison.
+    "ev_silent_users" -> ((s, d) => {
+      val e = ev(s, d)
+      val horizon = e.agg(
+        (max(unix_micros(col("ts"))) - 30L * 60L * 1000000L)
+          .as("cutoff"))
+      e.groupBy(col("user_id"))
+        .agg(max(unix_micros(col("ts"))).as("last_us"))
+        .crossJoin(broadcast(horizon))
+        .where(col("last_us") < col("cutoff"))
+        .select(col("user_id"), col("last_us"))
+        .orderBy(col("user_id"))
+    }),
+
     // Cascaded rollup maintenance: the summary-table ladder every metrics
     // warehouse keeps — events aggregate ONCE into minute partials, hours
     // build from minute PARTIALS, days from hour partials; raw events are
@@ -222,6 +239,12 @@ object EventQueries {
         |SELECT event_type, next_type, count(*) AS n FROM nx
         |WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_silent_users" ->
+      """WITH h AS (SELECT max(epoch_us(ts)) - 30*60*1000000 AS cutoff
+        |  FROM events)
+        |SELECT user_id, max(epoch_us(ts)) AS last_us
+        |FROM events, h GROUP BY user_id, cutoff
+        |HAVING max(epoch_us(ts)) < cutoff ORDER BY user_id""".stripMargin,
     "ev_rollup_cascade" ->
       """SELECT event_type, date_trunc('day', ts) AS day,
         |count(*) AS n,
