@@ -65,10 +65,23 @@ object CorpusJobs {
         size, stride)
       .write.mode("overwrite").parquet(outDir)
 
+  /** Lake maintenance: compact small files to size-targeted ones, then
+    * optionally Z-order the result on the given columns — the nightly
+    * layout job run against landed partitions (compaction fixes file
+    * counts, clustering fixes footer-stat selectivity).
+    */
+  def maintainLayout(spark: SparkSession, inPath: String, outDir: String,
+                     zorderCols: Seq[String]): Unit =
+    if (zorderCols.isEmpty)
+      { graft.sources.Tables.compact(spark, inPath, outDir); () }
+    else graft.operators.Layout.writeZOrdered(
+      spark.read.parquet(inPath), outDir, zorderCols)
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
       "usage: shards <documentsParquet> <outDir> [docsPerShard] | " +
-        "chunks <documentsParquet> <outDir> [size] [stride]")
+        "chunks <documentsParquet> <outDir> [size] [stride] | " +
+        "layout <parquetDir> <outDir> [zorderCol,zorderCol...]")
     val Array(job, inPath, outDir) = args.take(3)
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, s"graft-$job")
@@ -80,6 +93,9 @@ object CorpusJobs {
         curateToChunks(spark, inPath, outDir,
           args.lift(3).map(_.toInt).getOrElse(512),
           args.lift(4).map(_.toInt).getOrElse(384))
+      case "layout" =>
+        maintainLayout(spark, inPath, outDir,
+          args.lift(3).map(_.split(",").toSeq).getOrElse(Seq.empty))
       case other => sys.error(s"unknown job $other")
     } finally spark.stop()
   }
