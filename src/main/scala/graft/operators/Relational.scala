@@ -194,6 +194,31 @@ object Relational {
     l.join(s, keys :+ "_salt").drop("_salt")
   }
 
+  /** Stats-DRIVEN salting: measure the large side's key skew first (the
+    * j6_skew_report aggregate reduced to one row: max key count vs mean
+    * key count), then either join plain — skew below `threshold` means
+    * salting would only add replication cost — or salt with a count
+    * sized to the measured imbalance (⌈skew⌉ capped at `maxSalts`). The
+    * stats pass is one map-side-combinable aggregate collapsing to a
+    * SINGLE driver row (tiny-bounds posture); the decision it feeds is
+    * exactly the one an engineer makes from the skew report by hand.
+    */
+  def autoSaltedJoin(large: DataFrame, small: DataFrame,
+                     keys: Seq[String], threshold: Double = 4.0,
+                     maxSalts: Int = 64): DataFrame = {
+    val perKey = large.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+    val row = perKey
+      .agg(max(col("_n")).as("_mx"), avg(col("_n")).as("_mean"))
+      .collect().head
+    val skew =
+      if (row.isNullAt(0) || row.getDouble(1) == 0.0) 1.0
+      else row.getLong(0) / row.getDouble(1)
+    if (skew < threshold) large.join(small, keys)
+    else saltedJoin(large, small, keys,
+      math.min(maxSalts, math.ceil(skew).toInt))
+  }
+
   /** D7-style argmax: the single row maximizing `by`, ties broken by
     * ascending `tieBreak`. NOT a global window — `row_number` over an
     * unpartitioned window funnels every row through one task, the classic

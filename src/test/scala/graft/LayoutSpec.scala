@@ -23,6 +23,16 @@ class LayoutSpec extends AnyFunSuite {
     assert(z == 6L)
   }
 
+  test("three-dimension interleave places bits dimension-major") {
+    // cells (x=0b01, y=0b10, z=0b11), 2 bits: out bit (i*3 + j):
+    // i=0: x→bit0=1, y→bit1=0, z→bit2=1; i=1: x→bit3=0, y→bit4=1,
+    // z→bit5=1 ⇒ 0b110101 = 53.
+    val z = Seq((1, 2, 3)).toDF("x", "y", "z")
+      .select(Layout.zValue(Seq(col("x"), col("y"), col("z")), 2).as("v"))
+      .as[Long].collect().head
+    assert(z == 53L)
+  }
+
   test("cellId buckets by strict bound count") {
     val out = Seq(5, 10, 25, 99).toDF("v")
       .select(Layout.cellId(col("v"), array(lit(10), lit(20), lit(30)))

@@ -98,6 +98,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(salted.toSeq == plain.toSeq && plain.nonEmpty)
   }
 
+  test("autoSaltedJoin matches the plain join on skewed AND even keys") {
+    // Hot key 1 carries 12 of 15 rows (skew 4x the mean) -> salts; the
+    // even frame stays below threshold -> plain path. Either way the
+    // row set is identical to the unsalted join.
+    val hot = ((1 to 12).map(i => (1, s"h$i")) ++
+      Seq((2, "a"), (3, "b"), (4, "c"))).toDF("k", "ov")
+    val even = (1 to 12).map(i => (i, s"e$i")).toDF("k", "ov")
+    val small = (1 to 12).map(i => (i, s"c$i")).toDF("k", "cv")
+    for (large <- Seq(hot, even)) {
+      val auto = Relational.autoSaltedJoin(large, small, Seq("k"))
+        .select($"k", $"ov", $"cv").as[(Int, String, String)]
+        .collect().sorted.toSeq
+      val plain = large.join(small, Seq("k"))
+        .select($"k", $"ov", $"cv").as[(Int, String, String)]
+        .collect().sorted.toSeq
+      assert(auto == plain && plain.nonEmpty)
+    }
+  }
+
   test("argmaxRow picks max with deterministic tie-break") {
     val df = Seq((1, 10.0), (2, 10.0), (3, 5.0)).toDF("id", "v")
     val out = Relational.argmaxRow(df, $"v", $"id").as[(Int, Double)].collect()
