@@ -201,6 +201,51 @@ object Tables {
   def readEvolved(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Batch-incremental processing ledger: which Hive-style partition
+    * directories of `dataPath` has a scheduled batch job NOT yet
+    * processed? The ledger is a plain text file of processed partition
+    * names — driver-side METADATA only (one directory listing + one
+    * small file read, no data scan), the batch counterpart of the file
+    * tracking a streaming checkpoint does. Idempotent by construction:
+    * re-running a period sees its partitions already in the ledger and
+    * gets an empty work list. (Concurrent writers need a real lock
+    * service; scheduled batch jobs run one instance per table.)
+    */
+  def unprocessedPartitions(spark: SparkSession, dataPath: String,
+                            ledgerPath: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.contains("=")).toSeq
+    val lp = new org.apache.hadoop.fs.Path(ledgerPath)
+    val done: Set[String] = if (!fs.exists(lp)) Set.empty
+      else {
+        val in = fs.open(lp)
+        try scala.io.Source.fromInputStream(in).getLines().toSet
+        finally in.close()
+      }
+    parts.filterNot(done).sorted
+  }
+
+  /** Append newly-processed partition names to the ledger. */
+  def markProcessed(spark: SparkSession, ledgerPath: String,
+                    parts: Seq[String]): Unit = {
+    if (parts.isEmpty) return
+    val lp = new org.apache.hadoop.fs.Path(ledgerPath)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior = if (!fs.exists(lp)) Seq.empty
+      else {
+        val in = fs.open(lp)
+        try scala.io.Source.fromInputStream(in).getLines().toSeq
+        finally in.close()
+      }
+    val out = fs.create(lp, true)
+    try out.write((prior ++ parts).distinct.sorted
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Stage boundary: materialize `df` as a parquet table and return a
     * scan of it. For a relation fanned into many downstream branches
     * (the warehouse build reads its merge output 8+ ways), this beats
