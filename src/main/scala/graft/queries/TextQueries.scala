@@ -309,6 +309,33 @@ object TextQueries {
           size(col("toks")).cast("long").as("n_bpe"))
         .orderBy(col("doc_id"))),
 
+    // Token-ID encoding — the LAST tokenizer step: BPE tokens map to
+    // integer ids through a frequency-ranked vocabulary (id = dense
+    // order by count desc, token), and each document becomes its
+    // input_ids sequence — the artifact a trainer actually loads. The
+    // vocab rank is a window over the |vocabulary| aggregate (never the
+    // corpus); ids ride back via one broadcastable vocab join and
+    // reassemble in token order.
+    "t_token_ids" -> ((s, d) => {
+      val enc = docs(s, d).select(col("doc_id"),
+        graft.operators.Bpe.encode(col("text")).as("toks"))
+      val tok = enc.select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      val vocab = tok.groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("id", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("n"), col("tok"))).cast("long"))
+        .select(col("tok"), col("id"))
+      tok.join(broadcast(vocab), "tok")
+        .groupBy(col("doc_id"))
+        .agg(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("id")))),
+            p => p.getField("id").cast("string")), " ").as("ids"),
+          count(lit(1)).as("n"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-family repetition signals, both pure per-row projections —
     // zero shuffle at any corpus size.
     // Link-graph PageRank (integer micro-units — see Graph.pagerankInt)
@@ -403,6 +430,29 @@ object TextQueries {
   )
 
   private[queries] val wsSql = """string_split_regex(lower(trim(text)),'\s+')"""
+
+  /** Sentinel-wrapped greedy BPE replay generated from Bpe.defaultRules —
+    * yields `doc_id, bpe_text` (space-joined tokens); shared by the
+    * encode and token-id oracles. Symbols ride as chr(2)<sym>chr(3) so a
+    * replace can never match across a symbol boundary; each rule is one
+    * global replace (the same left-to-right non-overlapping pass as the
+    * engine's aggregate fold).
+    */
+  private[queries] val bpeEncCte: String = {
+    def w(sym: String) = s"chr(2)||'$sym'||chr(3)"
+    val seed = s"""array_to_string(list_transform(list_filter($wsSql, x -> length(x) > 0), w -> array_to_string(list_transform(string_split(w, ''), c -> chr(2)||c||chr(3)), '') || ${w("</w>")}), '')"""
+    val folded = graft.operators.Bpe.defaultRules.foldLeft(seed) {
+      case (acc, (a, b)) =>
+        s"replace($acc, ${w(a)}||${w(b)}, ${w(a + b)})"
+    }
+    s"""raw_enc AS (SELECT doc_id, $folded AS enc FROM documents),
+       |benc AS (SELECT doc_id,
+       |  trim(replace(enc, chr(3)||chr(2), ' '), chr(2)||chr(3))
+       |    AS bpe_text,
+       |  CAST(length(enc) - length(replace(enc, chr(2), '')) AS BIGINT)
+       |    AS n_bpe
+       |  FROM raw_enc)""".stripMargin
+  }
   private[queries] val sh3Sql =
     s"""list_distinct(list_transform(range(1, greatest(len(ws)-2,1)+1),
        | i -> array_to_string(ws[i:i+2],' ')))""".stripMargin
@@ -558,24 +608,25 @@ object TextQueries {
          |  ELSE '${TextFunctions.charTrigrams.last._1}' END AS lang_pred
          |FROM (SELECT *, $ngramGreatestSql AS mx FROM s)
          |ORDER BY doc_id""".stripMargin,
-    "t_bpe_encode" -> {
-      // Symbols ride as chr(2)<sym>chr(3) so a replace can never match
-      // across a symbol boundary; each rule is one global replace (the
-      // same greedy left-to-right non-overlapping pass as the engine's
-      // aggregate fold), generated from Bpe.defaultRules.
-      def w(sym: String) = s"chr(2)||'$sym'||chr(3)"
-      val seed = s"""array_to_string(list_transform(list_filter($wsSql, x -> length(x) > 0), w -> array_to_string(list_transform(string_split(w, ''), c -> chr(2)||c||chr(3)), '') || ${w("</w>")}), '')"""
-      val folded = graft.operators.Bpe.defaultRules.foldLeft(seed) {
-        case (acc, (a, b)) =>
-          s"replace($acc, ${w(a)}||${w(b)}, ${w(a + b)})"
-      }
-      s"""WITH s AS (SELECT doc_id, $folded AS enc FROM documents)
-         |SELECT doc_id,
-         |trim(replace(enc, chr(3)||chr(2), ' '), chr(2)||chr(3)) AS bpe_text,
-         |CAST(length(enc) - length(replace(enc, chr(2), '')) AS BIGINT)
-         |  AS n_bpe
-         |FROM s ORDER BY doc_id""".stripMargin
-    },
+    "t_bpe_encode" ->
+      s"""WITH $bpeEncCte
+         |SELECT doc_id, bpe_text, n_bpe FROM benc ORDER BY doc_id""".stripMargin,
+    "t_token_ids" ->
+      s"""WITH $bpeEncCte,
+         |lists AS (SELECT doc_id, string_split(bpe_text, ' ') AS l
+         |  FROM benc),
+         |ix AS (SELECT doc_id, unnest(range(1, len(l)+1)) AS i, l
+         |  FROM lists),
+         |tk AS (SELECT doc_id, i, l[i] AS tok FROM ix),
+         |vocab AS (SELECT tok, row_number() OVER
+         |    (ORDER BY count(*) DESC, tok) AS id
+         |  FROM tk GROUP BY tok)
+         |SELECT tk.doc_id,
+         |  array_to_string(list(CAST(v.id AS VARCHAR) ORDER BY tk.i), ' ')
+         |    AS ids,
+         |  count(*) AS n
+         |FROM tk JOIN vocab v USING (tok)
+         |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin,
     "t_fingerprint" ->
       s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents)
          |SELECT doc_id, list_aggregate(list_transform(
