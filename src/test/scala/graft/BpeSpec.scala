@@ -60,6 +60,23 @@ class BpeSpec extends AnyFunSuite {
     assert(out == Seq("ke", "</w>", "y", "</w>"))
   }
 
+  test("mergePair invariants on random sequences: content preserved, " +
+    "no unmerged adjacent pair survives") {
+    val rnd = new scala.util.Random(7)
+    val cases = (1 to 200).map(_ =>
+      Vector.fill(rnd.nextInt(12) + 1)(Seq("a", "b", "c")(rnd.nextInt(3))))
+    val out = cases.toDF("syms")
+      .select(col("syms"), Bpe.mergePair(col("syms"), "a", "b").as("m"))
+      .as[(Seq[String], Seq[String])].collect()
+    for ((in, m) <- out) {
+      // The merge never loses or reorders characters...
+      assert(m.mkString == in.mkString, s"content changed: $in -> $m")
+      // ...and a greedy pass leaves no adjacent (a, b) unmerged.
+      assert(!m.zip(m.drop(1)).contains(("a", "b")),
+        s"unmerged pair survives: $in -> $m")
+    }
+  }
+
   test("merge list is deterministic on the synthetic corpus") {
     val docs = graft.sources.Tables.load(spark,
       "/root/testdata/sf0.001", "documents")

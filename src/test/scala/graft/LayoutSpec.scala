@@ -33,6 +33,20 @@ class LayoutSpec extends AnyFunSuite {
     assert(z == 53L)
   }
 
+  test("zValue is invertible: deinterleaving recovers every cell") {
+    val rnd = new scala.util.Random(11)
+    val cases = (1 to 100).map(_ => (rnd.nextInt(16), rnd.nextInt(16)))
+    val zs = cases.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.zValue(Seq(col("x"), col("y")), 4).as("z"))
+      .as[(Int, Int, Long)].collect()
+    for ((x, y, z) <- zs) {
+      def dim(j: Int) = (0 until 4).map(i =>
+        (((z >> (i * 2 + j)) & 1L) << i).toInt).sum
+      assert((dim(0), dim(1)) == (x, y), s"($x,$y) -> $z")
+    }
+  }
+
   test("cellId buckets by strict bound count") {
     val out = Seq(5, 10, 25, 99).toDF("v")
       .select(Layout.cellId(col("v"), array(lit(10), lit(20), lit(30)))
