@@ -98,6 +98,24 @@ class ParityTrapsSpec extends AnyFunSuite {
     assert(out == Seq((None, 1L), (Some(5L), 2L), (None, 9L)))
   }
 
+  test("trap 10: monotonically_increasing_id is layout-dependent; " +
+    "hash surrogates are not") {
+    // The reason StarSchema keys dims with xxhash64(natural key) and
+    // never with generated ids: the same rows under a different
+    // partitioning get DIFFERENT monotonic ids (the id encodes the
+    // partition), while hash surrogates depend only on row content —
+    // so incremental reloads and replicas stay consistent.
+    val rows = (1 to 100).map(i => s"brand-${i % 10}").toDF("b")
+    def monoIds(parts: Int) = rows.repartition(parts)
+      .withColumn("id", monotonically_increasing_id())
+      .orderBy($"b", $"id").select($"id").as[Long].collect().toSeq
+    def hashIds(parts: Int) = rows.repartition(parts)
+      .select($"b", xxhash64($"b").as("id")).distinct()
+      .orderBy($"b").as[(String, Long)].collect().toSeq
+    assert(monoIds(2) != monoIds(8), "expected layout-dependent ids")
+    assert(hashIds(2) == hashIds(8), "hash surrogates must not move")
+  }
+
   test("trap 9: uniqueViolations counts NULL keys as violations, " +
     "count_distinct would not") {
     // count(*) includes nulls, count_distinct excludes them — so two
