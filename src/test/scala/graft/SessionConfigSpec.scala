@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the tuned session posture SCALE.md's claims rest on — an edit
+  * that silently drops AQE, the UTC pin, runtime bloom filters, or the
+  * native-function registration should fail the build, not surface as a
+  * slow or wrong round later.
+  */
+class SessionConfigSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("tuned posture: AQE, UTC, runtime bloom filters, sized shuffle") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+    assert(spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true")
+    // local[N] keeps shuffle partitions = core count, never the 200
+    // default (32 threads spilling into 200 partitions at test scale
+    // would benchmark scheduler overhead, not plans).
+    assert(spark.conf.get("spark.sql.shuffle.partitions").toInt <= 64)
+  }
+
+  test("native function surface is registered unconditionally") {
+    // GraftSession.local registers even against a pre-existing session
+    // (spark.sql.extensions only applies to NEW sessions).
+    val one = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))," +
+        " array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c," +
+        " hamming_dist('00ff', '00fe') AS h").head()
+    assert(math.abs(one.getDouble(0) - 1.0) < 1e-12)
+    assert(one.getLong(1) == 1L)
+  }
+}
