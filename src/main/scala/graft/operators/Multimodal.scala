@@ -373,6 +373,113 @@ object Multimodal {
       .toDF()
   }
 
+  /** Per-doc audio features computed from REAL decoded PCM samples. */
+  case class AudioFeatures(doc_id: Long, n_frames: Long, sum_abs: Long,
+                           energy: Long, peak: Long, zero_cross: Long)
+
+  /** Audio feature extraction over the REAL codec path: render the
+    * id-derived WAV, hand the BYTES to `javax.sound.sampled`, decode the
+    * PCM back out, and aggregate the decoded 16-bit samples — sum of
+    * absolute amplitude, integer energy (Σ v²), peak amplitude, and
+    * zero-crossing count (the classic silence/voicing features).
+    *
+    * Everything is integer-exact: samples are signed 16-bit, so Σ|v| and
+    * Σv² fit comfortably in longs at any realistic clip length. The
+    * oracle reconstructs the same samples arithmetically from the LCG
+    * closed form — a green row therefore proves the WAV encode→decode
+    * round-trip SAMPLE-EXACT (mm_wav_roundtrip only proved the container
+    * geometry). Per-row mapPartitions work, embarrassingly parallel; the
+    * per-partition iterator shape is where a native codec/model would
+    * amortize its setup at 100 TB.
+    */
+  def audioFeatures(spark: SparkSession, df: DataFrame,
+                    idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (64 + id % 64).toInt
+        val wav = renderWav(n, 8000, seed = id)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(wav))
+        val pcm = ais.readAllBytes()
+        var i = 0
+        var sumAbs = 0L; var energy = 0L; var peak = 0L; var zc = 0L
+        var prevNeg = false
+        val frames = pcm.length / 2
+        while (i < frames) {
+          // little-endian signed 16-bit mono
+          val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toLong
+          val a = math.abs(v)
+          sumAbs += a; energy += v * v; if (a > peak) peak = a
+          val neg = v < 0
+          if (i > 0 && neg != prevNeg) zc += 1
+          prevNeg = neg
+          i += 1
+        }
+        AudioFeatures(id, frames.toLong, sumAbs, energy, peak, zc)
+      })
+      .toDF()
+  }
+
+  /** Id-derived perceptual hashes with PLANTED duplicates: the raster is
+    * rendered from `id % period` rather than `id`, so every id congruent
+    * mod `period` carries a bit-identical image — the ground truth an
+    * image-dedup run must recover. Same real codec path as
+    * [[imageHashes]] (render → PNG encode → decode bytes → hash decoded
+    * pixels).
+    */
+  def imageHashesPlanted(spark: SparkSession, df: DataFrame, idCol: String,
+                         period: Int): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val key = id % period
+        val w = (8 + key % 16).toInt
+        val h = (8 + key % 8).toInt
+        val png = renderPng(w, h, seed = key)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(png))
+        ImageHash(id, aHash(img))
+      })
+      .toDF()
+  }
+
+  /** Image near-duplicate pairs: banded Hamming blocking over the 64-bit
+    * perceptual hash — the SimHash pigeonhole recipe applied to IMAGES.
+    * The hash splits into `maxHamming + 1` blocks; any pair within
+    * `maxHamming` must agree exactly on at least one block, so candidates
+    * come from per-block equi-joins (Σ|bucket|², never N²) and the native
+    * `hamming_dist` byte loop verifies each candidate. The oracle replays
+    * ALL pairs from the LCG closed form, proving the blocking lossless.
+    */
+  def imageNearDupPairs(spark: SparkSession, df: DataFrame, idCol: String,
+                        period: Int, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16,
+      s"maxHamming must be in [0, 16), got $maxHamming")
+    graft.functions.NativeFunctions.register(spark)
+    // 2 sides × nBlocks reads of the hash table — materialize once.
+    val t = imageHashesPlanted(spark, df, idCol, period).localCheckpoint()
+    val nBlocks = maxHamming + 1
+    val bounds = (0 to nBlocks).map(i => 1 + i * 64 / nBlocks)
+    val perBlock = (0 until nBlocks).map { b =>
+      val (from, until) = (bounds(b), bounds(b + 1))
+      val block = substring(col("ahash"), from, until - from)
+      val side = t.select(col("doc_id"), col("ahash"), block.as("blk"))
+      side.as("a").join(side.as("b"),
+          col("a.blk") === col("b.blk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+    }
+    val hamming =
+      graft.functions.NativeFunctions.hammingDist(col("ha"), col("hb"))
+    perBlock.reduce(_ unionByName _)
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming)
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** One sampled frame of a media payload. */
   case class MediaFrame(id: Long, frameIdx: Int, frame: Array[Byte])
 

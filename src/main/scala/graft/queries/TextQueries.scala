@@ -217,6 +217,23 @@ object TextQueries {
       Multimodal.wavRoundTrip(s, docs(s, d), "doc_id")
         .orderBy(col("doc_id"))),
 
+    // Audio features over DECODED samples: render id-derived WAV, decode
+    // the bytes back, aggregate the signed 16-bit PCM — Σ|v|, Σv², peak,
+    // zero crossings. The oracle replays the samples from the LCG closed
+    // form: a green row proves the codec round-trip SAMPLE-exact.
+    "mm_audio_features" -> ((s, d) =>
+      Multimodal.audioFeatures(s, docs(s, d), "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // Image near-dup dedup: planted duplicates (raster seed = doc_id %
+    // 37), banded perceptual-hash blocking (4×16-bit pigeonhole — the
+    // SimHash recipe on images), native hamming_dist verify. Oracle is
+    // ALL pairs from the closed-form hashes ⇒ blocking proven lossless.
+    "mm_image_neardup" -> ((s, d) =>
+      Multimodal.imageNearDupPairs(s, docs(s, d), "doc_id",
+          period = 37, maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Multimodal plumbing: payload byte length through the binary column —
     // ONE projection off the scan (payload + text metadata side by side),
     // no join back to the media table.
@@ -529,21 +546,34 @@ object TextQueries {
     * hashes pixels DECODED from real PNG bytes) proves the codec
     * round-trip bit-exact.
     */
-  private def ahashOracle: String = {
+  /** LCG A-power/B-sum literal table: row n holds (A^(n+1) mod 2^64,
+    * B_(n+1) mod 2^64) so the n-th generated value of seed s0 is
+    * `ap·s0 + bs mod 2^64` — the closed form of the renderer's LCG,
+    * emitted from the SAME constants it uses.
+    */
+  private def lcgConsts(count: Int): String = {
     val A = BigInt("6364136223846793005")
     val C = BigInt("1442695040888963407")
     val M = BigInt(2).pow(64)
-    val consts = Iterator.iterate((A % M, C % M)) { case (ap, bs) =>
+    Iterator.iterate((A % M, C % M)) { case (ap, bs) =>
       ((ap * A) % M, (bs * A + C) % M)
-    }.take(23 * 15).zipWithIndex
+    }.take(count).zipWithIndex
       .map { case ((ap, bs), n) => s"($n,$ap,$bs)" }.mkString(",")
-    s"""WITH consts(n, ap, bs) AS (SELECT * FROM (VALUES $consts) t(n, ap, bs)),
-       |d AS (SELECT doc_id, CAST(8+doc_id%16 AS BIGINT) AS w,
-       |  CAST(8+doc_id%8 AS BIGINT) AS h FROM documents),
+  }
+
+  /** CTE chain ending in `hh(doc_id, ahash)`: per-doc 8×8 average hash of
+    * the raster rendered from seed `keyExpr` (dimensions also derived
+    * from the key), replayed arithmetically — no codec on the oracle side.
+    */
+  private def ahashCte(keyExpr: String): String = {
+    s"""consts(n, ap, bs) AS (SELECT * FROM (VALUES ${lcgConsts(23 * 15)}) t(n, ap, bs)),
+       |d AS (SELECT doc_id, CAST($keyExpr AS BIGINT) AS k FROM documents),
+       |dd AS (SELECT doc_id, k, CAST(8+k%16 AS BIGINT) AS w,
+       |  CAST(8+k%8 AS BIGINT) AS h FROM d),
        |px AS (SELECT doc_id, w, h, n,
-       |  CAST(((ap*doc_id + bs) % 18446744073709551616) // 16777216
+       |  CAST(((ap*k + bs) % 18446744073709551616) // 16777216
        |    % 16777216 AS BIGINT) AS p
-       |  FROM d JOIN consts ON consts.n < d.w*d.h),
+       |  FROM dd JOIN consts ON consts.n < dd.w*dd.h),
        |gr AS (SELECT doc_id,
        |  ((p//65536)%256 + (p//256)%256 + p%256)//3 AS gray,
        |  ((n//w)*8//h)*8 + ((n%w)*8)//w AS cell FROM px),
@@ -553,10 +583,57 @@ object TextQueries {
        |  FROM gr GROUP BY 1),
        |bits AS (SELECT c.doc_id, c.cell,
        |  CASE WHEN c.cs*t.tc > t.ts*c.cc THEN '1' ELSE '0' END AS b
-       |  FROM cells c JOIN tot t USING (doc_id))
-       |SELECT doc_id, string_agg(b, '' ORDER BY cell) AS ahash
-       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  FROM cells c JOIN tot t USING (doc_id)),
+       |hh AS (SELECT doc_id, string_agg(b, '' ORDER BY cell) AS ahash
+       |  FROM bits GROUP BY doc_id)""".stripMargin
   }
+
+  private def ahashOracle: String =
+    s"""WITH ${ahashCte("doc_id")}
+       |SELECT doc_id, ahash FROM hh ORDER BY doc_id""".stripMargin
+
+  /** mm_image_neardup oracle: ALL-pairs Hamming over the closed-form
+    * hashes (seed = doc_id % 37, the planted-duplicate key) — the
+    * blocking-free ground truth that proves the Spark side's banded
+    * candidate generation lossless.
+    */
+  private def imageNearDupOracle: String =
+    s"""WITH ${ahashCte("doc_id % 37")},
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  a.ahash AS ha, b.ahash AS hb
+       |  FROM hh a JOIN hh b ON a.doc_id < b.doc_id),
+       |pos AS (SELECT unnest(range(1, 65)) AS i),
+       |dist AS (SELECT id_a, id_b,
+       |  sum(CASE WHEN substr(ha, i, 1) <> substr(hb, i, 1)
+       |    THEN 1 ELSE 0 END) AS hamming
+       |  FROM pairs CROSS JOIN pos GROUP BY 1, 2)
+       |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+       |FROM dist WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+
+  /** mm_audio_features oracle: replay the PCM samples from the LCG closed
+    * form (value n of seed doc_id = top 16 bits of ap·doc_id + bs,
+    * re-signed), then aggregate the identical integer features. The Spark
+    * side decodes REAL WAV bytes — agreement proves the audio codec
+    * round-trip sample-exact.
+    */
+  private def audioFeaturesOracle: String =
+    s"""WITH consts(n, ap, bs) AS (SELECT * FROM (VALUES ${lcgConsts(128)}) t(n, ap, bs)),
+       |d AS (SELECT doc_id, CAST(64+doc_id%64 AS BIGINT) AS nf FROM documents),
+       |smp AS (SELECT doc_id, n,
+       |  CAST(((ap*doc_id + bs) % 18446744073709551616)
+       |    // 281474976710656 AS BIGINT) AS u
+       |  FROM d JOIN consts ON consts.n < d.nf),
+       |sv AS (SELECT doc_id, n,
+       |  CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v FROM smp),
+       |zcv AS (SELECT doc_id, n, v,
+       |  lag(v) OVER (PARTITION BY doc_id ORDER BY n) AS pv FROM sv)
+       |SELECT doc_id, count(*) AS n_frames,
+       |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+       |  CAST(sum(v*v) AS BIGINT) AS energy,
+       |  CAST(max(abs(v)) AS BIGINT) AS peak,
+       |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv<0) <> (v<0))
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+       |FROM zcv GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "t_dedup_exact" ->
@@ -757,6 +834,8 @@ object TextQueries {
         |FROM documents, (SELECT unnest(['bmp','gif','png']) AS fmt)
         |ORDER BY doc_id, fmt""".stripMargin,
     "mm_ahash" -> ahashOracle,
+    "mm_audio_features" -> audioFeaturesOracle,
+    "mm_image_neardup" -> imageNearDupOracle,
     "mm_wav_roundtrip" ->
       """SELECT doc_id, CAST(64 + doc_id%64 AS BIGINT) AS n_frames,
         |CAST(8000 AS INT) AS sr,

@@ -79,6 +79,54 @@ class TextDedupSpec extends AnyFunSuite {
     assert(m2.nFrames === 50L && m2.sampleRate === 4000)
   }
 
+  test("audio features match a direct LCG sample replay") {
+    // Replay the renderer's LCG in plain Scala and aggregate the same
+    // integer features; the operator must agree for every id — which
+    // proves its path (render → WAV bytes → AudioSystem decode → PCM
+    // parse) is sample-exact, not just length-preserving.
+    def expected(id: Long): (Long, Long, Long, Long, Long) = {
+      val n = (64 + id % 64).toInt
+      var s = id
+      var sumAbs = 0L; var energy = 0L; var peak = 0L; var zc = 0L
+      var prevNeg = false
+      (0 until n).foreach { i =>
+        s = s * 6364136223846793005L + 1442695040888963407L
+        val v = (s >>> 48).toShort.toLong
+        val a = math.abs(v)
+        sumAbs += a; energy += v * v; if (a > peak) peak = a
+        val neg = v < 0
+        if (i > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg
+      }
+      (n.toLong, sumAbs, energy, peak, zc)
+    }
+    val df = Seq(0L, 3L, 77L, 130L).toDF("doc_id")
+    val out = Multimodal.audioFeatures(spark, df, "doc_id")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    out.foreach { case (id, nf, sa, en, pk, zc) =>
+      assert((nf, sa, en, pk, zc) === expected(id), s"id=$id")
+    }
+  }
+
+  test("planted duplicate images are all recovered at hamming 0") {
+    // period=10 over ids 0..29 plants triples {i, i+10, i+20}: every
+    // within-group pair must surface through the banded blocking with
+    // distance exactly 0 (bit-identical rasters through the real codec).
+    val df = (0L until 30L).toDF("doc_id")
+    val pairs = Multimodal.imageNearDupPairs(spark, df, "doc_id",
+        period = 10, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val wanted = (for {
+      k <- 0L until 10L
+      a <- Seq(k, k + 10, k + 20).combinations(2)
+    } yield (a(0), a(1), 0L)).toSet
+    assert(wanted.subsetOf(pairs))
+    // Nothing across groups: random 64-bit hashes at distance ≤3 have
+    // ~1e-15 probability; deterministic corpus ⇒ exact equality here.
+    assert(pairs === wanted)
+  }
+
   test("incremental dedup drops exact and near copies of corpus docs only") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 30).map(i => if (i == 7) "CHANGED" else s"w$i")
