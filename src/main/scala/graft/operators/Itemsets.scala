@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Frequent-itemset mining over basket-shaped relations (the
+  * market-basket / co-occurrence operator — "parts ordered together",
+  * "tokens co-occurring in documents").
+  *
+  * The scale shape is the textbook a-priori argument made physical:
+  *   1. ONE distinct pass dedupes (basket, item) and counts per-item
+  *      basket support — a hash aggregate, linear.
+  *   2. Items below `minSupport` CANNOT appear in a frequent pair
+  *      (monotonicity), so the frequent-item set broadcasts back and
+  *      prunes the baskets map-side BEFORE any pair is generated.
+  *   3. Candidate pairs come from a basket-keyed self-join of the pruned
+  *      relation: cost is Σ|basket∩frequent|² — bounded by the prune and
+  *      by real basket sizes (orders have a handful of lines), never
+  *      N². Basket-size skew (one giant basket) is the LSH-bucket skew
+  *      failure mode and takes the same mitigations (AQE skew split; a
+  *      hard basket cap if the domain allows it).
+  *
+  * Confidence/lift come free from the counts already in hand: lift is a
+  * SINGLE division of exact integers (support·totalBaskets / n_a·n_b), so
+  * the double is bit-reproducible across engines.
+  */
+object Itemsets {
+
+  /** Frequent co-occurring pairs with support ≥ `minSupport`.
+    *
+    * @return (item_a, item_b, support, n_a, n_b, lift) with
+    *         item_a < item_b, one row per frequent pair.
+    */
+  def frequentPairs(baskets: DataFrame, basketCol: String, itemCol: String,
+                    minSupport: Long): DataFrame = {
+    // Distinct (basket, item): support counts baskets, not line repeats.
+    // Materialized once — read again by the item counts and twice by the
+    // self-join.
+    val b = baskets.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .where(col("bk").isNotNull && col("it").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val itemCounts = b.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
+    val frequent = itemCounts.where(col("n_item") >= minSupport)
+    // Broadcast-scalar basket total (for lift) — no single-partition
+    // window, same pattern as the dashboard share-of-total queries.
+    val total = b.agg(countDistinct(col("bk")).as("_n_baskets"))
+    // A-priori prune: only frequent items survive into pair generation.
+    val pruned = b.join(broadcast(frequent), "it")
+    val pairs = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+      .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"),
+        col("a.n_item").as("n_a"), col("b.n_item").as("n_b"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+    pairs.crossJoin(broadcast(total))
+      .select(col("item_a"), col("item_b"), col("support"),
+        col("n_a"), col("n_b"),
+        (col("support") * col("_n_baskets")).cast("double")
+          ./(col("n_a") * col("n_b")).as("lift"))
+  }
+}

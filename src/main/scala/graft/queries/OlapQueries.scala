@@ -159,10 +159,48 @@ object OlapQueries {
         .withColumn("cum_n", sum(col("n")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .orderBy(col("yr"))
-    })
+    }),
+
+    // Pareto frontier of the part catalog (minimize size, minimize
+    // price): per-x min + distributed strict-prefix min — never the
+    // quadratic dominance anti-join the oracle states declaratively.
+    "olap_skyline" -> ((s, d) =>
+      graft.operators.Skyline.paretoMin2d(
+          t(s, d, "part"), "p_size", "p_retailprice")
+        .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+        .orderBy(col("p_size"), col("p_retailprice"), col("p_partkey"))),
+
+    // Frequent co-ordered part pairs (market basket over lineitem):
+    // a-priori item prune → basket self-join → support filter; lift is a
+    // single exact-int division.
+    "fi_pairs" -> ((s, d) =>
+      graft.operators.Itemsets.frequentPairs(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 3L)
+        .orderBy(col("item_a"), col("item_b")))
   )
 
   val oracles: Map[String, String] = Map(
+    "olap_skyline" ->
+      """SELECT p_partkey, p_size, p_retailprice FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE q.p_size <= p.p_size
+        |    AND q.p_retailprice <= p.p_retailprice
+        |    AND (q.p_size < p.p_size OR q.p_retailprice < p.p_retailprice))
+        |ORDER BY p_size, p_retailprice, p_partkey""".stripMargin,
+    "fi_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |n AS (SELECT it, count(*) AS ni FROM b GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT bk) AS nbk FROM b),
+        |pr AS (SELECT a.it AS ia, c.it AS ib, count(*) AS s
+        |  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it GROUP BY 1, 2)
+        |SELECT pr.ia AS item_a, pr.ib AS item_b,
+        |  CAST(pr.s AS BIGINT) AS support,
+        |  CAST(na.ni AS BIGINT) AS n_a, CAST(nc.ni AS BIGINT) AS n_b,
+        |  CAST(pr.s * tot.nbk AS DOUBLE) / (na.ni * nc.ni) AS lift
+        |FROM pr JOIN n na ON na.it = pr.ia JOIN n nc ON nc.it = pr.ib
+        |CROSS JOIN tot
+        |WHERE pr.s >= 3 ORDER BY item_a, item_b""".stripMargin,
     "olap_rollup" ->
       """SELECT coalesce(r_name,'ALL') AS region, coalesce(n_name,'ALL') AS nation,
         |CAST(GROUPING(r_name, n_name) AS INT) AS gid,
