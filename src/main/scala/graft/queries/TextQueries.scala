@@ -110,6 +110,17 @@ object TextQueries {
         Seq("lang", "source"), threshold = 0.2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Prefix-filtered set-similarity self-join (PPJoin family): UNBLOCKED
+    // all-pairs word-set Jaccard ≥ 1/2 — candidates only from shared
+    // rarest-first prefix tokens; the all-pairs oracle proves the prefix
+    // filter lossless. 9/10 because the synthetic corpus is templated
+    // (median pairwise word-set jac ≈ 0.5 — a loose threshold keeps
+    // nearly everything and demonstrates no pruning).
+    "t_setsim_prefix" -> ((s, d) =>
+      graft.operators.SetSimJoin.prefixJaccardPairs(
+          docs(s, d), "doc_id", "text", tNum = 9, tDen = 10)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // BPE-ish regex token count: greedy alternation of letter runs, digit
     // runs, and single non-alnum symbols (the GPT-2 pre-tokenizer family,
     // simplified to classes both regex engines treat identically).
@@ -771,6 +782,15 @@ object TextQueries {
          |  FROM shs a JOIN shs b ON a.lang=b.lang AND a.source=b.source
          |    AND a.doc_id<b.doc_id)
          |SELECT id_a, id_b, jac FROM p WHERE jac>=0.2 ORDER BY 1,2""".stripMargin,
+    "t_setsim_prefix" ->
+      s"""WITH w AS (SELECT doc_id, list_distinct($wsSql) AS ws
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  len(list_intersect(a.ws, b.ws)) AS i,
+         |  len(a.ws) AS la, len(b.ws) AS lb
+         |  FROM w a JOIN w b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(i AS DOUBLE)/(la+lb-i) AS jac
+         |FROM p WHERE i*10 >= 9*(la+lb-i) ORDER BY 1, 2""".stripMargin,
     "t_tokens_bpe" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(lower(text),
         |'[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
