@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection between two corpus slices (yesterday's
+  * batch vs today's, source A vs source B) — the monitoring gate a
+  * training-data pipeline runs before a new crawl is allowed into the
+  * mix.
+  *
+  * The statistic is total variation distance over a categorical column:
+  * TVD = ½ Σ_c |p_a(c) − p_b(c)|. Computed as exact integers end to
+  * end: |n_a(c)·N_b − n_b(c)·N_a| summed, then ONE division by
+  * 2·N_a·N_b — bit-reproducible across engines (the same
+  * cross-multiplication trick as the quality-score ratios; never a sum
+  * of per-category float divisions, whose order would differ).
+  *
+  * Scale shape: one linear hash aggregate per side (category counts),
+  * a category-sized full-outer join (absent category = 0 on that side),
+  * broadcast-scalar totals. Facts are scanned once per side; no
+  * windows, no collect. Numeric columns drift-test through
+  * [[Histogram.bucketOf]] — same machinery over bucket ids.
+  */
+object Drift {
+
+  /** Per-category comparison table: counts, each side's share (single
+    * exact divisions), and the |cross-multiplied| numerator the TVD
+    * sums. Categories are never dropped: a category present on one side
+    * only shows (n, 0).
+    */
+  def categoricalDrift(a: DataFrame, b: DataFrame, catCol: String)
+      : DataFrame = {
+    val ca = a.groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("n_a"))
+    val cb = b.groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("n_b"))
+    val ta = a.agg(count(lit(1)).as("_ta"))
+    val tb = b.agg(count(lit(1)).as("_tb"))
+    ca.join(cb, Seq("cat"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("cat"), col("n_a"), col("n_b"),
+        col("n_a").cast("double")./(col("_ta")).as("share_a"),
+        col("n_b").cast("double")./(col("_tb")).as("share_b"),
+        abs(col("n_a") * col("_tb") - col("n_b") * col("_ta")).as("x_num"),
+        col("_ta").as("total_a"), col("_tb").as("total_b"))
+  }
+
+  /** One-row drift summary: total variation distance as the single
+    * division Σ x_num / (2·N_a·N_b), plus the category count that
+    * diverged at all (x_num > 0).
+    */
+  def totalVariation(a: DataFrame, b: DataFrame, catCol: String)
+      : DataFrame =
+    categoricalDrift(a, b, catCol)
+      .groupBy(col("total_a"), col("total_b"))
+      .agg(sum(col("x_num")).as("_sx"),
+        sum(when(col("x_num") > 0, 1L).otherwise(0L)).as("n_diverged"),
+        count(lit(1)).as("n_categories"))
+      .select(col("total_a").as("n_a"), col("total_b").as("n_b"),
+        col("n_categories"), col("n_diverged"),
+        col("_sx").cast("double")
+          ./(lit(2L) * col("total_a") * col("total_b")).as("tvd"))
+
+  /** Numeric drift: bucket both sides with the SAME pinned integer
+    * histogram grid, then categorical TVD over bucket ids.
+    */
+  def numericTvd(a: DataFrame, b: DataFrame, valueCol: String,
+                 lo: Long, hi: Long, nb: Int): DataFrame = {
+    def bucketed(df: DataFrame) = df.where(col(valueCol).isNotNull)
+      .select(Histogram.bucketOf(col(valueCol), lit(lo), lit(hi), nb)
+        .as("bucket"))
+    totalVariation(bucketed(a), bucketed(b), "bucket")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.{Decontam, Dedup, Graph, Multimodal}
+import graft.operators.{Decontam, Dedup, Drift, Graph, Histogram, Multimodal}
 import graft.sources.Tables
 
 /** LLM-data-pipeline queries over `documents.parquet`: dedup (exact,
@@ -120,6 +120,29 @@ object TextQueries {
       graft.operators.SetSimJoin.prefixJaccardPairs(
           docs(s, d), "doc_id", "text", tNum = 9, tDen = 10)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // Profiling histogram: n_chars distribution in 16 equal integer
+    // buckets, bounds from the data (broadcast-scalar min/max), empty
+    // buckets emitted. All edges/ids from exact integer division.
+    "dq_histogram" -> ((s, d) =>
+      Histogram.equiWidthAuto(docs(s, d), "n_chars", 16)
+        .orderBy(col("bucket"))),
+
+    // Categorical drift gate: language distribution of one corpus half
+    // vs the other (deterministic doc_id parity split). TVD summed as
+    // exact cross-multiplied integers, ONE division at the end.
+    "dq_drift_lang" -> ((s, d) =>
+      Drift.totalVariation(
+        docs(s, d).where(col("doc_id") % 2 === 0),
+        docs(s, d).where(col("doc_id") % 2 === 1), "lang")),
+
+    // Numeric drift through the shared pinned histogram grid: n_chars
+    // of the two halves bucketed identically, then categorical TVD.
+    "dq_drift_nchars" -> ((s, d) =>
+      Drift.numericTvd(
+        docs(s, d).where(col("doc_id") % 2 === 0),
+        docs(s, d).where(col("doc_id") % 2 === 1),
+        "n_chars", lo = 0L, hi = 4095L, nb = 16)),
 
     // BPE-ish regex token count: greedy alternation of letter runs, digit
     // runs, and single non-alnum symbols (the GPT-2 pre-tokenizer family,
@@ -791,6 +814,51 @@ object TextQueries {
          |  FROM w a JOIN w b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, CAST(i AS DOUBLE)/(la+lb-i) AS jac
          |FROM p WHERE i*10 >= 9*(la+lb-i) ORDER BY 1, 2""".stripMargin,
+    "dq_histogram" ->
+      """WITH v AS (SELECT n_chars AS x FROM documents WHERE n_chars IS NOT NULL),
+        |t AS (SELECT min(x) AS lo, max(x) AS hi FROM v),
+        |c AS (SELECT least(15, ((greatest(x, lo) - lo) * 16) // (hi - lo + 1))
+        |    AS bucket, count(*) AS n
+        |  FROM v CROSS JOIN t GROUP BY 1),
+        |s AS (SELECT unnest(range(0, 16)) AS bucket)
+        |SELECT s.bucket,
+        |  lo + (s.bucket * (hi - lo + 1) + 15) // 16 AS edge_lo,
+        |  lo + ((s.bucket + 1) * (hi - lo + 1) + 15) // 16 AS edge_hi,
+        |  coalesce(n, 0) AS n
+        |FROM s CROSS JOIN t LEFT JOIN c ON c.bucket = s.bucket
+        |ORDER BY 1""".stripMargin,
+    "dq_drift_lang" ->
+      """WITH a AS (SELECT lang AS cat FROM documents WHERE doc_id % 2 = 0),
+        |b AS (SELECT lang AS cat FROM documents WHERE doc_id % 2 = 1),
+        |ca AS (SELECT cat, count(*) AS n_a FROM a GROUP BY 1),
+        |cb AS (SELECT cat, count(*) AS n_b FROM b GROUP BY 1),
+        |j AS (SELECT coalesce(ca.n_a, 0) AS n_a, coalesce(cb.n_b, 0) AS n_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.cat = cb.cat),
+        |t AS (SELECT (SELECT count(*) FROM a) AS ta,
+        |             (SELECT count(*) FROM b) AS tb)
+        |SELECT ta AS n_a, tb AS n_b,
+        |  count(*) AS n_categories,
+        |  CAST(sum(CASE WHEN abs(j.n_a*tb - j.n_b*ta) > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_diverged,
+        |  CAST(sum(abs(j.n_a*tb - j.n_b*ta)) AS DOUBLE)/(2*ta*tb) AS tvd
+        |FROM j CROSS JOIN t GROUP BY ta, tb""".stripMargin,
+    "dq_drift_nchars" ->
+      """WITH a AS (SELECT least(15, (greatest(n_chars, 0) * 16) // 4096)
+        |    AS cat FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+        |b AS (SELECT least(15, (greatest(n_chars, 0) * 16) // 4096)
+        |    AS cat FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+        |ca AS (SELECT cat, count(*) AS n_a FROM a GROUP BY 1),
+        |cb AS (SELECT cat, count(*) AS n_b FROM b GROUP BY 1),
+        |j AS (SELECT coalesce(ca.n_a, 0) AS n_a, coalesce(cb.n_b, 0) AS n_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.cat = cb.cat),
+        |t AS (SELECT (SELECT count(*) FROM a) AS ta,
+        |             (SELECT count(*) FROM b) AS tb)
+        |SELECT ta AS n_a, tb AS n_b,
+        |  count(*) AS n_categories,
+        |  CAST(sum(CASE WHEN abs(j.n_a*tb - j.n_b*ta) > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_diverged,
+        |  CAST(sum(abs(j.n_a*tb - j.n_b*ta)) AS DOUBLE)/(2*ta*tb) AS tvd
+        |FROM j CROSS JOIN t GROUP BY ta, tb""".stripMargin,
     "t_tokens_bpe" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(lower(text),
         |'[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
