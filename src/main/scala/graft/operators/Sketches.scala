@@ -69,6 +69,49 @@ object Sketches {
         substring(md5(concat_ws(":", col("s"), col("k"))), 1, prefixLen))
       .groupBy(col("s"), col("bucket")).agg(count(lit(1)).as("c"))
 
+  /** Join-size estimation from sketches (the AGMS / Alon–Gibbons–Matias–
+    * Szegedy application of the counter grid): the size of `a ⋈ b` on a
+    * key is Σ_k f_a(k)·f_b(k), and each sketch row's bucket inner
+    * product Σ_bucket c_a·c_b is an UPPER bound on it (collisions only
+    * add cross terms — every term is non-negative). The estimate is the
+    * min over the `depth` independent rows. With a = b this estimates
+    * the self-join size Σ f(k)² — the skew statistic a planner reads
+    * before choosing a join strategy.
+    *
+    * Why it matters at 100 TB: both sides reduce to depth×width counter
+    * grids in ONE linear aggregate each; the inner product touches
+    * counters, never rows. You learn whether the join output is 10⁶ or
+    * 10¹² rows — and whether to pre-salt — for the cost of two scans and
+    * no shuffle of either table. The exact Σ f_a·f_b computed alongside
+    * is the calibration baseline (same posture as `t_cms_heavy`): at
+    * scale you keep the sketch and drop the exact pass.
+    *
+    * Output: one row (exact_size, est_size, overestimate ≥ 0).
+    */
+  def cmsJoinSize(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+                  depth: Int = 3, prefixLen: Int = 2): DataFrame = {
+    val ga = cmsGrid(a, aKey, depth, prefixLen)
+    val gb = cmsGrid(b, bKey, depth, prefixLen)
+    // Per-seed inner product over the (tiny) grids, then min-of-seeds.
+    // A seed with NO overlapping buckets has inner product 0 — it just
+    // produces no row from the equi-join, so the min must fall to 0
+    // whenever fewer than `depth` seed rows survive.
+    val est = ga.join(gb.withColumnRenamed("c", "c_b"), Seq("s", "bucket"))
+      .groupBy(col("s")).agg(sum(col("c") * col("c_b")).as("p"))
+      .agg(min(col("p")).as("_mp"), count(lit(1)).as("_ns"))
+      .select(when(col("_ns") < depth, lit(0L)).otherwise(col("_mp"))
+        .as("est_size"))
+    val fa = a.select(col(aKey).cast("string").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("f_a"))
+    val fb = b.select(col(bKey).cast("string").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("f_b"))
+    val exact = fa.join(fb, Seq("k"))
+      .agg(coalesce(sum(col("f_a") * col("f_b")), lit(0L)).as("exact_size"))
+    exact.crossJoin(broadcast(est))
+      .select(col("exact_size"), col("est_size"),
+        (col("est_size") - col("exact_size")).as("overestimate"))
+  }
+
   /** Membership-pruned incremental exact dedup: keep the batch rows whose
     * content hash is absent from the corpus, consulting a tiny hash-prefix
     * bitmap BEFORE the anti-join.

@@ -42,6 +42,23 @@ object RetrievalQueries {
           k = 10, depth = CmsDepth, prefixLen = CmsPrefix)
         .orderBy(col("exact_cnt").desc, col("k"))),
 
+    // AGMS join-size estimate from two counter grids (lineitem ⋈ part on
+    // partkey): grids touched, rows never joined. Oracle replays both
+    // grids and the min-of-seeds inner product EXACTLY.
+    "t_cms_join_size" -> ((s, d) =>
+      Sketches.cmsJoinSize(
+        Tables.load(s, d, "lineitem"), "l_partkey",
+        Tables.load(s, d, "part"), "p_partkey",
+        depth = CmsDepth, prefixLen = CmsPrefix)),
+
+    // Self-join size Σf(k)² of lineitem.l_partkey — the skew statistic a
+    // planner reads before picking a join strategy.
+    "t_cms_selfjoin_size" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      Sketches.cmsJoinSize(li, "l_partkey", li, "l_partkey",
+        depth = CmsDepth, prefixLen = CmsPrefix)
+    }),
+
     // Bloom-(prefix-bitmap-)pruned incremental dedup ≡ plain anti-join:
     // the oracle is the UNPRUNED semantics, so a green row proves the
     // membership prune drops and invents nothing.
@@ -108,6 +125,41 @@ object RetrievalQueries {
          |SELECT k, exact_cnt, est_cnt, est_cnt - exact_cnt AS overestimate
          |FROM est ORDER BY exact_cnt DESC, k""".stripMargin,
 
+    "t_cms_join_size" ->
+      s"""WITH ka AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+         |kb AS (SELECT CAST(p_partkey AS VARCHAR) AS k FROM part),
+         |ga AS (SELECT s, substr(md5(s || ':' || k), 1, $CmsPrefix) AS b,
+         |  count(*) AS c
+         |  FROM ka, (SELECT unnest(range(0, $CmsDepth)) AS s) GROUP BY 1, 2),
+         |gb AS (SELECT s, substr(md5(s || ':' || k), 1, $CmsPrefix) AS b,
+         |  count(*) AS c
+         |  FROM kb, (SELECT unnest(range(0, $CmsDepth)) AS s) GROUP BY 1, 2),
+         |p AS (SELECT ga.s, sum(ga.c * gb.c) AS p FROM ga
+         |  JOIN gb ON ga.s = gb.s AND ga.b = gb.b GROUP BY 1),
+         |est AS (SELECT CASE WHEN count(*) < $CmsDepth THEN 0
+         |  ELSE min(p) END AS est_size FROM p),
+         |ex AS (SELECT coalesce(sum(fa.f * fb.f), 0) AS exact_size
+         |  FROM (SELECT k, count(*) AS f FROM ka GROUP BY 1) fa
+         |  JOIN (SELECT k, count(*) AS f FROM kb GROUP BY 1) fb
+         |    ON fa.k = fb.k)
+         |SELECT CAST(exact_size AS BIGINT) AS exact_size,
+         |  CAST(est_size AS BIGINT) AS est_size,
+         |  CAST(est_size - exact_size AS BIGINT) AS overestimate
+         |FROM ex CROSS JOIN est""".stripMargin,
+    "t_cms_selfjoin_size" ->
+      s"""WITH ka AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+         |ga AS (SELECT s, substr(md5(s || ':' || k), 1, $CmsPrefix) AS b,
+         |  count(*) AS c
+         |  FROM ka, (SELECT unnest(range(0, $CmsDepth)) AS s) GROUP BY 1, 2),
+         |p AS (SELECT s, sum(c * c) AS p FROM ga GROUP BY 1),
+         |est AS (SELECT CASE WHEN count(*) < $CmsDepth THEN 0
+         |  ELSE min(p) END AS est_size FROM p),
+         |ex AS (SELECT coalesce(sum(f * f), 0) AS exact_size
+         |  FROM (SELECT k, count(*) AS f FROM ka GROUP BY 1))
+         |SELECT CAST(exact_size AS BIGINT) AS exact_size,
+         |  CAST(est_size AS BIGINT) AS est_size,
+         |  CAST(est_size - exact_size AS BIGINT) AS overestimate
+         |FROM ex CROSS JOIN est""".stripMargin,
     "t_dedup_bloom" ->
       """SELECT doc_id FROM documents WHERE doc_id%3=0
         |AND md5(text) NOT IN
