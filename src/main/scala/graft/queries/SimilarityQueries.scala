@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.NativeFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Pq, Similarity}
 import graft.sources.Tables
 
 /** Similarity-search queries over `embeddings.parquet` (500×64-dim float
@@ -14,7 +14,42 @@ object SimilarityQueries {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
 
+  private val PqM = 4
+  private val PqSub = 16
+  private val PqK = 8
+  private val PqIters = 2
+  private val PqSeed = 11L
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Product quantization ANN: 64 floats → 4 codes (per-subspace trained
+    // codebooks); candidates ranked by the asymmetric-distance sum of
+    // subspace LUT dots. Oracle replays the 4 k-means trainings, the
+    // encoding, and the ADC ranking from raw parquet.
+    "sim_topk_pq" -> ((s, d) => {
+      val v = emb(s, d)
+      val cbs = Pq.codebooks(v, "embedding", dim = 64, m = PqM, k = PqK,
+        iters = PqIters, seed = PqSeed)
+      Pq.adcTopK(v, v.where(col("vec_id") < 5), "vec_id", "embedding",
+          cbs, k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // PQ recall calibration: ADC top-10 overlap against the float-cosine
+    // brute top-10 per query — what 16× vector compression costs, both
+    // rankings exactly replayed.
+    "sim_recall_pq" -> ((s, d) => {
+      val v = emb(s, d)
+      val cbs = Pq.codebooks(v, "embedding", dim = 64, m = PqM, k = PqK,
+        iters = PqIters, seed = PqSeed)
+      val pq = Pq.adcTopK(v, v.where(col("vec_id") < 5), "vec_id",
+        "embedding", cbs, k = 10).select(col("q_id"), col("n_id"))
+      val br = Similarity.bruteForceTopK(v, v.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10).select(col("q_id"), col("n_id"))
+      pq.join(br, Seq("q_id", "n_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+        .orderBy(col("q_id"))
+    }),
+
     "sim_topk_brute" -> ((s, d) => {
       val v = emb(s, d)
       Similarity.bruteForceTopK(v, v.where(col("vec_id") < 5),
@@ -532,32 +567,67 @@ object SimilarityQueries {
     * centroids are bit-identical. `aF` is the final assignment under
     * `cent{iters}`.
     */
-  private def kmeansCtes(k: Int, iters: Int, seed: Long): String = {
-    val init = Similarity.ivfCentroids(dim = 64, k = k, seed = seed)
+  private def kmeansCtes(k: Int, iters: Int, seed: Long, dim: Int = 64,
+                         vSrc: String = "v", p: String = ""): String = {
+    val init = Similarity.ivfCentroids(dim = dim, k = k, seed = seed)
     val cent0 = init.zipWithIndex
       .map { case (c, i) => s"($i, ${c.mkString("[", ",", "]")}::DOUBLE[])" }
-      .mkString("cent0(cell, c) AS (VALUES ", ", ", ")")
+      .mkString(s"${p}cent0(cell, c) AS (VALUES ", ", ", ")")
     def assign(t: String, cent: String) =
-      s"""sc$t AS (SELECT v.vec_id, v.e, ct.cell,
+      s"""${p}sc$t AS (SELECT v.vec_id, v.e, ct.cell,
          |  (SELECT sum(a*b) FROM (SELECT unnest(v.e) AS a, unnest(ct.c) AS b)) AS s
-         |  FROM v, $cent ct),
-         |a$t AS (SELECT vec_id, e, cell FROM (SELECT vec_id, e, cell,
+         |  FROM $vSrc v, $cent ct),
+         |${p}a$t AS (SELECT vec_id, e, cell FROM (SELECT vec_id, e, cell,
          |  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
-         |  FROM sc$t) WHERE rn=1)""".stripMargin
+         |  FROM ${p}sc$t) WHERE rn=1)""".stripMargin
     val iterCtes = (0 until iters).map { t =>
-      s"""${assign(t.toString, s"cent$t")},
-         |m$t AS (SELECT cell, g.i AS pos,
+      s"""${assign(t.toString, s"${p}cent$t")},
+         |${p}m$t AS (SELECT cell, g.i AS pos,
          |  CAST(sum(CAST(e[g.i] AS DECIMAL(25,12))) AS DOUBLE)/count(*) AS m
-         |  FROM a$t, generate_series(1,64) AS g(i) GROUP BY 1,2),
-         |u$t AS (SELECT c0.cell, coalesce(mm.mc, c0.c) AS cv,
+         |  FROM ${p}a$t, generate_series(1,$dim) AS g(i) GROUP BY 1,2),
+         |${p}u$t AS (SELECT c0.cell, coalesce(mm.mc, c0.c) AS cv,
          |  sqrt((SELECT sum(y*y)
          |    FROM (SELECT unnest(coalesce(mm.mc, c0.c)) AS y))) AS nrm
-         |  FROM cent$t c0 LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS mc
-         |    FROM m$t GROUP BY cell) mm ON c0.cell=mm.cell),
-         |cent${t + 1} AS (SELECT cell, CASE WHEN nrm=0 THEN cv
-         |  ELSE list_transform(cv, y -> y/nrm) END AS c FROM u$t)""".stripMargin
+         |  FROM ${p}cent$t c0 LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS mc
+         |    FROM ${p}m$t GROUP BY cell) mm ON c0.cell=mm.cell),
+         |${p}cent${t + 1} AS (SELECT cell, CASE WHEN nrm=0 THEN cv
+         |  ELSE list_transform(cv, y -> y/nrm) END AS c FROM ${p}u$t)""".stripMargin
     }.mkString(",\n")
-    s"$cent0,\n$iterCtes,\n${assign("F", s"cent$iters")}"
+    s"$cent0,\n$iterCtes,\n${assign("F", s"${p}cent$iters")}"
+  }
+
+  /** SQL replay of [[graft.operators.Pq]]: per-subspace sliced views
+    * (`e[lo:hi]`), one full k-means unroll per subspace (prefix `p<mi>_`),
+    * then a `codes` table joining each vector's m cell assignments.
+    * `p<mi>_cent<iters>` are the final codebooks the ADC score reads.
+    */
+  private def pqCtes(m: Int, sub: Int, k: Int, iters: Int,
+                     seed: Long): String = {
+    val per = (0 until m).map { mi =>
+      s"""v$mi AS (SELECT vec_id, e[${mi * sub + 1}:${(mi + 1) * sub}] AS e
+         |  FROM v),
+         |${kmeansCtes(k, iters, seed + mi, dim = sub, vSrc = s"v$mi",
+            p = s"p${mi}_")}""".stripMargin
+    }.mkString(",\n")
+    val codeSel = (0 until m).map(mi => s"a$mi.cell AS c$mi").mkString(", ")
+    val codeJoin = (0 until m)
+      .map(mi => s"JOIN p${mi}_aF a$mi ON a$mi.vec_id = v.vec_id")
+      .mkString(" ")
+    s"""$per,
+       |codes AS (SELECT v.vec_id, $codeSel FROM v $codeJoin)""".stripMargin
+  }
+
+  /** The ADC score expression over `codes cd` joined to the final
+    * codebooks `cb<mi>`: subspace dots summed in index order, rounded to
+    * 6dp — the same fold the Spark side performs.
+    */
+  private def pqAdcSql(m: Int, sub: Int): String = {
+    val terms = (0 until m).map { mi =>
+      s"""(SELECT sum(a*b) FROM (SELECT
+         |    unnest(q_vec[${mi * sub + 1}:${(mi + 1) * sub}]) AS a,
+         |    unnest(cb$mi.c) AS b))""".stripMargin
+    }.mkString(" + ")
+    s"round($terms, 6)"
   }
 
   /** Shared replay for the trained-IVF top-k: training unrolled in SQL,
@@ -577,7 +647,41 @@ object SimilarityQueries {
        |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=5
        |ORDER BY q_id, rank""".stripMargin
 
+  private lazy val pqJoinCbs = (0 until PqM)
+    .map(mi => s"JOIN p${mi}_cent$PqIters cb$mi ON cb$mi.cell = cd.c$mi")
+    .mkString(" ")
+
   val oracles: Map[String, String] = Map(
+    "sim_topk_pq" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |${pqCtes(PqM, PqSub, PqK, PqIters, PqSeed)},
+         |q AS (SELECT vec_id AS q_id, e AS q_vec FROM v WHERE vec_id<5),
+         |s AS (SELECT q_id, cd.vec_id AS n_id, ${pqAdcSql(PqM, PqSub)} AS adc
+         |  FROM codes cd $pqJoinCbs CROSS JOIN q WHERE cd.vec_id<>q_id),
+         |r AS (SELECT q_id, n_id, adc,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rank
+         |  FROM s)
+         |SELECT q_id, n_id, adc, rank FROM r WHERE rank<=5
+         |ORDER BY q_id, rank""".stripMargin,
+    "sim_recall_pq" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |${pqCtes(PqM, PqSub, PqK, PqIters, PqSeed)},
+         |q AS (SELECT vec_id AS q_id, e AS q_vec FROM v WHERE vec_id<5),
+         |s AS (SELECT q_id, cd.vec_id AS n_id, ${pqAdcSql(PqM, PqSub)} AS adc
+         |  FROM codes cd $pqJoinCbs CROSS JOIN q WHERE cd.vec_id<>q_id),
+         |rp AS (SELECT q_id, n_id, row_number()
+         |  OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rk FROM s),
+         |f AS (SELECT q_id, n_id, $cosSql AS cos FROM
+         |  (SELECT vec_id AS n_id, e AS n_vec FROM v) c2,
+         |  (SELECT vec_id AS q_id, e AS q_vec FROM v WHERE vec_id<5) q2
+         |  WHERE n_id <> q_id),
+         |rf AS (SELECT q_id, n_id, row_number()
+         |  OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk FROM f)
+         |SELECT a.q_id, count(*) AS n_overlap
+         |FROM (SELECT q_id, n_id FROM rp WHERE rk<=10) a
+         |JOIN (SELECT q_id, n_id FROM rf WHERE rk<=10) b
+         |  USING (q_id, n_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |q AS (SELECT vec_id AS q_id, e AS q_vec FROM v WHERE vec_id<5),
