@@ -62,6 +62,38 @@ object Pq {
              cbs: Array[Array[Array[Double]]]): DataFrame =
     df.select(col(idCol) +: codeCols(col(vecCol), cbs): _*)
 
+  /** IVF-PQ: the standard billion-scale ANN layout. Candidates carry a
+    * coarse Voronoi cell (trained 64-dim centroids) plus their m PQ
+    * codes; a query scans ONLY its own cell's posting list, ranked by
+    * ADC. At 100 TB the index table is (id, cell, m codes) —
+    * cell-partitioned parquet a query reads one partition of, with the
+    * original vectors nowhere in the hot path.
+    */
+  def ivfAdcTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, cells: Array[Array[Double]],
+                 cbs: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val sub = cbs(0)(0).length
+    val enc = candidates.select(
+      col(idCol).as("n_id") +:
+        Similarity.centroidCell(col(vecCol), cells).as("cell") +:
+        codeCols(col(vecCol), cbs): _*)
+    val q = queries.select(col(idCol).as("q_id"),
+      Similarity.centroidCell(col(vecCol), cells).as("cell"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    val adc = cbs.zipWithIndex.map { case (cb, mi) =>
+      Similarity.dot(
+        slice(col("q_vec"), mi * sub + 1, sub),
+        element_at(typedLit(cb.map(_.toSeq).toSeq), col(s"code$mi") + 1))
+    }.reduce(_ + _)
+    val scored = enc.join(broadcast(q), Seq("cell"))
+      .where(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), round(adc, 6).as("adc"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** ADC top-k: approximate dot(query, candidate) = Σ_mi
     * dot(q[subspace mi], codebook_mi[code_mi]), rounded to 6 decimals
     * BEFORE ranking (the cross-engine ordering contract), ties by id.

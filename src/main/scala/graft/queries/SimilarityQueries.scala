@@ -56,6 +56,21 @@ object SimilarityQueries {
         "vec_id", "embedding", k = 10)
         .orderBy(col("q_id"), col("rank"))
     }),
+
+    // IVF-PQ (the standard billion-scale composition): trained Voronoi
+    // cells prune the scan to the query's posting list; PQ codes replace
+    // the vectors inside it. Same trained quantizers as
+    // sim_topk_ivf_trained (seed 7) and sim_topk_pq (seed 11).
+    "sim_topk_ivfpq" -> ((s, d) => {
+      val v = emb(s, d)
+      val cells = Similarity.kmeansCentroids(v, "embedding",
+        dim = 64, k = 8, iters = 2, seed = 7L)
+      val cbs = Pq.codebooks(v, "embedding", dim = 64, m = PqM, k = PqK,
+        iters = PqIters, seed = PqSeed)
+      Pq.ivfAdcTopK(v, v.where(col("vec_id") < 5), "vec_id", "embedding",
+          cells, cbs, k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
     "sim_topk_ivf" -> ((s, d) => {
       val v = emb(s, d)
       Similarity.partitionedTopK(v, v.where(col("vec_id") < 5),
@@ -658,6 +673,23 @@ object SimilarityQueries {
          |q AS (SELECT vec_id AS q_id, e AS q_vec FROM v WHERE vec_id<5),
          |s AS (SELECT q_id, cd.vec_id AS n_id, ${pqAdcSql(PqM, PqSub)} AS adc
          |  FROM codes cd $pqJoinCbs CROSS JOIN q WHERE cd.vec_id<>q_id),
+         |r AS (SELECT q_id, n_id, adc,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rank
+         |  FROM s)
+         |SELECT q_id, n_id, adc, rank FROM r WHERE rank<=5
+         |ORDER BY q_id, rank""".stripMargin,
+    "sim_topk_ivfpq" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |${kmeansCtes(k = 8, iters = 2, seed = 7L)},
+         |${pqCtes(PqM, PqSub, PqK, PqIters, PqSeed)},
+         |q AS (SELECT vec_id AS q_id, cell, e AS q_vec FROM aF
+         |  WHERE vec_id<5),
+         |c AS (SELECT cd.vec_id AS n_id, aF.cell,
+         |  ${(0 until PqM).map(mi => s"cd.c$mi").mkString(", ")}
+         |  FROM codes cd JOIN aF ON aF.vec_id = cd.vec_id),
+         |s AS (SELECT q_id, n_id, ${pqAdcSql(PqM, PqSub)} AS adc
+         |  FROM c cd $pqJoinCbs JOIN q ON q.cell = cd.cell
+         |  WHERE n_id<>q_id),
          |r AS (SELECT q_id, n_id, adc,
          |  row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rank
          |  FROM s)

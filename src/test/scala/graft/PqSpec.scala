@@ -59,6 +59,22 @@ class PqSpec extends AnyFunSuite {
     assert(top.forall { case (q, n) => q % 3 === n % 3 })
   }
 
+  test("IVF-PQ: cell-pruned results are a subset of unpruned ADC order") {
+    val df = blobs.toDF("vec_id", "embedding")
+    val cells = Similarity.kmeansCentroids(df, "embedding", 8, 3, 2, 17L)
+    val cbs = Pq.codebooks(df, "embedding", 8, 2, 4, 2, 3L)
+    val q = df.where($"vec_id" < 3)
+    val pruned = Pq.ivfAdcTopK(df, q, "vec_id", "embedding", cells, cbs, 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    // Every pruned hit must appear in the same query's unpruned ADC
+    // candidates with at-least-as-good rank universe (subset check).
+    val full = Pq.adcTopK(df, q, "vec_id", "embedding", cbs, 60)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    assert(pruned.nonEmpty && pruned.subsetOf(full))
+    // And the planted structure still comes back through the composition.
+    assert(pruned.forall { case (qid, nid) => qid % 3 === nid % 3 })
+  }
+
   test("ADC ranking matches brute force when candidates sit ON centroids") {
     // Candidates constructed as concatenations of trained codebook rows:
     // the quantization error is zero, so ADC = exact dot product and the
