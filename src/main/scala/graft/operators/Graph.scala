@@ -52,4 +52,54 @@ object Graph {
     }
     ranks.withColumnRenamed("r", "rank")
   }
+
+  /** Triangle count by degree-ordered edge orientation (the
+    * Schank–Wagner / node-iterator++ recipe): orient every undirected
+    * edge from its lower-(degree, id) endpoint to the higher; each
+    * node's OUT-degree is then bounded by O(√|E|) regardless of how
+    * skewed the raw degree distribution is, so the wedge self-join costs
+    * Σ outdeg² — the hub whose deg² would explode a naive neighbor join
+    * is exactly the node the orientation strips of out-edges. Each
+    * triangle has exactly one source-of-two-out-edges vertex under any
+    * acyclic orientation, so it is counted exactly once.
+    *
+    * Plan: degree aggregate (linear) → orientation projection → wedge
+    * equi-join on the shared source → closure semi-join against the
+    * normalized edge set. All shuffles are key-hash; nothing collects.
+    *
+    * @param edges undirected edge list; (a,b) and (b,a) and duplicates
+    *              collapse to one edge, self-loops drop.
+    * @return one row (n_edges, n_triangles).
+    */
+  def triangleCount(edges: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a") =!= col("b") &&
+        col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .localCheckpoint() // read 3×: degrees, wedges (×2), closure
+    val deg = e.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // Orient low (d, id) → high (d, id): struct comparison gives the
+    // total order, ties broken by id.
+    val oriented = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("b")).otherwise(col("a")).as("dst"))
+    // Wedges from a shared source (v < w de-duplicates the pair), closed
+    // by the normalized edge (v,w) — v < w already, so no re-normalize.
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.dst").as("a"), col("y.dst").as("b"))
+    val tri = wedges.join(e, Seq("a", "b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(tri))
+  }
 }

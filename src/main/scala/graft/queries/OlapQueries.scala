@@ -176,7 +176,17 @@ object OlapQueries {
     "fi_pairs" -> ((s, d) =>
       graft.operators.Itemsets.frequentPairs(
           t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 3L)
-        .orderBy(col("item_a"), col("item_b")))
+        .orderBy(col("item_a"), col("item_b"))),
+
+    // Triangle census of the co-purchase graph (edges = frequent pairs at
+    // support ≥ 2): degree-ordered orientation bounds the wedge join at
+    // Σ outdeg² ≤ O(|E|^1.5) — the hub-proof recipe, never neighbors².
+    "g_triangles" -> ((s, d) =>
+      graft.operators.Graph.triangleCount(
+        graft.operators.Itemsets.frequentPairs(
+            t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
+          .select(col("item_a"), col("item_b")),
+        "item_a", "item_b"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -201,6 +211,17 @@ object OlapQueries {
         |FROM pr JOIN n na ON na.it = pr.ia JOIN n nc ON nc.it = pr.ib
         |CROSS JOIN tot
         |WHERE pr.s >= 3 ORDER BY item_a, item_b""".stripMargin,
+    "g_triangles" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |pr AS (SELECT a.it AS ia, c.it AS ib, count(*) AS s
+        |  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it GROUP BY 1, 2),
+        |e AS (SELECT ia AS a, ib AS b FROM pr WHERE s >= 2),
+        |t AS (SELECT count(*) AS n_triangles FROM e e1
+        |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |  CAST(n_triangles AS BIGINT) AS n_triangles FROM t""".stripMargin,
     "olap_rollup" ->
       """SELECT coalesce(r_name,'ALL') AS region, coalesce(n_name,'ALL') AS nation,
         |CAST(GROUPING(r_name, n_name) AS INT) AS gid,
