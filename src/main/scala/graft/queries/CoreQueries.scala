@@ -621,6 +621,31 @@ object CoreQueries {
         .orderBy(col("status"))
     }),
 
+    // A19b (ext): the SAME diff through Merkle bucket pruning — both
+    // versions reduce map-side to 64 (count, checksum-sum) bucket
+    // summaries keyed by a hash of the row KEY; only rows of buckets
+    // whose summaries disagree enter the row-level join. The oracle is
+    // the UNPRUNED flat diff (minus its `same` rows), so a green row
+    // proves the prune lossless. At 100 TB with 0.1% drift this moves
+    // ~0.1% of the rows where a19 moves all of them.
+    "a19_diff_pruned" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val verA = cust.select(col("c_custkey").as("k"),
+        md5(concat_ws("|", col("c_name"),
+          col("c_acctbal").cast("decimal(12,2)"))).as("h"))
+      val verB = cust.where(pmod(col("c_custkey"), lit(7)) =!= 0)
+        .select(col("c_custkey").as("k"),
+          md5(concat_ws("|", col("c_name"),
+            (col("c_acctbal").cast("decimal(12,2)") +
+              when(pmod(col("c_custkey"), lit(5)) === 0, 1)
+                .otherwise(0)).cast("decimal(12,2)"))).as("h"))
+        .unionByName(cust.where(pmod(col("c_custkey"), lit(11)) === 3)
+          .select((col("c_custkey") + 1000000).as("k"),
+            md5(col("c_name")).as("h")))
+      graft.operators.Reconcile.prunedDiff(verA, verB, nBuckets = 64)
+        .orderBy(col("k"))
+    }),
+
     // A13b (ext): BAG-semantics set operations — INTERSECT ALL keeps the
     // minimum multiplicity per value, EXCEPT ALL subtracts
     // multiplicities (Spark intersectAll/exceptAll ≙ SQL ALL variants).
@@ -847,6 +872,25 @@ object CoreQueries {
         |  WHEN a.h <> b.h THEN 'changed' ELSE 'same' END AS status
         |  FROM a FULL OUTER JOIN b ON a.k = b.k)
         |SELECT status, count(*) AS n FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a19_diff_pruned" ->
+      """WITH a AS (SELECT c_custkey AS k,
+        |  md5(c_name || '|' || CAST(c_acctbal AS DECIMAL(12,2))) AS h
+        |  FROM customer),
+        |b AS (SELECT c_custkey AS k,
+        |  md5(c_name || '|' || CAST(CAST(c_acctbal AS DECIMAL(12,2))
+        |    + CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END
+        |    AS DECIMAL(12,2))) AS h
+        |  FROM customer WHERE c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, md5(c_name)
+        |  FROM customer WHERE c_custkey % 11 = 3),
+        |j AS (SELECT coalesce(a.k, b.k) AS k,
+        |  CASE WHEN a.k IS NULL THEN 'added'
+        |  WHEN b.k IS NULL THEN 'removed'
+        |  WHEN a.h <> b.h THEN 'changed' ELSE 'same' END AS status
+        |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+        |SELECT k, status FROM j WHERE status <> 'same'
+        |ORDER BY k""".stripMargin,
     "a18_incr_rollup" ->
       """SELECT l_returnflag, count(*) AS cnt,
         |CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DECIMAL(20,2))
