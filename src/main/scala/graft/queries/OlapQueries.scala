@@ -178,6 +178,15 @@ object OlapQueries {
           t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 3L)
         .orderBy(col("item_a"), col("item_b"))),
 
+    // Exact per-group median WITHOUT a per-group sort: 4096-bucket
+    // histogram locates the two middle ranks, a targeted second pass
+    // reads only the located buckets. Exact integers to the single
+    // (a+b)/200 division.
+    "olap_group_median" -> ((s, d) =>
+      graft.operators.Median.groupMedianCents(
+          t(s, d, "lineitem"), Seq("l_returnflag"), "l_extendedprice")
+        .orderBy(col("l_returnflag"))),
+
     // Triangle census of the co-purchase graph (edges = frequent pairs at
     // support ≥ 2): degree-ordered orientation bounds the wedge join at
     // Σ outdeg² ≤ O(|E|^1.5) — the hub-proof recipe, never neighbors².
@@ -211,6 +220,17 @@ object OlapQueries {
         |FROM pr JOIN n na ON na.it = pr.ia JOIN n nc ON nc.it = pr.ib
         |CROSS JOIN tot
         |WHERE pr.s >= 3 ORDER BY item_a, item_b""".stripMargin,
+    "olap_group_median" ->
+      """WITH s AS (SELECT l_returnflag AS g,
+        |  CAST(l_extendedprice*100 AS BIGINT) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |  count(*) OVER (PARTITION BY g) AS n FROM s)
+        |SELECT g AS l_returnflag,
+        |  CAST(sum(CASE WHEN rn=(n+1)//2 THEN v ELSE 0 END)
+        |     + sum(CASE WHEN rn=(n+2)//2 THEN v ELSE 0 END) AS DOUBLE)/200.0
+        |  AS median
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "g_triangles" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
         |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Median
+
+class MedianSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference: sort the group, average the two middle cent values. */
+  private def ref(cents: Seq[Long]): Double = {
+    val s = cents.sorted
+    val n = s.length
+    (s((n - 1) / 2) + s(n / 2)) / 200.0
+  }
+
+  private def toDf(rows: Seq[(String, Long)]) =
+    rows.toDF("g", "cents")
+      .selectExpr("g", "CAST(cents AS DECIMAL(12,2)) / 100 AS v")
+      .selectExpr("g", "CAST(v AS DECIMAL(12,2)) AS v")
+
+  test("matches the sorted reference on random odd/even/dup groups") {
+    val rnd = new scala.util.Random(31)
+    val rows = for {
+      g <- Seq("a", "b", "c", "d")
+      i <- 1 to (50 + g.hashCode.abs % 7) // odd and even sizes
+    } yield (g, rnd.nextInt(2000).toLong) // duplicates certain
+    val out = Median.groupMedianCents(toDf(rows), Seq("g"), "v")
+      .as[(String, Double)].collect().toMap
+    val expect = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> ref(rs.map(_._2))
+    }
+    assert(out === expect)
+  }
+
+  test("single-element, two-element, and all-equal groups") {
+    val rows = Seq(
+      ("one", 501L),
+      ("two", 100L), ("two", 200L),
+      ("same", 7L), ("same", 7L), ("same", 7L))
+    val out = Median.groupMedianCents(toDf(rows), Seq("g"), "v")
+      .as[(String, Double)].collect().toMap
+    assert(out === Map("one" -> 5.01, "two" -> 1.5, "same" -> 0.07))
+  }
+
+  test("bucket count does not change the answer (1 bucket ≡ full scan)") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 301).map(i => ("g", rnd.nextInt(100000).toLong))
+    val one = Median.groupMedianCents(toDf(rows), Seq("g"), "v",
+      nBuckets = 1).as[(String, Double)].head()
+    val many = Median.groupMedianCents(toDf(rows), Seq("g"), "v",
+      nBuckets = 4096).as[(String, Double)].head()
+    assert(one === many && one._2 === ref(rows.map(_._2)))
+  }
+
+  test("both middle ranks inside one tied value run") {
+    // Sorted cents: 1, 5, 5, 9 → middles (5+5)/200.
+    val rows = Seq(("g", 5L), ("g", 1L), ("g", 9L), ("g", 5L))
+    val out = Median.groupMedianCents(toDf(rows), Seq("g"), "v")
+      .as[(String, Double)].head()
+    assert(out === (("g", 0.05)))
+  }
+}
