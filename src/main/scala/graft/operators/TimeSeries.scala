@@ -47,4 +47,50 @@ object TimeSeries {
       .select(col(keyCol), col("bucket"),
         coalesce(col("_n"), lit(0L)).as("n"))
   }
+
+  /** Peak concurrency per hour — the interval-overlap sweep line. Each
+    * row occupies the half-open interval [ts, ts + durationMin); the
+    * answer is the maximum number of simultaneously-open intervals
+    * within each hour.
+    *
+    * The sweep is the textbook ±1 delta trick made distributed: every
+    * interval contributes (+1 at start, −1 at end), and the running sum
+    * of deltas in (t, d) order IS the live concurrency after each
+    * boundary. The running sum is [[TrainingMix.withRunningTotal]] —
+    * range-partitioned two-phase prefix sum, so no task ever sorts more
+    * than its time slice and the only unbounded window ranges over the
+    * per-partition totals (≤ shuffle-partition-count rows), never over
+    * events. Ordering −1 before +1 at equal t realizes the half-open
+    * semantics (an interval ending exactly when another starts never
+    * overlaps it); within a tie run the deltas are identical, so every
+    * tie order yields the same prefix-value multiset and the per-hour
+    * max is deterministic.
+    *
+    * A level can be SET in one hour and carried unchanged into the
+    * next, so each hour-start also gets a zero-delta row (an hourly
+    * spine off one tiny min/max aggregate, the [[gapFillHourly]]
+    * pattern): every hour — including boundary-free gap hours — then
+    * reports the max of its carried level and its own post-boundary
+    * levels, the true sup of the step function over the hour.
+    */
+  def maxConcurrent(df: DataFrame, tsCol: String, durationMin: Int)
+      : DataFrame = {
+    require(durationMin > 0, s"durationMin must be positive: $durationMin")
+    val live = df.where(col(tsCol).isNotNull)
+    val deltas = live
+      .select(col(tsCol).as("_t"), lit(1).as("_d"))
+      .unionByName(live.select(
+        (col(tsCol) + expr(s"INTERVAL $durationMin MINUTES")).as("_t"),
+        lit(-1).as("_d")))
+    val span = deltas.agg(
+      date_trunc("hour", min(col("_t"))).as("_lo"),
+      date_trunc("hour", max(col("_t"))).as("_hi"))
+    val spine = span.select(explode(sequence(col("_lo"), col("_hi"),
+        expr("INTERVAL 1 HOUR"))).as("_t"))
+      .select(col("_t"), lit(0).as("_d"))
+    val run = TrainingMix.withRunningTotal(deltas.unionByName(spine),
+      Seq.empty, Seq(col("_t"), col("_d")), col("_d"), "_c")
+    run.groupBy(date_trunc("hour", col("_t")).as("hr"))
+      .agg(max(col("_c")).as("max_concurrent"))
+  }
 }

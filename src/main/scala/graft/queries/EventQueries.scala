@@ -206,6 +206,14 @@ object EventQueries {
           max(col("ts")).as("last_ts"))
         .orderBy(col("user_id"), col("event_type"))),
 
+    // Peak concurrency per hour: every event opens a 30-minute presence
+    // interval; the ±1 sweep line rides the distributed two-phase prefix
+    // sum (no global window over events), then one per-hour max.
+    "ev_concurrency" -> ((s, d) =>
+      graft.operators.TimeSeries.maxConcurrent(ev(s, d), "ts",
+          durationMin = 30)
+        .orderBy(col("hr"))),
+
     // Behavioral transition matrix: (event_type → next event_type) counts
     // in per-user time order — `lead` over user-partitioned windows (each
     // partition is one user's events; no global sort), then one count
@@ -231,6 +239,21 @@ object EventQueries {
         |  FROM events)
         |SELECT user_id, event_type, value AS last_value, ts AS last_ts
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "ev_concurrency" ->
+      """WITH b AS (SELECT ts AS t, 1 AS d FROM events WHERE ts IS NOT NULL
+        |  UNION ALL
+        |  SELECT ts + INTERVAL 30 MINUTE, -1 FROM events
+        |  WHERE ts IS NOT NULL),
+        |sp AS (SELECT unnest(generate_series(
+        |    date_trunc('hour', (SELECT min(t) FROM b)),
+        |    date_trunc('hour', (SELECT max(t) FROM b)),
+        |    INTERVAL 1 HOUR)) AS t, 0 AS d),
+        |u AS (SELECT * FROM b UNION ALL SELECT * FROM sp),
+        |r AS (SELECT t, sum(d) OVER (ORDER BY t, d
+        |  ROWS UNBOUNDED PRECEDING) AS c FROM u)
+        |SELECT date_trunc('hour', t) AS hr,
+        |  CAST(max(c) AS BIGINT) AS max_concurrent
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_transitions" ->
       """WITH nx AS (SELECT event_type,
         |  lead(event_type) OVER (PARTITION BY user_id
