@@ -308,6 +308,50 @@ class PlanAuditSpec extends AnyFunSuite {
       s"interval join lost its equi-key:\n$p")
   }
 
+  test("pruned diff broadcasts the dirty-bucket set into both row scans") {
+    val p = plan("a19_diff_pruned")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dirty buckets stopped broadcasting — full rows would shuffle:\n$p")
+    assert(p.contains("FullOuter"),
+      s"row-level classify join lost full-outer semantics:\n$p")
+  }
+
+  test("exact median: windows only over aggregates, targets broadcast") {
+    val df = SparkEntry.queries("olap_group_median")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    // Both cumulative windows (bucket histogram, in-bucket value ladder)
+    // must run over an Aggregate output, never over raw facts.
+    windows.foreach { w =>
+      val overAggregate = w.child.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty
+      assert(w.partitionSpec.nonEmpty && overAggregate,
+        s"median window runs over raw facts:\n$w")
+    }
+    val p = plan("olap_group_median")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bounds/targets stopped broadcasting:\n$p")
+  }
+
+  test("concurrency sweep: only pid-local and totals windows") {
+    val df = SparkEntry.queries("ev_concurrency")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val partitioned = w.partitionSpec.nonEmpty
+      val overTotals = w.child.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty
+      assert(partitioned || overTotals,
+        s"unpartitioned window over raw event deltas:\n$w")
+    }
+  }
+
   test("headline aggregates keep whole-stage codegen on the hot path") {
     for (q <- Seq("d9_top_artists", "q1_agg")) {
       val p = plan(q)
