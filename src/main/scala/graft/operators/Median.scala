@@ -4,50 +4,55 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Exact per-group median WITHOUT sorting any group — the scalable
-  * answer where `percentile(x, 0.5)` (a per-group sorted buffer on one
-  * reducer) and `approx_percentile` (not exact) both fall short.
+/** Exact per-group order statistics WITHOUT sorting any group — the
+  * scalable answer where `percentile(x, q)` (a per-group sorted buffer
+  * on one reducer) and `approx_percentile` (not exact) both fall short.
   *
-  * Two passes over the facts, both linear:
+  * Two passes over the facts, both linear, for ANY number of requested
+  * ranks at once:
   *   1. HISTOGRAM pass: per-group (min, max, count) bounds, then a
   *      4096-bucket count histogram ([[Histogram.bucketOf]] integer
-  *      arithmetic). The running bucket total locates, for each of the
-  *      two middle ranks, WHICH bucket holds it and the rank offset
+  *      arithmetic). The running bucket total locates, for each
+  *      requested rank, WHICH bucket holds it and the rank offset
   *      inside that bucket. Cumulative windows run over per-group
   *      histograms (≤ 4096 rows each), never over facts.
   *   2. TARGET pass: only rows landing in a located bucket (a broadcast
-  *      semi-join of ~2 rows per group) are re-read, reduced to
+  *      semi-join of ~|ranks| rows per group) are re-read, reduced to
   *      (value, count) — at cent-discrete data a bucket holds at most
   *      bucket-width distinct values — and the offset picks the order
   *      statistic from the tiny per-bucket value ladder.
   *
-  * Everything to the final division is integer-exact; the median is the
-  * ONE double division (a+b)/200 (cents → currency), bit-reproducible
-  * across engines. Group count can be millions (all tables are
-  * group-keyed aggregates); group SIZE can be billions (no task ever
-  * holds more than a bucket's value ladder).
+  * Everything is integer-exact; the only doubles are single divisions
+  * at the very end — bit-reproducible across engines. Group count can
+  * be millions; group SIZE can be billions (no task ever holds more
+  * than a bucket's value ladder).
   */
 object Median {
 
-  /** Exact median of a DECIMAL(p,2) column per group.
-    * @return (groupCols..., median: double) — (a+b)/200.0 over the two
-    *         middle cent values (equal when the group has odd count).
+  /** Cents extraction must go through DECIMAL(12,2) first: on a raw
+    * DOUBLE column, `x*100` sits a hair below the integer (73789.18·100
+    * = 7378917.999…) and Spark's long cast TRUNCATES where DuckDB's
+    * rounds — the half-cent divergence the decimal hop removes on both
+    * engines identically.
     */
-  def groupMedianCents(df: DataFrame, groupCols: Seq[String],
-                       valueCol: String, nBuckets: Int = 4096): DataFrame = {
-    val gs = groupCols.map(col)
-    val facts = df.where(col(valueCol).isNotNull)
-      .select(gs :+ (col(valueCol) * 100).cast("long").as("_v"): _*)
+  private def centsFacts(df: DataFrame, gs: Seq[Column],
+                         valueCol: String): DataFrame =
+    df.where(col(valueCol).isNotNull)
+      .select(gs :+ (col(valueCol).cast("decimal(12,2)") * 100)
+        .cast("long").as("_v"): _*)
       .localCheckpoint() // two passes by construction
-    val bounds = facts.groupBy(gs: _*).agg(
-      min(col("_v")).as("_lo"), max(col("_v")).as("_hi"),
-      count(lit(1)).as("_n"))
-    // Middle ranks (1-based): (n+1) div 2 and (n+2) div 2.
-    val targets = bounds.select(gs ++ Seq(col("_lo"), col("_hi"),
-      explode(array_distinct(array(
-        Histogram.idiv(col("_n") + 1, lit(2)),
-        Histogram.idiv(col("_n") + 2, lit(2))))).as("_k")): _*)
-    val hist = facts.join(broadcast(bounds), groupCols)
+
+  /** Rank-picking core. `targets` carries one row per requested order
+    * statistic: (groupCols..., _lo, _hi, _tag, _k) with _k the 1-based
+    * rank and _tag a caller label (distinct per row within a group).
+    * Returns (groupCols..., _tag, _v).
+    */
+  private def pick(facts: DataFrame, groupCols: Seq[String],
+                   targets: DataFrame, nBuckets: Int): DataFrame = {
+    val gs = groupCols.map(col)
+    val hist = facts.join(
+        broadcast(targets.select(gs :+ col("_lo") :+ col("_hi"): _*)
+          .distinct()), groupCols)
       .groupBy(gs :+
         Histogram.bucketOf(col("_v"), col("_lo"), col("_hi"), nBuckets)
           .as("_bucket"): _*)
@@ -61,28 +66,83 @@ object Median {
     val located = cum.join(targets, groupCols)
       .where(col("_below") < col("_k") && col("_k") <= col("_cum"))
       .select(gs ++ Seq(col("_bucket"), col("_lo"), col("_hi"),
-        col("_k"), (col("_k") - col("_below")).as("_off")): _*)
-    // Pass 2: rows of located buckets only → per-value counts → the
+        col("_tag"), (col("_k") - col("_below")).as("_off")): _*)
+    // Pass 2: rows of located buckets only → per-value counts — the
     // value ladder inside each (group, bucket) is bucket-width-bounded.
     val inBucket = facts.join(broadcast(located), groupCols)
       .where(Histogram.bucketOf(col("_v"), col("_lo"), col("_hi"), nBuckets)
         === col("_bucket"))
-      .groupBy(gs ++ Seq(col("_bucket"), col("_k"), col("_off"),
+      .groupBy(gs ++ Seq(col("_bucket"), col("_tag"), col("_off"),
         col("_v")): _*)
       .agg(count(lit(1)).as("_vn"))
-    val ladderW = Window.partitionBy(gs ++ Seq(col("_bucket"), col("_k")): _*)
+    val ladderW = Window
+      .partitionBy(gs ++ Seq(col("_bucket"), col("_tag")): _*)
       .orderBy(col("_v"))
-    val picked = inBucket
+    inBucket
       .withColumn("_vcum", sum(col("_vn")).over(
         ladderW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .where(col("_vcum") - col("_vn") < col("_off") &&
         col("_off") <= col("_vcum"))
-      .select(gs :+ col("_v"): _*)
-    // Two rows per group (one when both middle ranks share a value and
-    // the ranks coincide — odd n): sum·(3−rows) normalizes both cases
-    // to a+b, then the single exact-int division.
-    picked.groupBy(gs: _*)
+      .select(gs ++ Seq(col("_tag"), col("_v")): _*)
+  }
+
+  /** Exact median of a DECIMAL(p,2) column per group.
+    * @return (groupCols..., median: double) — (a+b)/200.0 over the two
+    *         middle cent values (equal when the group has odd count).
+    */
+  def groupMedianCents(df: DataFrame, groupCols: Seq[String],
+                       valueCol: String, nBuckets: Int = 4096): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val gs = groupCols.map(col)
+    val facts = centsFacts(df, gs, valueCol)
+    val bounds = facts.groupBy(gs: _*).agg(
+      min(col("_v")).as("_lo"), max(col("_v")).as("_hi"),
+      count(lit(1)).as("_n"))
+    // Middle ranks (1-based): (n+1) div 2 and (n+2) div 2; tagged by
+    // the rank itself (distinct after array_distinct).
+    val targets = bounds.select(gs ++ Seq(col("_lo"), col("_hi"),
+      explode(array_distinct(array(
+        Histogram.idiv(col("_n") + 1, lit(2)),
+        Histogram.idiv(col("_n") + 2, lit(2))))).as("_k")): _*)
+      .withColumn("_tag", col("_k"))
+    // One or two rows per group: sum·(3−rows) normalizes both cases to
+    // a+b, then the single exact-int division.
+    pick(facts, groupCols, targets, nBuckets)
+      .groupBy(gs: _*)
       .agg((sum(col("_v")) * (lit(3) - count(lit(1)))).as("_ab"))
       .select(gs :+ (col("_ab").cast("double") / 200.0).as("median"): _*)
+  }
+
+  /** Exact per-group quantile ladder: for each percent p in `percents`,
+    * the value at rank max(1, ⌈p·n/100⌉) — the lower exact order
+    * statistic, NO interpolation, so every output value is a real data
+    * value and the only double is the final cents→currency division.
+    * All ranks ride ONE histogram pass and ONE target pass.
+    * @return (groupCols..., pct, value)
+    */
+  def groupQuantilesCents(df: DataFrame, groupCols: Seq[String],
+                          valueCol: String,
+                          percents: Seq[Int] = (1 to 9).map(_ * 10),
+                          nBuckets: Int = 4096): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p > 0 && p <= 100),
+      s"percents must be in (0, 100]: $percents")
+    require(percents.distinct.size == percents.size,
+      s"duplicate percents: $percents")
+    val gs = groupCols.map(col)
+    val facts = centsFacts(df, gs, valueCol)
+    val bounds = facts.groupBy(gs: _*).agg(
+      min(col("_v")).as("_lo"), max(col("_v")).as("_hi"),
+      count(lit(1)).as("_n"))
+    val pcts = array(percents.map(p => lit(p.toLong)): _*)
+    val targets = bounds
+      .select(gs ++ Seq(col("_lo"), col("_hi"), col("_n"),
+        explode(pcts).as("_tag")): _*)
+      // rank = max(1, ⌈p·n/100⌉) = max(1, (p·n + 99) div 100)
+      .withColumn("_k", greatest(lit(1L),
+        Histogram.idiv(col("_tag") * col("_n") + 99, lit(100))))
+      .drop("_n")
+    pick(facts, groupCols, targets, nBuckets)
+      .select(gs ++ Seq(col("_tag").as("pct"),
+        (col("_v").cast("double") / 100.0).as("value")): _*)
   }
 }

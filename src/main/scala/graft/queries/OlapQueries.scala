@@ -187,6 +187,14 @@ object OlapQueries {
           t(s, d, "lineitem"), Seq("l_returnflag"), "l_extendedprice")
         .orderBy(col("l_returnflag"))),
 
+    // Exact decile ladder per group — NINE order statistics through the
+    // SAME one-histogram-pass + one-target-pass machinery; every value
+    // is a real data value (lower order statistic, no interpolation).
+    "olap_group_deciles" -> ((s, d) =>
+      graft.operators.Median.groupQuantilesCents(
+          t(s, d, "lineitem"), Seq("l_returnflag"), "l_extendedprice")
+        .orderBy(col("l_returnflag"), col("pct"))),
+
     // Triangle census of the co-purchase graph (edges = frequent pairs at
     // support ≥ 2): degree-ordered orientation bounds the wedge join at
     // Σ outdeg² ≤ O(|E|^1.5) — the hub-proof recipe, never neighbors².
@@ -222,7 +230,7 @@ object OlapQueries {
         |WHERE pr.s >= 3 ORDER BY item_a, item_b""".stripMargin,
     "olap_group_median" ->
       """WITH s AS (SELECT l_returnflag AS g,
-        |  CAST(l_extendedprice*100 AS BIGINT) AS v
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT) AS v
         |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
         |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
         |  count(*) OVER (PARTITION BY g) AS n FROM s)
@@ -231,6 +239,18 @@ object OlapQueries {
         |     + sum(CASE WHEN rn=(n+2)//2 THEN v ELSE 0 END) AS DOUBLE)/200.0
         |  AS median
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "olap_group_deciles" ->
+      """WITH s AS (SELECT l_returnflag AS g,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |  count(*) OVER (PARTITION BY g) AS n FROM s),
+        |p AS (SELECT unnest([10,20,30,40,50,60,70,80,90]) AS pct)
+        |SELECT g AS l_returnflag, CAST(pct AS BIGINT) AS pct,
+        |  CAST(v AS DOUBLE)/100.0 AS value
+        |FROM r CROSS JOIN p
+        |WHERE rn = greatest(1, (pct*n + 99) // 100)
+        |ORDER BY 1, 2""".stripMargin,
     "g_triangles" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
         |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),

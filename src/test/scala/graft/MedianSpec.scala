@@ -53,6 +53,34 @@ class MedianSpec extends AnyFunSuite {
     assert(one === many && one._2 === ref(rows.map(_._2)))
   }
 
+  test("decile ladder matches the sorted-reference order statistics") {
+    val rnd = new scala.util.Random(53)
+    val rows = for {
+      g <- Seq("p", "q"); _ <- 1 to (200 + g.length)
+    } yield (g, rnd.nextInt(50000).toLong)
+    val out = Median.groupQuantilesCents(toDf(rows), Seq("g"), "v")
+      .as[(String, Long, Double)].collect()
+      .map { case (g, p, v) => ((g, p), v) }.toMap
+    val expect = (for {
+      (g, rs) <- rows.groupBy(_._1)
+      s = rs.map(_._2).sorted
+      p <- (1 to 9).map(_ * 10)
+    } yield ((g, p.toLong),
+      s(((p * s.length + 99) / 100).max(1) - 1) / 100.0)).toMap
+    assert(out === expect)
+  }
+
+  test("tiny groups clamp every requested rank to a real element") {
+    val rows = Seq(("t", 100L), ("t", 300L))
+    val out = Median.groupQuantilesCents(toDf(rows), Seq("g"), "v",
+        percents = Seq(10, 50, 100))
+      .as[(String, Long, Double)].collect().toSet
+    // n=2: p10 → rank max(1,1)=1 → 1.0; p50 → rank 1 → 1.0;
+    // p100 → rank 2 → 3.0.
+    assert(out === Set(("t", 10L, 1.0), ("t", 50L, 1.0),
+      ("t", 100L, 3.0)))
+  }
+
   test("both middle ranks inside one tied value run") {
     // Sorted cents: 1, 5, 5, 9 → middles (5+5)/200.
     val rows = Seq(("g", 5L), ("g", 1L), ("g", 9L), ("g", 5L))
