@@ -70,4 +70,39 @@ object Drift {
         .as("bucket"))
     totalVariation(bucketed(a), bucketed(b), "bucket")
   }
+
+  /** EMBEDDING-space drift: cosine between the two slices' centroid
+    * vectors — did the new crawl's semantic center move?
+    *
+    * The count denominators cancel out of the cosine, so the whole
+    * statistic reduces to THREE exact integer sums over quantized
+    * per-dimension totals (floor(x·4096), the sim_whiten trick):
+    * cos = ΣS_aS_b / (√ΣS_a² · √ΣS_b²). Sums ride DECIMAL(38,0) (the
+    * per-dim totals grow with corpus size); the only floats are two
+    * sqrts, one multiply, one division — bit-reproducible.
+    *
+    * Scale: each side is one linear posexplode aggregate to `dim` rows;
+    * everything after is dim-sized. 1.0 = no shift; the gate alarms on
+    * a drop.
+    */
+  def embeddingCentroidDrift(a: DataFrame, b: DataFrame, vecCol: String,
+                             scale: Int = 4096): DataFrame = {
+    def sums(df: DataFrame, out: String) = df
+      .select(posexplode(col(vecCol).cast("array<double>")))
+      .toDF("dim", "x")
+      .groupBy(col("dim"))
+      .agg(sum(floor(col("x") * scale).cast("long"))
+        .cast("decimal(38,0)").as(out))
+    val ca = a.agg(count(lit(1)).as("n_a"))
+    val cb = b.agg(count(lit(1)).as("n_b"))
+    sums(a, "sa").join(sums(b, "sb"), Seq("dim"))
+      .agg(sum(col("sa") * col("sb")).cast("decimal(38,0)").as("_ab"),
+        sum(col("sa") * col("sa")).cast("decimal(38,0)").as("_aa"),
+        sum(col("sb") * col("sb")).cast("decimal(38,0)").as("_bb"))
+      .crossJoin(broadcast(ca)).crossJoin(broadcast(cb))
+      .select(col("n_a"), col("n_b"),
+        (col("_ab").cast("double") /
+          (sqrt(col("_aa").cast("double")) *
+            sqrt(col("_bb").cast("double")))).as("centroid_cosine"))
+  }
 }

@@ -57,6 +57,17 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Embedding-space drift gate: cosine between the two corpus halves'
+    // centroid vectors — count denominators cancel, so the statistic is
+    // three exact integer sums over floor(x·4096) quantized per-dim
+    // totals, then one sqrt·sqrt division. 1.0 = no semantic shift.
+    "dq_drift_embedding" -> ((s, d) => {
+      val v = emb(s, d)
+      graft.operators.Drift.embeddingCentroidDrift(
+        v.where(col("vec_id") % 2 === 0),
+        v.where(col("vec_id") % 2 === 1), "embedding")
+    }),
+
     // IVF-PQ (the standard billion-scale composition): trained Voronoi
     // cells prune the scan to the query's posting list; PQ codes replace
     // the vectors inside it. Same trained quantizers as
@@ -678,6 +689,24 @@ object SimilarityQueries {
          |  FROM s)
          |SELECT q_id, n_id, adc, rank FROM r WHERE rank<=5
          |ORDER BY q_id, rank""".stripMargin,
+    "dq_drift_embedding" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |x AS (SELECT vec_id, g.i AS dim,
+        |  CAST(floor(e[g.i]*4096) AS BIGINT) AS dx
+        |  FROM v, generate_series(1,64) AS g(i)),
+        |a AS (SELECT dim, CAST(sum(dx) AS DECIMAL(38,0)) AS sa
+        |  FROM x WHERE vec_id%2=0 GROUP BY 1),
+        |b AS (SELECT dim, CAST(sum(dx) AS DECIMAL(38,0)) AS sb
+        |  FROM x WHERE vec_id%2=1 GROUP BY 1),
+        |s AS (SELECT CAST(sum(sa*sb) AS DECIMAL(38,0)) AS ab,
+        |  CAST(sum(sa*sa) AS DECIMAL(38,0)) AS aa,
+        |  CAST(sum(sb*sb) AS DECIMAL(38,0)) AS bb
+        |  FROM a JOIN b USING (dim))
+        |SELECT (SELECT count(*) FROM v WHERE vec_id%2=0) AS n_a,
+        |  (SELECT count(*) FROM v WHERE vec_id%2=1) AS n_b,
+        |  CAST(ab AS DOUBLE)/(sqrt(CAST(aa AS DOUBLE))*sqrt(CAST(bb AS DOUBLE)))
+        |    AS centroid_cosine
+        |FROM s""".stripMargin,
     "sim_topk_ivfpq" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |${kmeansCtes(k = 8, iters = 2, seed = 7L)},

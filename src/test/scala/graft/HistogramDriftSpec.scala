@@ -64,6 +64,31 @@ class HistogramDriftSpec extends AnyFunSuite {
     assert(detail === Seq(("x", 2L, 1L), ("y", 1L, 3L), ("z", 1L, 0L)))
   }
 
+  test("embedding centroid drift: identical slices → 1; opposite → −1") {
+    val vs = Seq(
+      (1L, Seq(0.5, 0.25, -0.125)),
+      (2L, Seq(0.25, 0.5, 0.125))).toDF("id", "v")
+    // √x·√x ≠ x in the last ulp, so the self-cosine is 1 within 1e−12
+    // (the ORACLE runs the identical float ops — parity is exact even
+    // though the mathematical identity isn't).
+    val same = Drift.embeddingCentroidDrift(vs, vs, "v")
+      .select($"centroid_cosine").as[Double].head()
+    assert(math.abs(same - 1.0) < 1e-12)
+    val neg = vs.select($"id",
+      transform($"v", x => -x).as("v"))
+    val opp = Drift.embeddingCentroidDrift(vs, neg, "v")
+      .select($"centroid_cosine").as[Double].head()
+    assert(math.abs(opp + 1.0) < 1e-12)
+  }
+
+  test("embedding centroid drift: orthogonal centroids → 0, counts ride") {
+    val a = Seq((1L, Seq(0.5, 0.0)), (2L, Seq(0.25, 0.0))).toDF("id", "v")
+    val b = Seq((3L, Seq(0.0, 0.5))).toDF("id", "v")
+    val row = Drift.embeddingCentroidDrift(a, b, "v")
+      .as[(Long, Long, Double)].head()
+    assert(row === ((2L, 1L, 0.0)))
+  }
+
   test("numeric TVD equals categorical TVD over the shared bucket grid") {
     val a = (0L to 99L).toDF("v")
     val b = (50L to 149L).toDF("v")
