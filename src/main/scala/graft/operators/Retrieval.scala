@@ -30,6 +30,46 @@ object Retrieval {
     * `k1` damps term-frequency saturation, `b` the length normalization —
     * the classic BM25 knobs (defaults 1.2 / 0.75).
     */
+  /** Inverted-index build in LONG form: one (term, doc_id) posting row
+    * per distinct term occurrence, restricted to terms whose document
+    * frequency lies in [minDf, maxDf]. The DF band is the scale
+    * contract: singleton terms (typos, ids) bloat the index without
+    * retrieval value, and stop-term postings approach |corpus| — the
+    * same cap discipline as decontamination's stop-gram bound. The
+    * build is one explode + two hash aggregates, all map-side
+    * combinable; the posting table is naturally partitioned by term —
+    * exactly the layout a term-lookup service shards by.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    minDf: Int = 2, maxDf: Int = Int.MaxValue): DataFrame = {
+    val postings = df
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol))))
+          .as("term"))
+      .where(col("term") =!= "")
+    val dfs = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf && col("df") <= maxDf)
+    postings.join(dfs, Seq("term"))
+      .select(col("term"), col("df"), col("doc_id"))
+  }
+
+  /** Conjunctive (AND) retrieval THROUGH the index: a document matches
+    * iff it appears in every queried term's posting list. Postings of
+    * the |terms| queried terms explode to (doc, term) rows; one count
+    * aggregate keeps docs hitting all terms. Cost is Σ df(term) of the
+    * queried terms — the index's whole point: the corpus is never
+    * rescanned.
+    */
+  def conjunctiveQuery(index: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    index.where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("_k"))
+      .where(col("_k") === terms.distinct.size)
+      .select(col("doc_id"))
+  }
+
   def bm25(df: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
       : DataFrame = {

@@ -42,6 +42,21 @@ object RetrievalQueries {
           k = 10, depth = CmsDepth, prefixLen = CmsPrefix)
         .orderBy(col("exact_cnt").desc, col("k"))),
 
+    // Inverted-index build (long-form postings, DF band [2, 50] — the
+    // stop-term cap discipline) + conjunctive retrieval THROUGH it.
+    "t_inverted_index" -> ((s, d) =>
+      Retrieval.invertedIndex(docs(s, d), "doc_id", "text",
+          minDf = 2, maxDf = 50)
+        .orderBy(col("term"), col("doc_id"))),
+
+    // AND query answered from postings only (corpus never rescanned);
+    // oracle answers it by direct text scan — index ≡ scan proven.
+    "t_index_and_query" -> ((s, d) =>
+      Retrieval.conjunctiveQuery(
+        Retrieval.invertedIndex(docs(s, d), "doc_id", "text",
+          minDf = 1, maxDf = Int.MaxValue),
+        Bm25Terms).orderBy(col("doc_id"))),
+
     // AGMS join-size estimate from two counter grids (lineitem ⋈ part on
     // partkey): grids touched, rows never joined. Oracle replays both
     // grids and the min-of-seeds inner product EXACTLY.
@@ -125,6 +140,19 @@ object RetrievalQueries {
          |SELECT k, exact_cnt, est_cnt, est_cnt - exact_cnt AS overestimate
          |FROM est ORDER BY exact_cnt DESC, k""".stripMargin,
 
+    "t_inverted_index" ->
+      s"""WITH p AS (SELECT doc_id, unnest(list_distinct($wsSql)) AS term
+         |  FROM documents),
+         |p2 AS (SELECT * FROM p WHERE term <> ''),
+         |d AS (SELECT term, count(*) AS df FROM p2 GROUP BY 1
+         |  HAVING count(*) BETWEEN 2 AND 50)
+         |SELECT p2.term, d.df, p2.doc_id FROM p2 JOIN d USING (term)
+         |ORDER BY term, doc_id""".stripMargin,
+    "t_index_and_query" -> {
+      val conds = Bm25Terms
+        .map(t => s"list_contains($wsSql, '$t')").mkString(" AND ")
+      s"SELECT doc_id FROM documents WHERE $conds ORDER BY doc_id"
+    },
     "t_cms_join_size" ->
       s"""WITH ka AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
          |kb AS (SELECT CAST(p_partkey AS VARCHAR) AS k FROM part),

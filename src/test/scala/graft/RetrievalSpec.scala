@@ -68,6 +68,35 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.exists { case (_, exact, est, _) => est == exact })
   }
 
+  test("inverted index: DF band, distinct postings, long form") {
+    val docs = Seq(
+      (1L, "alpha beta beta gamma"),
+      (2L, "alpha gamma"),
+      (3L, "alpha delta"),
+      (4L, "  ")).toDF("doc_id", "text")
+    val idx = graft.operators.Retrieval
+      .invertedIndex(docs, "doc_id", "text", minDf = 2, maxDf = 2)
+      .orderBy($"term", $"doc_id")
+      .as[(String, Long, Long)].collect().toSeq
+    // alpha df=3 > maxDf (capped out); beta df=1 < minDf; gamma df=2 in;
+    // delta df=1 out; repeated beta counts once.
+    assert(idx === Seq(("gamma", 2L, 1L), ("gamma", 2L, 2L)))
+  }
+
+  test("conjunctive query through the index equals a direct scan") {
+    val docs = Seq(
+      (1L, "scan hash merge sort"),
+      (2L, "scan hash"),
+      (3L, "scan merge hash scan"),
+      (4L, "merge hash")).toDF("doc_id", "text")
+    val idx = graft.operators.Retrieval
+      .invertedIndex(docs, "doc_id", "text", minDf = 1)
+    val hits = graft.operators.Retrieval
+      .conjunctiveQuery(idx, Seq("scan", "hash", "merge"))
+      .as[Long].collect().toSet
+    assert(hits === Set(1L, 3L))
+  }
+
   test("bloom prune equals plain anti-join and prunes definite-new rows") {
     val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
       .toDF("id", "t")
