@@ -98,6 +98,7 @@ object Median {
     val bounds = facts.groupBy(gs: _*).agg(
       min(col("_v")).as("_lo"), max(col("_v")).as("_hi"),
       count(lit(1)).as("_n"))
+      .localCheckpoint() // group-sized; read by targets AND hist bounds
     // Middle ranks (1-based): (n+1) div 2 and (n+2) div 2; tagged by
     // the rank itself (distinct after array_distinct).
     val targets = bounds.select(gs ++ Seq(col("_lo"), col("_hi"),
@@ -133,6 +134,7 @@ object Median {
     val bounds = facts.groupBy(gs: _*).agg(
       min(col("_v")).as("_lo"), max(col("_v")).as("_hi"),
       count(lit(1)).as("_n"))
+      .localCheckpoint() // group-sized; read by targets AND hist bounds
     val pcts = array(percents.map(p => lit(p.toLong)): _*)
     val targets = bounds
       .select(gs ++ Seq(col("_lo"), col("_hi"), col("_n"),

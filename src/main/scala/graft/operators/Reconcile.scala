@@ -52,11 +52,15 @@ object Reconcile {
         count(lit(1)).as(n),
         sum(conv(substring(col("h"), 1, 12), 16, 10)
           .cast("decimal(38,0)")).as(s))
+    // STAGED: the dirty set is consulted by BOTH row scans' broadcasts —
+    // without the stage each consumer re-derives the whole summary
+    // full-outer join (seen in the reviewed plan; PLANS.md).
     val dirty = summary(ba, "n_a", "s_a")
       .join(summary(bb, "n_b", "s_b"), Seq("bucket"), "full_outer")
       .where(col("n_a").isNull || col("n_b").isNull ||
         col("n_a") =!= col("n_b") || col("s_a") =!= col("s_b"))
       .select(col("bucket"))
+      .localCheckpoint()
     val da = ba.join(broadcast(dirty), Seq("bucket"))
     val db = bb.join(broadcast(dirty), Seq("bucket"))
     da.alias("a").join(db.alias("b"), col("a.k") === col("b.k"),
