@@ -98,6 +98,36 @@ object TrainingMix {
     df.where(pred)
   }
 
+  /** Leakage-safe train/val/test assignment: a document inherits its
+    * near-dup CLUSTER's split, decided by the deterministic hash of the
+    * cluster label — near-duplicates therefore CANNOT straddle
+    * train/eval, closing the contamination channel a per-document split
+    * leaves open (a paraphrase of a training doc landing in the eval
+    * set). Docs in no near-dup pair are their own singleton cluster.
+    *
+    * Same zero-shuffle hash-threshold discipline as [[weightedMix]]:
+    * the split is a per-row projection once the cluster label is
+    * joined; no RNG, identical on re-runs and across engines.
+    *
+    * @param clusters (node, cluster) labels from
+    *                 [[Dedup.connectedComponents]] over near-dup pairs.
+    * @return (idCol, cluster, split ∈ test|val|train)
+    */
+  def splitAssignments(docs: DataFrame, idCol: String, clusters: DataFrame,
+                       testRate: Double, valRate: Double): DataFrame = {
+    require(testRate >= 0 && valRate >= 0 && testRate + valRate < 1.0,
+      s"rates must fit in [0,1): test=$testRate val=$valRate")
+    val labeled = docs.select(col(idCol))
+      .join(clusters.select(col("node").as(idCol), col("cluster")),
+        Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+    val h = md5(col("cluster").cast("string"))
+    labeled.withColumn("split",
+      when(h < lit(rateThreshold(testRate)), "test")
+        .when(h < lit(rateThreshold(testRate + valRate)), "val")
+        .otherwise("train"))
+  }
+
   /** Concat-and-chunk sequence packing (the standard LM training layout):
     * documents are laid out in a deterministic pseudorandom order
     * (md5(id) — the training shuffle), token counts are concatenated, and

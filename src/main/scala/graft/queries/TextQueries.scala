@@ -121,6 +121,32 @@ object TextQueries {
           docs(s, d), "doc_id", "text", tNum = 9, tDen = 10)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Leakage-safe corpus split: every doc inherits its near-dup
+    // CLUSTER's split (hash of the cluster label), so near-duplicates
+    // cannot straddle train/eval. The n_leaky_clusters column COMPUTES
+    // the guarantee from the data (must be 0); per-split doc/cluster
+    // counts beside it.
+    "t_split_leakage" -> ((s, d) => {
+      val dd = docs(s, d)
+      val cc = Dedup.connectedComponents(
+        Dedup.nearDupPairs(dd, "doc_id", "text", threshold = 0.5),
+        "id_a", "id_b")
+      val splits = graft.operators.TrainingMix.splitAssignments(
+        dd, "doc_id", cc, testRate = 0.1, valRate = 0.1)
+        .localCheckpoint()
+      val leaky = splits.groupBy(col("cluster"))
+        .agg(countDistinct(col("split")).as("k"))
+        .agg(sum(when(col("k") > 1, 1L).otherwise(0L))
+          .cast("long").as("_leaky"))
+      splits.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"))
+        .crossJoin(broadcast(leaky))
+        .select(col("split"), col("n_docs"), col("n_clusters"),
+          col("_leaky").as("n_leaky_clusters"))
+        .orderBy(col("split"))
+    }),
+
     // Profiling histogram: n_chars distribution in 16 equal integer
     // buckets, bounds from the data (broadcast-scalar min/max), empty
     // buckets emitted. All edges/ids from exact integer division.
@@ -814,6 +840,30 @@ object TextQueries {
          |  FROM w a JOIN w b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, CAST(i AS DOUBLE)/(la+lb-i) AS jac
          |FROM p WHERE i*10 >= 9*(la+lb-i) ORDER BY 1, 2""".stripMargin,
+    "t_split_leakage" -> {
+      val tTest = graft.operators.TrainingMix.rateThreshold(0.1)
+      val tVal = graft.operators.TrainingMix.rateThreshold(0.2)
+      s"""WITH RECURSIVE ${neardupPairCtesFrom("documents")},
+         |pairs AS (SELECT id_a, id_b FROM j WHERE jac>=0.5),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (SELECT src, src FROM e
+         |  UNION SELECT e.src, r.dst FROM e JOIN reach r ON e.dst=r.src),
+         |cc AS (SELECT src AS node, min(dst) AS cluster FROM reach GROUP BY 1),
+         |lab AS (SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+         |sp AS (SELECT doc_id, cluster,
+         |  CASE WHEN md5(CAST(cluster AS VARCHAR)) < '$tTest' THEN 'test'
+         |       WHEN md5(CAST(cluster AS VARCHAR)) < '$tVal' THEN 'val'
+         |       ELSE 'train' END AS split FROM lab),
+         |lk AS (SELECT CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_leaky FROM (SELECT cluster, count(DISTINCT split) AS k
+         |  FROM sp GROUP BY 1))
+         |SELECT split, count(*) AS n_docs,
+         |  count(DISTINCT cluster) AS n_clusters,
+         |  (SELECT n_leaky FROM lk) AS n_leaky_clusters
+         |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "dq_histogram" ->
       """WITH v AS (SELECT n_chars AS x FROM documents WHERE n_chars IS NOT NULL),
         |t AS (SELECT min(x) AS lo, max(x) AS hi FROM v),

@@ -154,6 +154,30 @@ class TrainingMixSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](TrainingMix.rateThreshold(1.0))
   }
 
+  test("cluster split: near-dup members always share a split; rates hold") {
+    import graft.operators.TrainingMix
+    val docs = (1L to 400L).map(Tuple1(_)).toSeq.toDF("id")
+    // Pair up (2k−1, 2k): 200 clusters of 2.
+    val pairs = (1L to 200L).map(k => (2 * k - 1, 2 * k))
+      .toDF("id_a", "id_b")
+    val cc = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val sp = TrainingMix.splitAssignments(docs, "id", cc,
+        testRate = 0.2, valRate = 0.2)
+      .as[(Long, Long, String)].collect()
+    // No cluster straddles splits.
+    assert(sp.groupBy(_._2).forall(_._2.map(_._3).distinct.length == 1))
+    // All three splits materialize and roughly track the rates.
+    val bySplit = sp.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet === Set("test", "val", "train"))
+    assert(bySplit("train") > bySplit("test") &&
+      bySplit("train") > bySplit("val"))
+    // Deterministic across invocations.
+    val sp2 = TrainingMix.splitAssignments(docs, "id", cc,
+        testRate = 0.2, valRate = 0.2)
+      .as[(Long, Long, String)].collect()
+    assert(sp.sortBy(_._1).toSeq === sp2.sortBy(_._1).toSeq)
+  }
+
   test("plan audit: no data-sized global window — only pid-local and totals windows") {
     // The scale contract: every Window over the DATA is partitioned by
     // _pid (+ group cols); the only non-partitioned window runs over the
