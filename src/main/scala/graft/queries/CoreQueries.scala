@@ -159,6 +159,38 @@ object CoreQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // J4b (ext): GOLDEN RECORD — the survivorship stage that completes
+    // entity resolution: fuzzy pairs → connected components → ONE
+    // grouped aggregate per entity cluster with deterministic
+    // survivorship rules (canonical id = min member, name from that
+    // member via min_by, best balance = cluster max). Only multi-member
+    // clusters surface (the actual merges).
+    "j4_golden_record" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_acctbal").cast("decimal(12,2)").as("bal"))
+        .withColumn("blk", expr("substring(name, 1, length(name)-2)"))
+      val a = c.select(col("blk"), col("id").as("id_a"),
+        col("name").as("name_a"))
+      val b = c.select(col("blk"), col("id").as("id_b"),
+        col("name").as("name_b"))
+      val pairs = a.join(b, Seq("blk"))
+        .where(col("id_a") < col("id_b") &&
+          levenshtein(col("name_a"), col("name_b")) <= 1)
+        .select(col("id_a"), col("id_b"))
+      val cc = graft.operators.Dedup.connectedComponents(
+        pairs, "id_a", "id_b")
+      c.join(cc.select(col("node").as("id"), col("cluster")), Seq("id"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          min_by(col("name"), col("id")).as("name"),
+          max(col("bal")).as("best_bal"))
+        .where(col("n_members") > 1)
+        .select(col("cluster").as("entity_id"), col("n_members"),
+          col("name"), col("best_bal").cast("double").as("best_bal"))
+        .orderBy(col("entity_id"))
+    }),
+
     // J5 (ext): explicit semi/anti join surface — customers WITH orders
     // (left_semi: probe rows pass at the first build match, no fan-out)
     // vs WITHOUT (left_anti), rolled up per segment. Both shuffle once on
@@ -729,6 +761,24 @@ object CoreQueries {
         |FROM c a JOIN c b ON a.blk=b.blk AND a.id<b.id
         |WHERE levenshtein(a.name, b.name) <= 1
         |ORDER BY 1, 2""".stripMargin,
+    "j4_golden_record" ->
+      """WITH RECURSIVE c AS (SELECT c_custkey AS id, c_name AS name,
+        |  CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+        |  substring(c_name, 1, length(c_name)-2) AS blk FROM customer),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b FROM c a
+        |  JOIN c b ON a.blk=b.blk AND a.id<b.id
+        |  WHERE levenshtein(a.name, b.name) <= 1),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (SELECT src, src FROM e
+        |  UNION SELECT e.src, r.dst FROM e JOIN reach r ON e.dst=r.src),
+        |cc AS (SELECT src AS node, min(dst) AS cluster FROM reach GROUP BY 1),
+        |g AS (SELECT cc.cluster, count(*) AS n_members,
+        |  arg_min(c.name, c.id) AS name, max(c.bal) AS best_bal
+        |  FROM c JOIN cc ON cc.node = c.id GROUP BY 1)
+        |SELECT cluster AS entity_id, CAST(n_members AS BIGINT) AS n_members,
+        |  name, CAST(best_bal AS DOUBLE) AS best_bal
+        |FROM g WHERE n_members > 1 ORDER BY entity_id""".stripMargin,
     "j5_semi_anti" ->
       """WITH big AS (SELECT o_custkey FROM orders
         |  WHERE o_totalprice > 300000)
