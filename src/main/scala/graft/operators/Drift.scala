@@ -50,15 +50,35 @@ object Drift {
     */
   def totalVariation(a: DataFrame, b: DataFrame, catCol: String)
       : DataFrame =
-    categoricalDrift(a, b, catCol)
-      .groupBy(col("total_a"), col("total_b"))
+    totalVariationFromCounts(
+      a.groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("n")),
+      b.groupBy(col(catCol).as("cat")).agg(count(lit(1)).as("n")))
+
+  /** TVD from ALREADY-AGGREGATED (cat, n) count tables — the entry
+    * point for maintained/streamed histograms where the raw rows are
+    * long gone. Same exact-integer cross-multiplication; absent
+    * categories count 0.
+    */
+  def totalVariationFromCounts(a: DataFrame, b: DataFrame): DataFrame = {
+    val ca = a.select(col("cat"), col("n").cast("long").as("n_a"))
+    val cb = b.select(col("cat"), col("n").cast("long").as("n_b"))
+    val ta = ca.agg(coalesce(sum(col("n_a")), lit(0L)).as("_ta"))
+    val tb = cb.agg(coalesce(sum(col("n_b")), lit(0L)).as("_tb"))
+    ca.join(cb, Seq("cat"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("cat"),
+        abs(col("n_a") * col("_tb") - col("n_b") * col("_ta")).as("x_num"),
+        col("_ta"), col("_tb"))
+      .groupBy(col("_ta"), col("_tb"))
       .agg(sum(col("x_num")).as("_sx"),
         sum(when(col("x_num") > 0, 1L).otherwise(0L)).as("n_diverged"),
         count(lit(1)).as("n_categories"))
-      .select(col("total_a").as("n_a"), col("total_b").as("n_b"),
+      .select(col("_ta").as("n_a"), col("_tb").as("n_b"),
         col("n_categories"), col("n_diverged"),
         col("_sx").cast("double")
-          ./(lit(2L) * col("total_a") * col("total_b")).as("tvd"))
+          ./(lit(2L) * col("_ta") * col("_tb")).as("tvd"))
+  }
 
   /** Numeric drift: bucket both sides with the SAME pinned integer
     * histogram grid, then categorical TVD over bucket ids.

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.{Drift, Histogram}
+
+/** Streaming distribution monitoring: maintain a pinned-grid histogram
+  * of a streamed column and alarm on TVD drift against a reference
+  * distribution — the production face of the `dq_drift_*` batch gates
+  * (is today's crawl shaped like the corpus we accepted yesterday?).
+  *
+  * Exactly-once WITHOUT idempotent algebra: unlike HLL registers
+  * ([[SketchStream]] — maxes, replay-safe by construction), bucket
+  * COUNTS double on replay. So each micro-batch writes its own partial
+  * counts to `statePath/batch=<batchId>/` with overwrite — a replayed
+  * batch rewrites the SAME directory and the total is unchanged.
+  * The maintained histogram is the sum over partials (|batches|×nb tiny
+  * rows, compacted on read); machine-asserted replay-idempotent and
+  * batching-invariant in DriftStreamSpec.
+  *
+  * Scale: per batch one grouped aggregate over the batch only; state
+  * grows one nb-row parquet per batch (compact periodically by
+  * rewriting the summed table as a single batch partial).
+  */
+object DriftStream {
+
+  /** Start-ready writer bucketing `valCol` on the pinned [lo, hi]×nb
+    * grid and persisting per-batch partial counts.
+    */
+  def histogramWriter(events: DataFrame, statePath: String,
+                      checkpoint: String, valCol: String,
+                      lo: Long, hi: Long, nb: Int): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, statePath, valCol, lo, hi, nb)
+      }
+
+  /** One micro-batch (also the batch/backfill entry point): bucket
+    * counts for THIS batch only, written to the batch's own directory —
+    * replay overwrites, never accumulates.
+    */
+  def applyBatch(batch: DataFrame, batchId: Long, statePath: String,
+                 valCol: String, lo: Long, hi: Long, nb: Int): Unit = {
+    if (batch.isEmpty) return
+    batch.where(col(valCol).isNotNull)
+      .groupBy(Histogram.bucketOf(col(valCol), lit(lo), lit(hi), nb)
+        .as("cat"))
+      .agg(count(lit(1)).as("n"))
+      .write.mode("overwrite")
+      .parquet(s"$statePath/batch=$batchId")
+    ()
+  }
+
+  /** The maintained histogram: per-bucket totals over all partials. */
+  def currentHistogram(spark: SparkSession, statePath: String): DataFrame = {
+    val p = new Path(statePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      return spark.emptyDataFrame
+        .select(lit(0L).as("cat"), lit(0L).as("n")).limit(0)
+    spark.read.parquet(statePath)
+      .groupBy(col("cat")).agg(sum(col("n")).cast("long").as("n"))
+  }
+
+  /** One-row drift verdict of the maintained histogram against a
+    * reference (cat, n) distribution — [[Drift.totalVariationFromCounts]]
+    * exact-integer arithmetic; alarm on `tvd` above the gate.
+    */
+  def tvdAgainstReference(spark: SparkSession, statePath: String,
+                          reference: DataFrame): DataFrame =
+    Drift.totalVariationFromCounts(
+      currentHistogram(spark, statePath), reference)
+}

@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.DriftStream
+import graft.operators.{Drift, Histogram}
+
+/** Streamed histogram maintenance + TVD drift verdicts: batching
+  * invariance, replay idempotence via per-batch partial directories
+  * (counts are NOT idempotent algebra — the design point), and the
+  * drift verdict matching the batch gate on identical data.
+  */
+class DriftStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(min: Int): Timestamp = new Timestamp(min * 60000L)
+
+  private def evs(vals: Seq[Long]): Seq[Ev] =
+    vals.zipWithIndex.map { case (v, i) =>
+      Ev(i.toLong, t(i % 50), v, "view", v.toDouble, "{}")
+    }
+
+  test("streamed histogram equals the one-shot batch histogram") {
+    val dir = s"${sys.props("java.io.tmpdir")}/drift_spec_${System.nanoTime()}"
+    val vals = (1L to 500L).map(v => (v * 37) % 1000)
+    val input = MemoryStream[Ev](spark)
+    val q = DriftStream.histogramWriter(input.toDF(), s"$dir/state",
+      s"$dir/chk", "user_id", lo = 0L, hi = 999L, nb = 8).start()
+    try {
+      input.addData(evs(vals.take(200)))
+      q.processAllAvailable()
+      input.addData(evs(vals.drop(200)))
+      q.processAllAvailable()
+      val streamed = DriftStream.currentHistogram(spark, s"$dir/state")
+        .as[(Long, Long)].collect().toMap
+      val oneShot = vals.toDF("v")
+        .groupBy(Histogram.bucketOf($"v", lit(0L), lit(999L), 8).as("cat"))
+        .agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(streamed === oneShot)
+      assert(streamed.values.sum === 500L)
+    } finally q.stop()
+  }
+
+  test("replaying a batch id leaves the totals unchanged") {
+    val dir = s"${sys.props("java.io.tmpdir")}/drift_rp_${System.nanoTime()}"
+    val batch = evs((1L to 100L).map(_ % 40)).toDF()
+    DriftStream.applyBatch(batch, 7L, s"$dir/state", "user_id", 0L, 99L, 4)
+    val first = DriftStream.currentHistogram(spark, s"$dir/state")
+      .as[(Long, Long)].collect().toMap
+    DriftStream.applyBatch(batch, 7L, s"$dir/state", "user_id", 0L, 99L, 4)
+    val second = DriftStream.currentHistogram(spark, s"$dir/state")
+      .as[(Long, Long)].collect().toMap
+    assert(first === second)
+    // A NEW batch id does accumulate.
+    DriftStream.applyBatch(batch, 8L, s"$dir/state", "user_id", 0L, 99L, 4)
+    val third = DriftStream.currentHistogram(spark, s"$dir/state")
+      .as[(Long, Long)].collect().toMap
+    assert(third.values.sum === 2 * first.values.sum)
+  }
+
+  test("drift verdict against a reference matches the batch TVD gate") {
+    val dir = s"${sys.props("java.io.tmpdir")}/drift_tvd_${System.nanoTime()}"
+    val now = (1L to 300L).map(v => v % 200)       // shifted low
+    val ref = (1L to 300L).map(v => 799 - (v % 200)) // shifted high
+    DriftStream.applyBatch(evs(now).toDF(), 0L, s"$dir/state",
+      "user_id", 0L, 799L, 8)
+    val refCounts = ref.toDF("v")
+      .groupBy(Histogram.bucketOf($"v", lit(0L), lit(799L), 8).as("cat"))
+      .agg(count(lit(1)).as("n"))
+    val streamedVerdict = DriftStream
+      .tvdAgainstReference(spark, s"$dir/state", refCounts)
+      .select($"tvd").as[Double].head()
+    val batchVerdict = Drift.numericTvd(now.toDF("v"), ref.toDF("v"),
+        "v", 0L, 799L, 8)
+      .select($"tvd").as[Double].head()
+    assert(streamedVerdict === batchVerdict)
+    assert(streamedVerdict === 1.0) // fully disjoint bucket mass
+  }
+}
