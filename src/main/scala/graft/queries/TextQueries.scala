@@ -170,6 +170,20 @@ object TextQueries {
         docs(s, d).where(col("doc_id") % 2 === 1),
         "n_chars", lo = 0L, hi = 4095L, nb = 16)),
 
+    // Exact-threshold INCREMENTAL near-dup: batch (doc_id%3=0) vs the
+    // corpus remainder through the cross-relation prefix filter — the
+    // deterministic counterpart of the MinHash incremental path (which
+    // can miss pairs at banding probability; this provably cannot —
+    // the oracle is the full cross product).
+    "t_setsim_incremental" -> ((s, d) => {
+      val dd = docs(s, d)
+      graft.operators.SetSimJoin.prefixJaccardJoin(
+          dd.where(pmod(col("doc_id"), lit(3)) === 0),
+          dd.where(pmod(col("doc_id"), lit(3)) =!= 0),
+          "doc_id", "text", tNum = 9, tDen = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // BPE-ish regex token count: greedy alternation of letter runs, digit
     // runs, and single non-alnum symbols (the GPT-2 pre-tokenizer family,
     // simplified to classes both regex engines treat identically).
@@ -838,6 +852,16 @@ object TextQueries {
          |  len(list_intersect(a.ws, b.ws)) AS i,
          |  len(a.ws) AS la, len(b.ws) AS lb
          |  FROM w a JOIN w b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(i AS DOUBLE)/(la+lb-i) AS jac
+         |FROM p WHERE i*10 >= 9*(la+lb-i) ORDER BY 1, 2""".stripMargin,
+    "t_setsim_incremental" ->
+      s"""WITH w AS (SELECT doc_id, list_distinct($wsSql) AS ws
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  len(list_intersect(a.ws, b.ws)) AS i,
+         |  len(a.ws) AS la, len(b.ws) AS lb
+         |  FROM w a JOIN w b
+         |    ON a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0)
          |SELECT id_a, id_b, CAST(i AS DOUBLE)/(la+lb-i) AS jac
          |FROM p WHERE i*10 >= 9*(la+lb-i) ORDER BY 1, 2""".stripMargin,
     "t_split_leakage" -> {

@@ -61,6 +61,32 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert(out === Seq((1L, 2L, 3.0 / 5)))
   }
 
+  test("cross-relation join matches brute force (incremental near-dup)") {
+    val rnd = new scala.util.Random(61)
+    val vocab = (1 to 30).map(i => s"t$i")
+    def doc(i: Long) = (i, Seq.fill(3 + rnd.nextInt(8))(
+      vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val batch = (1L to 40L).map(doc)
+    val corpus = (101L to 200L).map(doc) ++
+      batch.take(5).map { case (i, t) => (i + 1000, t) } // planted copies
+    val out = SetSimJoin.prefixJaccardJoin(
+        batch.toDF("doc_id", "text"), corpus.toDF("doc_id", "text"),
+        "doc_id", "text", 1, 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val ref = {
+      def sets(ds: Seq[(Long, String)]) = ds.map { case (i, t) =>
+        (i, t.split("\\s+").toSet) }
+      (for {
+        (ia, sa) <- sets(batch); (ib, sb) <- sets(corpus)
+        i = (sa & sb).size
+        if i.toLong * 2 >= (sa.size + sb.size - i)
+      } yield (ia, ib)).toSet
+    }
+    assert(out === ref)
+    // The planted exact copies must all be found.
+    assert((1L to 5L).forall(i => out.contains((i, i + 1000))))
+  }
+
   test("tighter threshold is a strict subset on the same corpus") {
     val rnd = new scala.util.Random(29)
     val vocab = (1 to 25).map(i => s"v$i")
