@@ -38,7 +38,8 @@ object Histogram {
   /** Ceiling division for non-negative operands: the exact inverse of
     * [[bucketOf]] — bucket b holds x ∈ [⌈b·w/nb⌉, ⌈(b+1)·w/nb⌉).
     */
-  private def icdiv(a: Column, b: Column): Column = idiv(a + b - 1, b)
+  private[operators] def icdiv(a: Column, b: Column): Column =
+    idiv(a + b - 1, b)
 
   /** Histogram with pinned integer bounds: one row per bucket 0..nb−1
     * (empty buckets included with n=0), integer edges

@@ -114,6 +114,53 @@ object Median {
       .select(gs :+ (col("_ab").cast("double") / 200.0).as("median"): _*)
   }
 
+  /** ONE-pass approximate median: the midpoint of the histogram bucket
+    * holding the LOWER-median order statistic (rank ⌈n/2⌉) — that
+    * value provably lies inside the bucket, so |estimate − statistic|
+    * ≤ width/2 by construction, for HALF the scans of the exact
+    * two-pass form. (The bound is against the rank-⌈n/2⌉ ORDER
+    * STATISTIC, not the even-n averaged median: in sparse data the two
+    * middle values can sit buckets apart, and no one-bucket estimate
+    * can bound their average.) Same exact integer arithmetic; bucket
+    * edges come from the ceiling-division inverse, so the oracle
+    * replays the estimate bit-for-bit.
+    * @return (groupCols..., approx_median, width) — width is the
+    *         bucket span in currency units; the error bound vs the
+    *         lower-median statistic is width/2 (+½ cent midpoint
+    *         rounding).
+    */
+  def approxMedianCents(df: DataFrame, groupCols: Seq[String],
+                        valueCol: String, nBuckets: Int = 4096)
+      : DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val gs = groupCols.map(col)
+    val facts = centsFacts(df, gs, valueCol)
+    val bounds = facts.groupBy(gs: _*).agg(
+      min(col("_v")).as("_lo"), max(col("_v")).as("_hi"),
+      count(lit(1)).as("_n"))
+    val hist = facts.join(broadcast(bounds), groupCols)
+      .groupBy(gs :+
+        Histogram.bucketOf(col("_v"), col("_lo"), col("_hi"), nBuckets)
+          .as("_bucket"): _*)
+      .agg(count(lit(1)).as("_bn"))
+    val cumW = Window.partitionBy(gs: _*).orderBy(col("_bucket"))
+    val w = col("_hi") - col("_lo") + 1
+    hist
+      .withColumn("_cum", sum(col("_bn")).over(
+        cumW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(bounds, groupCols)
+      .where(col("_cum") - col("_bn") < Histogram.idiv(col("_n") + 1, lit(2)) &&
+        Histogram.idiv(col("_n") + 1, lit(2)) <= col("_cum"))
+      .select(gs ++ Seq(
+        ((col("_lo") + Histogram.icdiv(col("_bucket") * w, lit(nBuckets))) +
+          (col("_lo") +
+            Histogram.icdiv((col("_bucket") + 1) * w, lit(nBuckets))))
+          .cast("double")./(200.0).as("approx_median"),
+        (Histogram.icdiv((col("_bucket") + 1) * w, lit(nBuckets)) -
+          Histogram.icdiv(col("_bucket") * w, lit(nBuckets)))
+          .cast("double")./(100.0).as("width")): _*)
+  }
+
   /** Exact per-group quantile ladder: for each percent p in `percents`,
     * the value at rank max(1, ⌈p·n/100⌉) — the lower exact order
     * statistic, NO interpolation, so every output value is a real data

@@ -187,6 +187,25 @@ object OlapQueries {
           t(s, d, "lineitem"), Seq("l_returnflag"), "l_extendedprice")
         .orderBy(col("l_returnflag"))),
 
+    // Estimate-vs-truth calibration for the ONE-pass histogram median:
+    // the midpoint estimate (half the scans) beside the exact
+    // lower-median order statistic it bounds, with the measured error
+    // and the guaranteed bound (bucket width / 2). The t_minhash_est /
+    // t_cms_heavy posture for quantiles.
+    "olap_median_calib" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val exact = graft.operators.Median.groupQuantilesCents(
+          li, Seq("l_returnflag"), "l_extendedprice", percents = Seq(50))
+        .select(col("l_returnflag"), col("value").as("p50"))
+      val approx = graft.operators.Median.approxMedianCents(
+        li, Seq("l_returnflag"), "l_extendedprice")
+      exact.join(approx, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("p50"), col("approx_median"),
+          abs(col("approx_median") - col("p50")).as("abs_err"),
+          col("width"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Exact decile ladder per group — NINE order statistics through the
     // SAME one-histogram-pass + one-target-pass machinery; every value
     // is a real data value (lower order statistic, no interpolation).
@@ -239,6 +258,32 @@ object OlapQueries {
         |     + sum(CASE WHEN rn=(n+2)//2 THEN v ELSE 0 END) AS DOUBLE)/200.0
         |  AS median
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "olap_median_calib" ->
+      """WITH s AS (SELECT l_returnflag AS g,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |b AS (SELECT g, min(v) AS lo, max(v) AS hi, count(*) AS n
+        |  FROM s GROUP BY 1),
+        |h AS (SELECT s.g,
+        |  least(4095, ((greatest(v, lo) - lo) * 4096) // (hi - lo + 1)) AS bk,
+        |  count(*) AS bn FROM s JOIN b ON b.g = s.g GROUP BY 1, 2),
+        |c AS (SELECT g, bk, bn,
+        |  sum(bn) OVER (PARTITION BY g ORDER BY bk) AS cum FROM h),
+        |l AS (SELECT c.g, bk FROM c JOIN b ON b.g = c.g
+        |  WHERE cum - bn < (n+1)//2 AND (n+1)//2 <= cum),
+        |e AS (SELECT l.g,
+        |  lo + (bk*(hi-lo+1) + 4095)//4096 AS elo,
+        |  lo + ((bk+1)*(hi-lo+1) + 4095)//4096 AS ehi
+        |  FROM l JOIN b ON b.g = l.g),
+        |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |  count(*) OVER (PARTITION BY g) AS n FROM s),
+        |ex AS (SELECT g, CAST(v AS DOUBLE)/100.0 AS p50
+        |  FROM r WHERE rn = greatest(1, (50*n + 99)//100))
+        |SELECT ex.g AS l_returnflag, ex.p50,
+        |  CAST(e.elo + e.ehi AS DOUBLE)/200.0 AS approx_median,
+        |  abs(CAST(e.elo + e.ehi AS DOUBLE)/200.0 - ex.p50) AS abs_err,
+        |  CAST(e.ehi - e.elo AS DOUBLE)/100.0 AS width
+        |FROM ex JOIN e ON e.g = ex.g ORDER BY 1""".stripMargin,
     "olap_group_deciles" ->
       """WITH s AS (SELECT l_returnflag AS g,
         |  CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT) AS v

@@ -81,6 +81,34 @@ class MedianSpec extends AnyFunSuite {
       ("t", 100L, 3.0)))
   }
 
+  test("approx median bounds the lower-median statistic by width/2") {
+    val rnd = new scala.util.Random(71)
+    val rows = for {
+      g <- Seq("x", "y"); _ <- 1 to 500
+    } yield (g, rnd.nextInt(100000).toLong)
+    // Reference: the rank-⌈n/2⌉ order statistic (what the estimator
+    // provably brackets — NOT the even-n averaged median, whose two
+    // middle values can sit buckets apart in sparse data).
+    val p50 = rows.groupBy(_._1).map { case (g, rs) =>
+      val s = rs.map(_._2).sorted
+      g -> s((s.length + 1) / 2 - 1) / 100.0
+    }
+    def run(nb: Int) = Median
+      .approxMedianCents(toDf(rows), Seq("g"), "v", nBuckets = nb)
+      .as[(String, Double, Double)].collect()
+      .map { case (g, a, w) => (g, (a, w)) }.toMap
+    val coarse = run(64)
+    coarse.foreach { case (g, (a, w)) =>
+      assert(math.abs(a - p50(g)) <= w / 2 + 0.005,
+        s"$g: |$a - ${p50(g)}| > ${w / 2}")
+    }
+    val fine = run(4096)
+    fine.foreach { case (g, (a, w)) =>
+      assert(math.abs(a - p50(g)) <= w / 2 + 0.005)
+      assert(w <= coarse(g)._2) // finer grid, tighter bound
+    }
+  }
+
   test("both middle ranks inside one tied value run") {
     // Sorted cents: 1, 5, 5, 9 → middles (5+5)/200.
     val rows = Seq(("g", 5L), ("g", 1L), ("g", 9L), ("g", 5L))
