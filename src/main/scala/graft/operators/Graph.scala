@@ -53,6 +53,51 @@ object Graph {
     ranks.withColumnRenamed("r", "rank")
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly delete
+    * nodes of degree < k until only the k-core remains — the standard
+    * "dense engaged subgraph" extraction (community kernels, spam-farm
+    * detection, co-purchase cliques).
+    *
+    * Each round is one degree aggregate + one semi-join filter of the
+    * edge list; `localCheckpoint` bounds lineage; the driver owns only
+    * the round counter. Rounds are FIXED (not converge-tested) so an
+    * oracle can unroll the identical peels — `converged` reports
+    * whether another round would change anything, computed from the
+    * data identically in both engines, so the contract stays honest
+    * even if `rounds` under-runs a deeper graph.
+    *
+    * @return (node, deg, converged): surviving nodes with their degree
+    *         inside the surviving subgraph.
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            rounds: Int = 8): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1: k=$k $rounds")
+    var e = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a") =!= col("b") &&
+        col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    def degrees(ed: DataFrame) = ed
+      .select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).where(col("d") >= k).select(col("n"))
+      e = e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+    }
+    val deg = degrees(e)
+    val conv = deg.agg(
+      coalesce(min(when(col("d") >= k, 1L).otherwise(0L)), lit(1L))
+        .as("_c"))
+    deg.crossJoin(broadcast(conv))
+      .select(col("n").as("node"), col("d").as("deg"),
+        (col("_c") === 1L).as("converged"))
+  }
+
   /** Triangle count by degree-ordered edge orientation (the
     * Schank–Wagner / node-iterator++ recipe): orient every undirected
     * edge from its lower-(degree, id) endpoint to the higher; each

@@ -206,6 +206,23 @@ object EventQueries {
           max(col("ts")).as("last_ts"))
         .orderBy(col("user_id"), col("event_type"))),
 
+    // Frequent 3-step behavioral paths: two `lead`s over user-partitioned
+    // time order (windows see one user's events, never the global log),
+    // one count aggregate, top-15 with full tie-breaks.
+    "ev_trigrams" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, d)
+        .select(col("event_type").as("step1"),
+          lead(col("event_type"), 1).over(w).as("step2"),
+          lead(col("event_type"), 2).over(w).as("step3"))
+        .where(col("step2").isNotNull && col("step3").isNotNull)
+        .groupBy(col("step1"), col("step2"), col("step3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+        .limit(15)
+    }),
+
     // Peak concurrency per hour: every event opens a 30-minute presence
     // interval; the ±1 sweep line rides the distributed two-phase prefix
     // sum (no global window over events), then one per-hour max.
@@ -239,6 +256,17 @@ object EventQueries {
         |  FROM events)
         |SELECT user_id, event_type, value AS last_value, ts AS last_ts
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "ev_trigrams" ->
+      """WITH nx AS (SELECT event_type AS step1,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS step2,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS step3
+        |  FROM events)
+        |SELECT step1, step2, step3, count(*) AS n FROM nx
+        |WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 15""".stripMargin,
     "ev_concurrency" ->
       """WITH b AS (SELECT ts AS t, 1 AS d FROM events WHERE ts IS NOT NULL
         |  UNION ALL

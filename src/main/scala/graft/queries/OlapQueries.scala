@@ -214,6 +214,18 @@ object OlapQueries {
           t(s, d, "lineitem"), Seq("l_returnflag"), "l_extendedprice")
         .orderBy(col("l_returnflag"), col("pct"))),
 
+    // 2-core of the co-purchase graph: iterative peeling (8 fixed
+    // rounds — the oracle unrolls the identical peels; `converged`
+    // computed from data keeps the contract honest if rounds ever
+    // under-run).
+    "g_kcore" -> ((s, d) =>
+      graft.operators.Graph.kCore(
+        graft.operators.Itemsets.frequentPairs(
+            t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
+          .select(col("item_a"), col("item_b")),
+        "item_a", "item_b", k = 2, rounds = 8)
+        .orderBy(col("node"))),
+
     // Triangle census of the co-purchase graph (edges = frequent pairs at
     // support ≥ 2): degree-ordered orientation bounds the wedge join at
     // Σ outdeg² ≤ O(|E|^1.5) — the hub-proof recipe, never neighbors².
@@ -296,6 +308,33 @@ object OlapQueries {
         |FROM r CROSS JOIN p
         |WHERE rn = greatest(1, (pct*n + 99) // 100)
         |ORDER BY 1, 2""".stripMargin,
+    "g_kcore" -> {
+      val k = 2
+      val rounds = 8
+      // Every e_i is referenced ~3× by round i+1: without MATERIALIZED,
+      // DuckDB inlines the chain and the base scan explodes 3^rounds.
+      val peels = (1 to rounds).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT n, count(*) AS d
+           |  FROM (SELECT a AS n FROM e${i - 1}
+           |  UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1),
+           |k$i AS MATERIALIZED (SELECT n FROM d$i WHERE d >= $k),
+           |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+           |  WHERE a IN (SELECT n FROM k$i) AND b IN (SELECT n FROM k$i))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+         |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+         |pr AS (SELECT a.it AS ia, c.it AS ib, count(*) AS s
+         |  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it GROUP BY 1, 2),
+         |e0 AS MATERIALIZED (SELECT ia AS a, ib AS b FROM pr WHERE s >= 2),
+         |$peels,
+         |dF AS (SELECT n, count(*) AS d FROM (SELECT a AS n FROM e$rounds
+         |  UNION ALL SELECT b FROM e$rounds) GROUP BY 1),
+         |cv AS (SELECT coalesce(min(CASE WHEN d >= $k THEN 1 ELSE 0 END), 1)
+         |  AS c FROM dF)
+         |SELECT n AS node, CAST(d AS BIGINT) AS deg, (cv.c = 1) AS converged
+         |FROM dF CROSS JOIN cv ORDER BY node""".stripMargin
+    },
     "g_triangles" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
         |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),

@@ -47,6 +47,33 @@ class TriangleSpec extends AnyFunSuite {
     assert(row._2 > 0L)
   }
 
+  test("k-core: pendant chain peels away, the clique survives") {
+    // K4 on {1,2,3,4} plus a chain 4-5-6: 2-core = exactly the K4.
+    val edges = Seq[(Long, Long)](
+      (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (4, 5), (5, 6))
+    val out = Graph.kCore(edges.toDF("a", "b"), "a", "b", k = 2)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out === Set((1L, 3L, true), (2L, 3L, true),
+      (3L, 3L, true), (4L, 3L, true)))
+  }
+
+  test("k-core: cascading removal (each peel exposes the next layer)") {
+    // Chain 1-2-3-4-5: every node ends below degree 2 only after the
+    // ends peel repeatedly — the 2-core is empty, found in >1 round.
+    val edges = (1L to 4L).map(i => (i, i + 1))
+    val out = Graph.kCore(edges.toDF("a", "b"), "a", "b", k = 2)
+    assert(out.count() === 0L)
+  }
+
+  test("k-core at k=1 keeps every non-isolated node") {
+    val edges = Seq[(Long, Long)]((1, 2), (3, 4))
+    val out = Graph.kCore(edges.toDF("a", "b"), "a", "b", k = 1)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out.map(_._1) === Set(1L, 2L, 3L, 4L))
+    assert(out.forall(_._3))
+  }
+
   test("triangle-free graph (star) counts zero") {
     val edges = (1L to 10L).map(i => (0L, i))
     val row = Graph.triangleCount(edges.toDF("a", "b"), "a", "b")
