@@ -57,7 +57,11 @@ object Bench {
     // training of the same quantizers, so it stays correctness-only),
     // triangle census.
     "olap_skyline", "fi_pairs", "t_setsim_prefix", "dq_drift_nchars",
-    "a19_diff_pruned", "t_cms_join_size", "sim_topk_pq", "g_triangles")
+    "a19_diff_pruned", "t_cms_join_size", "sim_topk_pq", "g_triangles",
+    // Late-session first-ships: two-pass exact median + decile ladder,
+    // concurrency sweep, exact incremental near-dup, k-core peeling.
+    "olap_group_median", "olap_group_deciles", "ev_concurrency",
+    "t_setsim_incremental", "g_kcore")
 
   /** Round-3 exit per-query medians (sf0.1, local[32], median-of-3) —
     * the regression baseline recorded in BASELINE.md (strictly tighter
@@ -91,7 +95,11 @@ object Bench {
     "olap_skyline" -> 0.65, "fi_pairs" -> 2.51,
     "t_setsim_prefix" -> 13.45, "dq_drift_nchars" -> 0.45,
     "a19_diff_pruned" -> 0.94, "t_cms_join_size" -> 1.44,
-    "sim_topk_pq" -> 19.37, "g_triangles" -> 2.69)
+    "sim_topk_pq" -> 19.37, "g_triangles" -> 2.69,
+    // Late-session first-ship medians (restricted-set run, self-warmed).
+    "olap_group_median" -> 1.64, "olap_group_deciles" -> 1.36,
+    "ev_concurrency" -> 1.00, "t_setsim_incremental" -> 7.99,
+    "g_kcore" -> 3.05)
 
   def main(args: Array[String]): Unit = {
     // Optional args: restrict to the named queries (local plan iteration
