@@ -36,10 +36,12 @@ object Median {
     * engines identically.
     */
   private def centsFacts(df: DataFrame, gs: Seq[Column],
-                         valueCol: String): DataFrame =
+                         valueCol: String,
+                         weight: Column = lit(1L)): DataFrame =
     df.where(col(valueCol).isNotNull)
-      .select(gs :+ (col(valueCol).cast("decimal(12,2)") * 100)
-        .cast("long").as("_v"): _*)
+      .select(gs ++ Seq((col(valueCol).cast("decimal(12,2)") * 100)
+        .cast("long").as("_v"), weight.cast("long").as("_w")): _*)
+      .where(col("_w") > 0)
       .localCheckpoint() // two passes by construction
 
   /** Rank-picking core. `targets` carries one row per requested order
@@ -56,7 +58,7 @@ object Median {
       .groupBy(gs :+
         Histogram.bucketOf(col("_v"), col("_lo"), col("_hi"), nBuckets)
           .as("_bucket"): _*)
-      .agg(count(lit(1)).as("_bn"))
+      .agg(sum(col("_w")).as("_bn")) // weight-rank space (weight 1 = rows)
     val cumW = Window.partitionBy(gs: _*).orderBy(col("_bucket"))
     val cum = hist
       .withColumn("_cum", sum(col("_bn")).over(
@@ -74,7 +76,7 @@ object Median {
         === col("_bucket"))
       .groupBy(gs ++ Seq(col("_bucket"), col("_tag"), col("_off"),
         col("_v")): _*)
-      .agg(count(lit(1)).as("_vn"))
+      .agg(sum(col("_w")).as("_vn"))
     val ladderW = Window
       .partitionBy(gs ++ Seq(col("_bucket"), col("_tag")): _*)
       .orderBy(col("_v"))
@@ -97,7 +99,7 @@ object Median {
     val facts = centsFacts(df, gs, valueCol)
     val bounds = facts.groupBy(gs: _*).agg(
       min(col("_v")).as("_lo"), max(col("_v")).as("_hi"),
-      count(lit(1)).as("_n"))
+      sum(col("_w")).as("_n"))
       .localCheckpoint() // group-sized; read by targets AND hist bounds
     // Middle ranks (1-based): (n+1) div 2 and (n+2) div 2; tagged by
     // the rank itself (distinct after array_distinct).
@@ -112,6 +114,38 @@ object Median {
       .groupBy(gs: _*)
       .agg((sum(col("_v")) * (lit(3) - count(lit(1)))).as("_ab"))
       .select(gs :+ (col("_ab").cast("double") / 200.0).as("median"): _*)
+  }
+
+  /** WEIGHTED median: the value at weight-rank ⌈(W+1)/2⌉ / ⌈(W+2)/2⌉
+    * where W = Σ weights — "the document length below which half the
+    * corpus TOKENS sit", the corpus-curation statistic a row-count
+    * median gets wrong on mixed-length data. With integer weights this
+    * is EXACTLY the unweighted median of the weight-expanded multiset
+    * (each row repeated `weight` times) — the property the oracle and
+    * spec verify — computed without expanding anything: the same two
+    * passes, with every count replaced by a weight sum. Zero- and
+    * negative-weight rows are excluded.
+    */
+  def groupWeightedMedianCents(df: DataFrame, groupCols: Seq[String],
+                               valueCol: String, weight: Column,
+                               nBuckets: Int = 4096): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val gs = groupCols.map(col)
+    val facts = centsFacts(df, gs, valueCol, weight)
+    val bounds = facts.groupBy(gs: _*).agg(
+      min(col("_v")).as("_lo"), max(col("_v")).as("_hi"),
+      sum(col("_w")).as("_n"))
+      .localCheckpoint()
+    val targets = bounds.select(gs ++ Seq(col("_lo"), col("_hi"),
+      explode(array_distinct(array(
+        Histogram.idiv(col("_n") + 1, lit(2)),
+        Histogram.idiv(col("_n") + 2, lit(2))))).as("_k")): _*)
+      .withColumn("_tag", col("_k"))
+    pick(facts, groupCols, targets, nBuckets)
+      .groupBy(gs: _*)
+      .agg((sum(col("_v")) * (lit(3) - count(lit(1)))).as("_ab"))
+      .select(gs :+ (col("_ab").cast("double") / 200.0)
+        .as("weighted_median"): _*)
   }
 
   /** ONE-pass approximate median: the midpoint of the histogram bucket
@@ -137,12 +171,12 @@ object Median {
     val facts = centsFacts(df, gs, valueCol)
     val bounds = facts.groupBy(gs: _*).agg(
       min(col("_v")).as("_lo"), max(col("_v")).as("_hi"),
-      count(lit(1)).as("_n"))
+      sum(col("_w")).as("_n"))
     val hist = facts.join(broadcast(bounds), groupCols)
       .groupBy(gs :+
         Histogram.bucketOf(col("_v"), col("_lo"), col("_hi"), nBuckets)
           .as("_bucket"): _*)
-      .agg(count(lit(1)).as("_bn"))
+      .agg(sum(col("_w")).as("_bn"))
     val cumW = Window.partitionBy(gs: _*).orderBy(col("_bucket"))
     val w = col("_hi") - col("_lo") + 1
     hist
@@ -180,7 +214,7 @@ object Median {
     val facts = centsFacts(df, gs, valueCol)
     val bounds = facts.groupBy(gs: _*).agg(
       min(col("_v")).as("_lo"), max(col("_v")).as("_hi"),
-      count(lit(1)).as("_n"))
+      sum(col("_w")).as("_n"))
       .localCheckpoint() // group-sized; read by targets AND hist bounds
     val pcts = array(percents.map(p => lit(p.toLong)): _*)
     val targets = bounds

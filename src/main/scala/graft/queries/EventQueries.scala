@@ -206,6 +206,31 @@ object EventQueries {
           max(col("ts")).as("last_ts"))
         .orderBy(col("user_id"), col("event_type"))),
 
+    // Time-weighted average per series (the sensor/monitoring mean: a
+    // value HOLDS until the next observation, so it weighs by holding
+    // duration, not sample count — irregular sampling stops biasing the
+    // mean). Exact integers end to end: cents × µs products summed in
+    // DECIMAL(38,0), ONE final division; per-type windows never global.
+    "ev_twa" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      ev(s, d).where(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("event_type"),
+          (col("value").cast("decimal(12,2)") * 100).cast("long").as("vc"),
+          unix_micros(col("ts")).as("t"),
+          unix_micros(lead(col("ts"), 1).over(w)).as("nt"))
+        .where(col("nt").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(
+          sum((col("vc") * (col("nt") - col("t"))).cast("decimal(38,0)"))
+            .as("_num"),
+          sum(col("nt") - col("t")).as("_den"))
+        .select(col("event_type"),
+          (col("_num").cast("double") /
+            (lit(100.0) * col("_den").cast("double"))).as("twa"))
+        .orderBy(col("event_type"))
+    }),
+
     // Frequent 3-step behavioral paths: two `lead`s over user-partitioned
     // time order (windows see one user's events, never the global log),
     // one count aggregate, top-15 with full tie-breaks.
@@ -256,6 +281,18 @@ object EventQueries {
         |  FROM events)
         |SELECT user_id, event_type, value AS last_value, ts AS last_ts
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "ev_twa" ->
+      """WITH o AS (SELECT event_type,
+        |  CAST(CAST(value AS DECIMAL(12,2))*100 AS BIGINT) AS vc,
+        |  epoch_us(ts) AS t,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY event_type
+        |    ORDER BY ts, event_id) AS nt
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+        |SELECT event_type,
+        |  CAST(CAST(sum(CAST(vc*(nt-t) AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |    AS DOUBLE)
+        |  / (100.0 * CAST(CAST(sum(nt-t) AS BIGINT) AS DOUBLE)) AS twa
+        |FROM o WHERE nt IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_trigrams" ->
       """WITH nx AS (SELECT event_type AS step1,
         |  lead(event_type, 1) OVER (PARTITION BY user_id

@@ -147,6 +147,17 @@ object TextQueries {
         .orderBy(col("split"))
     }),
 
+    // TOKEN-weighted median document length — "half the corpus TOKENS
+    // sit in docs shorter than this": the curation statistic a
+    // row-count median gets wrong on mixed-length corpora. Computed in
+    // weight-rank space WITHOUT expanding rows; the oracle expands
+    // every doc `tokens` times and takes the plain median — proving
+    // the weighted machinery ≡ the expanded multiset.
+    "t_weighted_median" -> ((s, d) =>
+      graft.operators.Median.groupWeightedMedianCents(
+        docs(s, d), Seq.empty, "n_chars",
+        TextFunctions.tokenCount(col("text")))),
+
     // Profiling histogram: n_chars distribution in 16 equal integer
     // buckets, bounds from the data (broadcast-scalar min/max), empty
     // buckets emitted. All edges/ids from exact integer division.
@@ -888,6 +899,20 @@ object TextQueries {
          |  (SELECT n_leaky FROM lk) AS n_leaky_clusters
          |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "t_weighted_median" ->
+      s"""WITH w AS (SELECT
+         |  CAST(CAST(n_chars AS DECIMAL(12,2))*100 AS BIGINT) AS v,
+         |  CAST(CASE WHEN length(trim(text))=0 THEN 0
+         |    ELSE len($wsSql) END AS BIGINT) AS wt
+         |  FROM documents WHERE n_chars IS NOT NULL),
+         |x AS (SELECT v FROM (SELECT v, unnest(range(1, wt + 1))
+         |  FROM w WHERE wt > 0)),
+         |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+         |  count(*) OVER () AS n FROM x)
+         |SELECT CAST(sum(CASE WHEN rn=(n+1)//2 THEN v ELSE 0 END)
+         |  + sum(CASE WHEN rn=(n+2)//2 THEN v ELSE 0 END) AS DOUBLE)/200.0
+         |  AS weighted_median
+         |FROM r""".stripMargin,
     "dq_histogram" ->
       """WITH v AS (SELECT n_chars AS x FROM documents WHERE n_chars IS NOT NULL),
         |t AS (SELECT min(x) AS lo, max(x) AS hi FROM v),

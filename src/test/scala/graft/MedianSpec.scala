@@ -109,6 +109,29 @@ class MedianSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted median equals the median of the weight-expanded rows") {
+    val rnd = new scala.util.Random(83)
+    val rows = (1 to 120).map(i =>
+      ("g", rnd.nextInt(5000).toLong, 1L + rnd.nextInt(9)))
+    val df = rows.toDF("g", "cents", "wt")
+      .selectExpr("g", "CAST(cents AS DECIMAL(12,2)) / 100 AS v", "wt")
+      .selectExpr("g", "CAST(v AS DECIMAL(12,2)) AS v", "wt")
+    val out = Median.groupWeightedMedianCents(df, Seq("g"), "v",
+        org.apache.spark.sql.functions.col("wt"))
+      .as[(String, Double)].head()._2
+    val expanded = rows.flatMap { case (_, c, w) => Seq.fill(w.toInt)(c) }
+    assert(out === ref(expanded))
+    // Zero-weight rows are invisible.
+    val withZeros = (rows ++ Seq(("g", 0L, 0L), ("g", 999999L, 0L)))
+      .toDF("g", "cents", "wt")
+      .selectExpr("g", "CAST(cents AS DECIMAL(12,2)) / 100 AS v", "wt")
+      .selectExpr("g", "CAST(v AS DECIMAL(12,2)) AS v", "wt")
+    val out2 = Median.groupWeightedMedianCents(withZeros, Seq("g"), "v",
+        org.apache.spark.sql.functions.col("wt"))
+      .as[(String, Double)].head()._2
+    assert(out2 === out)
+  }
+
   test("both middle ranks inside one tied value run") {
     // Sorted cents: 1, 5, 5, 9 → middles (5+5)/200.
     val rows = Seq(("g", 5L), ("g", 1L), ("g", 9L), ("g", 5L))
