@@ -205,13 +205,39 @@ object Median {
   def groupQuantilesCents(df: DataFrame, groupCols: Seq[String],
                           valueCol: String,
                           percents: Seq[Int] = (1 to 9).map(_ * 10),
-                          nBuckets: Int = 4096): DataFrame = {
+                          nBuckets: Int = 4096): DataFrame =
+    quantileCore(centsFacts(df, groupCols.map(col), valueCol),
+        groupCols, percents, nBuckets)
+      .select(groupCols.map(col) ++ Seq(col("_tag").as("pct"),
+        (col("_v").cast("double") / 100.0).as("value")): _*)
+
+  /** Quantile ladder over an INTEGER-valued column — value returned as
+    * the raw long, no division anywhere: the building block for
+    * composed robust statistics (deviations, MAD) that must stay in
+    * exact integers end to end.
+    */
+  def groupQuantilesLong(df: DataFrame, groupCols: Seq[String],
+                         valueCol: String,
+                         percents: Seq[Int],
+                         nBuckets: Int = 4096): DataFrame = {
+    val gs = groupCols.map(col)
+    val facts = df.where(col(valueCol).isNotNull)
+      .select(gs ++ Seq(col(valueCol).cast("long").as("_v"),
+        lit(1L).as("_w")): _*)
+      .localCheckpoint()
+    quantileCore(facts, groupCols, percents, nBuckets)
+      .select(gs ++ Seq(col("_tag").as("pct"), col("_v").as("value")): _*)
+  }
+
+  /** Shared ladder: targets from weight-space ranks, then [[pick]]. */
+  private def quantileCore(facts: DataFrame, groupCols: Seq[String],
+                           percents: Seq[Int], nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     require(percents.nonEmpty && percents.forall(p => p > 0 && p <= 100),
       s"percents must be in (0, 100]: $percents")
     require(percents.distinct.size == percents.size,
       s"duplicate percents: $percents")
     val gs = groupCols.map(col)
-    val facts = centsFacts(df, gs, valueCol)
     val bounds = facts.groupBy(gs: _*).agg(
       min(col("_v")).as("_lo"), max(col("_v")).as("_hi"),
       sum(col("_w")).as("_n"))
@@ -225,7 +251,5 @@ object Median {
         Histogram.idiv(col("_tag") * col("_n") + 99, lit(100))))
       .drop("_n")
     pick(facts, groupCols, targets, nBuckets)
-      .select(gs ++ Seq(col("_tag").as("pct"),
-        (col("_v").cast("double") / 100.0).as("value")): _*)
   }
 }

@@ -214,6 +214,40 @@ object OlapQueries {
           t(s, d, "lineitem"), Seq("l_returnflag"), "l_extendedprice")
         .orderBy(col("l_returnflag"), col("pct"))),
 
+    // Robust outlier gate: median-absolute-deviation flags (center and
+    // spread from ORDER STATISTICS, so a heavy tail cannot drag the
+    // gate the way it drags a z-score's mean/σ). Two composed exact
+    // integer-quantile passes — cents throughout, the 3·MAD compare is
+    // an integer compare, doubles only in the reported center/mad.
+    "dq_outliers_mad" -> ((s, d) => {
+      val cents = t(s, d, "lineitem")
+        .where(col("l_extendedprice").isNotNull)
+        .select(col("l_returnflag"),
+          (col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("long").as("vc"))
+        .localCheckpoint() // center pass + deviation pass + flag count
+      val c = graft.operators.Median.groupQuantilesLong(
+          cents, Seq("l_returnflag"), "vc", Seq(50))
+        .select(col("l_returnflag"), col("value").as("center"))
+      val dev = cents.join(broadcast(c), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("center"),
+          abs(col("vc") - col("center")).as("devc"))
+        .localCheckpoint() // MAD pass + flag count
+      val mad = graft.operators.Median.groupQuantilesLong(
+          dev, Seq("l_returnflag"), "devc", Seq(50))
+        .select(col("l_returnflag"), col("value").as("mad"))
+      dev.join(broadcast(mad), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("center"), col("mad"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("devc") > lit(3) * col("mad"), 1L).otherwise(0L))
+            .cast("long").as("n_outliers"))
+        .select(col("l_returnflag"),
+          (col("center").cast("double") / 100.0).as("center"),
+          (col("mad").cast("double") / 100.0).as("mad"),
+          col("n"), col("n_outliers"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // 2-core of the co-purchase graph: iterative peeling (8 fixed
     // rounds — the oracle unrolls the identical peels; `converged`
     // computed from data keeps the contract honest if rounds ever
@@ -308,6 +342,29 @@ object OlapQueries {
         |FROM r CROSS JOIN p
         |WHERE rn = greatest(1, (pct*n + 99) // 100)
         |ORDER BY 1, 2""".stripMargin,
+    "dq_outliers_mad" ->
+      """WITH s AS (SELECT l_returnflag AS g,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |  count(*) OVER (PARTITION BY g) AS n FROM s),
+        |c AS (SELECT g, v AS center FROM r
+        |  WHERE rn = greatest(1, (50*n + 99)//100)),
+        |d AS (SELECT s.g, c.center, abs(s.v - c.center) AS devc
+        |  FROM s JOIN c ON c.g = s.g),
+        |r2 AS (SELECT g, devc, row_number() OVER (PARTITION BY g
+        |    ORDER BY devc) AS rn,
+        |  count(*) OVER (PARTITION BY g) AS n FROM d),
+        |m AS (SELECT g, devc AS mad FROM r2
+        |  WHERE rn = greatest(1, (50*n + 99)//100))
+        |SELECT d.g AS l_returnflag,
+        |  CAST(d.center AS DOUBLE)/100.0 AS center,
+        |  CAST(m.mad AS DOUBLE)/100.0 AS mad,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN d.devc > 3*m.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN m ON m.g = d.g
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "g_kcore" -> {
       val k = 2
       val rounds = 8
