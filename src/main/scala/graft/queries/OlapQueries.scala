@@ -214,6 +214,17 @@ object OlapQueries {
           t(s, d, "lineitem"), Seq("l_returnflag"), "l_extendedprice")
         .orderBy(col("l_returnflag"), col("pct"))),
 
+    // Exact-moment correlation + OLS trend (price ~ quantity per flag):
+    // one aggregate pass of integer moments; slope/intercept are single
+    // divisions of exact integers, r mirrors √·√ ops bit-for-bit —
+    // unlike corr()/covar_samp whose shuffle-order double streaming no
+    // oracle could replay.
+    "olap_corr_ols" -> ((s, d) =>
+      graft.operators.Stats.corrOls(
+          t(s, d, "lineitem"), Seq("l_returnflag"),
+          "l_quantity", "l_extendedprice")
+        .orderBy(col("l_returnflag"))),
+
     // Robust outlier gate: median-absolute-deviation flags (center and
     // spread from ORDER STATISTICS, so a heavy tail cannot drag the
     // gate the way it drags a z-score's mean/σ). Two composed exact
@@ -342,6 +353,30 @@ object OlapQueries {
         |FROM r CROSS JOIN p
         |WHERE rn = greatest(1, (pct*n + 99) // 100)
         |ORDER BY 1, 2""".stripMargin,
+    "olap_corr_ols" ->
+      """WITH s AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |m AS (SELECT g, CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |  CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+        |  CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+        |  CAST(sum(x*y) AS DECIMAL(38,0)) AS sxy,
+        |  CAST(sum(x*x) AS DECIMAL(38,0)) AS sxx,
+        |  CAST(sum(y*y) AS DECIMAL(38,0)) AS syy
+        |  FROM s GROUP BY 1)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+        |    CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+        |       * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END AS r,
+        |  CASE WHEN n*sxx - sx*sx > 0 THEN
+        |    CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / CAST(n*sxx - sx*sx AS DOUBLE) END AS slope_cents,
+        |  CASE WHEN n*sxx - sx*sx > 0 THEN
+        |    CAST(sy*sxx - sx*sxy AS DOUBLE)
+        |    / CAST((n*sxx - sx*sx)*100 AS DOUBLE) END AS intercept
+        |FROM m ORDER BY 1""".stripMargin,
     "dq_outliers_mad" ->
       """WITH s AS (SELECT l_returnflag AS g,
         |  CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT) AS v
