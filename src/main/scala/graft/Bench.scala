@@ -61,7 +61,12 @@ object Bench {
     // Late-session first-ships: two-pass exact median + decile ladder,
     // concurrency sweep, exact incremental near-dup, k-core peeling.
     "olap_group_median", "olap_group_deciles", "ev_concurrency",
-    "t_setsim_incremental", "g_kcore")
+    "t_setsim_incremental", "g_kcore",
+    // Statistics + retrieval first-ships: MAD outliers, weighted
+    // median, exact-moment corr/OLS, time-weighted average, inverted
+    // index build, golden-record survivorship.
+    "dq_outliers_mad", "t_weighted_median", "olap_corr_ols", "ev_twa",
+    "t_inverted_index", "j4_golden_record")
 
   /** Round-3 exit per-query medians (sf0.1, local[32], median-of-3) —
     * the regression baseline recorded in BASELINE.md (strictly tighter
@@ -99,7 +104,10 @@ object Bench {
     // Late-session first-ship medians (restricted-set run, self-warmed).
     "olap_group_median" -> 1.64, "olap_group_deciles" -> 1.36,
     "ev_concurrency" -> 1.00, "t_setsim_incremental" -> 7.99,
-    "g_kcore" -> 3.05)
+    "g_kcore" -> 3.05,
+    "dq_outliers_mad" -> 3.96, "t_weighted_median" -> 0.87,
+    "olap_corr_ols" -> 0.80, "ev_twa" -> 0.57,
+    "t_inverted_index" -> 0.33, "j4_golden_record" -> 4.40)
 
   def main(args: Array[String]): Unit = {
     // Optional args: restrict to the named queries (local plan iteration
