@@ -60,4 +60,34 @@ object Itemsets {
         (col("support") * col("_n_baskets")).cast("double")
           ./(col("n_a") * col("n_b")).as("lift"))
   }
+
+  /** Item-item COSINE similarity top-k — the "customers also bought"
+    * ranking: sim(a,b) = c_ab / √(n_a·n_b) over basket co-occurrence
+    * counts (the binary-vector cosine), every input an exact integer
+    * from [[frequentPairs]], the only floats ONE √ and ONE division —
+    * bit-reproducible.
+    *
+    * Scale: pairs come from the a-priori-pruned self-join; the top-k
+    * window runs over PAIR rows partitioned by item (each partition =
+    * one item's frequent co-occurrences — bounded by the prune), never
+    * over baskets. Pairs symmetrize first so every item ranks its full
+    * neighborhood.
+    */
+  def cosineTopK(baskets: DataFrame, basketCol: String, itemCol: String,
+                 minSupport: Long, k: Int): DataFrame = {
+    val p = frequentPairs(baskets, basketCol, itemCol, minSupport)
+    val sym = p.select(col("item_a").as("item"), col("item_b").as("other"),
+        col("support"), col("n_a").as("ni"), col("n_b").as("no"))
+      .unionByName(p.select(col("item_b").as("item"),
+        col("item_a").as("other"), col("support"),
+        col("n_b").as("ni"), col("n_a").as("no")))
+      .withColumn("sim", col("support").cast("double") /
+        sqrt((col("ni") * col("no")).cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item")).orderBy(col("sim").desc, col("other"))
+    sym.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("item"), col("other"), col("support"), col("sim"),
+        col("rank"))
+  }
 }

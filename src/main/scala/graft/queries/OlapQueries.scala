@@ -214,6 +214,15 @@ object OlapQueries {
           t(s, d, "lineitem"), Seq("l_returnflag"), "l_extendedprice")
         .orderBy(col("l_returnflag"), col("pct"))),
 
+    // "Customers also bought": item-item co-occurrence cosine top-3 —
+    // exact-int counts under ONE √ and ONE division, ranked per item
+    // over PAIR rows (a-priori bounded), never baskets.
+    "fi_cosine_topk" -> ((s, d) =>
+      graft.operators.Itemsets.cosineTopK(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey",
+          minSupport = 3L, k = 3)
+        .orderBy(col("item"), col("rank"))),
+
     // Exact-moment correlation + OLS trend (price ~ quantity per flag):
     // one aggregate pass of integer moments; slope/intercept are single
     // divisions of exact integers, r mirrors √·√ ops bit-for-bit —
@@ -353,6 +362,27 @@ object OlapQueries {
         |FROM r CROSS JOIN p
         |WHERE rn = greatest(1, (pct*n + 99) // 100)
         |ORDER BY 1, 2""".stripMargin,
+    "fi_cosine_topk" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |n AS (SELECT it, count(*) AS ni FROM b GROUP BY 1),
+        |pr AS (SELECT a.it AS ia, c.it AS ib, count(*) AS s
+        |  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it GROUP BY 1, 2),
+        |fp AS (SELECT pr.ia, pr.ib, pr.s, na.ni AS na, nc.ni AS nb
+        |  FROM pr JOIN n na ON na.it = pr.ia JOIN n nc ON nc.it = pr.ib
+        |  WHERE pr.s >= 3),
+        |sym AS (SELECT ia AS item, ib AS other, s, na AS ni, nb AS no
+        |  FROM fp
+        |  UNION ALL SELECT ib, ia, s, nb, na FROM fp),
+        |r AS (SELECT item, other, s,
+        |  CAST(s AS DOUBLE)/sqrt(CAST(ni*no AS DOUBLE)) AS sim,
+        |  row_number() OVER (PARTITION BY item
+        |    ORDER BY CAST(s AS DOUBLE)/sqrt(CAST(ni*no AS DOUBLE)) DESC,
+        |      other) AS rank
+        |  FROM sym)
+        |SELECT item, other, CAST(s AS BIGINT) AS support, sim,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY item, rank""".stripMargin,
     "olap_corr_ols" ->
       """WITH s AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
         |  CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT) AS y

@@ -37,6 +37,19 @@ class ItemsetsSpec extends AnyFunSuite {
     assert(out === Seq((7L, 8L, 2L, 2L, 2L, 2.0 * 2 / 4)))
   }
 
+  test("cosine top-k: hand-computed sims, symmetric neighborhoods") {
+    // b1={1,2} b2={1,2} b3={1,3} → pairs at support 2: only (1,2).
+    // sim(1,2) = 2/√(3·2); both directions rank it #1.
+    val rows = Seq(
+      (1L, 1L), (1L, 2L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L)).toDF("bk", "it")
+    val out = Itemsets.cosineTopK(rows, "bk", "it", minSupport = 2L, k = 3)
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    val sim = 2.0 / math.sqrt(3.0 * 2.0)
+    assert(out === Set((1L, 2L, 2L, sim, 1L), (2L, 1L, 2L, sim, 1L)))
+  }
+
   test("a-priori prune never changes the answer (≡ unpruned reference)") {
     // Random baskets; reference = plain self-join + HAVING with no item
     // prune. Monotonicity says the prune is lossless.
