@@ -214,6 +214,35 @@ object OlapQueries {
           t(s, d, "lineitem"), Seq("l_returnflag"), "l_extendedprice")
         .orderBy(col("l_returnflag"), col("pct"))),
 
+    // Per-customer recommendations — the full recommender composition:
+    // owned parts (orders ⋈ lineitem) → co-occurrence neighbors →
+    // INTEGER score (Σ supports with owned items — exact, no float-sum
+    // order sensitivity) → anti-join owned → top-3 per customer.
+    "fi_recs_user" -> ((s, d) => {
+      val owned = t(s, d, "orders").where(col("o_custkey") < 4)
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+        .distinct()
+        .localCheckpoint() // read for scoring AND the owned anti-join
+      val p = graft.operators.Itemsets.frequentPairs(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
+      val sym = p.select(col("item_a").as("item"),
+          col("item_b").as("rec"), col("support"))
+        .unionByName(p.select(col("item_b").as("item"),
+          col("item_a").as("rec"), col("support")))
+      val scored = owned.join(sym, Seq("item"))
+        .groupBy(col("cust"), col("rec"))
+        .agg(sum(col("support")).cast("long").as("score"))
+        .join(owned.select(col("cust"), col("item").as("rec")),
+          Seq("cust", "rec"), "left_anti")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cust")).orderBy(col("score").desc, col("rec"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .orderBy(col("cust"), col("rank"))
+    }),
+
     // "Customers also bought": item-item co-occurrence cosine top-3 —
     // exact-int counts under ONE √ and ONE division, ranked per item
     // over PAIR rows (a-priori bounded), never baskets.
@@ -362,6 +391,29 @@ object OlapQueries {
         |FROM r CROSS JOIN p
         |WHERE rn = greatest(1, (pct*n + 99) // 100)
         |ORDER BY 1, 2""".stripMargin,
+    "fi_recs_user" ->
+      """WITH own AS (SELECT DISTINCT o.o_custkey AS cust,
+        |  l.l_partkey AS item
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_custkey < 4),
+        |b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |pr AS (SELECT a.it AS ia, c.it AS ib, count(*) AS s
+        |  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it GROUP BY 1, 2),
+        |fp AS (SELECT ia, ib, s FROM pr WHERE s >= 2),
+        |sym AS (SELECT ia AS item, ib AS rec, s FROM fp
+        |  UNION ALL SELECT ib, ia, s FROM fp),
+        |sc AS (SELECT own.cust, sym.rec,
+        |  CAST(sum(sym.s) AS BIGINT) AS score
+        |  FROM own JOIN sym ON sym.item = own.item
+        |  GROUP BY 1, 2),
+        |ex AS (SELECT sc.* FROM sc
+        |  WHERE NOT EXISTS (SELECT 1 FROM own
+        |    WHERE own.cust = sc.cust AND own.item = sc.rec)),
+        |r AS (SELECT cust, rec, score, row_number() OVER
+        |  (PARTITION BY cust ORDER BY score DESC, rec) AS rank FROM ex)
+        |SELECT cust, rec, score, rank FROM r WHERE rank <= 3
+        |ORDER BY cust, rank""".stripMargin,
     "fi_cosine_topk" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
         |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
