@@ -214,6 +214,36 @@ object OlapQueries {
           t(s, d, "lineitem"), Seq("l_returnflag"), "l_extendedprice")
         .orderBy(col("l_returnflag"), col("pct"))),
 
+    // Market-concentration metrics per region: Gini coefficient via the
+    // sorted-rank identity Σ(2i−n−1)v = 2Σ(i·v) − (n+1)Σv and the
+    // Herfindahl index Σv²/(Σv)² — both SINGLE divisions of exact
+    // integer aggregates. The rank window runs over the per-customer
+    // revenue AGGREGATE (region-partitioned, |customers| rows), never
+    // order rows; equal revenues contribute identically under any tie
+    // order, so the statistic is deterministic.
+    "olap_concentration" -> ((s, d) => {
+      val perCust = ordersGeo(s, d)
+        .groupBy(col("r_name"), col("c_custkey"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long")).cast("long").as("v"))
+      val w = Window.partitionBy(col("r_name"))
+        .orderBy(col("v"), col("c_custkey"))
+      perCust
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).cast("decimal(38,0)").as("sv"),
+          sum((col("rn") * col("v")).cast("decimal(38,0)")).as("siv"),
+          sum((col("v") * col("v")).cast("decimal(38,0)")).as("sv2"))
+        .select(col("r_name").as("region"), col("n"),
+          ((lit(2) * col("siv") - (col("n") + 1) * col("sv"))
+            .cast("double") / (col("n") * col("sv")).cast("double"))
+            .as("gini"),
+          (col("sv2").cast("double") /
+            (col("sv") * col("sv")).cast("double")).as("hhi"))
+        .orderBy(col("region"))
+    }),
+
     // Per-customer recommendations — the full recommender composition:
     // owned parts (orders ⋈ lineitem) → co-occurrence neighbors →
     // INTEGER score (Σ supports with owned items — exact, no float-sum
@@ -391,6 +421,26 @@ object OlapQueries {
         |FROM r CROSS JOIN p
         |WHERE rn = greatest(1, (pct*n + 99) // 100)
         |ORDER BY 1, 2""".stripMargin,
+    "olap_concentration" ->
+      """WITH pc AS (SELECT r.r_name, c.c_custkey,
+        |  CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(12,2))*100 AS BIGINT))
+        |    AS BIGINT) AS v
+        |  FROM orders o
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT r_name, v, row_number() OVER (PARTITION BY r_name
+        |  ORDER BY v, c_custkey) AS rn FROM pc),
+        |m AS (SELECT r_name, count(*) AS n,
+        |  CAST(sum(v) AS DECIMAL(38,0)) AS sv,
+        |  CAST(sum(rn*v) AS DECIMAL(38,0)) AS siv,
+        |  CAST(sum(v*v) AS DECIMAL(38,0)) AS sv2
+        |  FROM rk GROUP BY 1)
+        |SELECT r_name AS region, n,
+        |  CAST(2*siv - (n+1)*sv AS DOUBLE) / CAST(n*sv AS DOUBLE) AS gini,
+        |  CAST(sv2 AS DOUBLE) / CAST(sv*sv AS DOUBLE) AS hhi
+        |FROM m ORDER BY 1""".stripMargin,
     "fi_recs_user" ->
       """WITH own AS (SELECT DISTINCT o.o_custkey AS cust,
         |  l.l_partkey AS item
