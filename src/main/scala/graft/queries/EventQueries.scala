@@ -206,6 +206,23 @@ object EventQueries {
           max(col("ts")).as("last_ts"))
         .orderBy(col("user_id"), col("event_type"))),
 
+    // Funnel conversion-latency percentiles (first view → first
+    // purchase): exact p50/p90/p99 order statistics over µs deltas
+    // through the two-pass quantile machinery — pure integers, zero
+    // floats anywhere in the result.
+    "ev_funnel_latency" -> ((s, d) => {
+      val per = ev(s, d).groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("tv"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+        .where(col("tv").isNotNull && col("tp").isNotNull &&
+          col("tv") < col("tp"))
+        .select((unix_micros(col("tp")) - unix_micros(col("tv")))
+          .as("lat_us"))
+      graft.operators.Median.groupQuantilesLong(
+          per, Seq.empty, "lat_us", percents = Seq(50, 90, 99))
+        .orderBy(col("pct"))
+    }),
+
     // Time-weighted average per series (the sensor/monitoring mean: a
     // value HOLDS until the next observation, so it weighs by holding
     // duration, not sample count — irregular sampling stops biasing the
@@ -281,6 +298,19 @@ object EventQueries {
         |  FROM events)
         |SELECT user_id, event_type, value AS last_value, ts AS last_ts
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "ev_funnel_latency" ->
+      """WITH per AS (SELECT user_id,
+        |  min(CASE WHEN event_type='view' THEN ts END) AS tv,
+        |  min(CASE WHEN event_type='purchase' THEN ts END) AS tp
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT epoch_us(tp) - epoch_us(tv) AS lat FROM per
+        |  WHERE tv IS NOT NULL AND tp IS NOT NULL AND tv < tp),
+        |r AS (SELECT lat, row_number() OVER (ORDER BY lat) AS rn,
+        |  count(*) OVER () AS n FROM l),
+        |p AS (SELECT unnest([50, 90, 99]) AS pct)
+        |SELECT CAST(pct AS BIGINT) AS pct, lat AS value
+        |FROM r CROSS JOIN p WHERE rn = greatest(1, (pct*n + 99)//100)
+        |ORDER BY 1""".stripMargin,
     "ev_twa" ->
       """WITH o AS (SELECT event_type,
         |  CAST(CAST(value AS DECIMAL(12,2))*100 AS BIGINT) AS vc,
