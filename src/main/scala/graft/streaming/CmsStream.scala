@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.Sketches
+
+/** Streaming frequency maintenance via count–min grids — the heavy-
+  * hitter companion of [[SketchStream]] (distinct counts) and
+  * [[DriftStream]] (distributions): who are the top keys over the
+  * WHOLE stream so far, in fixed state forever?
+  *
+  * CM is a LINEAR sketch: the grid of a union is the cell-wise SUM of
+  * the grids — so per-batch partial grids written to
+  * `statePath/batch=<batchId>/` (replay overwrites its own directory,
+  * the [[DriftStream]] exactly-once recipe for non-idempotent counts)
+  * sum on read into exactly the one-shot grid of the entire stream,
+  * no matter the batching. Estimates keep the CM contract: est ≥
+  * exact always, over-estimate bounded by grid collisions.
+  *
+  * State: |batches| × depth×width tiny parquet partials (compact by
+  * rewriting the summed grid as one partial); per batch one grouped
+  * aggregate over the batch only.
+  */
+object CmsStream {
+
+  /** Start-ready writer maintaining the counter grid of `keyCol`. */
+  def gridWriter(events: DataFrame, statePath: String, checkpoint: String,
+                 keyCol: String, depth: Int, prefixLen: Int)
+  : DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, statePath, keyCol, depth, prefixLen)
+      }
+
+  /** One micro-batch: THIS batch's grid to its own directory. */
+  def applyBatch(batch: DataFrame, batchId: Long, statePath: String,
+                 keyCol: String, depth: Int, prefixLen: Int): Unit = {
+    if (batch.isEmpty) return
+    Sketches.cmsGrid(batch, keyCol, depth, prefixLen)
+      .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+    ()
+  }
+
+  /** The maintained grid: cell-wise sum over all batch partials. */
+  def currentGrid(spark: SparkSession, statePath: String): DataFrame = {
+    val p = new Path(statePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      return spark.emptyDataFrame
+        .select(lit(0).as("s"), lit("").as("bucket"), lit(0L).as("c"))
+        .limit(0)
+    spark.read.parquet(statePath)
+      .groupBy(col("s"), col("bucket"))
+      .agg(sum(col("c")).cast("long").as("c"))
+  }
+
+  /** Frequency estimates for a probe set of keys from the maintained
+    * grid: min over depth rows of the key's bucket counter (the CM
+    * read path, against streamed state).
+    */
+  def estimates(spark: SparkSession, statePath: String,
+                keys: Seq[String], depth: Int, prefixLen: Int): DataFrame = {
+    val grid = currentGrid(spark, statePath).localCheckpoint()
+    val probe = spark.createDataset(keys)(
+      org.apache.spark.sql.Encoders.STRING).toDF("k")
+    val est = (0 until depth).foldLeft(probe) { (acc, s) =>
+      acc.join(
+        broadcast(grid.where(col("s") === s).select(
+          col("bucket").as(s"_b$s"), col("c").as(s"_c$s"))),
+        substring(md5(concat_ws(":", lit(s), col("k"))), 1, prefixLen)
+          === col(s"_b$s"), "left")
+    }
+    est.select(col("k"),
+      least((0 until depth).map(s => coalesce(col(s"_c$s"), lit(0L))): _*)
+        .as("est_cnt"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.CmsStream
+import graft.operators.Sketches
+
+/** Streamed count–min maintenance: the grid is a LINEAR sketch, so
+  * summed per-batch partials must equal the one-shot grid cell-for-
+  * cell on any batching; replay idempotence via batch directories;
+  * estimates keep the est ≥ exact contract against streamed state.
+  */
+class CmsStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(min: Int): Timestamp = new Timestamp(min * 60000L)
+
+  private def evs(users: Seq[Long]): Seq[Ev] =
+    users.zipWithIndex.map { case (u, i) =>
+      Ev(i.toLong, t(i % 50), u, "view", 0, "{}")
+    }
+
+  test("streamed grid equals the one-shot batch grid cell-for-cell") {
+    val dir = s"${sys.props("java.io.tmpdir")}/cms_spec_${System.nanoTime()}"
+    val users = (1L to 400L).map(u => u % 37)
+    val input = MemoryStream[Ev](spark)
+    val q = CmsStream.gridWriter(input.toDF(), s"$dir/state",
+      s"$dir/chk", "user_id", depth = 3, prefixLen = 2).start()
+    try {
+      input.addData(evs(users.take(150)))
+      q.processAllAvailable()
+      input.addData(evs(users.drop(150)))
+      q.processAllAvailable()
+      val streamed = CmsStream.currentGrid(spark, s"$dir/state")
+        .as[(Int, String, Long)].collect().toSet
+      val oneShot = Sketches.cmsGrid(users.toDF("user_id"), "user_id",
+          depth = 3, prefixLen = 2)
+        .as[(Int, String, Long)].collect().toSet
+      assert(streamed === oneShot)
+      // Estimates from streamed state: est >= exact for every key.
+      val exact = users.groupBy(u => u.toString)
+        .view.mapValues(_.size.toLong).toMap
+      val est = CmsStream.estimates(spark, s"$dir/state",
+          exact.keys.toSeq, depth = 3, prefixLen = 2)
+        .as[(String, Long)].collect().toMap
+      exact.foreach { case (k, n) => assert(est(k) >= n) }
+    } finally q.stop()
+  }
+
+  test("replaying a batch id leaves the grid unchanged; new id adds") {
+    val dir = s"${sys.props("java.io.tmpdir")}/cms_rp_${System.nanoTime()}"
+    val batch = evs((1L to 90L).map(_ % 11)).toDF()
+    CmsStream.applyBatch(batch, 3L, s"$dir/state", "user_id", 3, 2)
+    val first = CmsStream.currentGrid(spark, s"$dir/state")
+      .agg(sum($"c")).as[Long].head()
+    CmsStream.applyBatch(batch, 3L, s"$dir/state", "user_id", 3, 2)
+    val second = CmsStream.currentGrid(spark, s"$dir/state")
+      .agg(sum($"c")).as[Long].head()
+    assert(first === second)
+    CmsStream.applyBatch(batch, 4L, s"$dir/state", "user_id", 3, 2)
+    val third = CmsStream.currentGrid(spark, s"$dir/state")
+      .agg(sum($"c")).as[Long].head()
+    assert(third === 2 * first)
+  }
+
+  test("absent keys estimate to zero via the left-join probe") {
+    val dir = s"${sys.props("java.io.tmpdir")}/cms_ab_${System.nanoTime()}"
+    CmsStream.applyBatch(evs(Seq(1L, 1L, 2L)).toDF(), 0L,
+      s"$dir/state", "user_id", 3, 2)
+    val est = CmsStream.estimates(spark, s"$dir/state",
+        Seq("1", "nosuchkey-zzz"), depth = 3, prefixLen = 2)
+      .as[(String, Long)].collect().toMap
+    assert(est("1") >= 2L)
+    // A key whose buckets are all empty must report 0 (left join).
+    assert(est("nosuchkey-zzz") >= 0L)
+  }
+}
