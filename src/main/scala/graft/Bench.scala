@@ -66,7 +66,10 @@ object Bench {
     // median, exact-moment corr/OLS, time-weighted average, inverted
     // index build, golden-record survivorship.
     "dq_outliers_mad", "t_weighted_median", "olap_corr_ols", "ev_twa",
-    "t_inverted_index", "j4_golden_record")
+    "t_inverted_index", "j4_golden_record",
+    // Recommender + concentration + funnel-latency first-ships.
+    "fi_cosine_topk", "fi_recs_user", "olap_concentration",
+    "ev_funnel_latency")
 
   /** Round-3 exit per-query medians (sf0.1, local[32], median-of-3) —
     * the regression baseline recorded in BASELINE.md (strictly tighter
@@ -107,7 +110,9 @@ object Bench {
     "g_kcore" -> 3.05,
     "dq_outliers_mad" -> 3.96, "t_weighted_median" -> 0.87,
     "olap_corr_ols" -> 0.80, "ev_twa" -> 0.57,
-    "t_inverted_index" -> 0.33, "j4_golden_record" -> 4.40)
+    "t_inverted_index" -> 0.33, "j4_golden_record" -> 4.40,
+    "fi_cosine_topk" -> 2.25, "fi_recs_user" -> 2.85,
+    "olap_concentration" -> 0.84, "ev_funnel_latency" -> 0.71)
 
   def main(args: Array[String]): Unit = {
     // Optional args: restrict to the named queries (local plan iteration
