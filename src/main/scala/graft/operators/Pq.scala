@@ -71,12 +71,26 @@ object Pq {
     */
   def ivfAdcTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, cells: Array[Array[Double]],
-                 cbs: Array[Array[Array[Double]]], k: Int): DataFrame = {
+                 cbs: Array[Array[Array[Double]]], k: Int): DataFrame =
+    ivfAdcTopKFromIndex(
+      candidates.select(
+        col(idCol).as("n_id") +:
+          Similarity.centroidCell(col(vecCol), cells).as("cell") +:
+          codeCols(col(vecCol), cbs): _*),
+      queries, idCol, vecCol, cells, cbs, k)
+
+  /** The query path against a PERSISTED index table (n_id, cell,
+    * code0..m−1) — original candidate vectors appear NOWHERE: the
+    * reloaded index plus the (tiny, literal) quantizers serve every
+    * query. This is PQ's whole production promise: the 16×-smaller
+    * table is all a serving node ever reads.
+    */
+  def ivfAdcTopKFromIndex(index: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String,
+                          cells: Array[Array[Double]],
+                          cbs: Array[Array[Array[Double]]],
+                          k: Int): DataFrame = {
     val sub = cbs(0)(0).length
-    val enc = candidates.select(
-      col(idCol).as("n_id") +:
-        Similarity.centroidCell(col(vecCol), cells).as("cell") +:
-        codeCols(col(vecCol), cbs): _*)
     val q = queries.select(col(idCol).as("q_id"),
       Similarity.centroidCell(col(vecCol), cells).as("cell"),
       col(vecCol).cast("array<double>").as("q_vec"))
@@ -85,7 +99,7 @@ object Pq {
         slice(col("q_vec"), mi * sub + 1, sub),
         element_at(typedLit(cb.map(_.toSeq).toSeq), col(s"code$mi") + 1))
     }.reduce(_ + _)
-    val scored = enc.join(broadcast(q), Seq("cell"))
+    val scored = index.join(broadcast(q), Seq("cell"))
       .where(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"), round(adc, 6).as("adc"))
     val w = Window.partitionBy(col("q_id"))

@@ -68,6 +68,47 @@ object SimilarityQueries {
         v.where(col("vec_id") % 2 === 1), "embedding")
     }),
 
+    // IVF-PQ index PERSISTENCE: build (id, cell, codes) + quantizer
+    // tables once as parquet; the query path reloads them and NEVER
+    // touches a candidate vector — the 16×-smaller index table is all
+    // a serving node reads. Shares the train-inline oracle: persisted
+    // and inline answers must agree exactly.
+    "sim_topk_ivfpq_persist" -> ((s, d) => {
+      val idx =
+        s"${sys.props("java.io.tmpdir")}/graft_ivfpq_idx_${d.hashCode}"
+      val v0 = emb(s, d)
+      val cells = Similarity.kmeansCentroids(v0, "embedding",
+        dim = 64, k = 8, iters = 2, seed = 7L)
+      val cbs = Pq.codebooks(v0, "embedding", dim = 64, m = PqM, k = PqK,
+        iters = PqIters, seed = PqSeed)
+      // One-time build: code/cell assignments (vectors NOT stored) +
+      // both quantizers as tiny tables.
+      v0.select(col("vec_id").as("n_id") +:
+          Similarity.centroidCell(col("embedding"), cells).as("cell") +:
+          Pq.codeCols(col("embedding"), cbs): _*)
+        .write.mode("overwrite").parquet(s"$idx/assign")
+      import s.implicits._
+      cells.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "centroid")
+        .write.mode("overwrite").parquet(s"$idx/cells")
+      cbs.zipWithIndex.toSeq.flatMap { case (cb, mi) =>
+        cb.zipWithIndex.map { case (c, ci) => (mi, ci, c.toSeq) }
+      }.toDF("m", "code", "centroid")
+        .write.mode("overwrite").parquet(s"$idx/codebooks")
+      // Query path: reload quantizers (k·d doubles) + the index table.
+      val rCells = s.read.parquet(s"$idx/cells")
+        .orderBy(col("cell")).collect()
+        .map(_.getSeq[Double](1).toArray)
+      val rCbs = s.read.parquet(s"$idx/codebooks")
+        .collect().groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+        .toArray
+      Pq.ivfAdcTopKFromIndex(s.read.parquet(s"$idx/assign"),
+          v0.where(col("vec_id") < 5), "vec_id", "embedding",
+          rCells, rCbs, k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // IVF-PQ (the standard billion-scale composition): trained Voronoi
     // cells prune the scan to the query's posting list; PQ codes replace
     // the vectors inside it. Same trained quantizers as
@@ -677,6 +718,27 @@ object SimilarityQueries {
     .map(mi => s"JOIN p${mi}_cent$PqIters cb$mi ON cb$mi.cell = cd.c$mi")
     .mkString(" ")
 
+  /** Shared replay for the IVF-PQ top-k (train-inline and persisted —
+    * the two must agree exactly).
+    */
+  private lazy val ivfpqTopkSql =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |${kmeansCtes(k = 8, iters = 2, seed = 7L)},
+       |${pqCtes(PqM, PqSub, PqK, PqIters, PqSeed)},
+       |q AS (SELECT vec_id AS q_id, cell, e AS q_vec FROM aF
+       |  WHERE vec_id<5),
+       |c AS (SELECT cd.vec_id AS n_id, aF.cell,
+       |  ${(0 until PqM).map(mi => s"cd.c$mi").mkString(", ")}
+       |  FROM codes cd JOIN aF ON aF.vec_id = cd.vec_id),
+       |s AS (SELECT q_id, n_id, ${pqAdcSql(PqM, PqSub)} AS adc
+       |  FROM c cd $pqJoinCbs JOIN q ON q.cell = cd.cell
+       |  WHERE n_id<>q_id),
+       |r AS (SELECT q_id, n_id, adc,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rank
+       |  FROM s)
+       |SELECT q_id, n_id, adc, rank FROM r WHERE rank<=5
+       |ORDER BY q_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_topk_pq" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -707,23 +769,10 @@ object SimilarityQueries {
         |  CAST(ab AS DOUBLE)/(sqrt(CAST(aa AS DOUBLE))*sqrt(CAST(bb AS DOUBLE)))
         |    AS centroid_cosine
         |FROM s""".stripMargin,
-    "sim_topk_ivfpq" ->
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |${kmeansCtes(k = 8, iters = 2, seed = 7L)},
-         |${pqCtes(PqM, PqSub, PqK, PqIters, PqSeed)},
-         |q AS (SELECT vec_id AS q_id, cell, e AS q_vec FROM aF
-         |  WHERE vec_id<5),
-         |c AS (SELECT cd.vec_id AS n_id, aF.cell,
-         |  ${(0 until PqM).map(mi => s"cd.c$mi").mkString(", ")}
-         |  FROM codes cd JOIN aF ON aF.vec_id = cd.vec_id),
-         |s AS (SELECT q_id, n_id, ${pqAdcSql(PqM, PqSub)} AS adc
-         |  FROM c cd $pqJoinCbs JOIN q ON q.cell = cd.cell
-         |  WHERE n_id<>q_id),
-         |r AS (SELECT q_id, n_id, adc,
-         |  row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rank
-         |  FROM s)
-         |SELECT q_id, n_id, adc, rank FROM r WHERE rank<=5
-         |ORDER BY q_id, rank""".stripMargin,
+    "sim_topk_ivfpq" -> ivfpqTopkSql,
+    // Persisted index ≡ inline training: the SAME oracle must match
+    // both (the persist/reload path proven lossless).
+    "sim_topk_ivfpq_persist" -> ivfpqTopkSql,
     "sim_recall_pq" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |${pqCtes(PqM, PqSub, PqK, PqIters, PqSeed)},
