@@ -147,6 +147,22 @@ object TextQueries {
         .orderBy(col("split"))
     }),
 
+    // DOCUMENT-similarity decontamination: n-gram decontam (t_decontam)
+    // catches verbatim eval spans; this catches WHOLE-DOCUMENT
+    // near-copies of eval items (paraphrases, re-crawls) via the
+    // exact-threshold cross-relation prefix join, then anti-joins them
+    // out. Output = the clean corpus; oracle = full cross product.
+    "t_decontam_docsim" -> ((s, d) => {
+      val dd = docs(s, d)
+      val eval = dd.where(pmod(col("doc_id"), lit(13)) === 0)
+      val corpus = dd.where(pmod(col("doc_id"), lit(13)) =!= 0)
+      val flagged = graft.operators.SetSimJoin.prefixJaccardJoin(
+          eval, corpus, "doc_id", "text", tNum = 4, tDen = 5)
+        .select(col("id_b").as("doc_id")).distinct()
+      corpus.join(flagged, Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // TOKEN-weighted median document length — "half the corpus TOKENS
     // sit in docs shorter than this": the curation statistic a
     // row-count median gets wrong on mixed-length corpora. Computed in
@@ -899,6 +915,17 @@ object TextQueries {
          |  (SELECT n_leaky FROM lk) AS n_leaky_clusters
          |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "t_decontam_docsim" ->
+      s"""WITH w AS (SELECT doc_id, list_distinct($wsSql) AS ws
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |fl AS (SELECT DISTINCT b.doc_id FROM w a JOIN w b
+         |  ON a.doc_id % 13 = 0 AND b.doc_id % 13 <> 0
+         |  WHERE len(list_intersect(a.ws, b.ws)) * 5
+         |    >= 4 * (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))))
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 13 <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM fl)
+         |ORDER BY 1""".stripMargin,
     "t_weighted_median" ->
       s"""WITH w AS (SELECT
          |  CAST(CAST(n_chars AS DECIMAL(12,2))*100 AS BIGINT) AS v,
