@@ -53,6 +53,38 @@ object Graph {
     ranks.withColumnRenamed("r", "rank")
   }
 
+  /** WEIGHTED PageRank: rank mass splits across out-edges proportional
+    * to edge weight — co-purchase support, citation multiplicity —
+    * instead of uniformly. Same integer micro-unit discipline as
+    * [[pagerankInt]]: share = (r·w) div Σw_out, damping (17·c) div 20,
+    * sums of BIGINTs — bit-reproducible, oracle unrolls the rounds.
+    * Same Pregel-lite shape: one join + one map-side-combinable sum per
+    * round.
+    */
+  def pagerankWeightedInt(edges: DataFrame, nodes: DataFrame, iters: Int,
+                          scale: Long = 1000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
+      .localCheckpoint()
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val base = (scale * 3L) / 20L
+    var ranks = nodes.select(col("id"), lit(scale).as("r"))
+    (1 to iters).foreach { _ =>
+      val msgs = e
+        .join(ranks, e("src") === ranks("id"))
+        .join(outW, "src")
+        .select(col("dst").as("id"),
+          expr("(r * w) div outw").as("share"))
+        .groupBy(col("id")).agg(sum(col("share")).as("contrib"))
+      ranks = nodes.select(col("id"))
+        .join(msgs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) +
+            expr(s"(17 * coalesce(contrib, 0L)) div 20")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.withColumnRenamed("r", "rank")
+  }
+
   /** k-core decomposition by iterative peeling: repeatedly delete
     * nodes of degree < k until only the k-core remains — the standard
     * "dense engaged subgraph" extraction (community kernels, spam-farm

@@ -327,6 +327,21 @@ object OlapQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Support-weighted PageRank over the symmetric co-purchase graph:
+    // rank mass follows co-purchase strength, not edge count. Integer
+    // micro-units; the oracle unrolls all 3 rounds bit-for-bit.
+    "g_pagerank_weighted" -> ((s, d) => {
+      val p = graft.operators.Itemsets.frequentPairs(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
+      val e = p.select(col("item_a").as("src"), col("item_b").as("dst"),
+          col("support").as("w"))
+        .unionByName(p.select(col("item_b").as("src"),
+          col("item_a").as("dst"), col("support").as("w")))
+      graft.operators.Graph.pagerankWeightedInt(e,
+          e.select(col("src").as("id")).distinct(), iters = 3)
+        .orderBy(col("id"))
+    }),
+
     // 2-core of the co-purchase graph: iterative peeling (8 fixed
     // rounds — the oracle unrolls the identical peels; `converged`
     // computed from data keeps the contract honest if rounds ever
@@ -532,6 +547,29 @@ object OlapQueries {
         |    AS BIGINT) AS n_outliers
         |FROM d JOIN m ON m.g = d.g
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "g_pagerank_weighted" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""m$i AS MATERIALIZED (SELECT e2.dst AS id,
+           |  sum((r${i - 1}.r * e2.w) // ow.outw) AS c
+           |  FROM e2 JOIN r${i - 1} ON e2.src = r${i - 1}.id
+           |  JOIN ow ON e2.src = ow.src GROUP BY 1),
+           |r$i AS MATERIALIZED (SELECT r${i - 1}.id,
+           |  150000 + (17 * coalesce(m$i.c, 0)) // 20 AS r
+           |  FROM r${i - 1} LEFT JOIN m$i USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+         |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+         |pr AS (SELECT a.it AS ia, c.it AS ib, count(*) AS s
+         |  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it GROUP BY 1, 2),
+         |fp AS (SELECT ia, ib, s FROM pr WHERE s >= 2),
+         |e2 AS MATERIALIZED (SELECT ia AS src, ib AS dst, s AS w FROM fp
+         |  UNION ALL SELECT ib, ia, s FROM fp),
+         |ow AS (SELECT src, sum(w) AS outw FROM e2 GROUP BY 1),
+         |r0 AS (SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS r
+         |  FROM e2),
+         |$rounds
+         |SELECT id, r AS rank FROM r3 ORDER BY id""".stripMargin
+    },
     "g_kcore" -> {
       val k = 2
       val rounds = 8

@@ -53,6 +53,36 @@ class GraphSpec extends AnyFunSuite {
         s"node $k: int ${out(k)} vs ref ${r(k) * 1e6}")
   }
 
+  test("weighted pagerank: uniform weights equal the unweighted ranks") {
+    val edges = Seq[(Long, Long)]((1, 2), (2, 3), (3, 1), (1, 3))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val unweighted = Graph.pagerankInt(edges, nodes, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val weighted = Graph.pagerankWeightedInt(
+        edges.withColumn("w", org.apache.spark.sql.functions.lit(5L)),
+        nodes, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // Equal weights split shares identically — up to the integer-div
+    // quantization of (r·w) div Σw vs r div outdeg, which agree when
+    // w is constant: (r·w) div (k·w) = r div k only when w | r·w
+    // remainders align; with w=5 and k out-edges both floor the same
+    // rational r/k... allow ±k per rank for the rounding gap.
+    unweighted.foreach { case (id, r) =>
+      assert(math.abs(weighted(id) - r) <= 3L,
+        s"node $id: weighted ${weighted(id)} vs unweighted $r")
+    }
+  }
+
+  test("weighted pagerank: heavier in-edges earn strictly more rank") {
+    // 1 →(w9)→ 2 and 1 →(w1)→ 3: node 2 must outrank node 3.
+    val edges = Seq((1L, 2L, 9L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val r = Graph.pagerankWeightedInt(edges, nodes, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r(2L) > r(3L))
+  }
+
   test("total mass never exceeds the initial mass") {
     val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 0L))
       .toDF("src", "dst")
