@@ -206,6 +206,47 @@ object EventQueries {
           max(col("ts")).as("last_ts"))
         .orderBy(col("user_id"), col("event_type"))),
 
+    // Two-proportion A/B test (user-parity cohorts, purchase
+    // conversion): z mirrors the float ops; the 95% SIGNIFICANCE
+    // decision is EXACT integer arithmetic — 625·D²·N vs
+    // 2401·n₁n₂·x·(N−x) with D = x₁n₂−x₂n₁ (z² > 1.96² cross-
+    // multiplied, 1.96² = 2401/625) — no float threshold can flip it.
+    "ev_ab_test" -> ((s, d) => {
+      // Conversion = the user's FIRST purchase (event-time order, id
+      // tie-break) had value ≥ 50 — a non-saturating definition ("has
+      // any purchase" converts every synthetic user, zeroing the
+      // pooled variance).
+      val e = ev(s, d)
+      val firstPv = e.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(min_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("fv"))
+      val conv = e.select(col("user_id")).distinct()
+        .join(firstPv, Seq("user_id"), "left")
+        .select(when(col("fv") >= 50, 1L).otherwise(0L).as("c"),
+          pmod(col("user_id"), lit(2)).as("grp"))
+      val d38 = "decimal(38,0)"
+      val m = conv.groupBy().agg(
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).cast(d38).as("n_a"),
+        sum(when(col("grp") === 0, col("c")).otherwise(0L)).cast(d38)
+          .as("x_a"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).cast(d38).as("n_b"),
+        sum(when(col("grp") === 1, col("c")).otherwise(0L)).cast(d38)
+          .as("x_b"))
+      val bigN = col("n_a") + col("n_b")
+      val x = col("x_a") + col("x_b")
+      val dd = col("x_a") * col("n_b") - col("x_b") * col("n_a")
+      val den = col("n_a") * col("n_b") * x * (bigN - x)
+      m.select(
+        col("n_a").cast("long").as("n_a"), col("x_a").cast("long").as("x_a"),
+        col("n_b").cast("long").as("n_b"), col("x_b").cast("long").as("x_b"),
+        when(den > lit(0).cast(d38),
+          dd.cast("double") * sqrt(bigN.cast("double")) /
+            sqrt(den.cast("double"))).as("z"),
+        (lit(625).cast(d38) * dd * dd * bigN >
+          lit(2401).cast(d38) * den).as("significant"))
+    }),
+
     // Funnel conversion-latency percentiles (first view → first
     // purchase): exact p50/p90/p99 order statistics over µs deltas
     // through the two-pass quantile machinery — pure integers, zero
@@ -298,6 +339,30 @@ object EventQueries {
         |  FROM events)
         |SELECT user_id, event_type, value AS last_value, ts AS last_ts
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "ev_ab_test" ->
+      """WITH fp AS (SELECT user_id, value, row_number() OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type='purchase'),
+        |fv AS (SELECT user_id, value AS fv FROM fp WHERE rn = 1),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |conv AS (SELECT u.user_id % 2 AS grp,
+        |  CASE WHEN fv.fv >= 50 THEN 1 ELSE 0 END AS c
+        |  FROM u LEFT JOIN fv ON fv.user_id = u.user_id),
+        |m AS (SELECT
+        |  CAST(sum(CASE WHEN grp=0 THEN 1 ELSE 0 END) AS DECIMAL(38,0)) AS n_a,
+        |  CAST(sum(CASE WHEN grp=0 THEN c ELSE 0 END) AS DECIMAL(38,0)) AS x_a,
+        |  CAST(sum(CASE WHEN grp=1 THEN 1 ELSE 0 END) AS DECIMAL(38,0)) AS n_b,
+        |  CAST(sum(CASE WHEN grp=1 THEN c ELSE 0 END) AS DECIMAL(38,0)) AS x_b
+        |  FROM conv)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+        |  CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+        |  CASE WHEN n_a*n_b*(x_a+x_b)*((n_a+n_b)-(x_a+x_b)) > 0 THEN
+        |    CAST(x_a*n_b - x_b*n_a AS DOUBLE) * sqrt(CAST(n_a+n_b AS DOUBLE))
+        |    / sqrt(CAST(n_a*n_b*(x_a+x_b)*((n_a+n_b)-(x_a+x_b)) AS DOUBLE))
+        |  END AS z,
+        |  625*(x_a*n_b - x_b*n_a)*(x_a*n_b - x_b*n_a)*(n_a+n_b)
+        |    > 2401*n_a*n_b*(x_a+x_b)*((n_a+n_b)-(x_a+x_b)) AS significant
+        |FROM m""".stripMargin,
     "ev_funnel_latency" ->
       """WITH per AS (SELECT user_id,
         |  min(CASE WHEN event_type='view' THEN ts END) AS tv,
