@@ -53,6 +53,46 @@ object Graph {
     ranks.withColumnRenamed("r", "rank")
   }
 
+  /** Community detection by MAJORITY-VOTE label propagation — coarser
+    * than connected components (which only needs reachability): a node
+    * adopts the most common label among its neighbors, so densely
+    * intra-connected regions converge to one label while bridges
+    * cannot pull whole cliques across. Fully deterministic: labels
+    * seed as own id, the vote is argmax(count) with MIN-label
+    * tie-break (max of struct(cnt, −label)), rounds are FIXED so the
+    * oracle unrolls identical votes (converged or not, both engines
+    * agree). Per round: one neighbor join + two grouped aggregates —
+    * Pregel-lite, driver owns only the counter.
+    *
+    * @return (node, community) — the label after `rounds` votes.
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val e = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst") &&
+        col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      labels = e
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("_neg"))).as("_m"))
+        .select(col("src").as("node"),
+          (-col("_m._neg")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
   /** WEIGHTED PageRank: rank mass splits across out-edges proportional
     * to edge weight — co-purchase support, citation multiplicity —
     * instead of uniformly. Same integer micro-unit discipline as

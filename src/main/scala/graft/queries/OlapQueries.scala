@@ -327,6 +327,17 @@ object OlapQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Majority-vote label-propagation communities over the co-purchase
+    // graph — coarser than connected components; 4 fixed deterministic
+    // vote rounds, oracle unrolls them (MATERIALIZED).
+    "g_communities" -> ((s, d) =>
+      graft.operators.Graph.labelPropagation(
+        graft.operators.Itemsets.frequentPairs(
+            t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
+          .select(col("item_a"), col("item_b")),
+        "item_a", "item_b", rounds = 4)
+        .orderBy(col("node"))),
+
     // Support-weighted PageRank over the symmetric co-purchase graph:
     // rank mass follows co-purchase strength, not edge count. Integer
     // micro-units; the oracle unrolls all 3 rounds bit-for-bit.
@@ -547,6 +558,29 @@ object OlapQueries {
         |    AS BIGINT) AS n_outliers
         |FROM d JOIN m ON m.g = d.g
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "g_communities" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""c$i AS MATERIALIZED (SELECT e2.src, l${i - 1}.lbl,
+           |  count(*) AS cnt
+           |  FROM e2 JOIN l${i - 1} ON l${i - 1}.node = e2.dst
+           |  GROUP BY 1, 2),
+           |l$i AS MATERIALIZED (SELECT src AS node, lbl FROM (
+           |  SELECT src, lbl, row_number() OVER (PARTITION BY src
+           |    ORDER BY cnt DESC, lbl) AS rn FROM c$i) WHERE rn = 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+         |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+         |pr AS (SELECT a.it AS ia, c.it AS ib, count(*) AS s
+         |  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it GROUP BY 1, 2),
+         |fp AS (SELECT ia, ib FROM pr WHERE s >= 2),
+         |e2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT ia AS src, ib AS dst FROM fp
+         |  UNION ALL SELECT ib, ia FROM fp)),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e2),
+         |$rounds
+         |SELECT node, lbl AS community FROM l4 ORDER BY node""".stripMargin
+    },
     "g_pagerank_weighted" -> {
       val rounds = (1 to 3).map { i =>
         s"""m$i AS MATERIALIZED (SELECT e2.dst AS id,

@@ -83,6 +83,32 @@ class GraphSpec extends AnyFunSuite {
     assert(r(2L) > r(3L))
   }
 
+  test("label propagation: two cliques with one bridge stay separate") {
+    // K4 on {1..4} and K4 on {11..14}, bridged 4—11: majority votes
+    // keep each clique on its own min label; the single bridge cannot
+    // outvote three intra-clique neighbors.
+    def k4(base: Long) = for {
+      i <- 0 until 4; j <- i + 1 until 4
+    } yield (base + i, base + j)
+    val edges = (k4(1L) ++ k4(11L) :+ ((4L, 11L))).toDF("a", "b")
+    val out = Graph.labelPropagation(edges, "a", "b", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    val c1 = (1L to 4L).map(out).toSet
+    val c2 = (11L to 14L).map(out).toSet
+    assert(c1.size === 1 && c2.size === 1 && c1 != c2)
+  }
+
+  test("label propagation is deterministic across runs") {
+    val rnd = new scala.util.Random(97)
+    val edges = Seq.fill(200)(
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)).toDF("a", "b")
+    val one = Graph.labelPropagation(edges, "a", "b", rounds = 3)
+      .as[(Long, Long)].collect().toSet
+    val two = Graph.labelPropagation(edges, "a", "b", rounds = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(one === two)
+  }
+
   test("total mass never exceeds the initial mass") {
     val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 0L))
       .toDF("src", "dst")
