@@ -69,7 +69,9 @@ object Bench {
     "t_inverted_index", "j4_golden_record",
     // Recommender + concentration + funnel-latency first-ships.
     "fi_cosine_topk", "fi_recs_user", "olap_concentration",
-    "ev_funnel_latency")
+    "ev_funnel_latency",
+    // Graph + experimentation first-ships.
+    "g_pagerank_weighted", "g_communities", "ev_ab_test")
 
   /** Round-3 exit per-query medians (sf0.1, local[32], median-of-3) —
     * the regression baseline recorded in BASELINE.md (strictly tighter
@@ -112,7 +114,9 @@ object Bench {
     "olap_corr_ols" -> 0.80, "ev_twa" -> 0.57,
     "t_inverted_index" -> 0.33, "j4_golden_record" -> 4.40,
     "fi_cosine_topk" -> 2.25, "fi_recs_user" -> 2.85,
-    "olap_concentration" -> 0.84, "ev_funnel_latency" -> 0.71)
+    "olap_concentration" -> 0.84, "ev_funnel_latency" -> 0.71,
+    "g_pagerank_weighted" -> 10.32, "g_communities" -> 3.58,
+    "ev_ab_test" -> 0.30)
 
   def main(args: Array[String]): Unit = {
     // Optional args: restrict to the named queries (local plan iteration
