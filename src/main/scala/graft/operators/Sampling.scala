@@ -32,6 +32,36 @@ object Sampling {
 
   private val HashSpace: Double = math.pow(16.0, 13)
 
+  /** 16^13 as an exact long — the size of the [[hashKeyNum]] space. */
+  private val HashSpaceL: Long = 1L << 52
+
+  /** Deterministic probability-proportional-to-size sampling: row i
+    * survives with probability ≈ targetK·wᵢ/W (clamped at 1), decided
+    * by its OWN id hash against a weight-scaled threshold — no RNG, no
+    * seed drift, identical on re-runs, replayable in SQL. The keep
+    * test is the cross-multiplied EXACT integer comparison
+    * h·W < targetK·wᵢ·2⁵² (no division anywhere), a pure per-row
+    * predicate after one broadcast-scalar total-weight aggregate —
+    * zero shuffle at any corpus size.
+    *
+    * The PPS workhorse of corpus curation: sample documents
+    * proportional to token count and long docs stop being
+    * under-represented per-document sampling leaves them.
+    */
+  def ppsSample(df: DataFrame, idCol: String, weight: Column,
+                targetK: Long): DataFrame = {
+    require(targetK > 0, s"targetK must be positive: $targetK")
+    val d38 = "decimal(38,0)"
+    val tot = df.agg(sum(weight.cast("long")).cast(d38).as("_tw"))
+    df.withColumn("_w", weight.cast("long"))
+      .where(col("_w") > 0)
+      .crossJoin(broadcast(tot))
+      .where(hashKeyNum(col(idCol)).cast(d38) * col("_tw") <
+        lit(targetK).cast(d38) * col("_w").cast(d38) *
+          lit(HashSpaceL).cast(d38))
+      .drop("_w", "_tw")
+  }
+
   /** Deterministic stratified sample: the `k` rows with the smallest
     * (md5(id), id) per stratum — equal to
     * `row_number() OVER (PARTITION BY strata ORDER BY md5(id), id) <= k`

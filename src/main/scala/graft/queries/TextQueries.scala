@@ -147,6 +147,16 @@ object TextQueries {
         .orderBy(col("split"))
     }),
 
+    // Probability-proportional-to-size sample (~50 docs expected,
+    // weight = token count): long documents stop being under-
+    // represented. Pure per-row hash predicate, cross-multiplied exact
+    // integers, no RNG — bit-identical on re-run and in the oracle.
+    "t_sample_pps" -> ((s, d) =>
+      graft.operators.Sampling.ppsSample(
+          docs(s, d), "doc_id",
+          TextFunctions.tokenCount(col("text")), targetK = 50L)
+        .select(col("doc_id")).orderBy(col("doc_id"))),
+
     // DOCUMENT-similarity decontamination: n-gram decontam (t_decontam)
     // catches verbatim eval spans; this catches WHOLE-DOCUMENT
     // near-copies of eval items (paraphrases, re-crawls) via the
@@ -915,6 +925,17 @@ object TextQueries {
          |  (SELECT n_leaky FROM lk) AS n_leaky_clusters
          |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "t_sample_pps" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  CAST(CASE WHEN length(trim(text))=0 THEN 0
+         |    ELSE len($wsSql) END AS BIGINT) AS wt FROM documents),
+         |t AS (SELECT sum(wt) AS tw FROM w WHERE wt > 0)
+         |SELECT doc_id FROM w CROSS JOIN t
+         |WHERE wt > 0
+         |  AND CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+         |        AS BIGINT) AS HUGEINT) * tw
+         |      < CAST(50 AS HUGEINT) * wt * 4503599627370496
+         |ORDER BY doc_id""".stripMargin,
     "t_decontam_docsim" ->
       s"""WITH w AS (SELECT doc_id, list_distinct($wsSql) AS ws
          |  FROM documents WHERE length(trim(text)) > 0),
