@@ -206,6 +206,29 @@ object EventQueries {
           max(col("ts")).as("last_ts"))
         .orderBy(col("user_id"), col("event_type"))),
 
+    // Burst detection: hours whose event count exceeds mean + 3σ of the
+    // hourly series. σ comes from integer moments of the AGGREGATE
+    // series (|hours| rows), and the flag is the cross-multiplied EXACT
+    // test (N·n_h − S) > 0 ∧ (N·n_h − S)² > 9·(N·SQ − S²) — zero floats
+    // in the decision; the reported z mirrors √ ops.
+    "ev_bursts" -> ((s, d) => {
+      val hourly = ev(s, d).where(col("ts").isNotNull)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val d38 = "decimal(38,0)"
+      val m = hourly.agg(count(lit(1)).cast(d38).as("_nh"),
+        sum(col("n")).cast(d38).as("_s"),
+        sum((col("n") * col("n")).cast(d38)).as("_sq"))
+      val dd = col("_nh") * col("n") - col("_s")
+      val varN2 = col("_nh") * col("_sq") - col("_s") * col("_s")
+      hourly.crossJoin(broadcast(m))
+        .where(dd > lit(0).cast(d38) &&
+          dd * dd > lit(9).cast(d38) * varN2)
+        .select(col("hr"), col("n"),
+          (dd.cast("double") / sqrt(varN2.cast("double"))).as("z"))
+        .orderBy(col("hr"))
+    }),
+
     // Two-proportion A/B test (user-parity cohorts, purchase
     // conversion): z mirrors the float ops; the 95% SIGNIFICANCE
     // decision is EXACT integer arithmetic — 625·D²·N vs
@@ -339,6 +362,17 @@ object EventQueries {
         |  FROM events)
         |SELECT user_id, event_type, value AS last_value, ts AS last_ts
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "ev_bursts" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS nh,
+        |  CAST(sum(n) AS DECIMAL(38,0)) AS s,
+        |  CAST(sum(n*n) AS DECIMAL(38,0)) AS sq FROM h)
+        |SELECT hr, n,
+        |  CAST(nh*n - s AS DOUBLE) / sqrt(CAST(nh*sq - s*s AS DOUBLE)) AS z
+        |FROM h CROSS JOIN m
+        |WHERE nh*n - s > 0 AND (nh*n - s)*(nh*n - s) > 9*(nh*sq - s*s)
+        |ORDER BY hr""".stripMargin,
     "ev_ab_test" ->
       """WITH fp AS (SELECT user_id, value, row_number() OVER
         |    (PARTITION BY user_id ORDER BY ts, event_id) AS rn
