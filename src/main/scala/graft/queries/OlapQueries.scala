@@ -214,6 +214,31 @@ object OlapQueries {
           t(s, d, "lineitem"), Seq("l_returnflag"), "l_extendedprice")
         .orderBy(col("l_returnflag"), col("pct"))),
 
+    // Transitive FK-chain integrity: per hop of lineitem → orders →
+    // customer → nation, how many child rows lose their parent — the
+    // warehouse referential report beyond dq_constraints' single-edge
+    // checks. Each hop is one broadcastable anti-join count.
+    "dq_fk_chain" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"))
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val n = t(s, d, "nation").select(col("n_nationkey"))
+      def orphans(child: DataFrame, key: org.apache.spark.sql.Column,
+                  parent: DataFrame, pkey: org.apache.spark.sql.Column,
+                  hop: String) =
+        child.join(parent, key === pkey, "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(hop).as("hop"), col("n_orphans"))
+      orphans(li, col("l_orderkey"), o, col("o_orderkey"),
+          "lineitem->orders")
+        .unionByName(orphans(o, col("o_custkey"), c, col("c_custkey"),
+          "orders->customer"))
+        .unionByName(orphans(c, col("c_nationkey"), n, col("n_nationkey"),
+          "customer->nation"))
+        .orderBy(col("hop"))
+    }),
+
     // Market-concentration metrics per region: Gini coefficient via the
     // sorted-rank identity Σ(2i−n−1)v = 2Σ(i·v) − (n+1)Σv and the
     // Herfindahl index Σv²/(Σv)² — both SINGLE divisions of exact
@@ -447,6 +472,19 @@ object OlapQueries {
         |FROM r CROSS JOIN p
         |WHERE rn = greatest(1, (pct*n + 99) // 100)
         |ORDER BY 1, 2""".stripMargin,
+    "dq_fk_chain" ->
+      """SELECT 'customer->nation' AS hop,
+        |  (SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+        |    (SELECT n_nationkey FROM nation)) AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem->orders',
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+        |    (SELECT o_orderkey FROM orders))
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer))
+        |ORDER BY hop""".stripMargin,
     "olap_concentration" ->
       """WITH pc AS (SELECT r.r_name, c.c_custkey,
         |  CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(12,2))*100 AS BIGINT))
