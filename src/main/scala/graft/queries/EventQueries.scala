@@ -206,6 +206,30 @@ object EventQueries {
           max(col("ts")).as("last_ts"))
         .orderBy(col("user_id"), col("event_type"))),
 
+    // Cohort LTV curve: per (first-week cohort, weeks-since) total
+    // purchase value — the revenue face of ev_retention (same cohort
+    // definition: week-truncated first event). Value sums as exact
+    // decimals; ONE user-keyed shuffle assigns cohorts, one grouped
+    // aggregate builds the curve.
+    "ev_cohort_ltv" -> ((s, d) => {
+      val e = ev(s, d).where(col("ts").isNotNull)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"),
+          when(col("event_type") === "purchase",
+            col("value").cast("decimal(20,2)"))
+            .otherwise(lit(0).cast("decimal(20,2)")).as("v"))
+      val cohorts = e.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort"))
+      e.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("long")
+            .as("week_n"))
+        .agg(sum(col("v")).cast("decimal(20,2)").cast("double")
+          .as("revenue"),
+          countDistinct(col("user_id")).as("active_users"))
+        .orderBy(col("cohort"), col("week_n"))
+    }),
+
     // Burst detection: hours whose event count exceeds mean + 3σ of the
     // hourly series. σ comes from integer moments of the AGGREGATE
     // series (|hours| rows), and the flag is the cross-multiplied EXACT
@@ -362,6 +386,20 @@ object EventQueries {
         |  FROM events)
         |SELECT user_id, event_type, value AS last_value, ts AS last_ts
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "ev_cohort_ltv" ->
+      """WITH e AS (SELECT user_id,
+        |  CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |  CASE WHEN event_type='purchase'
+        |    THEN CAST(value AS DECIMAL(20,2))
+        |    ELSE CAST(0 AS DECIMAL(20,2)) END AS v
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1)
+        |SELECT c.cohort,
+        |  CAST(date_diff('day', c.cohort, e.wk) / 7 AS BIGINT) AS week_n,
+        |  CAST(CAST(sum(e.v) AS DECIMAL(20,2)) AS DOUBLE) AS revenue,
+        |  count(DISTINCT e.user_id) AS active_users
+        |FROM e JOIN c ON c.user_id = e.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_bursts" ->
       """WITH h AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n
         |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
