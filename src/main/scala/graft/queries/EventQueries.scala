@@ -206,6 +206,28 @@ object EventQueries {
           max(col("ts")).as("last_ts"))
         .orderBy(col("user_id"), col("event_type"))),
 
+    // Longest consecutive-day activity streak per user — the
+    // gaps-and-islands pattern: distinct active days minus their
+    // per-user row_number is constant within a run of consecutive
+    // dates, so one grouped count per (user, island) and a max gives
+    // the streak. Windows run over DISTINCT DAYS per user (bounded),
+    // never events; top-10 with id tie-break.
+    "ev_streaks" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+      val days = ev(s, d).where(col("ts").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      days
+        .withColumn("island",
+          date_sub(col("day"), row_number().over(w)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("longest_streak"))
+        .orderBy(col("longest_streak").desc, col("user_id"))
+        .limit(10)
+    }),
+
     // Cohort LTV curve: per (first-week cohort, weeks-since) total
     // purchase value — the revenue face of ev_retention (same cohort
     // definition: week-truncated first event). Value sums as exact
@@ -386,6 +408,18 @@ object EventQueries {
         |  FROM events)
         |SELECT user_id, event_type, value AS last_value, ts AS last_ts
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "ev_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events WHERE ts IS NOT NULL),
+        |isl AS (SELECT user_id,
+        |  day - CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY day) AS INT) AS island
+        |  FROM days),
+        |runs AS (SELECT user_id, island, count(*) AS len
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak
+        |FROM runs GROUP BY 1
+        |ORDER BY longest_streak DESC, user_id LIMIT 10""".stripMargin,
     "ev_cohort_ltv" ->
       """WITH e AS (SELECT user_id,
         |  CAST(date_trunc('week', ts) AS DATE) AS wk,
