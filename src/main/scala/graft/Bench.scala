@@ -72,7 +72,7 @@ object Bench {
     "ev_funnel_latency",
     // Graph + experimentation first-ships.
     "g_pagerank_weighted", "g_communities", "ev_ab_test",
-    "ev_bursts", "dq_fk_chain", "ev_cohort_ltv")
+    "ev_bursts", "dq_fk_chain", "ev_cohort_ltv", "ev_streaks")
 
   /** Round-3 exit per-query medians (sf0.1, local[32], median-of-3) —
     * the regression baseline recorded in BASELINE.md (strictly tighter
@@ -118,7 +118,7 @@ object Bench {
     "olap_concentration" -> 0.84, "ev_funnel_latency" -> 0.71,
     "g_pagerank_weighted" -> 10.32, "g_communities" -> 3.58,
     "ev_ab_test" -> 0.30, "ev_bursts" -> 0.76, "dq_fk_chain" -> 0.68,
-    "ev_cohort_ltv" -> 1.16)
+    "ev_cohort_ltv" -> 1.16, "ev_streaks" -> 0.59)
 
   def main(args: Array[String]): Unit = {
     // Optional args: restrict to the named queries (local plan iteration
