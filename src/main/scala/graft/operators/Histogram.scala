@@ -19,11 +19,12 @@ import org.apache.spark.sql.functions._
 object Histogram {
 
   /** Integer division for NON-NEGATIVE operands (where floor = truncate
-    * = DuckDB `//`); products stay far below 2^52 so the double path is
-    * exact.
+    * = DuckDB `//`). Exact 64-bit `div` — the earlier double-division
+    * floor silently rounded once dividends passed 2^52 (reachable when
+    * DECIMAL(12,2) cents span their full range × 4096 buckets).
     */
   private[operators] def idiv(a: Column, b: Column): Column =
-    floor(a.cast("double") / b.cast("double")).cast("long")
+    call_function("div", a.cast("long"), b.cast("long"))
 
   /** Bucket id for `x` over [lo, hi] split into `nb` equal integer
     * cells: (x−lo)·nb div (hi−lo+1), clamped to [0, nb−1]. The +1 makes

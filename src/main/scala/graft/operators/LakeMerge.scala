@@ -51,6 +51,14 @@ object LakeMerge {
     // can never match, `===` rejects null pairs — it must pass through
     // unchanged), while testing `t.key IS NULL` would misclassify it as
     // source-only and overwrite it with insert values.
+    // The markers are injected via withColumn, which silently REPLACES
+    // an existing column of the same name — an input already carrying
+    // one would misclassify rows (e.g. matched rows treated as
+    // source-only), so collisions are rejected outright.
+    for (m <- Seq("_t_present", "_s_present");
+         side <- Seq("target" -> target, "source" -> source))
+      require(!side._2.columns.contains(m),
+        s"mergeInto: ${side._1} already has internal marker column $m")
     val joined = target.withColumn("_t_present", lit(true)).alias("t")
       .join(source.withColumn("_s_present", lit(true)).alias("s"),
         col(s"t.$key") === col(s"s.$key"), "full_outer")

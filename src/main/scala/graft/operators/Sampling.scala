@@ -52,9 +52,14 @@ object Sampling {
                 targetK: Long): DataFrame = {
     require(targetK > 0, s"targetK must be positive: $targetK")
     val d38 = "decimal(38,0)"
-    val tot = df.agg(sum(weight.cast("long")).cast(d38).as("_tw"))
-    df.withColumn("_w", weight.cast("long"))
+    // Zero/negative-weight rows can never be kept, so they must not
+    // inflate W either: total weight aggregates over the SAME filtered
+    // set the keep predicate runs on (an unfiltered W both skews every
+    // inclusion probability and, if W ≤ 0, accepts everything).
+    val pos = df.withColumn("_w", weight.cast("long"))
       .where(col("_w") > 0)
+    val tot = pos.agg(sum(col("_w")).cast(d38).as("_tw"))
+    pos
       .crossJoin(broadcast(tot))
       .where(hashKeyNum(col(idCol)).cast(d38) * col("_tw") <
         lit(targetK).cast(d38) * col("_w").cast(d38) *

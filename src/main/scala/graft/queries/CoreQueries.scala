@@ -336,7 +336,10 @@ object CoreQueries {
       def fp(df: DataFrame, name: String, cols: Seq[String]) =
         df.select(concat_ws("|", cols.map(col): _*).as("_r"))
           .agg(sum(conv(substring(md5(col("_r")), 1, 12), 16, 10)
-            .cast("decimal(38,0)")).as("fingerprint"))
+            // Decimal-exact sum internally (overflows int64 at lake
+            // scale); surfaced as a digit string — the one rendering
+            // both engines hash identically.
+            .cast("decimal(38,0)")).cast("string").as("fingerprint"))
           .select(lit(name).as("tbl"), col("fingerprint"))
       fp(t(s, d, "customer"), "customer",
           Seq("c_custkey", "c_name", "c_mktsegment"))
@@ -526,7 +529,10 @@ object CoreQueries {
       val delta = state(li.where(pmod(col("l_orderkey"), lit(5)) === 0))
       old.unionByName(delta).groupBy(col("l_returnflag"))
         .agg(sum(col("cnt")).cast("long").as("cnt"),
-          sum(col("qty")).cast("decimal(20,2)").as("qty"))
+          // Decimal merge state, exact cents surfaced — no DECIMAL in
+          // the output (the driver's hasher can't canonicalize it).
+          (sum(col("qty")).cast("decimal(20,2)") * 100)
+            .cast("long").as("qty_cents"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -596,7 +602,8 @@ object CoreQueries {
         .select(col("j.oid").as("oid"), explode(col("j.items")).as("it"))
         .groupBy(col("oid"))
         .agg(count(lit(1)).as("n_items"),
-          sum(col("it.qty")).cast("decimal(20,2)").as("qty"),
+          (sum(col("it.qty")).cast("decimal(20,2)") * 100)
+            .cast("long").as("qty_cents"),
           min(col("it.ln")).as("first_ln"))
         .orderBy(col("oid"))
     }),
@@ -845,14 +852,15 @@ object CoreQueries {
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_fingerprint" ->
       """SELECT 'customer' AS tbl,
-        |  sum(CAST('0x' || substr(md5(c_custkey || '|' || c_name || '|'
-        |    || c_mktsegment), 1, 12) AS BIGINT)) AS fingerprint
+        |  CAST(sum(CAST('0x' || substr(md5(c_custkey || '|' || c_name
+        |    || '|' || c_mktsegment), 1, 12) AS BIGINT)) AS VARCHAR)
+        |    AS fingerprint
         |FROM customer
         |UNION ALL
         |SELECT 'orders',
-        |  sum(CAST('0x' || substr(md5(o_orderkey || '|' || o_custkey
+        |  CAST(sum(CAST('0x' || substr(md5(o_orderkey || '|' || o_custkey
         |    || '|' || o_orderstatus || '|' || o_orderdate), 1, 12)
-        |    AS BIGINT))
+        |    AS BIGINT)) AS VARCHAR)
         |FROM orders
         |ORDER BY tbl""".stripMargin,
     "a8_hll_merge" ->
@@ -894,8 +902,8 @@ object CoreQueries {
         |min(n) AS min_group_size FROM g""".stripMargin,
     "p18_nested_json" ->
       """SELECT l_orderkey AS oid, count(*) AS n_items,
-        |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,2))
-        |  AS qty,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT)
+        |  AS qty_cents,
         |CAST(min(l_linenumber) AS INT) AS first_ln
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "j6_skew_report" ->
@@ -943,8 +951,8 @@ object CoreQueries {
         |ORDER BY k""".stripMargin,
     "a18_incr_rollup" ->
       """SELECT l_returnflag, count(*) AS cnt,
-        |CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DECIMAL(20,2))
-        |  AS qty
+        |CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) * 100 AS BIGINT)
+        |  AS qty_cents
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "a16_deciles" ->
       """WITH b AS (SELECT quantile_cont(o_totalprice,

@@ -187,9 +187,14 @@ object EventQueries {
         .agg(sum(col("n")).cast("long").as("n"),
           sum(col("v")).cast("decimal(20,2)").as("v"))
       hours
-        .groupBy(col("event_type"), date_trunc("day", col("h")).as("day"))
+        // Day surfaced as DATE (Spark's date_trunc emits TIMESTAMP) and
+        // the decimal sum as exact cents — BIGINT/DATE outputs are the
+        // only grains both engines hash identically.
+        .groupBy(col("event_type"),
+          date_trunc("day", col("h")).cast("date").as("day"))
         .agg(sum(col("n")).cast("long").as("n"),
-          sum(col("v")).cast("decimal(20,2)").as("v"))
+          (sum(col("v")).cast("decimal(20,2)") * 100)
+            .cast("long").as("v_cents"))
         .orderBy(col("event_type"), col("day"))
     }),
 
@@ -535,9 +540,9 @@ object EventQueries {
         |FROM events, h GROUP BY user_id, cutoff
         |HAVING max(epoch_us(ts)) < cutoff ORDER BY user_id""".stripMargin,
     "ev_rollup_cascade" ->
-      """SELECT event_type, date_trunc('day', ts) AS day,
+      """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
         |count(*) AS n,
-        |CAST(sum(CAST(value AS DECIMAL(20,2))) AS DECIMAL(20,2)) AS v
+        |CAST(sum(CAST(value AS DECIMAL(20,2))) * 100 AS BIGINT) AS v_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_gapfill" ->
       """WITH sp AS (SELECT date_trunc('hour', min(ts)) AS lo,

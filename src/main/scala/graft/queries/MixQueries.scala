@@ -92,9 +92,12 @@ object MixQueries {
         .groupBy(col("shard_id"))
         .agg(count(lit(1)).as("n_docs"),
           sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"),
+          // Decimal-exact internally (a 100-TB shard sum overflows
+          // int64); surfaced as a digit string — the driver's hasher
+          // canonicalizes strings across engines but not DECIMAL.
           sum(conv(substring(md5(concat_ws("|",
               col("doc_id"), col("text"))), 1, 12), 16, 10)
-            .cast("decimal(38,0)")).as("fingerprint"))
+            .cast("decimal(38,0)")).cast("string").as("fingerprint"))
         .orderBy(col("shard_id"))
     }),
 
@@ -177,7 +180,8 @@ object MixQueries {
          |SELECT doc_id, n_tok, pack_id FROM p ORDER BY doc_id""".stripMargin,
     "t_pack_stats" ->
       s"""$packCteSql
-         |SELECT pack_id, count(*) AS n_docs, sum(n_tok) AS tok_fill
+         |SELECT pack_id, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS tok_fill
          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "t_corpus_report" ->
       s"""WITH w AS (SELECT source, lang, $ntSql AS nt
@@ -244,8 +248,8 @@ object MixQueries {
          |  $wsSql AS ws FROM c)
          |SELECT shard_id, count(*) AS n_docs,
          |  CAST(sum($ntSql) AS BIGINT) AS n_tokens,
-         |  sum(CAST('0x' || substr(md5(doc_id || '|' || text), 1, 12)
-         |    AS BIGINT)) AS fingerprint
+         |  CAST(sum(CAST('0x' || substr(md5(doc_id || '|' || text), 1, 12)
+         |    AS BIGINT)) AS VARCHAR) AS fingerprint
          |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     "t_token_budget" ->
       s"""WITH f AS (SELECT doc_id, lang, $ntSql AS nt,

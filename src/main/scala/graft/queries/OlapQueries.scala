@@ -640,7 +640,8 @@ object OlapQueries {
          |r0 AS (SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS r
          |  FROM e2),
          |$rounds
-         |SELECT id, r AS rank FROM r3 ORDER BY id""".stripMargin
+         |SELECT id, CAST(r AS BIGINT) AS rank FROM r3
+         |ORDER BY id""".stripMargin
     },
     "g_kcore" -> {
       val k = 2
@@ -753,8 +754,8 @@ object OlapQueries {
         |SELECT yr, n, revenue,
         |lag(n, 1) OVER (ORDER BY yr) AS n_prev,
         |n - lag(n, 1) OVER (ORDER BY yr) AS delta,
-        |sum(n) OVER (ORDER BY yr ROWS BETWEEN UNBOUNDED PRECEDING
-        |  AND CURRENT ROW) AS cum_n
+        |CAST(sum(n) OVER (ORDER BY yr ROWS BETWEEN UNBOUNDED PRECEDING
+        |  AND CURRENT ROW) AS BIGINT) AS cum_n
         |FROM y ORDER BY yr""".stripMargin
   )
 }

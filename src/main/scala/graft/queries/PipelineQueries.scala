@@ -212,7 +212,11 @@ object PipelineQueries {
           "c_custkey" -> col("s.c_custkey"),
           "c_name" -> lit("merged-insert"),
           "c_acctbal" -> col("s.new_bal")))
-        .withColumn("c_acctbal", col("c_acctbal").cast("decimal(14,2)"))
+        // Balance surfaced as exact cents: DECIMAL stays internal (the
+        // driver's hasher can't canonicalize DECIMAL across engines).
+        .withColumn("bal_cents",
+          (col("c_acctbal").cast("decimal(14,2)") * 100).cast("long"))
+        .drop("c_acctbal")
         .orderBy(col("c_custkey"))
     }),
 
@@ -259,8 +263,8 @@ object PipelineQueries {
         .groupBy(year(col("o_orderdate")).as("yr"),
           coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(20,2)"))
-            .cast("decimal(20,2)").as("rev"))
+          (sum(col("o_totalprice").cast("decimal(20,2)"))
+            .cast("decimal(20,2)") * 100).cast("long").as("rev_cents"))
         .orderBy(col("yr"), col("segment"))
     }),
 
@@ -421,8 +425,9 @@ object PipelineQueries {
         |SELECT CAST(coalesce(tk, sk) AS BIGINT) AS c_custkey,
         |  CASE WHEN tk IS NULL THEN 'merged-insert' ELSE c_name END
         |    AS c_name,
-        |  CAST(CASE WHEN tk IS NULL OR sk IS NOT NULL THEN new_bal
-        |       ELSE c_acctbal END AS DECIMAL(14,2)) AS c_acctbal
+        |  CAST(CAST(CASE WHEN tk IS NULL OR sk IS NOT NULL THEN new_bal
+        |       ELSE c_acctbal END AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |    AS bal_cents
         |FROM m
         |WHERE NOT (tk IS NOT NULL AND sk IS NOT NULL
         |           AND coalesce(del, false))
@@ -468,8 +473,8 @@ object PipelineQueries {
          |SELECT CAST(year(o_orderdate) AS INT) AS yr,
          |  coalesce(v.c_mktsegment, 'UNKNOWN') AS segment,
          |  count(*) AS n,
-         |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2)))
-         |    AS DECIMAL(20,2)) AS rev
+         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(20,2)))
+         |    AS DECIMAL(20,2)) * 100 AS BIGINT) AS rev_cents
          |FROM orders o LEFT JOIN v ON o.o_custkey = v.c_custkey
          |  AND v.valid_from <= o.o_orderdate
          |  AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)

@@ -830,8 +830,9 @@ object SimilarityQueries {
         |s AS (SELECT vec_id, e,
         |  127.0/(SELECT max(abs(x)) FROM unnest(e) t(x)) AS sc FROM v)
         |SELECT vec_id, round(sc,6) AS scale,
-        |  (SELECT sum(CAST(round(x*sc) AS BIGINT)*CAST(round(x*sc) AS BIGINT))
-        |   FROM unnest(e) t(x)) AS qnorm2
+        |  CAST((SELECT sum(CAST(round(x*sc) AS BIGINT)
+        |    *CAST(round(x*sc) AS BIGINT))
+        |   FROM unnest(e) t(x)) AS BIGINT) AS qnorm2
         |FROM s ORDER BY vec_id""".stripMargin,
     "sim_topk_native" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -872,7 +873,7 @@ object SimilarityQueries {
         |CAST(1 AS BOOLEAN) AS projections_uncorrelated,
         |CAST(1 AS BOOLEAN) AS captures_at_least_uniform""".stripMargin,
     "sim_whiten" ->
-      """WITH x AS (SELECT vec_id, i-1 AS dim,
+      """WITH x AS (SELECT vec_id, CAST(i-1 AS INT) AS dim,
         |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)
         |    AS dx
         |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),

@@ -44,6 +44,37 @@ object SourceQueries {
         .orderBy(col("s_suppkey"))
     }),
 
+    // S12: reserved-word rename AT INGEST (merge_to_dw.py:176-181) —
+    // a spotify-schema CSV (stray `Unnamed: 0` index column, MySQL-
+    // reserved `key` column) written then read through readSpotifyCsv,
+    // proving `key`→`track_key` and `Unnamed: 0`→`row_idx` land before
+    // any downstream code sees the file. Only the renamed columns are
+    // projected; the oracle recomputes them from `part` directly.
+    "s12_reserved_rename" -> ((s, d) => {
+      val out = s"$scratch/csv_spotify_s12"
+      t(s, d, "part").select(
+          col("p_partkey").as("Unnamed: 0"),
+          concat(lit("trk-"), col("p_partkey").cast("string"))
+            .as("track_id"),
+          col("p_type").as("artists"),
+          col("p_brand").as("album_name"),
+          col("p_name").as("track_name"),
+          col("p_size").cast("int").as("popularity"),
+          (col("p_partkey") * 1000).as("duration_ms"),
+          (pmod(col("p_partkey"), lit(2)) === 0).as("explicit"),
+          lit(0.5).as("danceability"), lit(0.5).as("energy"),
+          pmod(col("p_partkey"), lit(12)).cast("int").as("key"),
+          lit(-5.0).as("loudness"), lit(1).as("mode"),
+          lit(0.1).as("speechiness"), lit(0.1).as("acousticness"),
+          lit(0.1).as("instrumentalness"), lit(0.1).as("liveness"),
+          lit(0.1).as("valence"), lit(120.0).as("tempo"),
+          lit(4).as("time_signature"), lit("rock").as("track_genre"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      Tables.readSpotifyCsv(s, out)
+        .select(col("row_idx"), col("track_id"), col("track_key"))
+        .orderBy(col("row_idx"))
+    }),
+
     // S2: full table scan through the engine's SQL surface — every
     // synthetic table registered as a view, queried by name exactly like
     // the reference's SELECT * over its DB (merge_to_dw.py:37-44).
@@ -174,8 +205,9 @@ object SourceQueries {
           col("l_partkey") <= col("k2"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_extendedprice").cast("decimal(20,2)")).as("rev"))
-        .select(col("n"),
-          col("rev").cast("decimal(20,2)").as("rev"))
+        // Decimal sum internally, ONE exact final cast to DOUBLE — no
+        // DECIMAL output (r4 output-type rule).
+        .select(col("n"), col("rev").cast("double").as("rev"))
     }),
 
     // S18: schema evolution across lake batches — an early batch (1994
@@ -330,6 +362,11 @@ object SourceQueries {
     "s1_s9_csv_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
         |ORDER BY 1""".stripMargin,
+    "s12_reserved_rename" ->
+      """SELECT p_partkey AS row_idx,
+        |'trk-' || CAST(p_partkey AS VARCHAR) AS track_id,
+        |CAST(p_partkey % 12 AS INT) AS track_key
+        |FROM part ORDER BY 1""".stripMargin,
     "s2_sql_scan" ->
       """SELECT n_nationkey, n_name, r_name FROM nation
         |JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey""".stripMargin,
@@ -384,7 +421,7 @@ object SourceQueries {
         |  CAST(floor(max(l_partkey)/4) AS BIGINT) AS k2 FROM lineitem)
         |SELECT count(*) AS n,
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2)))
-        |  AS DECIMAL(20,2)) AS rev
+        |  AS DOUBLE) AS rev
         |FROM lineitem, b
         |WHERE l_orderkey <= k1 AND l_partkey <= k2""".stripMargin,
     "p3_project" ->

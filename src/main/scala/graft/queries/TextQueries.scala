@@ -414,10 +414,10 @@ object TextQueries {
     // BPE merge-rule induction (operators/Bpe.scala): the corpus
     // collapses to a word-frequency table, then each round is one
     // small-table aggregate + a one-row collect + a per-row fold rewrite.
-    // NO DuckDB oracle — the driver-looped training is not
-    // SQL-replayable; the driver records a rows-only check and BpeSpec
-    // carries the correctness weight (hand-computed merge sequence,
-    // greedy-rewrite semantics, exhaustion, determinism).
+    // The oracle unrolls all 8 training rounds as SQL (the g_pagerank
+    // unroll pattern): symbols ride as chr(31)-wrapped strings so
+    // DuckDB's left-to-right non-overlapping replace() IS the greedy
+    // merge; BpeSpec additionally pins a hand-computed merge sequence.
     "t_bpe_merges" -> ((s, d) =>
       graft.operators.Bpe.topMerges(docs(s, d), "text", rounds = 8)
         .orderBy(col("merge_ix"))),
@@ -799,6 +799,47 @@ object TextQueries {
     "t_bpe_encode" ->
       s"""WITH $bpeEncCte
          |SELECT doc_id, bpe_text, n_bpe FROM benc ORDER BY doc_id""".stripMargin,
+    "t_bpe_merges" -> {
+      // Unrolled BPE TRAINING rounds. Each word is a chr(31)-wrapped
+      // symbol string ("ab..."): adjacent pairs
+      // split back out on the doubled sentinel, the round's argmax pair
+      // (weight desc, then lexicographic — Bpe.topMerges' tie-break)
+      // rewrites every word via replace(), whose left-to-right
+      // non-overlapping semantics equal the greedy merge fold. Every
+      // w$r has two consumers (next round's pairs + rewrite) —
+      // MATERIALIZED stops 2^rounds inlining (the k-core gotcha).
+      val U = "chr(31)"
+      val rounds = (1 to 8).map { r =>
+        val p = s"w${r - 1}"
+        s"""l$r AS (SELECT string_split(substr(s, 2, length(s)-2),
+           |    $U||$U) AS ls, freq FROM $p),
+           |p$r AS MATERIALIZED (SELECT struct_extract(pr,'a') AS a,
+           |    struct_extract(pr,'b') AS b,
+           |    CAST(sum(freq) AS BIGINT) AS wt
+           |  FROM (SELECT freq, unnest(list_transform(range(1, len(ls)),
+           |    i -> struct_pack(a := ls[i], b := ls[i+1]))) AS pr
+           |    FROM l$r)
+           |  GROUP BY 1, 2),
+           |b$r AS MATERIALIZED (SELECT a, b, wt FROM p$r
+           |  ORDER BY wt DESC, a, b LIMIT 1),
+           |w$r AS MATERIALIZED (SELECT
+           |    replace(s, $U||a||$U||$U||b||$U, $U||a||b||$U) AS s, freq
+           |  FROM $p, b$r)""".stripMargin
+      }.mkString(",\n")
+      val un = (1 to 8).map(r =>
+        s"SELECT CAST($r AS INT) AS merge_ix, a, b, wt FROM b$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH wt0 AS (SELECT w, count(*) AS freq FROM
+         |    (SELECT unnest($wsSql) AS w FROM documents)
+         |  WHERE length(w) > 0 GROUP BY w),
+         |w0 AS MATERIALIZED (SELECT array_to_string(
+         |    list_transform(range(1, length(w)+1),
+         |      i -> $U||substr(w,i,1)||$U), '')
+         |    || $U||'</w>'||$U AS s, freq FROM wt0),
+         |$rounds
+         |SELECT merge_ix, a AS "left", b AS "right", wt AS weight
+         |FROM ($un) ORDER BY merge_ix""".stripMargin
+    },
     "t_token_ids" ->
       s"""WITH $bpeEncCte,
          |lists AS (SELECT doc_id, string_split(bpe_text, ' ') AS l
@@ -1154,7 +1195,8 @@ object TextQueries {
          |r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS r
          |       FROM documents),
          |$rounds
-         |SELECT id, r AS rank FROM r3 ORDER BY id""".stripMargin
+         |SELECT id, CAST(r AS BIGINT) AS rank FROM r3
+         |ORDER BY id""".stripMargin
     },
     "t_repetition" ->
       s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),

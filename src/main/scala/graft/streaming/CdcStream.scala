@@ -61,6 +61,22 @@ object CdcStream {
 
     val path = new Path(mirrorPath)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(mirrorPath + ".tmp")
+    val old = new Path(mirrorPath + ".old")
+    // Crash recovery BEFORE reading: the swap below never deletes the
+    // live mirror until the new one is in place, but a crash can still
+    // land between renames. Finish the interrupted swap first — a .tmp
+    // is only ever renamed at `path` after its write completed, and
+    // while `path` is absent either .tmp or .old holds a full copy, so
+    // no interleaving rebuilds the mirror from the empty prototype.
+    if (!fs.exists(path)) {
+      if (fs.exists(tmp)) fs.rename(tmp, path)
+      else if (fs.exists(old)) fs.rename(old, path)
+    } else {
+      // Stale leftovers from a crash after the new mirror landed.
+      fs.delete(tmp, true)
+      fs.delete(old, true)
+    }
     val existing =
       if (fs.exists(path)) spark.read.parquet(mirrorPath)
       else {
@@ -77,10 +93,14 @@ object CdcStream {
         (key +: attrs).map(a => a -> col(s"s.$a")).toMap,
       whenNotMatchedInsertCond = col("s.op") =!= "D")
 
-    val tmp = new Path(mirrorPath + ".tmp")
+    // Rename-aside swap: write the replacement fully, step the live
+    // mirror aside, promote, then drop the aside copy — at every
+    // instant at least one complete mirror exists on disk (the
+    // delete-then-rename it replaces had a zero-copy crash window).
     merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
+    if (fs.exists(path)) fs.rename(path, old)
     fs.rename(tmp, path)
+    fs.delete(old, true)
     ()
   }
 }

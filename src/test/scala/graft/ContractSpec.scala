@@ -12,10 +12,7 @@ class ContractSpec extends AnyFunSuite {
     * driver records a rows-only check): each must carry its own strong
     * spec. Additions here need a justification comment.
     */
-  private val rowsOnly = Set(
-    // Driver-looped iterative training is not SQL-replayable; BpeSpec
-    // pins hand-computed merges, rewrite semantics, and determinism.
-    "t_bpe_merges")
+  private val rowsOnly = Set.empty[String]
 
   test("every registered query has a DuckDB oracle and vice versa") {
     val q = SparkEntry.queries.keySet

@@ -336,6 +336,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bounds/targets stopped broadcasting:\n$p")
   }
 
+  test("weighted median: windows only over histogram aggregates") {
+    // The r3→r4 reconciliation guard for t_weighted_median: its two
+    // cumulative windows are global (corpus-wide median ⇒ empty
+    // partitionSpec) but must each run over an Aggregate output — the
+    // ≤4096-row bucket histogram / in-bucket value ladder — never over
+    // the weighted facts themselves; targets/bounds stay broadcast.
+    val df = SparkEntry.queries("t_weighted_median")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val overAggregate = w.child.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty
+      assert(overAggregate,
+        s"weighted-median window runs over raw facts:\n$w")
+    }
+    // Corpus-wide: groupCols is empty, so the bounds/targets joins have
+    // no equi-keys and plan as BroadcastNestedLoopJoin over 1–2-row
+    // broadcast sides — fine; what must never appear is a non-broadcast
+    // join (the facts shuffled or sorted against the tiny side).
+    val p = plan("t_weighted_median")
+    assert(p.contains("BroadcastExchange"),
+      s"bounds/targets stopped broadcasting:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"tiny-side join stopped broadcasting:\n$p")
+  }
+
   test("concurrency sweep: only pid-local and totals windows") {
     val df = SparkEntry.queries("ev_concurrency")(spark, dir)
     val windows = df.queryExecution.optimizedPlan.collect {
