@@ -72,7 +72,12 @@ object Bench {
     "ev_funnel_latency",
     // Graph + experimentation first-ships.
     "g_pagerank_weighted", "g_communities", "ev_ab_test",
-    "ev_bursts", "dq_fk_chain", "ev_cohort_ltv", "ev_streaks")
+    "ev_bursts", "dq_fk_chain", "ev_cohort_ltv", "ev_streaks",
+    // Round-4 first-ships: winnowing local fingerprints, multi-source
+    // BFS, containment dedup, Luhn PII gate, hard-negative mining,
+    // 7-day moving average.
+    "t_winnow_fp", "g_bfs_hops", "t_containment", "dq_pii_luhn",
+    "sim_hard_negatives", "w_moving_avg")
 
   /** Round-3 exit per-query medians (sf0.1, local[32], median-of-3) —
     * the regression baseline recorded in BASELINE.md (strictly tighter

@@ -139,6 +139,31 @@ object Dedup {
         col("jac"))
   }
 
+  /** Blocked exact n-gram CONTAINMENT: directional near-dup —
+    * |A ∩ B| / |A| ≥ pct/100 flags A as (mostly) contained in B, the
+    * asymmetric relation Jaccard misses when a short doc is swallowed by
+    * a long one (quote-plus-commentary, boilerplate-wrapped reposts —
+    * exactly the web-corpus case). Same bounded-block posture as
+    * [[blockedJaccard]]; the threshold test is the cross-multiplied
+    * integer comparison (inter·100 ≥ pct·|A|, no float compare), and the
+    * reported ratio is one exact-int division. Emits BOTH directions of
+    * a pair when both hold.
+    */
+  def blockedContainment(df: DataFrame, idCol: String, textCol: String,
+                         blockCols: Seq[String], pct: Int,
+                         shingleN: Int = 3): DataFrame = {
+    require(pct > 0 && pct <= 100, s"pct must be in (0,100]: $pct")
+    val sh = df.select((blockCols.map(col) :+ col(idCol) :+
+      shingles(col(textCol), shingleN).as("sh")): _*)
+    sh.as("a").join(sh.as("b"),
+        blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+          .reduce(_ && _) && col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .withColumn("_i", size(array_intersect(col("a.sh"), col("b.sh"))))
+      .where(col("_i") * 100 >= lit(pct) * size(col("a.sh")))
+      .select(col(s"a.$idCol").as("id_in"), col(s"b.$idCol").as("id_out"),
+        (col("_i").cast("double") / size(col("a.sh"))).as("containment"))
+  }
+
   /** SimHash table: 64-bit locality-sensitive bit signature per row —
     * near-dups differ in few bits (Hamming). Per-row projection.
     */

@@ -53,6 +53,41 @@ object Graph {
     ranks.withColumnRenamed("r", "rank")
   }
 
+  /** Multi-source BFS: minimum hop distance from any seed, bounded to
+    * `rounds` expansions — reachability-with-distance (influence radius,
+    * citation depth, contamination spread), the remaining basic of the
+    * graph family (PageRank / LPA / k-core / triangles / components).
+    *
+    * Frontier-at-a-time: each round joins ONLY the newest frontier
+    * against the edge list (never the whole reached set), dedups, and
+    * anti-joins the reached set — so a round's cost is |frontier
+    * edges|, and the anti-join keeps the FIRST (minimum) hop per node.
+    * All loop state is `localCheckpoint`-bounded like [[pagerankInt]];
+    * nothing ever collects to the driver. Returns (id, hop) for nodes
+    * within `rounds` hops of a seed (seeds at hop 0); unreached nodes
+    * are absent (callers left-join if they want -1 semantics).
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be non-negative: $rounds")
+    val e = edges.select(col("src"), col("dst"))
+    var reached = seeds.select(col("id"), lit(0L).as("hop"))
+      .distinct().localCheckpoint()
+    var frontier = reached.select(col("id"))
+    var r = 1
+    while (r <= rounds) {
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(e("dst").as("id")).distinct()
+        .join(reached, Seq("id"), "left_anti")
+        .localCheckpoint()
+      reached = reached
+        .unionByName(next.select(col("id"), lit(r.toLong).as("hop")))
+        .localCheckpoint()
+      frontier = next
+      r += 1
+    }
+    reached
+  }
+
   /** Community detection by MAJORITY-VOTE label propagation — coarser
     * than connected components (which only needs reachability): a node
     * adopts the most common label among its neighbors, so densely

@@ -42,6 +42,26 @@ object MixQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // Temperature-scaled sampling weights (α = 1/2), the multilingual-
+    // training mix rule (XLM-style): w_l ∝ n_l^α lifts low-resource
+    // languages relative to raw frequency. Weights stay EXACT integers
+    // — floor(sqrt(n·10⁶)) is deterministic on both engines (sqrt is
+    // IEEE correctly-rounded, the argument exact below 2⁵²) — and the
+    // share is one division of exact ints, dodging the nondeterministic
+    // float-sum-order trap a direct sum of doubles would hit. One tiny
+    // |langs|-row aggregate + broadcast total.
+    "t_mix_temperature" -> ((s, d) => {
+      val counts = docs(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("weight",
+          floor(sqrt(col("n_docs").cast("double") * 1e6)).cast("long"))
+      counts
+        .crossJoin(broadcast(counts.agg(sum(col("weight")).as("_tw"))))
+        .select(col("lang"), col("n_docs"), col("weight"),
+          (col("weight").cast("double") / col("_tw")).as("share"))
+        .orderBy(col("lang"))
+    }),
+
     // Concat-and-chunk sequence packing in md5 shuffle order: each doc
     // joins the pack where its token stream starts. Global running total
     // via the two-phase prefix sum — no whole-corpus window.
@@ -178,6 +198,16 @@ object MixQueries {
     "t_pack_sequences" ->
       s"""$packCteSql
          |SELECT doc_id, n_tok, pack_id FROM p ORDER BY doc_id""".stripMargin,
+    "t_mix_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
+        |  GROUP BY 1),
+        |w AS (SELECT lang, n_docs,
+        |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE) * 1e6)) AS BIGINT)
+        |    AS weight FROM c)
+        |SELECT lang, n_docs, weight,
+        |  CAST(weight AS DOUBLE) /
+        |    (SELECT CAST(sum(weight) AS BIGINT) FROM w) AS share
+        |FROM w ORDER BY lang""".stripMargin,
     "t_pack_stats" ->
       s"""$packCteSql
          |SELECT pack_id, count(*) AS n_docs,

@@ -161,6 +161,25 @@ object OlapQueries {
         .orderBy(col("yr"))
     }),
 
+    // 7-day moving average of daily order revenue — the trend-smoothing
+    // window every metrics dashboard draws. The window runs over the
+    // DAY-GRAIN aggregate (|distinct days| rows — bounded at any fact
+    // volume), never over raw orders; revenue rides as exact decimal
+    // cents and the average is ONE division (sum_cents / (100·n)), so
+    // both engines agree bit-for-bit.
+    "w_moving_avg" -> ((s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("o_totalprice").cast("decimal(20,2)")) * 100)
+            .cast("long").as("_cents"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily.select(col("day"), col("n"),
+          (sum(col("_cents")).over(w).cast("double") /
+            (lit(100.0) * count(lit(1)).over(w))).as("avg_rev_7d"))
+        .orderBy(col("day"))
+    }),
+
     // Pareto frontier of the part catalog (minimize size, minimize
     // price): per-x min + distributed strict-prefix min — never the
     // quadratic dominance anti-join the oracle states declaratively.
@@ -756,6 +775,18 @@ object OlapQueries {
         |n - lag(n, 1) OVER (ORDER BY yr) AS delta,
         |CAST(sum(n) OVER (ORDER BY yr ROWS BETWEEN UNBOUNDED PRECEDING
         |  AND CURRENT ROW) AS BIGINT) AS cum_n
-        |FROM y ORDER BY yr""".stripMargin
+        |FROM y ORDER BY yr""".stripMargin,
+    "w_moving_avg" ->
+      """WITH g AS (SELECT o_orderdate AS day, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) * 100 AS BIGINT)
+        |    AS c
+        |  FROM orders GROUP BY 1)
+        |SELECT day, n,
+        |  CAST(sum(c) OVER w AS DOUBLE) / (100.0 * count(c) OVER w)
+        |    AS avg_rev_7d
+        |FROM g
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+        |  AND CURRENT ROW)
+        |ORDER BY day""".stripMargin
   )
 }

@@ -57,6 +57,32 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Hard-negative mining — the contrastive-training companion of
+    // top-k retrieval: for each query, the 5 MOST-similar vectors with
+    // a DIFFERENT label (near-misses a trainer should push apart).
+    // Same broadcast-query brute scorer as sim_topk_brute with the
+    // label disequality in the join predicate, so candidates prune
+    // BEFORE scoring; at scale the candidate side swaps to the IVF
+    // bucket path like every other sim_* query.
+    "sim_hard_negatives" -> ((s, d) => {
+      val v = emb(s, d)
+      val q = v.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label").as("q_label"))
+      val c = v.select(col("vec_id").as("n_id"),
+        col("embedding").as("n_vec"), col("label").as("n_label"))
+      val scored = c.crossJoin(broadcast(q))
+        .where(col("n_label") =!= col("q_label"))
+        .select(col("q_id"), col("n_id"),
+          round(Similarity.cosine(col("q_vec"), col("n_vec")), 6)
+            .as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Embedding-space drift gate: cosine between the two corpus halves'
     // centroid vectors — count denominators cancel, so the statistic is
     // three exact integer sums over floor(x·4096) quantized per-dim
@@ -801,6 +827,20 @@ object SimilarityQueries {
          |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
          |  FROM s)
          |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=10
+         |ORDER BY q_id, rank""".stripMargin,
+    "sim_hard_negatives" ->
+      s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label AS q_label, e AS q_vec
+         |  FROM v WHERE vec_id<5),
+         |c AS (SELECT vec_id AS n_id, label AS n_label, e AS n_vec FROM v),
+         |s AS (SELECT q_id, n_id, $cosSql AS cos FROM c, q
+         |  WHERE n_label <> q_label),
+         |r AS (SELECT q_id, n_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+         |    AS rank
+         |  FROM s)
+         |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=5
          |ORDER BY q_id, rank""".stripMargin,
     "sim_recall_int8" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -67,6 +67,19 @@ object TextQueries {
         TextFunctions.fingerprint(col("text"), 5).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // Winnowing LOCAL fingerprints (MOSS): per-window minimum over
+    // 3-gram hashes, window w=4 — any shared passage of ≥ 6 tokens
+    // shares a fingerprint. Pure per-row array projection (zero
+    // shuffle); summarized per doc as count + min/max so the output
+    // stays narrow while pinning the whole set's content.
+    "t_winnow_fp" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          TextFunctions.winnowFingerprints(col("text"), 3, 4).as("fps"))
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+          array_min(col("fps")).as("fp_min"),
+          array_max(col("fps")).as("fp_max"))
+        .orderBy(col("doc_id"))),
+
     // 64-bit SimHash bit-strings.
     "t_simhash" -> ((s, d) =>
       Dedup.simhashTable(docs(s, d), "doc_id", "text")
@@ -109,6 +122,15 @@ object TextQueries {
       Dedup.blockedJaccard(docs(s, d), "doc_id", "text",
         Seq("lang", "source"), threshold = 0.2)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // Directional containment dedup within (lang, source) blocks:
+    // |A∩B|/|A| ≥ 0.5 — the short-doc-swallowed-by-long-doc relation
+    // Jaccard misses (cross-multiplied integer threshold; ratio is one
+    // exact-int division).
+    "t_containment" -> ((s, d) =>
+      Dedup.blockedContainment(docs(s, d), "doc_id", "text",
+        Seq("lang", "source"), pct = 50)
+        .orderBy(col("id_in"), col("id_out"))),
 
     // Prefix-filtered set-similarity self-join (PPJoin family): UNBLOCKED
     // all-pairs word-set Jaccard ≥ 1/2 — candidates only from shared
@@ -485,6 +507,26 @@ object TextQueries {
         .orderBy(col("id"))
     }),
 
+    // Multi-source BFS over the same citation graph: hop distance from
+    // the seed set (every 97th doc), 4 bounded frontier expansions —
+    // reachability-with-distance (Graph.bfsHops). The oracle unrolls
+    // every round; rows absent = unreached within 4 hops.
+    "g_bfs_hops" -> ((s, d) => {
+      val dd = docs(s, d)
+      val withN = dd.select(col("doc_id"))
+        .crossJoin(broadcast(dd.agg(count(lit(1)).as("nn"))))
+      val edges = withN.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 1, col("nn")).as("dst"))
+        .unionByName(withN.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 13 + 3, col("nn")).as("dst")))
+        .where(col("src") =!= col("dst"))
+      Graph.bfsHops(edges,
+          dd.where(pmod(col("doc_id"), lit(97)) === 0)
+            .select(col("doc_id").as("id")),
+          rounds = 4)
+        .orderBy(col("id"))
+    }),
+
     "t_repetition" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         TextFunctions.dupTokenFrac(col("text")).as("dup_token_frac"),
@@ -540,6 +582,37 @@ object TextQueries {
         length(TextFunctions.redactPii(planted)).cast("long")
           .as("redacted_len"))
         .orderBy(col("doc_id"))
+    }),
+
+    // PII: payment-card detection with a LUHN checksum gate — a bare
+    // 16-digit regex drowns in false positives (order ids, timestamps);
+    // the mod-10 check is what separates "digits" from "card". Every
+    // 11th doc gets a planted VALID test card, every 13th an INVALID
+    // 16-digit run, so both sides of the gate are exercised. The
+    // checksum is an integer fold over the digit array (codegen'd
+    // higher-order functions, no UDF); one aggregate pass, zero shuffle.
+    "dq_pii_luhn" -> ((s, d) => {
+      val planted = concat(col("text"),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit(" pay 4532015112830366 now")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          lit(" ref 1234567890123456 x")).otherwise(lit("")))
+      val cards = regexp_extract_all(planted, lit("[0-9]{16}"), lit(0))
+      def luhnValid(c: org.apache.spark.sql.Column) = pmod(
+        aggregate(sequence(lit(1), lit(16)), lit(0), (acc, i) => {
+          val dd = element_at(split(c, ""), i).cast("int")
+          acc + when(pmod(i, lit(2)) === 1,
+            when(dd * 2 > 9, dd * 2 - 9).otherwise(dd * 2)).otherwise(dd)
+        }), lit(10)) === 0
+      val valids = filter(cards, c => luhnValid(c))
+      docs(s, d)
+        .select(size(cards).as("nc"), size(valids).as("nv"))
+        .agg(sum(when(col("nc") > 0, 1L).otherwise(0L))
+            .cast("long").as("docs_with_card"),
+          sum(col("nc")).cast("long").as("n_cards"),
+          sum(col("nv")).cast("long").as("n_valid"),
+          sum(when(col("nv") > 0, 1L).otherwise(0L))
+            .cast("long").as("docs_with_valid"))
     }),
 
     // Near-dedup keeping the BEST-quality doc per cluster (ties → min id)
@@ -862,6 +935,29 @@ object TextQueries {
          |  list_distinct(list_transform(range(1, greatest(len(ws)-4,1)+1),
          |    i -> array_to_string(ws[i:i+4],' '))), x -> md5(x)), 'min') AS fp
          |FROM w ORDER BY doc_id""".stripMargin,
+    "t_winnow_fp" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  list_filter($wsSql, t -> length(t)>0) AS ws FROM documents),
+         |g AS (SELECT doc_id,
+         |  list_transform(range(1, greatest(len(ws)-2,1)+1),
+         |    i -> md5(array_to_string(ws[i:i+2],' '))) AS gs FROM w),
+         |f AS (SELECT doc_id, list_distinct(list_transform(
+         |  range(1, greatest(len(gs)-3,1)+1),
+         |  j -> list_aggregate(gs[j:j+3], 'min'))) AS fps FROM g)
+         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+         |  list_aggregate(fps, 'min') AS fp_min,
+         |  list_aggregate(fps, 'max') AS fp_max
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "t_containment" ->
+      s"""WITH w AS (SELECT doc_id, lang, source, $wsSql AS ws
+         |  FROM documents),
+         |shs AS (SELECT doc_id, lang, source, $sh3Sql AS sh FROM w),
+         |p AS (SELECT a.doc_id AS id_in, b.doc_id AS id_out,
+         |  len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS la
+         |  FROM shs a JOIN shs b ON a.lang=b.lang AND a.source=b.source
+         |    AND a.doc_id<>b.doc_id)
+         |SELECT id_in, id_out, CAST(i AS DOUBLE)/la AS containment
+         |FROM p WHERE i*100 >= 50*la ORDER BY 1, 2""".stripMargin,
     "t_simhash" ->
       s"""WITH w AS (SELECT doc_id, unnest($wsSql) AS word FROM documents),
          |b AS (SELECT doc_id, $simhashSums FROM w GROUP BY 1)
@@ -1198,6 +1294,28 @@ object TextQueries {
          |SELECT id, CAST(r AS BIGINT) AS rank FROM r3
          |ORDER BY id""".stripMargin
     },
+    "g_bfs_hops" -> {
+      // Unrolled frontier expansions; each a$i/f$i has two consumers →
+      // MATERIALIZED (the k-core inlining gotcha).
+      val rounds = (1 to 4).map { i =>
+        s"""f$i AS MATERIALIZED (SELECT DISTINCT e2.dst AS id
+           |  FROM e2 JOIN f${i - 1} ON e2.src = f${i - 1}.id
+           |  WHERE e2.dst NOT IN (SELECT id FROM a${i - 1})),
+           |a$i AS MATERIALIZED (SELECT id, hop FROM a${i - 1}
+           |  UNION ALL SELECT id, CAST($i AS BIGINT) FROM f$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH n AS (SELECT count(*) AS c FROM documents),
+         |e AS (SELECT doc_id AS src, (doc_id*7+1) % c AS dst
+         |        FROM documents, n
+         |      UNION ALL
+         |      SELECT doc_id, (doc_id*13+3) % c FROM documents, n),
+         |e2 AS MATERIALIZED (SELECT src, dst FROM e WHERE src <> dst),
+         |f0 AS (SELECT doc_id AS id FROM documents WHERE doc_id%97=0),
+         |a0 AS (SELECT id, CAST(0 AS BIGINT) AS hop FROM f0),
+         |$rounds
+         |SELECT id, hop FROM a4 ORDER BY id""".stripMargin
+    },
     "t_repetition" ->
       s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
          |b AS (SELECT doc_id, list_transform(range(1, greatest(len(ws)-1,1)+1),
@@ -1238,6 +1356,28 @@ object TextQueries {
          |FROM part
          |ORDER BY tbl""".stripMargin
     },
+    "dq_pii_luhn" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id%11=0 THEN ' pay 4532015112830366 now'
+        |    ELSE '' END ||
+        |  CASE WHEN doc_id%13=0 THEN ' ref 1234567890123456 x'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, regexp_extract_all(t, '[0-9]{16}') AS cards
+        |  FROM p),
+        |v AS (SELECT doc_id, cards, list_filter(cards, x ->
+        |  list_sum(list_transform(range(1, 17), i ->
+        |    CASE WHEN i%2=1 THEN
+        |      CASE WHEN CAST(x[i] AS INT)*2>9 THEN CAST(x[i] AS INT)*2-9
+        |           ELSE CAST(x[i] AS INT)*2 END
+        |    ELSE CAST(x[i] AS INT) END)) % 10 = 0) AS valid FROM c)
+        |SELECT CAST(count(*) FILTER (WHERE len(cards)>0) AS BIGINT)
+        |    AS docs_with_card,
+        |  CAST(coalesce(sum(len(cards)), 0) AS BIGINT) AS n_cards,
+        |  CAST(coalesce(sum(len(valid)), 0) AS BIGINT) AS n_valid,
+        |  CAST(count(*) FILTER (WHERE len(valid)>0) AS BIGINT)
+        |    AS docs_with_valid
+        |FROM v""".stripMargin,
     "t_pii_scrub" ->
       s"""WITH p AS (SELECT doc_id, CASE WHEN doc_id%7=0
          |  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
