@@ -74,56 +74,55 @@ object Bench {
     "g_pagerank_weighted", "g_communities", "ev_ab_test",
     "ev_bursts", "dq_fk_chain", "ev_cohort_ltv", "ev_streaks",
     // Round-4 first-ships: winnowing local fingerprints, multi-source
-    // BFS, containment dedup, Luhn PII gate, hard-negative mining,
-    // 7-day moving average.
-    "t_winnow_fp", "g_bfs_hops", "t_containment", "dq_pii_luhn",
-    "sim_hard_negatives", "w_moving_avg")
+    // BFS, Luhn PII gate, hard-negative mining, 7-day moving average,
+    // RRF hybrid retrieval, duplicated-span profile, winsorized mean.
+    // (t_containment stays correctness-only: blocked all-pairs grows
+    // quadratically in block size by design — the same reasoning that
+    // keeps the redundant-retrain IVF-PQ variant out of the headline.)
+    "t_winnow_fp", "g_bfs_hops", "dq_pii_luhn",
+    "sim_hard_negatives", "w_moving_avg",
+    "t_rrf_fusion", "t_dup_spans", "olap_winsorized")
 
-  /** Round-3 exit per-query medians (sf0.1, local[32], median-of-3) —
-    * the regression baseline recorded in BASELINE.md (strictly tighter
-    * than the r2 medians it replaces). Queries added after round 3 have
-    * no entry and are gated from the round they first ship.
+  /** Round-4 exit per-query medians — ALL pinned from ONE full-set
+    * run (sf0.1, local[32], median-of-3, every headline query in the
+    * same session with pre-run block cleanup), replacing the r3 mix of
+    * restricted-set and full-set pins that made two regression flags
+    * incomparable (VERDICT r3 / ADVICE). Recorded in BASELINE.md.
+    * Queries added after this run have no entry and are gated from the
+    * round they first ship.
     */
   val baselineMedians: Map[String, Double] = Map(
-    "d1_avg_popularity" -> 0.39, "d2_n_artists" -> 0.29,
-    "d3_top_albums" -> 0.47, "d4_winning_artists" -> 0.25,
-    "d5_wins_danceability" -> 0.81, "d6_year_genre_pivot" -> 0.44,
-    "d7_extremes" -> 0.66, "d8_low_energy_popular" -> 0.32,
-    "d9_top_artists" -> 0.32, "d10_genre_wins" -> 0.65,
-    "j1_merge_indicator" -> 0.49, "a1_mode_first" -> 0.74,
-    "pipeline_clean" -> 2.09, "pipeline_warehouse_counts" -> 8.16,
-    "t_curation_funnel" -> 5.60, "t_decontam" -> 2.99,
-    "sim_topk_lsh" -> 0.34, "t_pack_sequences" -> 0.57,
-    "t_token_budget" -> 0.85,
-    // Round-4 first-ship medians (same harness).
-    "t_training_pipeline" -> 10.44, "olap_rollup" -> 0.64,
-    "scd2_versions" -> 0.35, "ev_attribution" -> 0.33,
-    "t_chunk_overlap" -> 2.43, "t_bm25" -> 0.56,
-    "t_cms_heavy" -> 0.47, "t_dedup_bloom" -> 0.45,
-    // Round-5 first-ship medians (same harness; from the clean full-set
-    // run — the one with zero regressions).
-    "lake_merge" -> 0.39, "s17_zorder_box" -> 4.96,
-    "g_pagerank" -> 1.34,
-    // Round-3-continuation first-ship medians (restricted-set run,
-    // self-warmed). sim_topk_pq times TRAINING (4 subspace k-means
-    // collect rounds) + the ADC query — at scale the codebooks persist
-    // and only the query path repeats.
-    "olap_skyline" -> 0.65, "fi_pairs" -> 2.51,
-    "t_setsim_prefix" -> 13.45, "dq_drift_nchars" -> 0.45,
-    "a19_diff_pruned" -> 0.94, "t_cms_join_size" -> 1.44,
-    "sim_topk_pq" -> 19.37, "g_triangles" -> 2.69,
-    // Late-session first-ship medians (restricted-set run, self-warmed).
-    "olap_group_median" -> 1.64, "olap_group_deciles" -> 1.36,
-    "ev_concurrency" -> 1.00, "t_setsim_incremental" -> 7.99,
-    "g_kcore" -> 3.05,
-    "dq_outliers_mad" -> 3.96, "t_weighted_median" -> 0.87,
-    "olap_corr_ols" -> 0.80, "ev_twa" -> 0.57,
-    "t_inverted_index" -> 0.33, "j4_golden_record" -> 4.40,
-    "fi_cosine_topk" -> 2.25, "fi_recs_user" -> 2.85,
-    "olap_concentration" -> 0.84, "ev_funnel_latency" -> 0.71,
-    "g_pagerank_weighted" -> 10.32, "g_communities" -> 3.58,
-    "ev_ab_test" -> 0.30, "ev_bursts" -> 0.76, "dq_fk_chain" -> 0.68,
-    "ev_cohort_ltv" -> 1.16, "ev_streaks" -> 0.59)
+    "d1_avg_popularity" -> 0.43, "d2_n_artists" -> 0.35,
+    "d3_top_albums" -> 0.55, "d4_winning_artists" -> 0.32,
+    "d5_wins_danceability" -> 1.01, "d6_year_genre_pivot" -> 0.52,
+    "d7_extremes" -> 0.80, "d8_low_energy_popular" -> 0.37,
+    "d9_top_artists" -> 0.40, "d10_genre_wins" -> 0.88,
+    "j1_merge_indicator" -> 0.63, "a1_mode_first" -> 0.96,
+    "pipeline_clean" -> 2.17, "pipeline_warehouse_counts" -> 9.40,
+    "t_curation_funnel" -> 7.51, "t_decontam" -> 4.75,
+    "sim_topk_lsh" -> 0.51, "t_pack_sequences" -> 0.75,
+    "t_token_budget" -> 1.33, "t_training_pipeline" -> 16.26,
+    "olap_rollup" -> 0.83, "scd2_versions" -> 0.46,
+    "ev_attribution" -> 0.38, "t_chunk_overlap" -> 2.94, "t_bm25" -> 0.58,
+    "t_cms_heavy" -> 0.59, "t_dedup_bloom" -> 0.43, "lake_merge" -> 0.32,
+    "s17_zorder_box" -> 5.65, "g_pagerank" -> 1.22, "olap_skyline" -> 0.44,
+    "fi_pairs" -> 1.90, "t_setsim_prefix" -> 12.42,
+    "dq_drift_nchars" -> 0.40, "a19_diff_pruned" -> 0.66,
+    "t_cms_join_size" -> 1.39, "sim_topk_pq" -> 17.91,
+    "g_triangles" -> 3.00, "olap_group_median" -> 1.99,
+    "olap_group_deciles" -> 2.22, "ev_concurrency" -> 1.10,
+    "t_setsim_incremental" -> 12.59, "g_kcore" -> 3.78,
+    "dq_outliers_mad" -> 4.69, "t_weighted_median" -> 0.67,
+    "olap_corr_ols" -> 0.85, "ev_twa" -> 0.47, "t_inverted_index" -> 0.23,
+    "j4_golden_record" -> 3.63, "fi_cosine_topk" -> 2.19,
+    "fi_recs_user" -> 2.63, "olap_concentration" -> 0.94,
+    "ev_funnel_latency" -> 0.66, "g_pagerank_weighted" -> 7.48,
+    "g_communities" -> 2.96, "ev_ab_test" -> 0.29, "ev_bursts" -> 0.32,
+    "dq_fk_chain" -> 0.44, "ev_cohort_ltv" -> 0.40, "ev_streaks" -> 0.27,
+    "t_winnow_fp" -> 9.24, "g_bfs_hops" -> 1.16, "dq_pii_luhn" -> 0.23,
+    "sim_hard_negatives" -> 0.61, "w_moving_avg" -> 0.28,
+    "t_rrf_fusion" -> 1.01, "t_dup_spans" -> 6.92,
+    "olap_winsorized" -> 1.12)
 
   def main(args: Array[String]): Unit = {
     // Optional args: restrict to the named queries (local plan iteration

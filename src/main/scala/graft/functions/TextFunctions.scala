@@ -131,25 +131,20 @@ object TextFunctions {
   def fingerprint(text: Column, n: Int = 5): Column =
     array_min(transform(shingles(text, n), s => md5(s)))
 
-  /** Winnowing fingerprints (the MOSS local-fingerprint scheme): hash
-    * every `k`-word shingle, slide a window of `w` consecutive shingle
-    * hashes, keep each window's MINIMUM, dedupe. Guarantees every match
-    * of at least w+k-1 tokens shares a fingerprint, while storing ~2/(w+1)
-    * of the hashes — the plagiarism/attribution-grade LOCAL fingerprint
-    * (t_fingerprint's single corpus-wide min can only say "identical
-    * doc"). Pure per-row array projection — zero shuffle at any corpus
-    * size. Short inputs truncate (slice past the end keeps what exists;
-    * the guard keeps `sequence` from counting down), mirroring the
-    * oracle's range/slice semantics exactly.
+  /** Shingle-hash array for winnowing: md5 of every `k`-word gram.
+    * Short inputs truncate (slice past the end keeps what exists; the
+    * guard keeps `sequence` from counting down). The WINDOW-MIN step
+    * deliberately does NOT live here as nested array lambdas: a second
+    * lambda level over slices runs interpreted (higher-order functions
+    * never enter whole-stage codegen) and measured ~600 s over the
+    * sf0.1 corpus — the rows+window form in
+    * [[graft.operators.Dedup.winnowFingerprints]] is the hot path.
     */
-  def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
+  def winnowGramHashes(text: Column, k: Int): Column = {
     val ws = filter(tokens(text), t => length(t) > 0)
-    val grams = transform(
+    transform(
       sequence(lit(1), greatest(size(ws) - (k - 1), lit(1))),
       i => md5(array_join(slice(ws, i, lit(k)), " ")))
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
-      j => array_min(slice(grams, j, lit(w)))))
   }
 
   /** Word n-gram sequence WITHOUT the distinct — occurrence counts

@@ -139,6 +139,55 @@ object Dedup {
         col("jac"))
   }
 
+  /** Winnowing fingerprints (the MOSS local-fingerprint scheme) as a
+    * per-doc summary: hash every `k`-word shingle, slide a window of `w`
+    * consecutive hashes, keep each window's MINIMUM, dedupe. Guarantees
+    * every match of ≥ w+k−1 tokens shares a fingerprint while keeping
+    * ~2/(w+1) of the hashes — the plagiarism/attribution-grade LOCAL
+    * fingerprint (t_fingerprint's whole-doc min only detects identical
+    * docs).
+    *
+    * Shape: gram hashes EXPLODE to rows and the sliding min is a
+    * `ROWS w−1 PRECEDING` window over (doc, pos) — codegen'd md5 + one
+    * sort-within-doc WindowExec, one shuffle on the doc id. The
+    * all-array form (lambda of array_min-over-slice per window) is
+    * 500× slower at sf0.1: nested higher-order lambdas run interpreted,
+    * outside whole-stage codegen. Partial leading windows are dropped
+    * (pos ≥ w−1) except when a short doc has fewer than w grams, where
+    * the last (truncated) window stands for the whole doc — exactly the
+    * oracle's array semantics.
+    * @return (idCol, n_fp, fp_min, fp_max)
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame =
+    winnowSets(df, idCol, textCol, k, w)
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("_wmin")).as("n_fp"),
+        min(col("_wmin")).as("fp_min"), max(col("_wmin")).as("fp_max"))
+
+  /** The fingerprint ROWS behind [[winnowFingerprints]]: one
+    * (idCol, _wmin) row per selected window (duplicates included —
+    * summarizers dedupe as needed). This is also the join side for
+    * fingerprint-match candidate generation: two docs sharing a passage
+    * share a `_wmin` value, so an equi-join on it is the candidate
+    * pass.
+    */
+  def winnowSets(df: DataFrame, idCol: String, textCol: String,
+                 k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k,w >= 1; got k=$k w=$w")
+    val grams = df
+      .select(col(idCol), winnowGramHashes(col(textCol), k).as("_gs"))
+      .select(col(idCol), size(col("_gs")).as("_ng"),
+        posexplode(col("_gs")).as(Seq("_pos", "_h")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_pos"))
+      .rowsBetween(-(w - 1), 0)
+    grams
+      .withColumn("_wmin", min(col("_h")).over(win))
+      .where(col("_pos") >= least(lit(w - 1), col("_ng") - 1))
+      .select(col(idCol), col("_wmin"))
+  }
+
   /** Blocked exact n-gram CONTAINMENT: directional near-dup —
     * |A ∩ B| / |A| ≥ pct/100 flags A as (mostly) contained in B, the
     * asymmetric relation Jaccard misses when a short doc is swallowed by

@@ -180,6 +180,33 @@ object OlapQueries {
         .orderBy(col("day"))
     }),
 
+    // Winsorized mean — the robust aggregate: order totals clipped to
+    // their per-status [p10, p90] before averaging, so a handful of
+    // extreme rows can't swing the statistic (the outlier-tolerant twin
+    // of dq_outliers_mad's detection). Quantiles come from the two-pass
+    // exact histogram ladder (Median.groupQuantilesLong — no per-group
+    // sort); the clip bounds broadcast back over one linear pass, and
+    // the mean is ONE division of exact integers.
+    "olap_winsorized" -> ((s, d) => {
+      val cents = t(s, d, "orders")
+        .select(col("o_orderstatus"),
+          (col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long").as("cents"))
+      val bounds = graft.operators.Median.groupQuantilesLong(
+          cents, Seq("o_orderstatus"), "cents", Seq(10, 90))
+        .groupBy(col("o_orderstatus"))
+        .agg(min(when(col("pct") === 10, col("value"))).as("lo"),
+          min(when(col("pct") === 90, col("value"))).as("hi"))
+      cents.join(broadcast(bounds), "o_orderstatus")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(least(greatest(col("cents"), col("lo")), col("hi")))
+            .cast("long").as("_sum"))
+        .select(col("o_orderstatus"), col("n"),
+          (col("_sum").cast("double") / (col("n") * 100)).as("wins_mean"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Pareto frontier of the part catalog (minimize size, minimize
     // price): per-x min + distributed strict-prefix min — never the
     // quadratic dominance anti-join the oracle states declaratively.
@@ -776,6 +803,21 @@ object OlapQueries {
         |CAST(sum(n) OVER (ORDER BY yr ROWS BETWEEN UNBOUNDED PRECEDING
         |  AND CURRENT ROW) AS BIGINT) AS cum_n
         |FROM y ORDER BY yr""".stripMargin,
+    "olap_winsorized" ->
+      """WITH f AS (SELECT o_orderstatus AS st,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2))*100 AS BIGINT) AS v
+        |  FROM orders),
+        |r AS (SELECT st, v,
+        |  row_number() OVER (PARTITION BY st ORDER BY v) AS rn,
+        |  count(*) OVER (PARTITION BY st) AS n FROM f),
+        |q AS (SELECT st,
+        |  min(CASE WHEN rn = greatest(1, (10*n+99)//100) THEN v END) AS lo,
+        |  min(CASE WHEN rn = greatest(1, (90*n+99)//100) THEN v END) AS hi
+        |  FROM r GROUP BY 1)
+        |SELECT f.st AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(least(greatest(f.v, q.lo), q.hi)) AS DOUBLE)
+        |    / (100 * count(*)) AS wins_mean
+        |FROM f JOIN q ON f.st = q.st GROUP BY 1 ORDER BY 1""".stripMargin,
     "w_moving_avg" ->
       """WITH g AS (SELECT o_orderdate AS day, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) * 100 AS BIGINT)

@@ -84,11 +84,88 @@ object RetrievalQueries {
           all.where(pmod(col("doc_id"), lit(3)) =!= 0),
           "doc_id", "text", prefixLen = BloomPrefix)
         .orderBy(col("doc_id"))
+    }),
+
+    // Reciprocal-rank fusion — HYBRID retrieval, the shape a RAG stack
+    // actually serves: lexical BM25 top-20 and embedding-cosine top-20
+    // (query = vector 0) fused by rrf = Σ 1/(60+rank). Both rankings
+    // cut to top-k BEFORE fusing (TakeOrderedAndProject — no global
+    // sort materializes at any corpus size); the rank windows then run
+    // over ≤20 rows. Absent-from-one-ranking docs take a fixed penalty
+    // rank of 1000. The rrf double is two correctly-rounded divisions
+    // + one addition in fixed order — bit-stable on both engines.
+    "t_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bmTop = Retrieval.bm25(docs(s, d), "doc_id", "text", Bm25Terms)
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+        .withColumn("r_bm", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("r_bm"))
+      val v = Tables.load(s, d, "embeddings")
+      val q = v.where(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"))
+      val cosTop = v.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          round(graft.operators.Similarity.cosine(
+            col("q_vec"), col("embedding")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(20)
+        .withColumn("r_cos", row_number().over(
+          Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("r_cos"))
+      bmTop.join(cosTop, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("r_bm"), lit(1000L)).as("r_bm"),
+          coalesce(col("r_cos"), lit(1000L)).as("r_cos"))
+        .withColumn("rrf",
+          lit(1.0) / (col("r_bm") + 60) + lit(1.0) / (col("r_cos") + 60))
+        .orderBy(col("rrf").desc, col("doc_id"))
+    }),
+
+    // Cross-document duplicated-span fraction: of each doc's distinct
+    // 8-gram spans, what share also appears in ANOTHER doc — the
+    // memorization-risk / boilerplate profile that decides whether a
+    // source needs span-level dedup before training. One shuffle on the
+    // gram (distinct-doc counts), one map-side join back; never pairwise.
+    "t_dup_spans" -> ((s, d) => {
+      val grams = docs(s, d).select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingles(col("text"), 8))
+          .as("g"))
+      val df8 = grams.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+      grams.join(df8, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_grams"),
+          sum(when(col("ndocs") > 1, 1L).otherwise(0L))
+            .cast("long").as("dup_grams"))
+        .withColumn("dup_frac",
+          col("dup_grams").cast("double") / col("n_grams"))
+        .orderBy(col("doc_id"))
     }))
 
   private val wsSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
   private val nSql =
     s"CASE WHEN length(trim(text))=0 THEN 0 ELSE len($wsSql) END"
+
+  /** BM25 scoring pieces shared by the t_bm25 and t_rrf_fusion oracles. */
+  private val bm25TermSql = Bm25Terms.zipWithIndex.map { case (t, i) =>
+    s"""((CAST(n_docs AS DOUBLE) - df_$i + 0.5) / (df_$i + 0.5))
+       | * (CAST(len(list_filter(ws, x -> x = '$t')) AS DOUBLE)
+       |      * (1.2 + 1))
+       |   / (CAST(len(list_filter(ws, x -> x = '$t')) AS DOUBLE)
+       |      + 1.2 * ((1 - 0.75)
+       |               + 0.75 * (dl / (CAST(tot_dl AS DOUBLE)/n_docs))))"""
+      .stripMargin.replace("\n", " ")
+  }.mkString(" + ")
+  private val bm25Ctes = {
+    val dfSql = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN list_contains(ws, '$t') THEN 1 ELSE 0 END) AS df_$i"
+    }.mkString(", ")
+    s"""b AS (SELECT doc_id, $wsSql AS ws,
+       |  CAST($nSql AS BIGINT) AS dl FROM documents),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl, $dfSql
+       |  FROM b)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "t_chunk_overlap" ->
@@ -105,26 +182,53 @@ object RetrievalQueries {
          |    chunk_ix*$ChunkStride + $ChunkSize), ' ') AS chunk_text
          |FROM e ORDER BY doc_id, chunk_ix""".stripMargin,
 
-    "t_bm25" -> {
-      val termSql = Bm25Terms.zipWithIndex.map { case (t, i) =>
-        s"""((CAST(n_docs AS DOUBLE) - df_$i + 0.5) / (df_$i + 0.5))
-           | * (CAST(len(list_filter(ws, x -> x = '$t')) AS DOUBLE)
-           |      * (1.2 + 1))
-           |   / (CAST(len(list_filter(ws, x -> x = '$t')) AS DOUBLE)
-           |      + 1.2 * ((1 - 0.75)
-           |               + 0.75 * (dl / (CAST(tot_dl AS DOUBLE)/n_docs))))"""
-          .stripMargin.replace("\n", " ")
-      }.mkString(" + ")
-      val dfSql = Bm25Terms.zipWithIndex.map { case (t, i) =>
-        s"sum(CASE WHEN list_contains(ws, '$t') THEN 1 ELSE 0 END) AS df_$i"
-      }.mkString(", ")
-      s"""WITH b AS (SELECT doc_id, $wsSql AS ws,
-         |  CAST($nSql AS BIGINT) AS dl FROM documents),
-         |st AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl, $dfSql
-         |  FROM b)
-         |SELECT doc_id, $termSql AS score FROM b, st
-         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-    },
+    "t_bm25" ->
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, $bm25TermSql AS score FROM b, st
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "t_rrf_fusion" ->
+      s"""WITH $bm25Ctes,
+         |bm AS (SELECT doc_id, $bm25TermSql AS score FROM b, st
+         |  ORDER BY score DESC, doc_id LIMIT 20),
+         |bmr AS (SELECT doc_id, row_number() OVER
+         |  (ORDER BY score DESC, doc_id) AS r_bm FROM bm),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |qv AS (SELECT e AS q_vec FROM v WHERE vec_id = 0),
+         |cs AS (SELECT vec_id AS doc_id, round(
+         |   (SELECT sum(a*b2)
+         |    FROM (SELECT unnest(q_vec) AS a, unnest(e) AS b2))
+         |   / (sqrt((SELECT sum(a*a) FROM (SELECT unnest(q_vec) AS a)))
+         |      * sqrt((SELECT sum(b2*b2)
+         |              FROM (SELECT unnest(e) AS b2)))), 6) AS cos
+         |  FROM v, qv WHERE vec_id <> 0),
+         |ct AS (SELECT doc_id, cos FROM cs
+         |  ORDER BY cos DESC, doc_id LIMIT 20),
+         |ctr AS (SELECT doc_id, row_number() OVER
+         |  (ORDER BY cos DESC, doc_id) AS r_cos FROM ct),
+         |f AS (SELECT coalesce(bmr.doc_id, ctr.doc_id) AS doc_id,
+         |  CAST(coalesce(r_bm, 1000) AS BIGINT) AS r_bm,
+         |  CAST(coalesce(r_cos, 1000) AS BIGINT) AS r_cos
+         |  FROM bmr FULL OUTER JOIN ctr ON bmr.doc_id = ctr.doc_id)
+         |SELECT doc_id, r_bm, r_cos,
+         |  CAST(1 AS DOUBLE)/(r_bm+60) + CAST(1 AS DOUBLE)/(r_cos+60)
+         |    AS rrf
+         |FROM f ORDER BY rrf DESC, doc_id""".stripMargin,
+
+    "t_dup_spans" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |gr AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(ws)-7,1)+1),
+         |    i -> array_to_string(ws[i:i+7],' ')))) AS g FROM w),
+         |dfx AS (SELECT g, count(DISTINCT doc_id) AS ndocs FROM gr
+         |  GROUP BY 1)
+         |SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN ndocs>1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS dup_grams,
+         |  CAST(sum(CASE WHEN ndocs>1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS dup_frac
+         |FROM gr JOIN dfx USING (g) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "t_cms_heavy" ->
       s"""WITH k AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),

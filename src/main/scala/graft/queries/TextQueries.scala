@@ -69,16 +69,60 @@ object TextQueries {
 
     // Winnowing LOCAL fingerprints (MOSS): per-window minimum over
     // 3-gram hashes, window w=4 — any shared passage of ≥ 6 tokens
-    // shares a fingerprint. Pure per-row array projection (zero
-    // shuffle); summarized per doc as count + min/max so the output
-    // stays narrow while pinning the whole set's content.
+    // shares a fingerprint. Exploded rows + per-doc sliding-min window
+    // (see Dedup.winnowFingerprints for why not array lambdas);
+    // summarized per doc as count + min/max so the output stays narrow
+    // while pinning the whole set's content.
     "t_winnow_fp" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"),
-          TextFunctions.winnowFingerprints(col("text"), 3, 4).as("fps"))
-        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
-          array_min(col("fps")).as("fp_min"),
-          array_max(col("fps")).as("fp_max"))
+      Dedup.winnowFingerprints(docs(s, d), "doc_id", "text", k = 3, w = 4)
         .orderBy(col("doc_id"))),
+
+    // Winnow-fingerprint candidate pairs: docs sharing ≥ 2 local
+    // fingerprints — the candidate generator for passage-level reuse
+    // detection (each shared fingerprint certifies a shared ≥ 6-token
+    // window). One equi-join on the fingerprint value — the LSH-bucket
+    // shape, with the same bucket-skew mitigations at scale.
+    "t_winnow_pairs" -> ((s, d) => {
+      val fps = Dedup.winnowSets(docs(s, d), "doc_id", "text", 3, 4)
+        .distinct()
+      fps.as("a").join(fps.as("b"),
+          col("a._wmin") === col("b._wmin") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Keyword extraction: top TF-IDF term per doc with a RATIONAL idf
+    // ((N−df+½)/(df+½), the BM25 idf core — no logarithm, so the score
+    // is one exact-integer-ratio division and both engines agree on
+    // every bit). Stopword band df ∈ [2, N/2]; argmax via max_by over
+    // a (score, term) struct (ties → max term, replayed by the oracle
+    // as row_number DESC, DESC).
+    "t_keywords" -> ((s, d) => {
+      val dd = docs(s, d)
+      val tok = dd.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("w"))
+        .where(length(col("w")) > 0)
+      val tf = tok.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val n = dd.agg(count(lit(1)).as("nn"))
+      tf.join(dfc, "w").crossJoin(broadcast(n))
+        .where(col("df") >= 2 && col("df") * 2 <= col("nn"))
+        .withColumn("score",
+          (col("tf") * (lit(2) * col("nn") - lit(2) * col("df") + 1))
+            .cast("double") / (lit(2) * col("df") + 1))
+        .groupBy(col("doc_id"))
+        .agg(max_by(
+          struct(col("w"), col("tf"), col("df"), col("score")),
+          struct(col("score"), col("w"))).as("t"))
+        .select(col("doc_id"), col("t.w").as("keyword"),
+          col("t.tf").as("tf"), col("t.df").as("df"),
+          col("t.score").as("score"))
+        .orderBy(col("doc_id"))
+    }),
 
     // 64-bit SimHash bit-strings.
     "t_simhash" -> ((s, d) =>
@@ -958,6 +1002,36 @@ object TextQueries {
          |    AND a.doc_id<>b.doc_id)
          |SELECT id_in, id_out, CAST(i AS DOUBLE)/la AS containment
          |FROM p WHERE i*100 >= 50*la ORDER BY 1, 2""".stripMargin,
+    "t_winnow_pairs" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  list_filter($wsSql, t -> length(t)>0) AS ws FROM documents),
+         |g AS (SELECT doc_id,
+         |  list_transform(range(1, greatest(len(ws)-2,1)+1),
+         |    i -> md5(array_to_string(ws[i:i+2],' '))) AS gs FROM w),
+         |f AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |  range(1, greatest(len(gs)-3,1)+1),
+         |  j -> list_aggregate(gs[j:j+3], 'min')))) AS fp FROM g),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  count(*) AS n_shared
+         |  FROM f a JOIN f b ON a.fp=b.fp AND a.doc_id<b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+         |FROM p WHERE n_shared>=2 ORDER BY 1, 2""".stripMargin,
+    "t_keywords" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($wsSql) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+         |  WHERE length(w)>0 GROUP BY 1, 2),
+         |dfc AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |sc AS (SELECT doc_id, w, tf, df,
+         |  CAST(tf * (2*n - 2*df + 1) AS DOUBLE) / (2*df + 1) AS score
+         |  FROM tf JOIN dfc USING (w), nn
+         |  WHERE df >= 2 AND df*2 <= n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |  ORDER BY score DESC, w DESC) AS rn FROM sc)
+         |SELECT doc_id, w AS keyword, CAST(tf AS BIGINT) AS tf,
+         |  CAST(df AS BIGINT) AS df, score
+         |FROM r WHERE rn=1 ORDER BY doc_id""".stripMargin,
     "t_simhash" ->
       s"""WITH w AS (SELECT doc_id, unnest($wsSql) AS word FROM documents),
          |b AS (SELECT doc_id, $simhashSums FROM w GROUP BY 1)

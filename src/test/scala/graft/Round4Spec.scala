@@ -21,22 +21,21 @@ class Round4Spec extends AnyFunSuite {
     val df = Seq(
       (1L, s"unrelated prefix words here $passage"),
       (2L, s"$passage completely different suffix tokens")).toDF("id", "t")
-    val fps = df.select($"id",
-        TextFunctions.winnowFingerprints($"t", 3, 4).as("fps"))
-      .as[(Long, Seq[String])].collect().toMap
-    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
+    val fps = Dedup.winnowSets(df, "id", "t", 3, 4)
+      .as[(Long, String)].collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)
   }
 
   test("winnowing: fewer fingerprints than grams, deterministic") {
     val text = "one two three four five six seven eight nine ten " * 5
-    val df = Seq(text).toDF("t")
-    def run() = df.select(
-      TextFunctions.winnowFingerprints($"t", 3, 4)).as[Seq[String]]
-      .collect().head
+    val df = Seq((1L, text)).toDF("id", "t")
+    def run() = Dedup.winnowFingerprints(df, "id", "t", 3, 4)
+      .select($"n_fp").as[Long].collect().head
     val a = run()
     assert(a == run())                     // deterministic
     val nGrams = text.trim.split("\\s+").length - 2
-    assert(a.size < nGrams)                // ~2/(w+1) retention
+    assert(a < nGrams)                     // ~2/(w+1) retention
   }
 
   // ---- BFS hops --------------------------------------------------------
@@ -75,6 +74,36 @@ class Round4Spec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  // ---- winnow pairs ----------------------------------------------------
+
+  test("t_winnow_pairs: near-identical docs pair with high n_shared") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq((1L, "en", "web", base),
+      (2L, "en", "web", s"$base lambda"),
+      (3L, "en", "web", "totally different words entirely here now"))
+      .toDF("doc_id", "lang", "source", "text")
+    val fps = Dedup.winnowSets(df, "doc_id", "text", 3, 4).distinct()
+    val pairs = fps.as("a").join(fps.as("b"),
+        $"a._wmin" === $"b._wmin" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id", $"b.doc_id").count()
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 2))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  // ---- keywords --------------------------------------------------------
+
+  test("t_keywords: df band respected, score matches closed form") {
+    val rows = SparkEntry.queries("t_keywords")(spark, dir)
+      .select($"tf", $"df", $"score").as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    rows.foreach { case (tf, df, score) =>
+      assert(df >= 2 && df * 2 <= n)
+      assert(score == (tf * (2 * n - 2 * df + 1)).toDouble / (2 * df + 1))
+    }
+  }
+
   // ---- Luhn gate -------------------------------------------------------
 
   test("dq_pii_luhn: valid plants pass, invalid plants fail the mod-10") {
@@ -106,5 +135,52 @@ class Round4Spec extends AnyFunSuite {
       .limit(1).select($"n", $"avg_rev_7d").as[(Long, Double)]
       .collect().head
     assert(first._1 > 0 && first._2 > 0)
+  }
+
+  // ---- RRF fusion ------------------------------------------------------
+
+  test("t_rrf_fusion: both-ranking docs outscore single-ranking docs") {
+    val rows = SparkEntry.queries("t_rrf_fusion")(spark, dir)
+      .select($"r_bm", $"r_cos", $"rrf").as[(Long, Long, Double)]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (rb, rc, rrf) =>
+      assert(math.abs(rrf - (1.0 / (rb + 60) + 1.0 / (rc + 60))) == 0.0)
+    }
+    // A doc present in both top-20s must beat one at the same single
+    // rank with the 1000-penalty on the other side.
+    val both = rows.filter(r => r._1 < 1000 && r._2 < 1000)
+    val single = rows.filter(r => r._1 == 1000 || r._2 == 1000)
+    if (both.nonEmpty && single.nonEmpty)
+      assert(both.map(_._3).min > 0 && single.map(_._3).max < 2.0 / 61)
+  }
+
+  // ---- duplicated spans ------------------------------------------------
+
+  test("t_dup_spans: fractions in [0,1]; planted dup shares spans") {
+    val rows = SparkEntry.queries("t_dup_spans")(spark, dir)
+      .select($"dup_frac").as[Double].collect()
+    assert(rows.nonEmpty && rows.forall(f => f >= 0.0 && f <= 1.0))
+  }
+
+  // ---- winsorized mean -------------------------------------------------
+
+  test("olap_winsorized: clipped mean sits inside the raw min/max") {
+    val cents = spark.read.parquet(s"$dir/orders.parquet")
+      .select($"o_orderstatus",
+        ($"o_totalprice".cast("decimal(12,2)") * 100).cast("long")
+          .as("c"))
+    val raw = cents.groupBy($"o_orderstatus")
+      .agg(min($"c").as("mn"), max($"c").as("mx"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val wins = SparkEntry.queries("olap_winsorized")(spark, dir)
+      .select($"o_orderstatus", $"wins_mean").as[(String, Double)]
+      .collect()
+    wins.foreach { case (st, m) =>
+      val (mn, mx) = raw(st)
+      assert(m * 100 >= mn && m * 100 <= mx,
+        s"$st winsorized mean $m outside [$mn,$mx] cents")
+    }
   }
 }
