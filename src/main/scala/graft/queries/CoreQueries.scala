@@ -19,6 +19,16 @@ object CoreQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Benford first-digit expectations log10(1+1/d), pinned to 6 dp as
+    * STRING literals so Spark's `lit(...toDouble)` and the oracle's
+    * `CAST(... AS DOUBLE)` parse the identical constant — no engine
+    * evaluates a log.
+    */
+  private val BenfordExpected: Seq[(String, String)] = Seq(
+    "1" -> "0.30103", "2" -> "0.176091", "3" -> "0.124939",
+    "4" -> "0.09691", "5" -> "0.079181", "6" -> "0.066947",
+    "7" -> "0.057992", "8" -> "0.051153", "9" -> "0.045757")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Flagship wide aggregation (A3/A4/A6 composite; TPC-H Q1 shape).
     "q1_agg" -> ((s, d) =>
@@ -561,6 +571,36 @@ object CoreQueries {
       Quality.report(custReport, liReport, fkReport)
     }),
 
+    // DQ (ext): Benford first-digit audit — the classic fabricated-data
+    // screen: observed first-digit shares of order totals against the
+    // Benford expectation log10(1+1/d), shipped as PINNED 6-dp literals
+    // (identical constants in the oracle — no engine ever evaluates a
+    // logarithm). Counts are exact ints; share and deviation are one
+    // division + one subtraction each. One aggregate pass + a 9-row
+    // broadcast.
+    "dq_benford" -> ((s, d) => {
+      val digit = substring(
+        col("o_totalprice").cast("decimal(12,2)").cast("string"), 1, 1)
+      val counts = t(s, d, "orders")
+        .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+      val expDf = BenfordExpected
+        .foldLeft(Option.empty[DataFrame]) { case (acc, (dd, p)) =>
+          val row = counts.sparkSession.range(1)
+            .select(lit(dd).as("digit"),
+              lit(p.toDouble).as("expected"))
+          Some(acc.fold(row)(_ unionByName row))
+        }.get
+      counts
+        .crossJoin(broadcast(counts.agg(sum(col("n")).as("_tot"))))
+        .join(broadcast(expDf), "digit")
+        .select(col("digit"), col("n"),
+          (col("n").cast("double") / col("_tot")).as("share"),
+          col("expected"),
+          abs((col("n").cast("double") / col("_tot")) - col("expected"))
+            .as("deviation"))
+        .orderBy(col("digit"))
+    }),
+
     // DQ (ext): k-anonymity audit — the re-identification gate beside
     // the PII scrub: group the table by its quasi-identifier tuple and
     // report how many equivalence classes fall below k=5 and how many
@@ -870,6 +910,20 @@ object CoreQueries {
       """SELECT CAST(1 AS BOOLEAN) AS ok_l_orderkey,
         |CAST(1 AS BOOLEAN) AS ok_l_partkey,
         |CAST(1 AS BOOLEAN) AS ok_l_suppkey""".stripMargin,
+    "dq_benford" -> {
+      val vals = BenfordExpected
+        .map { case (dd, p) => s"('$dd', CAST($p AS DOUBLE))" }
+        .mkString(", ")
+      s"""WITH c AS (SELECT substr(CAST(CAST(o_totalprice AS
+         |    DECIMAL(12,2)) AS VARCHAR), 1, 1) AS digit,
+         |  count(*) AS n FROM orders GROUP BY 1),
+         |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+         |e AS (SELECT * FROM (VALUES $vals) v(digit, expected))
+         |SELECT c.digit, c.n, CAST(c.n AS DOUBLE)/tot AS share,
+         |  e.expected,
+         |  abs(CAST(c.n AS DOUBLE)/tot - e.expected) AS deviation
+         |FROM c JOIN e USING (digit), tt ORDER BY c.digit""".stripMargin
+    },
     "dq_constraints" ->
       """WITH r AS (
         |SELECT 'customer_pk_unique' AS rule,

@@ -313,6 +313,31 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-family structural quality signals beyond t_quality_score:
+    // symbol-character fraction, alphabetic-word fraction, stopword
+    // fraction — the rule set web-scale curation applies before any
+    // model-based scoring. Every ratio is exact-int counts with ONE
+    // division (empty text guarded: ANSI double div by zero throws);
+    // pure per-row projections, zero shuffle.
+    "t_quality_gopher" -> ((s, d) => {
+      val ws = TextFunctions.tokens(col("text"))
+      val stop = Seq("the", "and", "of", "is", "to")
+      val symbolFrac = when(length(col("text")) === 0, lit(0.0))
+        .otherwise(
+          length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+            .cast("double") / length(col("text")))
+      val alphaFrac = size(filter(ws, w => w.rlike("[a-z]")))
+        .cast("double") / size(ws)
+      val stopFrac = size(filter(ws, w => w.isInCollection(stop)))
+        .cast("double") / size(ws)
+      docs(s, d).select(col("doc_id"),
+          symbolFrac.as("symbol_frac"), alphaFrac.as("alpha_word_frac"),
+          stopFrac.as("stopword_frac"))
+        .withColumn("keep",
+          col("alpha_word_frac") >= 0.8 && col("symbol_frac") <= 0.1)
+        .orderBy(col("doc_id"))
+    }),
+
     // The FULL curation funnel as one declarative plan: quality gate →
     // exact dedup (content-hash keeper) → near-dup clustering keeper —
     // what a training-data pipeline actually runs, end-to-end, with the
@@ -1430,6 +1455,21 @@ object TextQueries {
          |FROM part
          |ORDER BY tbl""".stripMargin
     },
+    "t_quality_gopher" ->
+      s"""WITH w AS (SELECT doc_id, text, $wsSql AS ws FROM documents),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN length(text)=0 THEN 0.0 ELSE
+         |    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '',
+         |      'g')) AS DOUBLE)/length(text) END AS symbol_frac,
+         |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+         |    AS DOUBLE)/len(ws) AS alpha_word_frac,
+         |  CAST(len(list_filter(ws,
+         |    x -> list_contains(['the','and','of','is','to'], x)))
+         |    AS DOUBLE)/len(ws) AS stopword_frac
+         |  FROM w)
+         |SELECT doc_id, symbol_frac, alpha_word_frac, stopword_frac,
+         |  (alpha_word_frac >= 0.8 AND symbol_frac <= 0.1) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
     "dq_pii_luhn" ->
       """WITH p AS (SELECT doc_id, text ||
         |  CASE WHEN doc_id%11=0 THEN ' pay 4532015112830366 now'

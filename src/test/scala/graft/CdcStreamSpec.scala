@@ -64,4 +64,46 @@ class CdcStreamSpec extends AnyFunSuite {
     CdcStream.applyBatch(batch, s"$dir/m", "k", attrs, "seq")
     assert(mirror(s"$dir/m").isEmpty)
   }
+
+  test("crash between swap renames never loses the mirror") {
+    // Simulate every crash window of the rename-aside swap and replay:
+    // prior state must survive — a replayed batch must NEVER rebuild
+    // from the empty prototype (the r4 ADVICE defect in the old
+    // delete-then-rename swap).
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val b1 = Seq(Chg("U", 1L, "a", 10L, 1), Chg("U", 2L, "b", 20L, 2))
+    val b2 = Seq(Chg("U", 2L, "b2", 21L, 3), Chg("U", 3L, "c", 30L, 4))
+    val after2 =
+      Map(1L -> ("a", 10L), 2L -> ("b2", 21L), 3L -> ("c", 30L))
+
+    // Crash A: new mirror fully written to .tmp, old mirror renamed
+    // aside, promotion rename never happened → path absent, tmp+old
+    // present. Replay must finish the swap, then apply idempotently.
+    val dA = s"${sys.props("java.io.tmpdir")}/cdc_cr_a_${System.nanoTime()}"
+    CdcStream.applyBatch(b1.toDF(), s"$dA/m", "k", attrs, "seq")
+    CdcStream.applyBatch(b2.toDF(), s"$dA/m", "k", attrs, "seq")
+    fs.rename(p(s"$dA/m"), p(s"$dA/m.tmp"))     // un-promote
+    CdcStream.applyBatch(b2.toDF(), s"$dA/m", "k", attrs, "seq")
+    assert(mirror(s"$dA/m") == after2)
+
+    // Crash B: promotion done but the aside copy never deleted →
+    // path + stale .old present. Replay must drop the leftover and
+    // stay idempotent.
+    val dB = s"${sys.props("java.io.tmpdir")}/cdc_cr_b_${System.nanoTime()}"
+    CdcStream.applyBatch(b1.toDF(), s"$dB/m", "k", attrs, "seq")
+    fs.mkdirs(p(s"$dB/m.old"))
+    CdcStream.applyBatch(b2.toDF(), s"$dB/m", "k", attrs, "seq")
+    assert(mirror(s"$dB/m") == after2)
+    assert(!fs.exists(p(s"$dB/m.old")) && !fs.exists(p(s"$dB/m.tmp")))
+
+    // Crash C: crash after rename-aside with tmp ALSO gone would mean
+    // only .old holds state — recovery must restore it before reading.
+    val dC = s"${sys.props("java.io.tmpdir")}/cdc_cr_c_${System.nanoTime()}"
+    CdcStream.applyBatch(b1.toDF(), s"$dC/m", "k", attrs, "seq")
+    fs.rename(p(s"$dC/m"), p(s"$dC/m.old"))
+    CdcStream.applyBatch(b2.toDF(), s"$dC/m", "k", attrs, "seq")
+    assert(mirror(s"$dC/m") == after2)
+  }
 }
