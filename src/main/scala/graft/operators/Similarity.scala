@@ -35,6 +35,53 @@ object Similarity {
     dot(ad, bd) / (norm(ad) * norm(bd))
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell–Goldstein): from a
+    * TOP-K CANDIDATE set (already retrieved — ≤ tens of rows by
+    * contract), greedily pick `k` items maximizing
+    * `lambda·rel − mu·max_{s∈selected} sim(item, s)` — the diversity
+    * re-rank a RAG stack runs after ANN retrieval so near-duplicate
+    * passages don't crowd the context window.
+    *
+    * `mu` is an EXPLICIT literal rather than 1−lambda: 1−0.7 in IEEE
+    * doubles is 0.30000000000000004 while an oracle writing `0.3` parses
+    * a different constant — the same both-engines-share-the-literal
+    * discipline as the Benford table. Pairwise candidate cosines are
+    * computed distributedly (k² rows, 6-dp rounded like every sim_*
+    * score); only the ≤k² score matrix ever reaches the driver — the
+    * tiny-bounds collect posture (BPE best-pair, k-means centroids).
+    * Ties break on the lower id at every pick.
+    * @return (rank 1..k, n_id, rel)
+    */
+  def mmrRerank(cands: DataFrame, idCol: String, vecCol: String,
+                relCol: String, k: Int, lambda: Double, mu: Double)
+      : DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val c = cands.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"), col(relCol).cast("double").as("rel"))
+    val sims = c.as("a").join(c.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("sim"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (i, j, s0) => (i, j) -> s0 }.toMap
+    val rels = c.select(col("id"), col("rel")).as[(Long, Double)]
+      .collect().toMap
+    var selected = Vector.empty[Long]
+    while (selected.size < math.min(k, rels.size)) {
+      val best = rels.keysIterator.filterNot(selected.contains)
+        .map { id =>
+          val pen = if (selected.isEmpty) 0.0
+                    else selected.iterator.map(s => sims((id, s))).max
+          (-(lambda * rels(id) - mu * pen), id)
+        }.min
+      selected :+= best._2
+    }
+    selected.zipWithIndex
+      .map { case (id, ix) => (ix + 1L, id, rels(id)) }
+      .toDF("rank", "n_id", "rel")
+  }
+
   /** Exact brute-force cosine top-k: for every query row, the k most
     * similar candidate rows (self-matches excluded). `queries` must be
     * small — it is broadcast.

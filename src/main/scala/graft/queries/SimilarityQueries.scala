@@ -57,6 +57,26 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // MMR diversity re-rank: top-20 cosine candidates for query vec 0,
+    // greedily re-ranked by λ·rel − μ·max-sim-to-selected (λ=0.7,
+    // μ=0.3 as an EXPLICIT shared literal — 1−0.7 is a different
+    // double than 0.3). The RAG post-retrieval step; candidate set and
+    // k² sim matrix are tiny by construction (see mmrRerank scaladoc).
+    "sim_mmr_rerank" -> ((s, d) => {
+      val v = emb(s, d)
+      val q = v.where(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"))
+      val cands = v.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("n_id"), col("embedding"),
+          round(Similarity.cosine(col("q_vec"), col("embedding")), 6)
+            .as("rel"))
+        .orderBy(col("rel").desc, col("n_id")).limit(20)
+      Similarity.mmrRerank(cands, "n_id", "embedding", "rel",
+          k = 5, lambda = 0.7, mu = 0.3)
+        .orderBy(col("rank"))
+    }),
+
     // Hard-negative mining — the contrastive-training companion of
     // top-k retrieval: for each query, the 5 MOST-similar vectors with
     // a DIFFERENT label (near-misses a trainer should push apart).
@@ -828,6 +848,52 @@ object SimilarityQueries {
          |  FROM s)
          |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=10
          |ORDER BY q_id, rank""".stripMargin,
+    "sim_mmr_rerank" -> {
+      // Greedy selection unrolled: round i picks the argmax of
+      // 0.7·rel − 0.3·max(sim to r_{i−1}) among unselected candidates
+      // (round 1 has no penalty term), ties to the lower id — the
+      // exact comparison sequence of Similarity.mmrRerank.
+      val rounds = (2 to 5).map { i =>
+        s"""s$i AS (SELECT c.n_id, c.rel FROM cand c
+           |  WHERE c.n_id NOT IN (SELECT n_id FROM r${i - 1})
+           |  ORDER BY CAST(0.7 AS DOUBLE)*c.rel - CAST(0.3 AS DOUBLE)*
+           |    (SELECT max(sim) FROM sims WHERE ia=c.n_id
+           |      AND ib IN (SELECT n_id FROM r${i - 1})) DESC, c.n_id
+           |  LIMIT 1),
+           |r$i AS (SELECT n_id FROM r${i - 1}
+           |  UNION ALL SELECT n_id FROM s$i)""".stripMargin
+      }.mkString(",\n")
+      val un = (2 to 5)
+        .map(i => s"UNION ALL SELECT $i, n_id, rel FROM s$i")
+        .mkString("\n")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |qv AS (SELECT e AS q_vec FROM v WHERE vec_id = 0),
+         |cs AS (SELECT vec_id AS n_id, e, round(
+         |   (SELECT sum(x*y)
+         |    FROM (SELECT unnest(q_vec) AS x, unnest(e) AS y))
+         |   / (sqrt((SELECT sum(x*x) FROM (SELECT unnest(q_vec) AS x)))
+         |      * sqrt((SELECT sum(y*y)
+         |              FROM (SELECT unnest(e) AS y)))), 6) AS rel
+         |  FROM v, qv WHERE vec_id <> 0),
+         |cand AS (SELECT n_id, e, rel FROM cs
+         |  ORDER BY rel DESC, n_id LIMIT 20),
+         |sims AS (SELECT a.n_id AS ia, b.n_id AS ib, round(
+         |   (SELECT sum(x*y)
+         |    FROM (SELECT unnest(a.e) AS x, unnest(b.e) AS y))
+         |   / (sqrt((SELECT sum(x*x) FROM (SELECT unnest(a.e) AS x)))
+         |      * sqrt((SELECT sum(y*y)
+         |              FROM (SELECT unnest(b.e) AS y)))), 6) AS sim
+         |  FROM cand a JOIN cand b ON a.n_id <> b.n_id),
+         |s1 AS (SELECT n_id, rel FROM cand
+         |  ORDER BY CAST(0.7 AS DOUBLE)*rel DESC, n_id LIMIT 1),
+         |r1 AS (SELECT n_id FROM s1),
+         |$rounds
+         |SELECT * FROM (
+         |SELECT CAST(1 AS BIGINT) AS rank, n_id, rel FROM s1
+         |$un)
+         |ORDER BY rank""".stripMargin
+    },
     "sim_hard_negatives" ->
       s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
          |  FROM embeddings),

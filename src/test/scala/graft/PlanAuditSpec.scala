@@ -381,6 +381,44 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing windows are doc-partitioned; no nested-lambda form") {
+    // The r4 codegen-cliff guard: the sliding min must be a WindowExec
+    // PARTITIONED by doc (never corpus-global), and the md5 gram hash
+    // must sit in exactly one higher-order lambda level (the 598s
+    // nested form would show a second transform over the first's
+    // output).
+    val df = SparkEntry.queries("t_winnow_fp")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"winnow window went corpus-global:\n$w"))
+    val p = plan("t_winnow_fp")
+    assert(!p.contains("array_min(slice"),
+      s"nested-lambda winnow form reappeared:\n$p")
+  }
+
+  test("RRF fusion never materializes a global sort of the corpus") {
+    // Both rankings cut to top-k via TakeOrderedAndProject before the
+    // rank windows/full-outer join; a Sort over either base relation
+    // means someone re-introduced the rank-the-world plan.
+    val p = plan("t_rrf_fusion")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k cut disappeared:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"query vector stopped broadcasting:\n$p")
+  }
+
+  test("dup-span profile shuffles on the gram exactly twice") {
+    // One exchange for the per-gram distinct-doc count, one to group
+    // the joined grams back per doc — never a pairwise join of docs.
+    val p = plan("t_dup_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"dup spans went pairwise:\n$p")
+  }
+
   test("headline aggregates keep whole-stage codegen on the hot path") {
     for (q <- Seq("d9_top_artists", "q1_agg")) {
       val p = plan(q)

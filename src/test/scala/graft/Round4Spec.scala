@@ -104,6 +104,22 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  // ---- MMR re-rank -----------------------------------------------------
+
+  test("mmrRerank: first pick is max-rel; near-dup demoted below diverse") {
+    // c2 is a near-copy of c1 (sim≈1) with high rel; c3 is orthogonal
+    // with lower rel. MMR must pick c1 first, then prefer c3 over c2.
+    val cands = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0.99),
+      (2L, Array(0.999f, 0.01f, 0.0f), 0.98),
+      (3L, Array(0.0f, 1.0f, 0.0f), 0.60)).toDF("n_id", "v", "rel")
+    val out = graft.operators.Similarity
+      .mmrRerank(cands, "n_id", "v", "rel", k = 3,
+        lambda = 0.7, mu = 0.3)
+      .orderBy($"rank").as[(Long, Long, Double)].collect()
+    assert(out.map(_._2).toSeq == Seq(1L, 3L, 2L))
+  }
+
   // ---- Luhn gate -------------------------------------------------------
 
   test("dq_pii_luhn: valid plants pass, invalid plants fail the mod-10") {
