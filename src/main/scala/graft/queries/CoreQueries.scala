@@ -571,6 +571,28 @@ object CoreQueries {
       Quality.report(custReport, liReport, fkReport)
     }),
 
+    // DQ (ext): one-pass completeness/cardinality profile — per column
+    // of a table: rows, nulls, exact distincts, in ONE aggregate over
+    // ONE scan (the multi-countDistinct expands map-side; the
+    // single-row result then unpivots via a literal struct array).
+    // The first profiling query run against any new lake table.
+    "dq_completeness" -> ((s, d) => {
+      val cols = Seq("c_custkey", "c_name", "c_mktsegment",
+        "c_nationkey", "c_acctbal")
+      val aggs = cols.flatMap(cn => Seq(
+        sum(when(col(cn).isNull, 1L).otherwise(0L)).as(s"null_$cn"),
+        countDistinct(col(cn)).as(s"nd_$cn"))) :+
+        count(lit(1)).as("n_rows")
+      t(s, d, "customer").agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(cn =>
+          struct(lit(cn).as("column"), col("n_rows"),
+            col(s"null_$cn").as("n_null"),
+            col(s"nd_$cn").as("n_distinct"))): _*)).as("r"))
+        .select(col("r.column"), col("r.n_rows"), col("r.n_null"),
+          col("r.n_distinct"))
+        .orderBy(col("column"))
+    }),
+
     // DQ (ext): Benford first-digit audit — the classic fabricated-data
     // screen: observed first-digit shares of order totals against the
     // Benford expectation log10(1+1/d), shipped as PINNED 6-dp literals
@@ -910,6 +932,17 @@ object CoreQueries {
       """SELECT CAST(1 AS BOOLEAN) AS ok_l_orderkey,
         |CAST(1 AS BOOLEAN) AS ok_l_partkey,
         |CAST(1 AS BOOLEAN) AS ok_l_suppkey""".stripMargin,
+    "dq_completeness" -> {
+      val cols = Seq("c_custkey", "c_name", "c_mktsegment",
+        "c_nationkey", "c_acctbal")
+      cols.map(cn =>
+        s"""SELECT '$cn' AS "column", count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $cn IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_null,
+           |  count(DISTINCT $cn) AS n_distinct FROM customer"""
+          .stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
     "dq_benford" -> {
       val vals = BenfordExpected
         .map { case (dd, p) => s"('$dd', CAST($p AS DOUBLE))" }

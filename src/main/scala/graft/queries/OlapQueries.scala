@@ -180,6 +180,27 @@ object OlapQueries {
         .orderBy(col("day"))
     }),
 
+    // Cumulative distinct customers by month — the "running distinct"
+    // a window function cannot express directly at scale (no
+    // count(DISTINCT) over a running frame): instead each customer
+    // collapses to their FIRST month (one grouped min), and the
+    // cumulative count is a window over the |months| aggregate. The
+    // active-user growth curve, computed without ever carrying a
+    // distinct-set through a window.
+    "olap_running_distinct" -> ((s, d) => {
+      val firstSeen = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(trunc(col("o_orderdate"), "month")).as("first_mo"))
+      val perMo = firstSeen.groupBy(col("first_mo"))
+        .agg(count(lit(1)).as("new_customers"))
+      val w = Window.orderBy(col("first_mo"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perMo
+        .withColumn("cum_customers",
+          sum(col("new_customers")).over(w).cast("long"))
+        .orderBy(col("first_mo"))
+    }),
+
     // Winsorized mean — the robust aggregate: order totals clipped to
     // their per-status [p10, p90] before averaging, so a handful of
     // extreme rows can't swing the statistic (the outlier-tolerant twin
@@ -803,6 +824,16 @@ object OlapQueries {
         |CAST(sum(n) OVER (ORDER BY yr ROWS BETWEEN UNBOUNDED PRECEDING
         |  AND CURRENT ROW) AS BIGINT) AS cum_n
         |FROM y ORDER BY yr""".stripMargin,
+    "olap_running_distinct" ->
+      """WITH f AS (SELECT o_custkey,
+        |  min(date_trunc('month', o_orderdate)) AS first_mo
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT first_mo, count(*) AS new_customers FROM f
+        |  GROUP BY 1)
+        |SELECT first_mo, new_customers,
+        |  CAST(sum(new_customers) OVER (ORDER BY first_mo
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_customers
+        |FROM m ORDER BY first_mo""".stripMargin,
     "olap_winsorized" ->
       """WITH f AS (SELECT o_orderstatus AS st,
         |  CAST(CAST(o_totalprice AS DECIMAL(12,2))*100 AS BIGINT) AS v
