@@ -51,4 +51,29 @@ object AsofJoin {
       .where(col("_side") === 1)
       .select(col("_l.*") +: payload.map(c => col(s"_asof.$c")): _*)
   }
+
+  /** As-of join WITH a staleness bound — the "recent quote only"
+    * semantics: a match farther than `maxGapUs` microseconds before the
+    * left row is treated as NO match (payload nulled), so a years-old
+    * last-known value can never silently enrich today's row. Same
+    * single-shuffle carry-forward plan as [[asofJoin]] plus one per-row
+    * predicate; `payload` must carry `rightTime` so the gap is testable
+    * on the joined row.
+    */
+  def asofJoinWithin(left: DataFrame, right: DataFrame,
+                     keyCols: Seq[String], leftTime: String,
+                     rightTime: String, payload: Seq[String],
+                     maxGapUs: Long): DataFrame = {
+    require(payload.contains(rightTime),
+      s"payload must include $rightTime for the staleness test")
+    val j = asofJoin(left, right, keyCols, leftTime, rightTime, payload)
+    val stale = col(rightTime).isNull ||
+      unix_micros(col(leftTime)) - unix_micros(col(rightTime)) >
+        maxGapUs
+    val out = j.withColumn("_stale", stale)
+    out.select(out.columns.filterNot(_ == "_stale").map { c =>
+      if (payload.contains(c)) when(!col("_stale"), col(c)).as(c)
+      else col(c)
+    }.toIndexedSeq: _*)
+  }
 }

@@ -168,6 +168,30 @@ object EventQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Tolerance as-of: each purchase enriched by its latest prior view
+    // ONLY if that view is within 10 minutes — stale last-known values
+    // null out instead of silently enriching (AsofJoin.asofJoinWithin).
+    // The oracle replays DuckDB's native ASOF JOIN with the same gap
+    // CASE, so the carry-forward + staleness predicate is proven
+    // equivalent to the declarative form.
+    "ev_asof_tolerance" -> ((s, d) => {
+      val e = ev(s, d)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"))
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("event_id"))
+        .groupBy(col("user_id"), col("view_ts"))
+        .agg(max(col("event_id")).as("view_id"))
+      graft.operators.AsofJoin.asofJoinWithin(purchases, views,
+          Seq("user_id"), "ts", "view_ts", Seq("view_id", "view_ts"),
+          maxGapUs = 600000000L)
+        .select(col("purchase_id"), col("user_id"), col("view_id"),
+          (unix_micros(col("ts")) - unix_micros(col("view_ts")))
+            .as("gap_us"))
+        .orderBy(col("purchase_id"))
+    }),
+
     // Cascaded rollup maintenance: the summary-table ladder every metrics
     // warehouse keeps — events aggregate ONCE into minute partials, hours
     // build from minute PARTIALS, days from hour partials; raw events are
@@ -606,6 +630,19 @@ object EventQueries {
         |  date_diff('microsecond', v.ts, p.ts) AS gap_us
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY purchase_id""".stripMargin,
+    "ev_asof_tolerance" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+        |  FROM events WHERE event_type='purchase'),
+        |v AS (SELECT user_id, ts, max(event_id) AS view_id
+        |  FROM events WHERE event_type='view' GROUP BY 1,2),
+        |j AS (SELECT p.purchase_id, p.user_id, v.view_id,
+        |  date_diff('microsecond', v.ts, p.ts) AS gap_us
+        |  FROM p ASOF LEFT JOIN v
+        |    ON p.user_id = v.user_id AND p.ts >= v.ts)
+        |SELECT purchase_id, user_id,
+        |  CASE WHEN gap_us <= 600000000 THEN view_id END AS view_id,
+        |  CASE WHEN gap_us <= 600000000 THEN gap_us END AS gap_us
+        |FROM j ORDER BY purchase_id""".stripMargin,
     "ev_attribution" ->
       """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
         |  FROM events WHERE event_type='view'),
