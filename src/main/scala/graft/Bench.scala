@@ -81,7 +81,14 @@ object Bench {
     // keeps the redundant-retrain IVF-PQ variant out of the headline.)
     "t_winnow_fp", "g_bfs_hops", "dq_pii_luhn",
     "sim_hard_negatives", "w_moving_avg",
-    "t_rrf_fusion", "t_dup_spans", "olap_winsorized")
+    "t_rrf_fusion", "t_dup_spans", "olap_winsorized",
+    // Late round-4 first-ships (no pins yet — gated from the round
+    // they first appear in a driver bench): winnow candidate pairs,
+    // keyword extraction, Gopher quality, Benford audit, tolerance
+    // as-of, MMR re-rank, running distinct, completeness profile.
+    "t_winnow_pairs", "t_keywords", "t_quality_gopher", "dq_benford",
+    "ev_asof_tolerance", "sim_mmr_rerank", "olap_running_distinct",
+    "dq_completeness")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the
