@@ -131,8 +131,11 @@ object RetrievalQueries {
       val grams = docs(s, d).select(col("doc_id"),
         explode(graft.functions.TextFunctions.shingles(col("text"), 8))
           .as("g"))
+      // shingles() is per-doc distinct, so each doc contributes one row
+      // per gram: count(*) ≡ count(DISTINCT doc_id) without the
+      // distinct-aggregate expand.
       val df8 = grams.groupBy(col("g"))
-        .agg(countDistinct(col("doc_id")).as("ndocs"))
+        .agg(count(lit(1)).as("ndocs"))
       grams.join(df8, Seq("g"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).cast("long").as("n_grams"),

@@ -83,8 +83,11 @@ object TextQueries {
     // window). One equi-join on the fingerprint value — the LSH-bucket
     // shape, with the same bucket-skew mitigations at scale.
     "t_winnow_pairs" -> ((s, d) => {
+      // Both join sides read the SAME fingerprint set — materialize it
+      // once (at the lake this is the staged fingerprint table) instead
+      // of running the window+explode twice.
       val fps = Dedup.winnowSets(docs(s, d), "doc_id", "text", 3, 4)
-        .distinct()
+        .distinct().localCheckpoint()
       fps.as("a").join(fps.as("b"),
           col("a._wmin") === col("b._wmin") &&
             col("a.doc_id") < col("b.doc_id"))
