@@ -88,7 +88,7 @@ object Bench {
     // as-of, MMR re-rank, running distinct, completeness profile.
     "t_winnow_pairs", "t_keywords", "t_quality_gopher", "dq_benford",
     "ev_asof_tolerance", "sim_mmr_rerank", "olap_running_distinct",
-    "dq_completeness")
+    "dq_completeness", "t_tokens_regex", "t_containment_scaled")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

@@ -77,6 +77,56 @@ object TextQueries {
       Dedup.winnowFingerprints(docs(s, d), "doc_id", "text", k = 3, w = 4)
         .orderBy(col("doc_id"))),
 
+    // BPE-ish regex token count (the GPT-2 pretokenizer family, minus
+    // RE2-unsupported lookahead): contractions / letter runs / digit
+    // runs / punct runs / whitespace — the second token-count axis the
+    // brief names beside whitespace counting. Both engines run the
+    // IDENTICAL pattern (leftmost-first alternation in Java regex and
+    // RE2 agree on this grammar); ratio is one exact-int division.
+    "t_tokens_regex" -> ((s, d) => {
+      val pat = "'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+"
+      val nBpe = regexp_count(lower(col("text")), lit(pat))
+      val nWs = TextFunctions.tokenCount(col("text"))
+      docs(s, d).select(col("doc_id"),
+          nWs.as("n_ws"), nBpe.cast("long").as("n_bpe"),
+          when(nWs === 0, lit(0.0))
+            .otherwise(nBpe.cast("double") / nWs).as("bpe_per_word"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Winnow-candidate containment — the SCALE PATH promised in
+    // SCALE.md for the directional check: candidates come from shared
+    // winnowing fingerprints (≥2, both directions) instead of blocked
+    // all-pairs, then the exact |A∩B|/|A| verify runs on candidates
+    // only. Linear in fingerprint volume + candidate count — the shape
+    // that replaces t_containment's block-quadratic scan at 100 TB.
+    "t_containment_scaled" -> ((s, d) => {
+      val dd = docs(s, d)
+      val fps = Dedup.winnowSets(dd, "doc_id", "text", 3, 4)
+        .distinct().localCheckpoint()
+      val cand = fps.as("a").join(fps.as("b"),
+          col("a._wmin") === col("b._wmin") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_in"),
+          col("b.doc_id").as("id_out"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+        .select(col("id_in"), col("id_out"))
+      val sh = dd.select(col("doc_id"),
+        TextFunctions.shingles(col("text"), 3).as("sh"))
+      cand
+        .join(sh.withColumnsRenamed(
+          Map("doc_id" -> "id_in", "sh" -> "sh_a")), "id_in")
+        .join(sh.withColumnsRenamed(
+          Map("doc_id" -> "id_out", "sh" -> "sh_b")), "id_out")
+        .withColumn("_i", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .where(col("_i") * 100 >= lit(50) * size(col("sh_a")))
+        .select(col("id_in"), col("id_out"),
+          (col("_i").cast("double") / size(col("sh_a")))
+            .as("containment"))
+        .orderBy(col("id_in"), col("id_out"))
+    }),
+
     // Winnow-fingerprint candidate pairs: docs sharing ≥ 2 local
     // fingerprints — the candidate generator for passage-level reuse
     // detection (each shared fingerprint certifies a shared ≥ 6-token
@@ -1028,6 +1078,39 @@ object TextQueries {
          |  len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS la
          |  FROM shs a JOIN shs b ON a.lang=b.lang AND a.source=b.source
          |    AND a.doc_id<>b.doc_id)
+         |SELECT id_in, id_out, CAST(i AS DOUBLE)/la AS containment
+         |FROM p WHERE i*100 >= 50*la ORDER BY 1, 2""".stripMargin,
+    "t_tokens_regex" -> {
+      val pat = "''(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+"
+      s"""WITH w AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text))=0 THEN 0
+         |    ELSE len($wsSql) END AS n_ws,
+         |  len(regexp_extract_all(lower(text), '$pat')) AS n_bpe
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_ws AS BIGINT) AS n_ws,
+         |  CAST(n_bpe AS BIGINT) AS n_bpe,
+         |  CASE WHEN n_ws=0 THEN CAST(0 AS DOUBLE)
+         |    ELSE CAST(n_bpe AS DOUBLE)/n_ws END AS bpe_per_word
+         |FROM w ORDER BY doc_id""".stripMargin
+    },
+    "t_containment_scaled" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  list_filter($wsSql, t -> length(t)>0) AS ws FROM documents),
+         |g AS (SELECT doc_id,
+         |  list_transform(range(1, greatest(len(ws)-2,1)+1),
+         |    i -> md5(array_to_string(ws[i:i+2],' '))) AS gs FROM w),
+         |f AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |  range(1, greatest(len(gs)-3,1)+1),
+         |  j -> list_aggregate(gs[j:j+3], 'min')))) AS fp FROM g),
+         |cand AS (SELECT a.doc_id AS id_in, b.doc_id AS id_out
+         |  FROM f a JOIN f b ON a.fp=b.fp AND a.doc_id<>b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*)>=2),
+         |w2 AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |shs AS (SELECT doc_id, $sh3Sql AS sh FROM w2),
+         |p AS (SELECT id_in, id_out,
+         |  len(list_intersect(x.sh, y.sh)) AS i, len(x.sh) AS la
+         |  FROM cand JOIN shs x ON cand.id_in=x.doc_id
+         |    JOIN shs y ON cand.id_out=y.doc_id)
          |SELECT id_in, id_out, CAST(i AS DOUBLE)/la AS containment
          |FROM p WHERE i*100 >= 50*la ORDER BY 1, 2""".stripMargin,
     "t_winnow_pairs" ->
