@@ -185,6 +185,23 @@ object Bench {
       try materialize(name, sfDir) catch { case _: Throwable => () }
     }
 
+    // Settle phase (r4 advice, r4-vs-r5 evidence): the warm-up pass just
+    // queued ~60 queries' worth of shuffle files, broadcasts, and
+    // checkpoint blocks for async ContextCleaner cleanup; if the first
+    // timed queries run while that backlog drains, they absorb cleanup
+    // contention their plans don't own (r4's driver session flagged 16
+    // phantom regressions — d1-d3 at 14-16× — that r5 re-measured at
+    // 1.01× aggregate with identical code). Drop caches, force the weak-
+    // reference GC the cleaner keys on, give the daemon a moment to
+    // drain, then burn one sacrificial query so the first TIMED query
+    // doesn't pay the post-GC warm-back either.
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = true))
+    System.gc()
+    Thread.sleep(3000)
+    spark.range(10000000L).selectExpr("sum(id * 2)").collect()
+
     // Median of 3 timed repetitions per query: single runs at this scale
     // carry ±30% scheduler/GC noise, which would drown real plan
     // regressions between rounds. Any failed run poisons the median to
@@ -225,12 +242,19 @@ object Bench {
 
     val total = results.flatMap(_._2).sum
     val regs = jmap(regressions.map { case (k, v) => k -> Option(v) })
-    // Full detail (incl. the wide scaling map) goes to a FILE; stdout
-    // stays one compact line. Round 3's 60-query stdout line outgrew the
-    // driver's captured tail and it recorded no structured medians at
-    // all (BENCH_r03 `parsed: null`).
-    val core = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${jmap(results)},"regressions":$regs,"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${jmap(results)},"regressions":$regs,"scaling":${jmap(scaling)},"sf":"$sfDir"}"""
+    // A query that threw is NOT a regression-map no-show: it's listed by
+    // name, so an empty regressions map can never be mistaken for a
+    // fully-measured clean run (r5 reported `regressions: {}` while 10
+    // pinned queries were null — ADVICE r5). `value` sums only measured
+    // queries; `measured` says how many that is, out of `of`.
+    val failed = results.collect { case (n, None) => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
+    // stdout stays one COMPACT line — no per-query map at all. The r3-r5
+    // drivers captured only the tail of stdout and `parsed` came back
+    // null four rounds running once the queries map outgrew the capture.
+    // Full detail (queries + scaling maps) goes to the BENCH.json file.
+    val core = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","measured":${results.count(_._2.nonEmpty)},"of":${results.size},"failed":$failed,"regressions":$regs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","measured":${results.count(_._2.nonEmpty)},"of":${results.size},"failed":$failed,"queries":${jmap(results)},"regressions":$regs,"scaling":${jmap(scaling)},"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try {
       val w = new java.io.PrintWriter(outFile, "UTF-8")

@@ -312,7 +312,13 @@ object OlapQueries {
     // integer aggregates. The rank window runs over the per-customer
     // revenue AGGREGATE (region-partitioned, |customers| rows), never
     // order rows; equal revenues contribute identically under any tie
-    // order, so the statistic is deterministic.
+    // order, so the statistic is deterministic. The integer aggregates
+    // themselves are exact, but sv*sv (~1e18 in cents²) exceeds 2^53, so
+    // the final decimal→double conversion rounds — and Spark and DuckDB
+    // landed one ulp apart on it at sf0.001. Both statistics are rounded
+    // to 12 digits on BOTH sides: a last-ulp (~1e-17) divergence cannot
+    // survive a 1e-12 round, and 12 digits is far beyond any analytical
+    // use of a concentration index.
     "olap_concentration" -> ((s, d) => {
       val perCust = ordersGeo(s, d)
         .groupBy(col("r_name"), col("c_custkey"))
@@ -328,11 +334,11 @@ object OlapQueries {
           sum((col("rn") * col("v")).cast("decimal(38,0)")).as("siv"),
           sum((col("v") * col("v")).cast("decimal(38,0)")).as("sv2"))
         .select(col("r_name").as("region"), col("n"),
-          ((lit(2) * col("siv") - (col("n") + 1) * col("sv"))
-            .cast("double") / (col("n") * col("sv")).cast("double"))
+          round((lit(2) * col("siv") - (col("n") + 1) * col("sv"))
+            .cast("double") / (col("n") * col("sv")).cast("double"), 12)
             .as("gini"),
-          (col("sv2").cast("double") /
-            (col("sv") * col("sv")).cast("double")).as("hhi"))
+          round(col("sv2").cast("double") /
+            (col("sv") * col("sv")).cast("double"), 12).as("hhi"))
         .orderBy(col("region"))
     }),
 
@@ -569,8 +575,9 @@ object OlapQueries {
         |  CAST(sum(v*v) AS DECIMAL(38,0)) AS sv2
         |  FROM rk GROUP BY 1)
         |SELECT r_name AS region, n,
-        |  CAST(2*siv - (n+1)*sv AS DOUBLE) / CAST(n*sv AS DOUBLE) AS gini,
-        |  CAST(sv2 AS DOUBLE) / CAST(sv*sv AS DOUBLE) AS hhi
+        |  round(CAST(2*siv - (n+1)*sv AS DOUBLE)
+        |        / CAST(n*sv AS DOUBLE), 12) AS gini,
+        |  round(CAST(sv2 AS DOUBLE) / CAST(sv*sv AS DOUBLE), 12) AS hhi
         |FROM m ORDER BY 1""".stripMargin,
     "fi_recs_user" ->
       """WITH own AS (SELECT DISTINCT o.o_custkey AS cust,

@@ -21,17 +21,32 @@ object Tables {
 
   /** S8: parquet read. Schema is embedded; nothing to pin.
     *
-    * `events.parquet` stores TIMESTAMP(NANOS), which Spark's µs timestamp
-    * type refuses outright; we read nanos as long and truncate to µs
-    * (identical to how DuckDB surfaces the same file, so oracle
-    * comparisons agree).
+    * `events.parquet` has shipped two `ts` encodings across corpus drops:
+    * TIMESTAMP(NANOS) (which Spark's µs timestamp refuses unless
+    * `nanosAsLong` surfaces it as int64) and, since the round-5 corpus,
+    * a plain TIMESTAMP(µs). The loader is SCHEMA-ADAPTIVE: it inspects the
+    * resolved type of `ts` and only applies the nanos→µs rewrite when the
+    * column actually arrived as int64. A µs column is normalized from
+    * TIMESTAMP_NTZ to the session-zoned TimestampType — with the session
+    * pinned to UTC (GraftSession.tuned) the values are bit-identical to
+    * what the nanos path produced, so every downstream query and DuckDB
+    * oracle comparison is unaffected by which corpus generation is on
+    * disk. (nanosAsLong is a no-op for µs files, so setting it is safe in
+    * both worlds; without it the nanos-era read throws before the schema
+    * can even be inspected.)
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, expr}
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
@@ -39,9 +54,25 @@ object Tables {
   /** Register every synthetic table as a temp view so `spark.sql` queries
     * (the engine's SQL surface, SURVEY.md §3 "ad-hoc entry points") can
     * name them exactly like the DuckDB oracle does.
+    *
+    * Fault-isolated: a table whose load fails (e.g. corpus drift changing
+    * a column encoding) is reported to stderr and skipped, so queries that
+    * never touch it still plan — in round 5 an eager all-or-nothing
+    * registration let a broken events loader take down the unrelated
+    * `s2_sql_scan`/`s4_catalog`. A query that DOES need the bad table
+    * still fails loudly at resolution (TABLE_OR_VIEW_NOT_FOUND), and
+    * CorpusSmokeSpec fails the build on any load failure, so nothing is
+    * silently masked.
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    synthetic.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    synthetic.foreach { n =>
+      try load(spark, dir, n).createOrReplaceTempView(n)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft] registerAll: skipping table '$n' (${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.next()})")
+      }
+    }
 
   /** Pinned schema for the reference's Spotify tracks CSV
     * (README.md:91-96). Includes the stray `Unnamed: 0` index column the
