@@ -136,7 +136,18 @@ object Bench {
     "t_winnow_fp" -> 9.24, "g_bfs_hops" -> 1.16, "dq_pii_luhn" -> 0.23,
     "sim_hard_negatives" -> 0.61, "w_moving_avg" -> 0.28,
     "t_rrf_fusion" -> 1.01, "t_dup_spans" -> 6.92,
-    "olap_winsorized" -> 1.12)
+    "olap_winsorized" -> 1.12,
+    // Round-6 pins for the nine queries that shipped after the r4 pin
+    // run — all from ONE full-set 77-query settle-phased run (sf0.1,
+    // local[32], median-of-3, quiet host; total 184.8 s, zero failures,
+    // zero regressions — BASELINE.md "Round 6"). The same run measured
+    // sim_topk_pq at 15.7 s, under its 17.9 pin, settling the r5 drift
+    // question (host noise, not plan drift).
+    "t_winnow_pairs" -> 10.15, "t_keywords" -> 0.61,
+    "t_quality_gopher" -> 0.69, "dq_benford" -> 0.44,
+    "ev_asof_tolerance" -> 0.42, "sim_mmr_rerank" -> 0.48,
+    "olap_running_distinct" -> 0.18, "dq_completeness" -> 0.46,
+    "t_tokens_regex" -> 0.63)
 
   def main(args: Array[String]): Unit = {
     // Optional args: restrict to the named queries (local plan iteration

@@ -16,6 +16,36 @@ object TextQueries {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
+  /** Diverse-corpus fixture derived deterministically from the documents
+    * table (`t_containment_diverse`): per-doc unique md5 pseudo-tokens;
+    * every 20th doc appends one of `G = max(1, n/200)` shared 20-token
+    * passages (template = (doc_id/20) mod G, so group size stays ~10 at
+    * every corpus size); every 100th doc is mostly-passage (5 unique
+    * tokens) so the directional verify has true positives. The corpus
+    * count rides in as a broadcast 1-row aggregate — no driver collect —
+    * and the whole construction is exact-replayable in DuckDB (md5 of
+    * identical strings, 1-based substr in both engines).
+    */
+  private def diverseDocs(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"))
+    val n = base.agg(count(lit(1)).cast("long").as("_nd"))
+    base.crossJoin(broadcast(n))
+      .withColumn("_tpl",
+        expr("(doc_id div 20) % greatest(1, _nd div 200)"))
+      .withColumn("_nu", expr("IF(doc_id % 100 = 0, 5, 40)"))
+      .withColumn("_t1", expr(
+        "array_join(transform(sequence(1, _nu), i -> substring(md5(" +
+          "concat('u', cast(doc_id as string), '-', cast(i as string))" +
+          "), 1, 8)), ' ')"))
+      .withColumn("text", when(expr("doc_id % 20 = 0"),
+        concat(col("_t1"), lit(" "), expr(
+          "array_join(transform(sequence(1, 20), j -> substring(md5(" +
+            "concat('p', cast(_tpl as string), '-', cast(j as string))" +
+            "), 1, 8)), ' ')")))
+        .otherwise(col("_t1")))
+      .select(col("doc_id"), col("text"))
+  }
+
   private val stop = Seq("the", "a")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -113,6 +143,47 @@ object TextQueries {
         .where(col("n_shared") >= 2)
         .select(col("id_in"), col("id_out"))
       val sh = dd.select(col("doc_id"),
+        TextFunctions.shingles(col("text"), 3).as("sh"))
+      cand
+        .join(sh.withColumnsRenamed(
+          Map("doc_id" -> "id_in", "sh" -> "sh_a")), "id_in")
+        .join(sh.withColumnsRenamed(
+          Map("doc_id" -> "id_out", "sh" -> "sh_b")), "id_out")
+        .withColumn("_i", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .where(col("_i") * 100 >= lit(50) * size(col("sh_a")))
+        .select(col("id_in"), col("id_out"),
+          (col("_i").cast("double") / size(col("sh_a")))
+            .as("containment"))
+        .orderBy(col("id_in"), col("id_out"))
+    }),
+
+    // The same winnow-candidate containment pipeline over a DIVERSE
+    // corpus fixture (SCALE.md carried item): the driver's synthetic
+    // documents are templated, so winnow fingerprints collide nearly
+    // all-pairs and the candidate set degenerates to the quadratic one —
+    // the pipeline's near-linear candidate claim could only be argued,
+    // not measured. The fixture derives a diverse corpus from the SAME
+    // documents table (no synthesized inputs): each doc gets unique
+    // md5-derived pseudo-tokens, every 20th doc additionally carries one
+    // of G shared 20-token passages where G = max(1, n_docs/200) — so
+    // passage-group SIZE stays ~10 docs at every corpus size while group
+    // COUNT grows linearly. Candidate volume = Σ group² ≈ 100·G = LINEAR
+    // in the corpus (measured in SCALE.md), while every-100th doc is
+    // mostly-passage and passes the directional ≥50% verify against its
+    // group — so the output exercises the full candidate→verify chain.
+    "t_containment_diverse" -> ((s, d) => {
+      val dv = diverseDocs(s, d)
+      val fps = Dedup.winnowSets(dv, "doc_id", "text", 3, 4)
+        .distinct().localCheckpoint()
+      val cand = fps.as("a").join(fps.as("b"),
+          col("a._wmin") === col("b._wmin") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_in"),
+          col("b.doc_id").as("id_out"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+        .select(col("id_in"), col("id_out"))
+      val sh = dv.select(col("doc_id"),
         TextFunctions.shingles(col("text"), 3).as("sh"))
       cand
         .join(sh.withColumnsRenamed(
@@ -1106,6 +1177,42 @@ object TextQueries {
          |  FROM f a JOIN f b ON a.fp=b.fp AND a.doc_id<>b.doc_id
          |  GROUP BY 1, 2 HAVING count(*)>=2),
          |w2 AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |shs AS (SELECT doc_id, $sh3Sql AS sh FROM w2),
+         |p AS (SELECT id_in, id_out,
+         |  len(list_intersect(x.sh, y.sh)) AS i, len(x.sh) AS la
+         |  FROM cand JOIN shs x ON cand.id_in=x.doc_id
+         |    JOIN shs y ON cand.id_out=y.doc_id)
+         |SELECT id_in, id_out, CAST(i AS DOUBLE)/la AS containment
+         |FROM p WHERE i*100 >= 50*la ORDER BY 1, 2""".stripMargin,
+    "t_containment_diverse" ->
+      s"""WITH nd AS (SELECT count(*) AS n FROM documents),
+         |cfg AS (SELECT doc_id,
+         |  (doc_id // 20) % greatest(1, n // 200) AS tpl,
+         |  CASE WHEN doc_id % 100 = 0 THEN 5 ELSE 40 END AS nu,
+         |  doc_id % 20 = 0 AS shr
+         |  FROM documents, nd),
+         |dv AS (SELECT doc_id,
+         |  array_to_string(list_transform(range(1, nu+1),
+         |    i -> substr(md5(concat('u', CAST(doc_id AS VARCHAR), '-',
+         |      CAST(i AS VARCHAR))), 1, 8)), ' ')
+         |  || CASE WHEN shr THEN ' ' ||
+         |    array_to_string(list_transform(range(1, 21),
+         |      j -> substr(md5(concat('p', CAST(tpl AS VARCHAR), '-',
+         |        CAST(j AS VARCHAR))), 1, 8)), ' ')
+         |  ELSE '' END AS text
+         |  FROM cfg),
+         |w AS (SELECT doc_id,
+         |  list_filter($wsSql, t -> length(t)>0) AS ws FROM dv),
+         |g AS (SELECT doc_id,
+         |  list_transform(range(1, greatest(len(ws)-2,1)+1),
+         |    i -> md5(array_to_string(ws[i:i+2],' '))) AS gs FROM w),
+         |f AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |  range(1, greatest(len(gs)-3,1)+1),
+         |  j -> list_aggregate(gs[j:j+3], 'min')))) AS fp FROM g),
+         |cand AS (SELECT a.doc_id AS id_in, b.doc_id AS id_out
+         |  FROM f a JOIN f b ON a.fp=b.fp AND a.doc_id<>b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*)>=2),
+         |w2 AS (SELECT doc_id, $wsSql AS ws FROM dv),
          |shs AS (SELECT doc_id, $sh3Sql AS sh FROM w2),
          |p AS (SELECT id_in, id_out,
          |  len(list_intersect(x.sh, y.sh)) AS i, len(x.sh) AS la
