@@ -95,7 +95,13 @@ object Bench {
     // corpus's timing, is the scale argument (SCALE.md).
     "t_winnow_pairs", "t_keywords", "t_quality_gopher", "dq_benford",
     "ev_asof_tolerance", "sim_mmr_rerank", "olap_running_distinct",
-    "dq_completeness", "t_tokens_regex")
+    "dq_completeness", "t_tokens_regex",
+    // Round-6 first-ships: per-doc n-gram novelty (first-occurrence
+    // attribution) and DSIR-style importance selection.
+    // t_containment_diverse stays correctness-only: it is a fixture
+    // whose JOB is measuring candidate volume (SCALE.md r6), not a
+    // workload.
+    "t_novelty", "t_dsir_select")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the
@@ -147,7 +153,12 @@ object Bench {
     "t_quality_gopher" -> 0.69, "dq_benford" -> 0.44,
     "ev_asof_tolerance" -> 0.42, "sim_mmr_rerank" -> 0.48,
     "olap_running_distinct" -> 0.18, "dq_completeness" -> 0.46,
-    "t_tokens_regex" -> 0.63)
+    "t_tokens_regex" -> 0.63,
+    // Round-6 first-ship pins, from the SECOND full-set run of the
+    // round (79 queries, 165.8 s, zero failures, zero regressions —
+    // the run that also confirmed the staged weighted-PageRank fix at
+    // 3.79 s vs its 7.48 pin in-set).
+    "t_novelty" -> 3.78, "t_dsir_select" -> 5.12)
 
   def main(args: Array[String]): Unit = {
     // Optional args: restrict to the named queries (local plan iteration

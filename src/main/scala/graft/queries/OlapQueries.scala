@@ -438,10 +438,15 @@ object OlapQueries {
 
     // Support-weighted PageRank over the symmetric co-purchase graph:
     // rank mass follows co-purchase strength, not edge count. Integer
-    // micro-units; the oracle unrolls all 3 rounds bit-for-bit.
+    // micro-units; the oracle unrolls all 3 rounds bit-for-bit. The
+    // pair graph is STAGED once — edges (both directions) and the node
+    // set all derive from it, so the lineitem basket self-join runs one
+    // time, not once per derivation (at the lake this is the staged
+    // co-occurrence edge table every graph query reads).
     "g_pagerank_weighted" -> ((s, d) => {
       val p = graft.operators.Itemsets.frequentPairs(
         t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
+        .localCheckpoint()
       val e = p.select(col("item_a").as("src"), col("item_b").as("dst"),
           col("support").as("w"))
         .unionByName(p.select(col("item_b").as("src"),

@@ -218,6 +218,66 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Per-document n-gram NOVELTY — first-occurrence attribution: what
+    // fraction of a doc's distinct 8-gram shingles appears in NO
+    // lower-id document (corpus order = ingestion order). The
+    // source-contribution metric behind "how much fresh text does this
+    // crawl/source add" — the doc-level dual of t_dup_spans' gram-level
+    // profile. Shape: distinct (doc, gram) pairs, min(doc_id) window
+    // partitioned BY GRAM (one shuffle on the gram, the same key
+    // t_dup_spans shuffles on), then a per-doc count aggregate (second
+    // shuffle on doc_id) — linear in corpus gram volume at any size,
+    // never pairwise. Novelty is one exact int/int division.
+    "t_novelty" -> ((s, d) => {
+      val pairs = docs(s, d).select(col("doc_id"),
+          explode(TextFunctions.shingles(col("text"), 8)).as("gram"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("gram"))
+      pairs.withColumn("_first", min(col("doc_id")).over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("_first") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          col("n_novel").cast("double") / col("n_grams"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR-style importance selection (Xie et al., "Data Selection for
+    // Language Models via Importance Resampling"): score every doc by
+    // how target-like its hashed n-gram feature profile is, select the
+    // top-k. Features are distinct 2-gram shingles hashed into 4096
+    // md5-prefix buckets (string buckets — no hex→int conversion to
+    // drift between engines); target = the `en` slice of the corpus.
+    // DSIR's log-ratio Σ log(p_t(b)/p_r(b)) is NOT cross-engine exact
+    // (libm log differs in the last ulp), so the score is the exact
+    // integer CONTRAST Σ_b (T_b·R − R_b·T) over the doc's buckets —
+    // positive ⇔ the bucket mix leans target — which preserves DSIR's
+    // ranking intent with bit-identical arithmetic. Scale shape: the
+    // 4096-row bucket table BROADCASTS back onto the doc-bucket pairs
+    // (map-side), so the whole selection is one gram-explode scan + two
+    // hash aggregates + a TakeOrdered — linear at any corpus size.
+    "t_dsir_select" -> ((s, d) => {
+      val db = docs(s, d).select(col("doc_id"), col("lang"),
+          explode(TextFunctions.shingles(col("text"), 2)).as("g"))
+        .select(col("doc_id"), col("lang"),
+          substring(md5(col("g")), 1, 3).as("b"))
+        .distinct()
+      val agg = db.groupBy(col("b")).agg(
+        count(lit(1)).as("r_b"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_b"))
+      val tot = agg.agg(sum(col("r_b")).as("rr"), sum(col("t_b")).as("tt"))
+      db.join(broadcast(agg), "b")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("t_b") * col("rr") - col("r_b") * col("tt"))
+            .as("score"),
+          count(lit(1)).as("n_buckets"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(50)
+    }),
+
     // Keyword extraction: top TF-IDF term per doc with a RATIONAL idf
     // ((N−df+½)/(df+½), the BM25 idf core — no logarithm, so the score
     // is one exact-integer-ratio division and both engines agree on
@@ -1220,6 +1280,36 @@ object TextQueries {
          |    JOIN shs y ON cand.id_out=y.doc_id)
          |SELECT id_in, id_out, CAST(i AS DOUBLE)/la AS containment
          |FROM p WHERE i*100 >= 50*la ORDER BY 1, 2""".stripMargin,
+    "t_dsir_select" ->
+      s"""WITH w AS (SELECT doc_id, lang, $wsSql AS ws FROM documents),
+         |sh AS (SELECT doc_id, lang, unnest(list_distinct(list_transform(
+         |  range(1, greatest(len(ws)-1,1)+1),
+         |  i -> array_to_string(ws[i:i+1],' ')))) AS g FROM w),
+         |db AS (SELECT DISTINCT doc_id, lang, substr(md5(g),1,3) AS b
+         |  FROM sh),
+         |agg AS (SELECT b, count(*) AS r_b,
+         |  CAST(sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS t_b FROM db GROUP BY 1),
+         |tot AS (SELECT CAST(sum(r_b) AS BIGINT) AS rr,
+         |  CAST(sum(t_b) AS BIGINT) AS tt FROM agg)
+         |SELECT doc_id, CAST(sum(t_b*rr - r_b*tt) AS BIGINT) AS score,
+         |  count(*) AS n_buckets
+         |FROM db JOIN agg USING (b), tot
+         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    "t_novelty" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |g AS (SELECT DISTINCT doc_id,
+         |  unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(ws)-7,1)+1),
+         |    i -> array_to_string(ws[i:i+7],' ')))) AS gram FROM w),
+         |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+         |SELECT g.doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*) AS novelty
+         |FROM g JOIN f USING (gram)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t_winnow_pairs" ->
       s"""WITH w AS (SELECT doc_id,
          |  list_filter($wsSql, t -> length(t)>0) AS ws FROM documents),

@@ -429,4 +429,26 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q aggregate not codegen'd:\n$p")
     }
   }
+
+  test("diverse containment stays candidate-joined, never corpus-pairwise") {
+    // The only nested-loop join allowed is the 1-row corpus-count
+    // broadcast that parameterizes the fixture; the candidate pass must
+    // be the fingerprint equi-join (SortMergeJoin/ShuffledHashJoin or a
+    // broadcast at this SF), and no CartesianProduct may appear anywhere.
+    val p = plan("t_containment_diverse")
+    assert(!p.contains("CartesianProduct"),
+      s"diverse containment went cartesian:\n$p")
+    assert(p.contains("_wmin"), s"candidate equi-key disappeared:\n$p")
+  }
+
+  test("novelty windows per gram and never joins docs pairwise") {
+    // First-occurrence attribution is a gram-partitioned window min plus
+    // a per-doc aggregate — two hash exchanges, no pairwise doc join.
+    val p = plan("t_novelty")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"novelty went pairwise:\n$p")
+    assert("Window \\[min\\(doc_id".r.findFirstIn(p).isDefined ||
+      p.contains("Window"), s"gram-partitioned window missing:\n$p")
+  }
 }
