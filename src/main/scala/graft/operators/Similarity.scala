@@ -298,9 +298,16 @@ object Similarity {
     */
   def kmeansCentroids(df: DataFrame, vecCol: String, dim: Int, k: Int,
                       iters: Int, seed: Long): Array[Array[Double]] = {
+    // Stage the training set ONCE: every Lloyd iteration re-reads it,
+    // and left lazy each iteration re-runs the full upstream lineage
+    // (parquet scan + cast + slice for the PQ subspace callers) — the
+    // same loop-input rule as pagerankWeightedInt (SCALE.md r6). At
+    // 100 TB this is "materialize the training sample", which is how
+    // k-means training is run anyway.
+    val v = df.localCheckpoint()
     var cents = ivfCentroids(dim, k, seed)
     for (_ <- 1 to iters) {
-      val rows = df
+      val rows = v
         .select(centroidCell(col(vecCol), cents).as("cell"),
           posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
