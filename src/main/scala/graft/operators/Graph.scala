@@ -263,4 +263,59 @@ object Graph {
     e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(broadcast(tri))
   }
+
+  /** EXACT connected components by min-label propagation: every node
+    * starts labeled with its own id; each round every node adopts the
+    * minimum label in its closed neighborhood. After `rounds` rounds a
+    * node's label is the minimum node id within `rounds` hops, so the
+    * labeling is exactly the component minimum once `rounds` reaches the
+    * component diameter — `converged` reports whether any edge still
+    * straddles two labels, computed FROM THE DATA so the contract stays
+    * honest if rounds ever under-run (kCore posture).
+    *
+    * This is the exact dual of [[labelPropagation]]'s majority vote:
+    * same Pregel-lite shape — per round ONE equi-join (labels onto the
+    * symmetric edge list) and ONE map-side-combinable min aggregate,
+    * both hash-shuffled on the node key; `localCheckpoint` caps lineage
+    * so round R costs one bounded job, not an R-deep nested plan. At
+    * cluster scale the round count is the graph diameter — for web/
+    * co-occurrence graphs a dozen rounds; pathological chain graphs
+    * would instead use star-contraction (Kiveris et al., "Connected
+    * Components in MapReduce"), whose alternating min-rounds this same
+    * loop body expresses.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          rounds: Int = 6): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val fwd = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val e = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst") &&
+        col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      labels = e
+        .join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("comp", "_nc"), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("_nc")).as("_best"))
+        .withColumnRenamed("src", "node")
+        .join(labels, Seq("node"))
+        .select(col("node"), least(col("comp"), col("_best")).as("comp"))
+        .localCheckpoint()
+    }
+    // Converged ⇔ no edge joins two different labels (data-derived).
+    val open = e
+      .join(labels.select(col("node").as("src"), col("comp").as("ca")),
+        Seq("src"))
+      .join(labels.select(col("node").as("dst"), col("comp").as("cb")),
+        Seq("dst"))
+      .agg(coalesce(sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L)),
+        lit(0L)).as("_open"))
+    labels.crossJoin(broadcast(open))
+      .select(col("node"), col("comp"), (col("_open") === 0L).as("converged"))
+  }
 }

@@ -140,4 +140,84 @@ object Sketches {
       .select(col(idCol))
     definite.unionByName(candidates)
   }
+
+  /** KMV (k-minimum-values, the "theta sketch" family) pairwise distinct
+    * SET-OPERATION estimates — the sketch HLL cannot be: HLL registers
+    * merge by max, which unions but can never intersect; a KMV sketch is
+    * a uniform sample of the distinct-value hash space, so two sketches
+    * COMPOSE under ∩ and ∖ (Beyer et al., "On Synopses for Distinct-Value
+    * Estimation Under Multiset Operations", SIGMOD'07).
+    *
+    * Per group: the `k` lexicographically smallest md5 hashes of its
+    * distinct values (md5 hex compares identically in both engines, so
+    * the sketch contents — not just the estimates — replay exactly).
+    * Per group pair: re-minimize the union of the two sketches to `k`
+    * positions; with `m` of those present in BOTH single-group sketches,
+    * Jaccard ≈ m / k_used — ONE exact int/int division, zero logarithms,
+    * zero hex→numeric conversions to drift between engines. The exact
+    * per-pair truth rides beside the estimate (calibration posture of
+    * `cmsHeavyHitters` / `t_minhash_est`): at 100 TB you keep the
+    * k-bounded sketches — P² pairwise comparisons cost P²·k rows total,
+    * while the exact value-keyed intersection self-join they replace is
+    * data-sized and skew-exposed.
+    *
+    * Build shape: ONE distinct pass over (group, hash) — the shuffle
+    * exact nunique already pays — then a per-group k-smallest window
+    * (top-k per key, bounded output), then joins that only ever touch
+    * ≤ P·k sketch rows. Output per (g_a < g_b) pair: sketch overlap m,
+    * k_used, jaccard_est, and the exact jaccard/intersection/union.
+    */
+  def kmvPairwiseOverlap(df: DataFrame, groupCol: String, valCol: String,
+                         k: Int = 256): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val dv = df.select(col(groupCol).as("g"),
+        col(valCol).cast("string").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+      .distinct()
+      .localCheckpoint() // read twice: sketch build + exact calibration
+    val sk = dv.select(col("g"), md5(col("v")).as("h"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("g")).orderBy(col("h"))))
+      .where(col("rn") <= k).select(col("g"), col("h"))
+      .localCheckpoint() // read 3×: union sketch + both membership joins
+    val pairs = sk.select(col("g").as("ga")).distinct()
+      .join(sk.select(col("g").as("gb")).distinct(), col("ga") < col("gb"))
+    // Union sketch: k smallest over the union of the two group sketches
+    // (distinct — a hash in both sketches must count once).
+    val u = sk.join(pairs, col("g") === col("ga")).select("ga", "gb", "h")
+      .unionByName(
+        sk.join(pairs, col("g") === col("gb")).select("ga", "gb", "h"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("ga"), col("gb")).orderBy(col("h"))))
+      .where(col("rn") <= k)
+    val m = u
+      .join(sk.select(col("g").as("ga"), col("h"), lit(1L).as("_ina")),
+        Seq("ga", "h"), "left")
+      .join(sk.select(col("g").as("gb"), col("h"), lit(1L).as("_inb")),
+        Seq("gb", "h"), "left")
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("k_used"),
+        sum(when(col("_ina") === 1L && col("_inb") === 1L, 1L)
+          .otherwise(0L)).as("m"))
+    // Exact calibration: value-keyed self-join intersection + counts.
+    val n = dv.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val inter = dv.select(col("g").as("ga"), col("v"))
+      .join(dv.select(col("g").as("gb"), col("v")), Seq("v"))
+      .where(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("n_inter"))
+    m.join(broadcast(n.select(col("g").as("ga"), col("n").as("n_a"))),
+        Seq("ga"))
+      .join(broadcast(n.select(col("g").as("gb"), col("n").as("n_b"))),
+        Seq("gb"))
+      .join(inter, Seq("ga", "gb"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .select(col("ga"), col("gb"), col("m"), col("k_used"),
+        (col("m").cast("double") / col("k_used")).as("jaccard_est"),
+        col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard_exact"))
+  }
 }

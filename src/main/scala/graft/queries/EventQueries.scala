@@ -304,6 +304,28 @@ object EventQueries {
         .orderBy(col("hr"))
     }),
 
+    // Hour-of-day SEASONAL baseline anomaly — the seasonality-aware
+    // face of ev_bursts: a (day, hour-of-day) cell is a peak when its
+    // count exceeds 2× the mean of ITS OWN hour-of-day across days
+    // (9am compares to 9am, not to 3am — a diurnal series flags real
+    // spikes, not every rush hour). The decision n·cells > 2·total is
+    // EXACT integer cross-multiplication — no float mean can flip it.
+    // Shape: one cell aggregate (map-side combinable), one ≤24-row
+    // baseline aggregate broadcast back — linear at any event volume.
+    "ev_seasonal_hour" -> ((s, d) => {
+      val hc = ev(s, d).where(col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"), hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("n"))
+      val base = hc.groupBy(col("hod"))
+        .agg(count(lit(1)).as("hod_cells"), sum(col("n")).as("hod_total"))
+      hc.join(broadcast(base), Seq("hod"))
+        .select(col("day"), col("hod").cast("long").as("hod"), col("n"),
+          col("hod_cells"), col("hod_total"),
+          (col("n") * col("hod_cells") > lit(2) * col("hod_total"))
+            .as("is_peak"))
+        .orderBy(col("day"), col("hod"))
+    }),
+
     // Two-proportion A/B test (user-parity cohorts, purchase
     // conversion): z mirrors the float ops; the 95% SIGNIFICANCE
     // decision is EXACT integer arithmetic — 625·D²·N vs
@@ -474,6 +496,14 @@ object EventQueries {
         |FROM h CROSS JOIN m
         |WHERE nh*n - s > 0 AND (nh*n - s)*(nh*n - s) > 9*(nh*sq - s*s)
         |ORDER BY hr""".stripMargin,
+    "ev_seasonal_hour" ->
+      """WITH hc AS (SELECT CAST(ts AS DATE) AS day, hour(ts) AS hod,
+        |  count(*) AS n FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |b AS (SELECT hod, count(*) AS hod_cells,
+        |  CAST(sum(n) AS BIGINT) AS hod_total FROM hc GROUP BY 1)
+        |SELECT day, hod, n, hod_cells, hod_total,
+        |  n * hod_cells > 2 * hod_total AS is_peak
+        |FROM hc JOIN b USING (hod) ORDER BY day, hod""".stripMargin,
     "ev_ab_test" ->
       """WITH fp AS (SELECT user_id, value, row_number() OVER
         |    (PARTITION BY user_id ORDER BY ts, event_id) AS rn

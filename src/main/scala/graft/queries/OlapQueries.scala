@@ -476,7 +476,21 @@ object OlapQueries {
         graft.operators.Itemsets.frequentPairs(
             t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
           .select(col("item_a"), col("item_b")),
-        "item_a", "item_b"))
+        "item_a", "item_b")),
+
+    // EXACT connected components of the co-purchase graph — the exact
+    // dual of g_communities' majority vote: 6 fixed min-label rounds
+    // (each ONE node-keyed join + ONE map-side-combinable min), with
+    // `converged` computed FROM THE DATA (no edge straddles two labels)
+    // so the contract stays honest if rounds under-run the diameter.
+    // The oracle unrolls the identical rounds as MATERIALIZED CTEs.
+    "g_concomp" -> ((s, d) =>
+      graft.operators.Graph.connectedComponents(
+        graft.operators.Itemsets.frequentPairs(
+            t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
+          .select(col("item_a"), col("item_b")),
+        "item_a", "item_b", rounds = 6)
+        .orderBy(col("node")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -697,6 +711,34 @@ object OlapQueries {
          |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e2),
          |$rounds
          |SELECT node, lbl AS community FROM l4 ORDER BY node""".stripMargin
+    },
+    "g_concomp" -> {
+      val rounds = (1 to 6).map { i =>
+        s"""m$i AS MATERIALIZED (SELECT e2.src AS node,
+           |  min(l${i - 1}.comp) AS best
+           |  FROM e2 JOIN l${i - 1} ON l${i - 1}.node = e2.dst
+           |  GROUP BY 1),
+           |l$i AS MATERIALIZED (SELECT l${i - 1}.node,
+           |  least(l${i - 1}.comp, m$i.best) AS comp
+           |  FROM l${i - 1} JOIN m$i USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+         |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+         |pr AS (SELECT a.it AS ia, c.it AS ib, count(*) AS s
+         |  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it GROUP BY 1, 2),
+         |fp AS (SELECT ia, ib FROM pr WHERE s >= 2),
+         |e2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT ia AS src, ib AS dst FROM fp
+         |  UNION ALL SELECT ib, ia FROM fp)),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS comp
+         |  FROM e2),
+         |$rounds,
+         |op AS (SELECT coalesce(sum(CASE WHEN x.comp <> y.comp THEN 1
+         |    ELSE 0 END), 0) AS o
+         |  FROM e2 JOIN l6 x ON x.node = e2.src
+         |  JOIN l6 y ON y.node = e2.dst)
+         |SELECT node, comp, (o = 0) AS converged FROM l6, op
+         |ORDER BY node""".stripMargin
     },
     "g_pagerank_weighted" -> {
       val rounds = (1 to 3).map { i =>

@@ -42,6 +42,16 @@ object RetrievalQueries {
           k = 10, depth = CmsDepth, prefixLen = CmsPrefix)
         .orderBy(col("exact_cnt").desc, col("k"))),
 
+    // KMV theta-sketch pairwise audience overlap across event types:
+    // Jaccard/intersection of distinct-user sets from k-bounded sketches
+    // (the set op HLL's max-merge can never answer), exact truth riding
+    // beside the estimate. Sketch contents AND estimates replay exactly
+    // in the oracle (lexicographic md5 k-minima, m/k int division).
+    "t_kmv_overlap" -> ((s, d) =>
+      Sketches.kmvPairwiseOverlap(
+          Tables.load(s, d, "events"), "event_type", "user_id", k = 64)
+        .orderBy(col("ga"), col("gb"))),
+
     // Inverted-index build (long-form postings, DF band [2, 50] — the
     // stop-term cap discipline) + conjunctive retrieval THROUGH it.
     "t_inverted_index" -> ((s, d) =>
@@ -218,6 +228,42 @@ object RetrievalQueries {
          |  CAST(1 AS DOUBLE)/(r_bm+60) + CAST(1 AS DOUBLE)/(r_cos+60)
          |    AS rrf
          |FROM f ORDER BY rrf DESC, doc_id""".stripMargin,
+
+    "t_kmv_overlap" ->
+      """WITH dv AS (SELECT DISTINCT event_type AS g,
+        |  CAST(user_id AS VARCHAR) AS v FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |hv AS (SELECT g, md5(v) AS h FROM dv),
+        |sk AS (SELECT g, h FROM (SELECT g, h, row_number() OVER
+        |    (PARTITION BY g ORDER BY h) AS rn FROM hv) WHERE rn <= 64),
+        |pairs AS (SELECT a.g AS ga, b.g AS gb
+        |  FROM (SELECT DISTINCT g FROM sk) a
+        |  JOIN (SELECT DISTINCT g FROM sk) b ON a.g < b.g),
+        |u0 AS (SELECT DISTINCT ga, gb, h FROM (
+        |  SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.g = p.ga
+        |  UNION ALL
+        |  SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.g = p.gb)),
+        |u AS (SELECT ga, gb, h FROM (SELECT ga, gb, h, row_number() OVER
+        |    (PARTITION BY ga, gb ORDER BY h) AS rn FROM u0)
+        |  WHERE rn <= 64),
+        |mm AS (SELECT u.ga, u.gb, count(*) AS k_used,
+        |  CAST(sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS m
+        |  FROM u LEFT JOIN sk sa ON sa.g = u.ga AND sa.h = u.h
+        |  LEFT JOIN sk sb ON sb.g = u.gb AND sb.h = u.h
+        |  GROUP BY 1, 2),
+        |n AS (SELECT g, count(*) AS n FROM dv GROUP BY 1),
+        |inter AS (SELECT a.g AS ga, b.g AS gb, count(*) AS n_inter
+        |  FROM dv a JOIN dv b ON a.v = b.v AND a.g < b.g GROUP BY 1, 2)
+        |SELECT mm.ga, mm.gb, mm.m, mm.k_used,
+        |  CAST(mm.m AS DOUBLE) / mm.k_used AS jaccard_est,
+        |  coalesce(i.n_inter, 0) AS n_inter,
+        |  na.n + nb.n - coalesce(i.n_inter, 0) AS n_union,
+        |  CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+        |    (na.n + nb.n - coalesce(i.n_inter, 0)) AS jaccard_exact
+        |FROM mm JOIN n na ON na.g = mm.ga JOIN n nb ON nb.g = mm.gb
+        |LEFT JOIN inter i ON i.ga = mm.ga AND i.gb = mm.gb
+        |ORDER BY 1, 2""".stripMargin,
 
     "t_dup_spans" ->
       s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),

@@ -308,6 +308,77 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-document FAMILIARITY — the exact-integer stand-in for LM
+    // perplexity filtering (CCNet/Gopher keep in-distribution text):
+    // mean corpus document-frequency of the doc's distinct 3-gram
+    // shingles. A doc of phrases the rest of the corpus also uses
+    // scores high; out-of-distribution text scores ~1 (only itself).
+    // No logarithms — df sums and the final int/int division are
+    // bit-identical across engines (t_novelty posture). Shape: distinct
+    // (doc, gram) pairs, count window partitioned BY GRAM (one shuffle
+    // on the gram), then a per-doc aggregate (second shuffle on doc_id)
+    // — linear in corpus gram volume, never pairwise, at any size.
+    "t_familiarity" -> ((s, d) => {
+      val pairs = docs(s, d).select(col("doc_id"),
+          explode(TextFunctions.shingles(col("text"), 3)).as("gram"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("gram"))
+      pairs.withColumn("_df", count(lit(1)).over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(col("_df")).as("df_total"))
+        .withColumn("familiarity",
+          col("df_total").cast("double") / col("n_grams"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-source document cap — the domain-cap curation op (web corpora
+    // cap pages per domain so no single host dominates the mix): keep
+    // the top 10 docs per source by (n_chars DESC, doc_id) via
+    // row_number over a source-partitioned window. ONE hash shuffle on
+    // the source key; no global window, no collect — the 100 TB plan is
+    // identical, and skewed mega-domains stay bounded because only the
+    // top 10 rows per partition survive the window's per-key sort.
+    "t_source_cap" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(desc("n_chars"), col("doc_id"))
+      docs(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 10)
+        .orderBy(col("source"), col("rk"))
+    }),
+
+    // Positional-index PHRASE SEARCH: postings (doc, pos, token) staged
+    // ONCE; adjacency self-join on (doc_id, pos+1) materializes bigram
+    // occurrences; the corpus-wide top bigram (count DESC, then lexical
+    // — fully deterministic) broadcasts back onto the occurrence set to
+    // rank matching docs. The retrieval face the inverted index alone
+    // can't express: "these words ADJACENT, in order". All joins are
+    // key-hash on doc_id or broadcast; nothing is ever all-pairs, so
+    // the plan survives any corpus size.
+    "t_phrase_search" -> ((s, d) => {
+      val p = docs(s, d).select(col("doc_id"),
+          posexplode(filter(TextFunctions.tokens(col("text")),
+            w => length(w) > 0)).as(Seq("pos", "w")))
+        .localCheckpoint() // read twice: both sides of the adjacency join
+      val bg = p.as("x").join(p.as("y"),
+          col("x.doc_id") === col("y.doc_id") &&
+            col("y.pos") === col("x.pos") + 1)
+        .select(col("x.doc_id").as("doc_id"),
+          col("x.w").as("w1"), col("y.w").as("w2"))
+      val top = bg.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("w1"), col("w2")).limit(1)
+        .select(col("w1"), col("w2"))
+      bg.join(broadcast(top), Seq("w1", "w2"))
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_occ"))
+        .select(col("doc_id"), col("w1"), col("w2"), col("n_occ"))
+        .orderBy(col("doc_id"))
+    }),
+
     // 64-bit SimHash bit-strings.
     "t_simhash" -> ((s, d) =>
       Dedup.simhashTable(docs(s, d), "doc_id", "text")
@@ -1310,6 +1381,34 @@ object TextQueries {
          |    AS DOUBLE) / count(*) AS novelty
          |FROM g JOIN f USING (gram)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t_familiarity" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |g AS (SELECT DISTINCT doc_id,
+         |  unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(ws)-2,1)+1),
+         |    i -> array_to_string(ws[i:i+2],' ')))) AS gram FROM w),
+         |f AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+         |SELECT g.doc_id, count(*) AS n_grams,
+         |  CAST(sum(f.df) AS BIGINT) AS df_total,
+         |  CAST(sum(f.df) AS DOUBLE) / count(*) AS familiarity
+         |FROM g JOIN f USING (gram)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t_source_cap" ->
+      """WITH r AS (SELECT doc_id, source, n_chars, row_number() OVER
+        |  (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    "t_phrase_search" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  list_filter($wsSql, t -> length(t)>0) AS ws FROM documents),
+         |g AS (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws FROM w),
+         |bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM g),
+         |top AS (SELECT w1, w2 FROM bg GROUP BY 1, 2
+         |  ORDER BY count(*) DESC, w1, w2 LIMIT 1)
+         |SELECT doc_id, w1, w2, count(*) AS n_occ
+         |FROM bg JOIN top USING (w1, w2)
+         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "t_winnow_pairs" ->
       s"""WITH w AS (SELECT doc_id,
          |  list_filter($wsSql, t -> length(t)>0) AS ws FROM documents),

@@ -109,6 +109,30 @@ class GraphSpec extends AnyFunSuite {
     assert(one === two)
   }
 
+  test("connected components label every node with its component minimum") {
+    // Two components: a 5-chain {0..4} and a triangle {10,11,12}.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val out = Graph.connectedComponents(edges, "a", "b", rounds = 6)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.forall(_._3), "6 rounds cover diameter-4 — must converge")
+    val comp = out.map(r => r._1 -> r._2).toMap
+    assert((0L to 4L).forall(comp(_) == 0L))
+    assert((10L to 12L).forall(comp(_) == 10L))
+  }
+
+  test("connected components report non-convergence when rounds under-run") {
+    // A 9-chain has diameter 8: 2 rounds cannot carry node 0's label to
+    // the far end, and the data-derived flag must say so.
+    val edges = (0L until 8L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Graph.connectedComponents(edges, "a", "b", rounds = 2)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.forall(!_._3))
+    // Each round propagates the minimum at least one hop.
+    val comp = out.map(r => r._1 -> r._2).toMap
+    assert(comp(2L) == 0L && comp(8L) > 0L)
+  }
+
   test("total mass never exceeds the initial mass") {
     val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 0L))
       .toDF("src", "dst")
