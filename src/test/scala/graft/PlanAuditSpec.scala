@@ -451,4 +451,67 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Window \\[min\\(doc_id".r.findFirstIn(p).isDefined ||
       p.contains("Window"), s"gram-partitioned window missing:\n$p")
   }
+
+  test("familiarity is gram-windowed, never a pairwise doc join") {
+    // Same two-exchange shape as novelty: count window partitioned by
+    // gram + per-doc aggregate.
+    val p = plan("t_familiarity")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"familiarity went pairwise:\n$p")
+    assert(p.contains("Window"), s"gram-partitioned window missing:\n$p")
+  }
+
+  test("source cap windows per source — no single-partition window") {
+    // partitionBy(source): the window's exchange must be a hash
+    // partitioning, never the SinglePartition funnel of an
+    // unpartitioned over().
+    val p = plan("t_source_cap")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"source cap window lost its partition key:\n$p")
+  }
+
+  test("phrase search joins postings on (doc, pos) keys, never pairwise") {
+    // Adjacency self-join is an equi-join on doc_id and pos+1; the only
+    // nested-loop allowed is the broadcast of the 1-row top bigram.
+    val p = plan("t_phrase_search")
+    assert(!p.contains("CartesianProduct"),
+      s"phrase search went cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"adjacency equi-join missing:\n$p")
+  }
+
+  test("kmv sketch phases are k-bounded: no value-level pairwise join " +
+    "outside the calibration intersection") {
+    // The sketch path touches only ≤ P·k rows after the per-group
+    // window; the one value-keyed join is the exact-calibration
+    // intersection (equi-join on the value). Nothing may be cartesian —
+    // the group-pair enumeration is a broadcast nested loop over the
+    // P-row distinct-group sets, which is fine, but no CartesianProduct.
+    val p = plan("t_kmv_overlap")
+    assert(!p.contains("CartesianProduct"),
+      s"kmv went cartesian:\n$p")
+    assert(p.contains("Window"), s"per-group k-minima window missing:\n$p")
+  }
+
+  test("seasonal-hour baseline broadcasts back onto the cell aggregate") {
+    // ≤24-row hour-of-day baseline must join the (day, hod) cells as a
+    // broadcast, and the whole plan is two hash aggregates — no window,
+    // no sort-merge of event-sized inputs.
+    val p = plan("ev_seasonal_hour")
+    assert(p.contains("BroadcastHashJoin"),
+      s"baseline join lost its broadcast:\n$p")
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+  }
+
+  test("connected components' final plan is checkpoint-bounded") {
+    // Like the other Pregel-lite loops: after 6 rounds the plan must
+    // read the last localCheckpoint (Scan ExistingRDD), not re-expand
+    // the per-round join chain into one nested tree.
+    val p = plan("g_concomp")
+    assert(p.contains("ExistingRDD"),
+      s"g_concomp lineage not checkpoint-bounded:\n$p")
+  }
 }
