@@ -273,6 +273,14 @@ object Graph {
     * straddles two labels, computed FROM THE DATA so the contract stays
     * honest if rounds ever under-run (kCore posture).
     *
+    * Sibling of [[graft.operators.Dedup.connectedComponents]] (the
+    * production path for near-dup clusters / golden records), which
+    * iterates to ACTUAL convergence via a label-sum probe — a
+    * data-dependent round count no SQL oracle can replay. This variant
+    * runs a FIXED round budget so the DuckDB oracle unrolls the
+    * identical rounds and compares bit-for-bit, and reports honestly
+    * when the budget under-ran.
+    *
     * This is the exact dual of [[labelPropagation]]'s majority vote:
     * same Pregel-lite shape — per round ONE equi-join (labels onto the
     * symmetric edge list) and ONE map-side-combinable min aggregate,

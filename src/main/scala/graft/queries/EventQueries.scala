@@ -384,6 +384,20 @@ object EventQueries {
         .orderBy(col("pct"))
     }),
 
+    // Per-(type, hour-of-day) p50/p90/p99 value bands — the SLO/latency
+    // dashboard surface: exact order statistics through the two-pass
+    // histogram quantile machinery (no per-group sort, no percentile
+    // single-reducer buffer), composed over ~120 (type, hod) groups.
+    // Integer cents end to end; one /100 presentation division.
+    "ev_value_bands" -> ((s, d) => {
+      val e = ev(s, d).where(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("event_type"), hour(col("ts")).cast("long").as("hod"),
+          col("value"))
+      graft.operators.Median.groupQuantilesCents(
+          e, Seq("event_type", "hod"), "value", percents = Seq(50, 90, 99))
+        .orderBy(col("event_type"), col("hod"), col("pct"))
+    }),
+
     // Time-weighted average per series (the sensor/monitoring mean: a
     // value HOLDS until the next observation, so it weighs by holding
     // duration, not sample count — irregular sampling stops biasing the
@@ -541,6 +555,20 @@ object EventQueries {
         |SELECT CAST(pct AS BIGINT) AS pct, lat AS value
         |FROM r CROSS JOIN p WHERE rn = greatest(1, (pct*n + 99)//100)
         |ORDER BY 1""".stripMargin,
+    "ev_value_bands" ->
+      """WITH s AS (SELECT event_type, hour(ts) AS hod,
+        |  CAST(CAST(value AS DECIMAL(12,2))*100 AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT event_type, hod, v,
+        |  row_number() OVER (PARTITION BY event_type, hod ORDER BY v)
+        |    AS rn,
+        |  count(*) OVER (PARTITION BY event_type, hod) AS n FROM s),
+        |p AS (SELECT unnest([50, 90, 99]) AS pct)
+        |SELECT event_type, hod, CAST(pct AS BIGINT) AS pct,
+        |  CAST(v AS DOUBLE)/100.0 AS value
+        |FROM r CROSS JOIN p
+        |WHERE rn = greatest(1, (pct*n + 99) // 100)
+        |ORDER BY 1, 2, 3""".stripMargin,
     "ev_twa" ->
       """WITH o AS (SELECT event_type,
         |  CAST(CAST(value AS DECIMAL(12,2))*100 AS BIGINT) AS vc,

@@ -439,6 +439,39 @@ object SimilarityQueries {
     // like sim_pca/a8_hll_bound: the eigensolve is driver Jacobi over
     // the d×d covariance and not SQL-replayable, but the measurement is
     // deterministic, so the booleans are pinned.
+    // Matryoshka-style TRUNCATED-dimension recall: score with only the
+    // FIRST 8 of the 64 dims (a prefix slice — zero transform cost,
+    // unlike PCA's covariance+eigen pass) and measure top-5 recall vs
+    // the full-dim truth. The cheapest dimensionality/recall trade a
+    // serving stack can make — MRL-trained embeddings put the signal in
+    // the prefix by construction; on THIS synthetic corpus the planted
+    // cluster structure spans all dims uniformly, so prefix slicing ≈
+    // any 8-dim projection: the gate asserts it beats 5× random like
+    // PCA-8 does. Same bounded shape as sim_recall_pca: 20 queries ×
+    // corpus brute force, recall aggregated to one row.
+    "sim_recall_trunc" -> ((s, d) => {
+      val e = emb(s, d)
+      val reduced = e.select(col("vec_id"),
+        slice(col("embedding"), 1, 8).as("embedding"))
+      def top5(v: DataFrame) =
+        Similarity.bruteForceTopK(v, v.where(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5)
+          .select(col("q_id"), col("n_id"))
+      val full = top5(e)
+      val red = top5(reduced).withColumnRenamed("n_id", "r_id")
+      full.join(red,
+          full("q_id") === red("q_id") && col("n_id") === col("r_id"),
+          "left")
+        .groupBy(full("q_id"))
+        .agg((count(col("r_id")) / 5.0).as("recall"))
+        .agg(avg(col("recall")).as("mean_recall"),
+          count(lit(1)).as("n_queries"))
+        .select((col("mean_recall") >= 5.0 * 5.0 / 499.0)
+            .as("recall_beats_random_5x"),
+          (col("mean_recall") <= 1.0).as("recall_is_sane"),
+          col("n_queries"))
+    }),
+
     "sim_recall_pca" -> ((s, d) => {
       val e = emb(s, d)
       val (_, evecs) = graft.operators.Pca.jacobiEigen(
@@ -970,6 +1003,10 @@ object SimilarityQueries {
          |s AS (SELECT id_a, id_b, $cosSql AS cos FROM p)
          |SELECT id_a, id_b, cos FROM s WHERE cos>=0.35 ORDER BY 1,2""".stripMargin,
     "sim_recall_pca" ->
+      """SELECT CAST(1 AS BOOLEAN) AS recall_beats_random_5x,
+        |CAST(1 AS BOOLEAN) AS recall_is_sane,
+        |CAST(20 AS BIGINT) AS n_queries""".stripMargin,
+    "sim_recall_trunc" ->
       """SELECT CAST(1 AS BOOLEAN) AS recall_beats_random_5x,
         |CAST(1 AS BOOLEAN) AS recall_is_sane,
         |CAST(20 AS BIGINT) AS n_queries""".stripMargin,
