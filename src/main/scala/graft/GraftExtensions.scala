@@ -27,5 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       NativeFunctions.hammingIdentifier,
       NativeFunctions.hammingInfo,
       NativeFunctions.hammingBuilder))
+    ext.injectFunction((
+      NativeFunctions.kmvIdentifier,
+      NativeFunctions.kmvInfo,
+      NativeFunctions.kmvBuilder))
   }
 }

@@ -115,17 +115,42 @@ object NativeFunctions {
     HammingDistance(exprs.head, exprs(1))
   }
 
+  val kmvIdentifier: FunctionIdentifier = FunctionIdentifier("kmv_mink")
+
+  val kmvInfo: ExpressionInfo =
+    new ExpressionInfo(classOf[KmvMinK].getName, "kmv_mink")
+
+  val kmvBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2, "kmv_mink takes exactly 2 arguments")
+    exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, IntegerType) =>
+        KmvMinK(exprs.head, k)
+      case other =>
+        throw new IllegalArgumentException(
+          s"kmv_mink's k must be an integer literal, got $other")
+    }
+  }
+
   /** Register the native expressions in the session's function registry
     * (idempotent). After this they are usable from both the Column API
-    * ([[cosineSim]], [[hammingDist]]) and SQL text. Sessions created with
-    * `spark.sql.extensions=graft.GraftExtensions` get this automatically.
+    * ([[cosineSim]], [[hammingDist]], [[kmvMinK]]) and SQL text. Sessions
+    * created with `spark.sql.extensions=graft.GraftExtensions` get this
+    * automatically.
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       cosineSimIdentifier, cosineSimInfo, cosineSimBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       hammingIdentifier, hammingInfo, hammingBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      kmvIdentifier, kmvInfo, kmvBuilder)
   }
+
+  /** Column-API form of the KMV min-k aggregate; requires [[register]]
+    * on the owning session first.
+    */
+  def kmvMinK(h: Column, k: Int): Column =
+    call_function("kmv_mink", h, org.apache.spark.sql.functions.lit(k))
 
   /** Column-API form; requires [[register]] on the owning session first. */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)

@@ -162,36 +162,42 @@ object Sketches {
     * data-sized and skew-exposed.
     *
     * Build shape: ONE distinct pass over (group, hash) — the shuffle
-    * exact nunique already pays — then a per-group k-smallest window
-    * (top-k per key, bounded output), then joins that only ever touch
-    * ≤ P·k sketch rows. Output per (g_a < g_b) pair: sketch overlap m,
-    * k_used, jaccard_est, and the exact jaccard/intersection/union.
+    * exact nunique already pays — then per-group k-minima via the native
+    * [[graft.functions.KmvMinK]] aggregate (bounded buffer, map-side
+    * partial aggregation: the shuffle carries ≤ k hashes per key per
+    * partition, where a row_number window would carry and sort them
+    * all), then joins that only ever touch ≤ P·k sketch rows. Output per
+    * (g_a < g_b) pair: sketch overlap m, k_used, jaccard_est, and the
+    * exact jaccard/intersection/union.
     */
   def kmvPairwiseOverlap(df: DataFrame, groupCol: String, valCol: String,
                          k: Int = 256): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    import org.apache.spark.sql.expressions.Window
+    graft.functions.NativeFunctions.register(df.sparkSession)
+    def minK(hashed: DataFrame, keys: Seq[String]): DataFrame =
+      hashed.groupBy(keys.map(col): _*)
+        .agg(graft.functions.NativeFunctions.kmvMinK(col("h"), k).as("hs"))
+        .select(keys.map(col) :+ explode(col("hs")).as("h"): _*)
     val dv = df.select(col(groupCol).as("g"),
         col(valCol).cast("string").as("v"))
       .where(col("g").isNotNull && col("v").isNotNull)
       .distinct()
       .localCheckpoint() // read twice: sketch build + exact calibration
-    val sk = dv.select(col("g"), md5(col("v")).as("h"))
-      .withColumn("rn",
-        row_number().over(Window.partitionBy(col("g")).orderBy(col("h"))))
-      .where(col("rn") <= k).select(col("g"), col("h"))
+    // Per-group k-minima via the native KMV aggregate (bounded TreeSet
+    // buffer, partial-aggregates map-side) — NOT a row_number window,
+    // which would shuffle and per-key-sort every distinct hash just to
+    // drop all but k (functions/KmvMinK.scala scaladoc).
+    val sk = minK(dv.select(col("g"), md5(col("v")).as("h")), Seq("g"))
       .localCheckpoint() // read 3×: union sketch + both membership joins
     val pairs = sk.select(col("g").as("ga")).distinct()
       .join(sk.select(col("g").as("gb")).distinct(), col("ga") < col("gb"))
     // Union sketch: k smallest over the union of the two group sketches
-    // (distinct — a hash in both sketches must count once).
-    val u = sk.join(pairs, col("g") === col("ga")).select("ga", "gb", "h")
-      .unionByName(
-        sk.join(pairs, col("g") === col("gb")).select("ga", "gb", "h"))
-      .distinct()
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("ga"), col("gb")).orderBy(col("h"))))
-      .where(col("rn") <= k)
+    // (the aggregate's set buffer counts a hash in both sketches once).
+    val u = minK(
+      sk.join(pairs, col("g") === col("ga")).select("ga", "gb", "h")
+        .unionByName(
+          sk.join(pairs, col("g") === col("gb")).select("ga", "gb", "h")),
+      Seq("ga", "gb"))
     val m = u
       .join(sk.select(col("g").as("ga"), col("h"), lit(1L).as("_ina")),
         Seq("ga", "h"), "left")

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
@@ -66,13 +65,16 @@ object KmvStream {
   }
 
   /** k smallest distinct hashes per key — the sketch invariant both the
-    * batch insert and the state merge re-establish.
+    * batch insert and the state merge re-establish. Native KMV aggregate
+    * (bounded buffer, map-side partials), not a row_number window — see
+    * functions/KmvMinK.scala.
     */
-  private def minK(hashed: DataFrame, k: Int): DataFrame =
-    hashed.select(col("g"), col("h")).distinct()
-      .withColumn("rn",
-        row_number().over(Window.partitionBy(col("g")).orderBy(col("h"))))
-      .where(col("rn") <= k).select(col("g"), col("h"))
+  private def minK(hashed: DataFrame, k: Int): DataFrame = {
+    graft.functions.NativeFunctions.register(hashed.sparkSession)
+    hashed.groupBy(col("g"))
+      .agg(graft.functions.NativeFunctions.kmvMinK(col("h"), k).as("hs"))
+      .select(col("g"), explode(col("hs")).as("h"))
+  }
 
   /** Pairwise Jaccard estimates from the CURRENT state table alone —
     * answered without touching the stream: re-minimize each pair's union
@@ -84,13 +86,13 @@ object KmvStream {
     val sk = spark.read.parquet(statePath).localCheckpoint()
     val pairs = sk.select(col("g").as("ga")).distinct()
       .join(sk.select(col("g").as("gb")).distinct(), col("ga") < col("gb"))
+    graft.functions.NativeFunctions.register(spark)
     val u = sk.join(pairs, col("g") === col("ga")).select("ga", "gb", "h")
       .unionByName(
         sk.join(pairs, col("g") === col("gb")).select("ga", "gb", "h"))
-      .distinct()
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("ga"), col("gb")).orderBy(col("h"))))
-      .where(col("rn") <= k)
+      .groupBy(col("ga"), col("gb"))
+      .agg(graft.functions.NativeFunctions.kmvMinK(col("h"), k).as("hs"))
+      .select(col("ga"), col("gb"), explode(col("hs")).as("h"))
     u.join(sk.select(col("g").as("ga"), col("h"), lit(1L).as("_ina")),
         Seq("ga", "h"), "left")
       .join(sk.select(col("g").as("gb"), col("h"), lit(1L).as("_inb")),

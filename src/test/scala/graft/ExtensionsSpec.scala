@@ -31,6 +31,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(v - 1.0) < 1e-12)
   }
 
+  test("kmv_mink keeps the k smallest distinct values in sorted order") {
+    NativeFunctions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Duplicates, out-of-order inserts, multiple partitions: the
+    // aggregate must return the 3 smallest DISTINCT strings ascending,
+    // identically to sort-distinct-take on the driver.
+    val vals = Seq("d", "b", "e", "b", "a", "f", "c", "a", "g")
+    val got = vals.toDF("h").repartition(4)
+      .agg(NativeFunctions.kmvMinK(col("h"), 3).as("hs"))
+      .head().getSeq[String](0)
+    assert(got == vals.distinct.sorted.take(3))
+    // SQL surface + under-full buffer (fewer distinct values than k).
+    val sql = spark.sql(
+      "SELECT kmv_mink(h, 10) FROM VALUES ('z'),('y'),('z') AS t(h)")
+      .head().getSeq[String](0)
+    assert(sql == Seq("y", "z"))
+    // Grouped form partial-aggregates per key.
+    val grouped = Seq(("g1", "b"), ("g1", "a"), ("g2", "c"), ("g1", "c"))
+      .toDF("g", "h").repartition(3)
+      .groupBy($"g").agg(NativeFunctions.kmvMinK($"h", 2).as("hs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(grouped("g1") == Seq("a", "b") && grouped("g2") == Seq("c"))
+  }
+
   test("hamming_dist equals the chained-substring form and handles overhang") {
     NativeFunctions.register(spark)
     import spark.implicits._

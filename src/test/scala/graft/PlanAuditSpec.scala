@@ -486,14 +486,21 @@ class PlanAuditSpec extends AnyFunSuite {
   test("kmv sketch phases are k-bounded: no value-level pairwise join " +
     "outside the calibration intersection") {
     // The sketch path touches only ≤ P·k rows after the per-group
-    // window; the one value-keyed join is the exact-calibration
-    // intersection (equi-join on the value). Nothing may be cartesian —
-    // the group-pair enumeration is a broadcast nested loop over the
-    // P-row distinct-group sets, which is fine, but no CartesianProduct.
+    // k-minima aggregate; the one value-keyed join is the exact-
+    // calibration intersection (equi-join on the value). Nothing may be
+    // cartesian — the group-pair enumeration is a broadcast nested loop
+    // over the P-row distinct-group sets, which is fine, but no
+    // CartesianProduct. The k-minima must run as the native KmvMinK
+    // TypedImperativeAggregate (ObjectHashAggregate, map-side partials)
+    // — NOT as a row_number window, which would shuffle and per-key-sort
+    // every distinct hash.
     val p = plan("t_kmv_overlap")
     assert(!p.contains("CartesianProduct"),
       s"kmv went cartesian:\n$p")
-    assert(p.contains("Window"), s"per-group k-minima window missing:\n$p")
+    assert(p.contains("kmv_mink"),
+      s"native KMV aggregate missing from the plan:\n$p")
+    assert(!p.contains("Window"),
+      s"kmv regressed to a window sort of all hashes:\n$p")
   }
 
   test("seasonal-hour baseline broadcasts back onto the cell aggregate") {
