@@ -109,7 +109,18 @@ object Bench {
     "t_phrase_search", "ev_seasonal_hour",
     // Round-6 third-batch first-ships: per-(type, hod) quantile bands
     // and Matryoshka-style truncated-dim recall.
-    "ev_value_bands", "sim_recall_trunc")
+    "ev_value_bands", "sim_recall_trunc",
+    // Round-6 fourth-batch first-ships: integer-exact linear quality
+    // classifier, per-source percent_rank score normalization,
+    // C4-style line-level dedup with reassembly, personalized
+    // PageRank, labeled-retrieval MRR eval, FD audit.
+    "t_quality_logistic", "t_quality_rank", "t_line_dedup",
+    "g_ppr", "sim_mrr_label", "dq_fd_audit",
+    // Round-6 fifth-batch first-ships: RFM segmentation, DAU/WAU
+    // stickiness, ABC Pareto classes (distributed prefix sum),
+    // pinned-literal nDCG@10, vocabulary OOV coverage.
+    "ev_rfm", "ev_dau_wau", "olap_abc", "sim_ndcg_label",
+    "t_vocab_coverage")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

@@ -53,6 +53,48 @@ object Graph {
     ranks.withColumnRenamed("r", "rank")
   }
 
+  /** PERSONALIZED PageRank (topic-sensitive, Haveliwala): the restart
+    * mass returns only to the SEED set, so rank measures importance
+    * *relative to the seeds* — "documents like these trusted ones", the
+    * seed-expansion primitive behind quality-prior propagation and
+    * related-item discovery. Same integer micro-unit discipline as
+    * [[pagerankInt]] (share = r div outdeg, damping (17·c) div 20,
+    * BIGINT sums — bit-reproducible, oracle unrolls the rounds) with
+    * two changes: r₀ = scale on seeds / 0 elsewhere, and the (3·scale)
+    * div 20 restart term lands only on seed rows. Same Pregel-lite
+    * shape — one join + one map-side-combinable sum per round; the
+    * seed flag rides the rank table as a column, so personalization
+    * costs no extra join.
+    */
+  def personalizedPagerankInt(edges: DataFrame, nodes: DataFrame,
+                              seeds: DataFrame, iters: Int,
+                              scale: Long = 1000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val base = (scale * 3L) / 20L
+    val flagged = nodes.select(col("id"))
+      .join(seeds.select(col("id"), lit(true).as("_s")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_s"), lit(false)).as("is_seed"))
+      .localCheckpoint()
+    var ranks = flagged.select(col("id"), col("is_seed"),
+      when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("r"))
+    (1 to iters).foreach { _ =>
+      val msgs = e
+        .join(ranks.select(col("id"), col("r")), e("src") === col("id"))
+        .join(outdeg, "src")
+        .select(col("dst").as("id"),
+          expr("r div outdeg").as("share"))
+        .groupBy(col("id")).agg(sum(col("share")).as("contrib"))
+      ranks = flagged
+        .join(msgs, Seq("id"), "left")
+        .select(col("id"), col("is_seed"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+            expr(s"(17 * coalesce(contrib, 0L)) div 20")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("id"), col("r").as("rank"))
+  }
+
   /** Multi-source BFS: minimum hop distance from any seed, bounded to
     * `rounds` expansions — reachability-with-distance (influence radius,
     * citation depth, contamination spread), the remaining basic of the

@@ -640,6 +640,40 @@ object CoreQueries {
         min(col("n")).as("min_group_size"))
     }),
 
+    // DQ (ext): FUNCTIONAL-DEPENDENCY audit — does A → B actually hold
+    // in the data? The profiling step behind normalization decisions,
+    // key discovery, and "is this column derivable" pipeline pruning.
+    // Five pinned candidate FDs across the warehouse (two true key/dim
+    // dependencies, three expected failures); each verdict is ONE
+    // grouped aggregate (count distinct RHS per LHS value) + one tiny
+    // rollup — never a self-join, so a 100 TB fact table costs one
+    // shuffle on the LHS key per candidate. Reported per FD: LHS
+    // cardinality, violating LHS groups (>1 distinct RHS), rows inside
+    // violating groups, and the holds verdict.
+    "dq_fd_audit" -> ((s, d) => {
+      def fd(name: String, df: DataFrame, lhs: String, rhs: String) =
+        df.groupBy(col(lhs))
+          .agg(countDistinct(col(rhs)).as("nd"), count(lit(1)).as("n"))
+          .agg(lit(name).as("fd"),
+            count(lit(1)).as("n_lhs"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L))
+              .as("n_violating_lhs"),
+            sum(when(col("nd") > 1, col("n")).otherwise(lit(0L)))
+              .cast("long").as("n_rows_violating"),
+            (max(col("nd")) <= 1).as("holds"))
+      fd("customer.c_custkey->c_nationkey", t(s, d, "customer"),
+          "c_custkey", "c_nationkey")
+        .unionByName(fd("customer.c_nationkey->c_mktsegment",
+          t(s, d, "customer"), "c_nationkey", "c_mktsegment"))
+        .unionByName(fd("lineitem.l_orderkey->l_suppkey",
+          t(s, d, "lineitem"), "l_orderkey", "l_suppkey"))
+        .unionByName(fd("lineitem.l_partkey->l_returnflag",
+          t(s, d, "lineitem"), "l_partkey", "l_returnflag"))
+        .unionByName(fd("nation.n_nationkey->n_regionkey",
+          t(s, d, "nation"), "n_nationkey", "n_regionkey"))
+        .orderBy(col("fd"))
+    }),
+
     // P18 (ext): nested-JSON round trip — order lines rendered as nested
     // JSON documents (struct + sorted array of item structs via to_json),
     // parsed back with a pinned schema (from_json) and NORMALIZED to
@@ -987,6 +1021,28 @@ object CoreQueries {
         |CAST(coalesce(sum(n) FILTER (WHERE n < 5), 0) AS BIGINT)
         |  AS rows_at_risk,
         |min(n) AS min_group_size FROM g""".stripMargin,
+    "dq_fd_audit" -> {
+      def fd(name: String, tbl: String, lhs: String, rhs: String) =
+        s"""SELECT '$name' AS fd, count(*) AS n_lhs,
+           |  count(*) FILTER (WHERE nd > 1) AS n_violating_lhs,
+           |  CAST(coalesce(sum(n) FILTER (WHERE nd > 1), 0) AS BIGINT)
+           |    AS n_rows_violating,
+           |  max(nd) <= 1 AS holds
+           |FROM (SELECT $lhs, count(DISTINCT $rhs) AS nd, count(*) AS n
+           |  FROM $tbl GROUP BY 1)""".stripMargin
+      Seq(
+        fd("customer.c_custkey->c_nationkey", "customer",
+          "c_custkey", "c_nationkey"),
+        fd("customer.c_nationkey->c_mktsegment", "customer",
+          "c_nationkey", "c_mktsegment"),
+        fd("lineitem.l_orderkey->l_suppkey", "lineitem",
+          "l_orderkey", "l_suppkey"),
+        fd("lineitem.l_partkey->l_returnflag", "lineitem",
+          "l_partkey", "l_returnflag"),
+        fd("nation.n_nationkey->n_regionkey", "nation",
+          "n_nationkey", "n_regionkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+    },
     "p18_nested_json" ->
       """SELECT l_orderkey AS oid, count(*) AS n_items,
         |CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT)

@@ -35,6 +35,71 @@ object EventQueries {
       EventPipeline.cohortRetention(ev(s, d))
         .orderBy(col("cohort"), col("week_n"))),
 
+    // RFM customer segmentation — the classic marketing-warehouse op:
+    // per user, Recency (days since last purchase vs the corpus max,
+    // broadcast 1-row), Frequency (purchase count), Monetary (exact
+    // decimal cents), each banded 1–3 by pinned thresholds and
+    // concatenated into the segment code. One user-keyed shuffle; the
+    // banding is integer compares — no quantile, no float, identical
+    // on every engine. Thresholds calibrated on the corpus (median
+    // freq 13, median spend ≈ 59 000 cents, recency 0–2 days).
+    "ev_rfm" -> ((s, d) => {
+      val e = ev(s, d).where(col("event_type") === "purchase")
+      val mx = e.agg(max(col("ts")).cast("date").as("mxd"))
+      e.groupBy(col("user_id"))
+        .agg(max(col("ts")).cast("date").as("last_d"),
+          count(lit(1)).as("freq"),
+          (sum(col("value").cast("decimal(20,2)")) * 100)
+            .cast("long").as("m_cents"))
+        .crossJoin(broadcast(mx))
+        .withColumn("recency_days",
+          datediff(col("mxd"), col("last_d")).cast("long"))
+        .withColumn("r_score",
+          when(col("recency_days") <= 1, 3L)
+            .when(col("recency_days") <= 4, 2L).otherwise(1L))
+        .withColumn("f_score",
+          when(col("freq") >= 15, 3L)
+            .when(col("freq") >= 10, 2L).otherwise(1L))
+        .withColumn("m_score",
+          when(col("m_cents") >= 75000L, 3L)
+            .when(col("m_cents") >= 50000L, 2L).otherwise(1L))
+        .select(col("user_id"), col("recency_days"), col("freq"),
+          col("m_cents"), col("r_score"), col("f_score"),
+          col("m_score"),
+          concat(col("r_score").cast("string"),
+            col("f_score").cast("string"),
+            col("m_score").cast("string")).as("segment"))
+        .orderBy(col("user_id"))
+    }),
+
+    // DAU / WAU / stickiness per day — the engagement dashboard's
+    // headline series. WAU(d) = distinct users active in [d−6, d]:
+    // each distinct (user, day) pair fans out map-side to the ≤7
+    // trailing days it supports (explode over a 7-literal sequence —
+    // no self-join, no sliding distinct-set window), then ONE distinct
+    // count per day. Day spine bounded to the observed range; the
+    // stickiness ratio DAU/WAU is the only division. Cost: 7×|user-days|
+    // exploded rows through one day-keyed shuffle — linear at any scale.
+    "ev_dau_wau" -> ((s, d) => {
+      val ud = ev(s, d).where(col("ts").isNotNull)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct()
+      val bounds = ud.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      val wau = ud
+        .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("k"),
+          col("day"))
+        .select(col("user_id"), date_add(col("day"), col("k")).as("day"))
+        .crossJoin(broadcast(bounds))
+        .where(col("day") <= col("hi"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, Seq("day"))
+        .withColumn("stickiness",
+          col("dau").cast("double") / col("wau"))
+        .orderBy(col("day"))
+    }),
+
     // Ordered view → click → purchase funnel over first event times.
     "ev_funnel" -> ((s, d) =>
       EventPipeline.funnel(ev(s, d), Seq("view", "click", "purchase"))),
@@ -666,6 +731,44 @@ object EventQueries {
         |SELECT cohort, CAST(date_diff('day', cohort, wk)/7 AS BIGINT) AS week_n,
         |count(*) AS active_users
         |FROM a JOIN c USING (user_id) GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "ev_rfm" ->
+      """WITH p AS (SELECT user_id, CAST(max(ts) AS DATE) AS last_d,
+        |  count(*) AS freq,
+        |  CAST(sum(CAST(value AS DECIMAL(20,2))) * 100 AS BIGINT)
+        |    AS m_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |mx AS (SELECT CAST(max(ts) AS DATE) AS mxd FROM events
+        |  WHERE event_type = 'purchase'),
+        |f AS (SELECT user_id,
+        |  CAST(date_diff('day', last_d, mxd) AS BIGINT) AS recency_days,
+        |  freq, m_cents,
+        |  CASE WHEN date_diff('day', last_d, mxd) <= 1 THEN 3
+        |    WHEN date_diff('day', last_d, mxd) <= 4 THEN 2
+        |    ELSE 1 END AS r_score,
+        |  CASE WHEN freq >= 15 THEN 3 WHEN freq >= 10 THEN 2
+        |    ELSE 1 END AS f_score,
+        |  CASE WHEN m_cents >= 75000 THEN 3 WHEN m_cents >= 50000
+        |    THEN 2 ELSE 1 END AS m_score
+        |  FROM p, mx)
+        |SELECT user_id, recency_days, freq, m_cents,
+        |  CAST(r_score AS BIGINT) AS r_score,
+        |  CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+        |    CAST(m_score AS VARCHAR) AS segment
+        |FROM f ORDER BY user_id""".stripMargin,
+    "ev_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events WHERE ts IS NOT NULL),
+        |b AS (SELECT max(day) AS hi FROM ud),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud
+        |  GROUP BY 1),
+        |fan AS (SELECT user_id, day + CAST(k AS INT) AS day
+        |  FROM ud, unnest(range(0, 7)) AS t(k)),
+        |wau AS (SELECT day, count(DISTINCT user_id) AS wau
+        |  FROM fan, b WHERE day <= hi GROUP BY 1)
+        |SELECT day, dau, wau, CAST(dau AS DOUBLE) / wau AS stickiness
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
     "ev_funnel" ->
       """WITH u AS (SELECT user_id,
         |  min(ts) FILTER (WHERE event_type='view') AS t_view,

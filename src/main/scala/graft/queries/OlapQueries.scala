@@ -342,6 +342,34 @@ object OlapQueries {
         .orderBy(col("region"))
     }),
 
+    // ABC / Pareto classification of parts by revenue — the inventory
+    // analytics staple ("which 20% of SKUs carry 80% of revenue"):
+    // per-part exact revenue cents, globally ranked desc, running total
+    // via the DISTRIBUTED two-phase prefix sum (TrainingMix
+    // .withRunningTotal — range partition + per-partition window +
+    // broadcast offsets; the naive `sum() OVER (ORDER BY ...)` would
+    // sort the whole SKU table in one task). Class cut at 80% / 95% of
+    // total by HUGEINT-safe cross-multiplication in decimal(38,0) —
+    // the cum·100 product overflows BIGINT on a 100 TB fact table.
+    "olap_abc" -> ((s, d) => {
+      val cents = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum((col("l_extendedprice").cast("decimal(12,2)") * 100)
+          .cast("long")).cast("long").as("cents"))
+      val tot = cents.agg(sum(col("cents")).cast("long").as("total"))
+      graft.operators.TrainingMix.withRunningTotal(cents, Seq.empty,
+          Seq(col("cents").desc, col("l_partkey")), col("cents"), "cum")
+        .crossJoin(broadcast(tot))
+        .withColumn("cls",
+          when(col("cum").cast("decimal(38,0)") * 100 <=
+            col("total").cast("decimal(38,0)") * 80, "A")
+            .when(col("cum").cast("decimal(38,0)") * 100 <=
+              col("total").cast("decimal(38,0)") * 95, "B")
+            .otherwise("C"))
+        .select(col("l_partkey"), col("cents"), col("cum"), col("cls"))
+        .orderBy(col("l_partkey"))
+    }),
+
     // Per-customer recommendations — the full recommender composition:
     // owned parts (orders ⋈ lineitem) → co-occurrence neighbors →
     // INTEGER score (Σ supports with owned items — exact, no float-sum
@@ -598,6 +626,22 @@ object OlapQueries {
         |        / CAST(n*sv AS DOUBLE), 12) AS gini,
         |  round(CAST(sv2 AS DOUBLE) / CAST(sv*sv AS DOUBLE), 12) AS hhi
         |FROM m ORDER BY 1""".stripMargin,
+    "olap_abc" ->
+      """WITH pc AS (SELECT l_partkey,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT l_partkey, cents, CAST(sum(cents) OVER (
+        |  ORDER BY cents DESC, l_partkey ROWS UNBOUNDED PRECEDING)
+        |  AS BIGINT) AS cum FROM pc),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM pc)
+        |SELECT l_partkey, cents, cum,
+        |  CASE WHEN CAST(cum AS HUGEINT) * 100 <=
+        |      CAST(total AS HUGEINT) * 80 THEN 'A'
+        |    WHEN CAST(cum AS HUGEINT) * 100 <=
+        |      CAST(total AS HUGEINT) * 95 THEN 'B'
+        |    ELSE 'C' END AS cls
+        |FROM r, t ORDER BY l_partkey""".stripMargin,
     "fi_recs_user" ->
       """WITH own AS (SELECT DISTINCT o.o_custkey AS cust,
         |  l.l_partkey AS item

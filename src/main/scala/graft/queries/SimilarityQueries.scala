@@ -20,6 +20,17 @@ object SimilarityQueries {
   private val PqIters = 2
   private val PqSeed = 11L
 
+  /** nDCG discount weights floor(1e6/log2(i+1)) for ranks 1..10, pinned
+    * as integer micro-units so no engine evaluates a logarithm
+    * (dq_benford's shared-literal discipline), and their prefix sums
+    * (the ideal-DCG table indexed by min(10, n_relevant)).
+    */
+  private[queries] val NdcgW: Seq[Long] = Seq(
+    1000000L, 630930L, 500000L, 430677L, 386853L,
+    356207L, 333333L, 315465L, 301030L, 289065L)
+  private[queries] val NdcgC: Seq[Long] =
+    NdcgW.scanLeft(0L)(_ + _).tail
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Product quantization ANN: 64 floats → 4 codes (per-subspace trained
     // codebooks); candidates ranked by the asymmetric-distance sum of
@@ -101,6 +112,84 @@ object SimilarityQueries {
       scored.withColumn("rank", row_number().over(w).cast("long"))
         .where(col("rank") <= 5)
         .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Retrieval EVALUATION harness — the measurement beside the
+    // retrieval operators: for each of 20 query vectors, rank every
+    // other vector by exact cosine (round 6, ties to lower id — the
+    // sim_topk_brute ranking) and report the rank of the first
+    // SAME-LABEL hit (the MRR numerator, exact integer), hits@10, and
+    // the reciprocal rank (ONE exact int division — the only float).
+    // The per-query rows ARE the eval sheet; mean-ing them into MRR is
+    // one trivial aggregate the caller owns. Scale shape: same
+    // broadcast-query brute scorer as sim_hard_negatives — at corpus
+    // scale the candidate side swaps to the IVF bucket path and the
+    // harness is unchanged.
+    "sim_mrr_label" -> ((s, d) => {
+      val v = emb(s, d)
+      val q = v.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label").as("q_label"))
+      val c = v.select(col("vec_id").as("n_id"),
+        col("embedding").as("n_vec"), col("label").as("n_label"))
+      val scored = c.crossJoin(broadcast(q))
+        .where(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("n_id"),
+          col("n_label"),
+          round(Similarity.cosine(col("q_vec"), col("n_vec")), 6)
+            .as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .groupBy(col("q_id"), col("q_label"))
+        .agg(min(when(col("n_label") === col("q_label"), col("rank")))
+            .as("first_rel_rank"),
+          sum(when(col("n_label") === col("q_label") &&
+            col("rank") <= 10, 1L).otherwise(0L)).as("n_rel_top10"))
+        .withColumn("rr", lit(1.0) / col("first_rel_rank"))
+        .orderBy(col("q_id"))
+    }),
+
+    // nDCG@10 over the same labeled ranking — the graded companion of
+    // sim_mrr_label. The discount weights 1/log2(i+1) are pinned as
+    // INTEGER micro-units (no engine evaluates a log), so DCG and the
+    // ideal DCG are exact BIGINT sums and nDCG is ONE division,
+    // rounded at 6dp — bit-stable across engines. IDCG = the prefix
+    // sum of the first min(10, n_relevant) weights, also a pinned
+    // literal table indexed by the relevant count.
+    "sim_ndcg_label" -> ((s, d) => {
+      val v = emb(s, d)
+      val q = v.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label").as("q_label"))
+      val c = v.select(col("vec_id").as("n_id"),
+        col("embedding").as("n_vec"), col("label").as("n_label"))
+      val scored = c.crossJoin(broadcast(q))
+        .where(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("n_id"),
+          col("n_label"),
+          round(Similarity.cosine(col("q_vec"), col("n_vec")), 6)
+            .as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+      val wLit = array(NdcgW.map(x => lit(x)): _*)
+      val cLit = array(NdcgC.map(x => lit(x)): _*)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .groupBy(col("q_id"), col("q_label"))
+        .agg(
+          sum(when(col("n_label") === col("q_label") &&
+            col("rank") <= 10,
+            element_at(wLit, col("rank").cast("int")))
+            .otherwise(0L)).as("dcg_int"),
+          sum(when(col("n_label") === col("q_label"), 1L)
+            .otherwise(0L)).as("n_rel"))
+        .withColumn("idcg_int",
+          element_at(cLit, least(col("n_rel"), lit(10L)).cast("int")))
+        .withColumn("ndcg",
+          round(col("dcg_int").cast("double") / col("idcg_int"), 6))
+        .select(col("q_id"), col("q_label"), col("n_rel"),
+          col("dcg_int"), col("idcg_int"), col("ndcg"))
+        .orderBy(col("q_id"))
     }),
 
     // Embedding-space drift gate: cosine between the two corpus halves'
@@ -881,6 +970,49 @@ object SimilarityQueries {
          |  FROM s)
          |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=10
          |ORDER BY q_id, rank""".stripMargin,
+    "sim_mrr_label" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |  label FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, e AS q_vec, label AS q_label
+         |  FROM v WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS n_id, e AS n_vec, label AS n_label
+         |  FROM v),
+         |s AS (SELECT q_id, q_label, n_id, n_label, $cosSql AS cos
+         |  FROM c, q WHERE n_id <> q_id),
+         |r AS (SELECT q_id, q_label, n_label, row_number() OVER (
+         |  PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM s)
+         |SELECT q_id, q_label,
+         |  min(CASE WHEN n_label = q_label THEN rank END)
+         |    AS first_rel_rank,
+         |  count(*) FILTER (WHERE n_label = q_label AND rank <= 10)
+         |    AS n_rel_top10,
+         |  CAST(1.0 AS DOUBLE) /
+         |    min(CASE WHEN n_label = q_label THEN rank END) AS rr
+         |FROM r GROUP BY 1, 2 ORDER BY q_id""".stripMargin,
+    "sim_ndcg_label" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |  label FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, e AS q_vec, label AS q_label
+         |  FROM v WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS n_id, e AS n_vec, label AS n_label
+         |  FROM v),
+         |s AS (SELECT q_id, q_label, n_id, n_label, $cosSql AS cos
+         |  FROM c, q WHERE n_id <> q_id),
+         |r AS (SELECT q_id, q_label, n_label, row_number() OVER (
+         |  PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM s),
+         |a AS (SELECT q_id, q_label,
+         |  CAST(coalesce(sum(([${NdcgW.mkString(", ")}])
+         |    [CAST(rank AS INT)]) FILTER (
+         |    WHERE n_label = q_label AND rank <= 10), 0) AS BIGINT)
+         |    AS dcg_int,
+         |  count(*) FILTER (WHERE n_label = q_label) AS n_rel
+         |  FROM r GROUP BY 1, 2)
+         |SELECT q_id, q_label, n_rel, dcg_int,
+         |  CAST(([${NdcgC.mkString(", ")}])
+         |    [CAST(least(n_rel, 10) AS INT)] AS BIGINT) AS idcg_int,
+         |  round(CAST(dcg_int AS DOUBLE) / ([${NdcgC.mkString(", ")}])
+         |    [CAST(least(n_rel, 10) AS INT)], 6) AS ndcg
+         |FROM a ORDER BY q_id""".stripMargin,
     "sim_mmr_rerank" -> {
       // Greedy selection unrolled: round i picks the argmax of
       // 0.7·rel − 0.3·max(sim to r_{i−1}) among unselected candidates

@@ -593,6 +593,103 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // LINEAR quality classifier gate (the fasttext-family "trained
+    // classifier apply" step that follows the rule-based gates): score =
+    // β·features with pinned integer weights. The features are the
+    // RATIO family (stopword ratio, chars/token, distinct-token ratio),
+    // but because all three share the token-count denominator, the
+    // decision boundary β₀ + β₁·f₁ + β₂·f₂ + β₃·f₃ ≥ 0 multiplies
+    // through into ONE integer dot product — no float ever enters the
+    // keep decision, so no two engines can disagree on a single doc.
+    // Weights calibrated on the corpus to keep ≈ 48%. Pure per-row
+    // projection: zero shuffle, map-side at scan speed at any corpus
+    // size.
+    "t_quality_logistic" -> ((s, d) => {
+      val ws = filter(TextFunctions.tokens(col("text")),
+        w => length(w) > 0)
+      val nTok = size(ws).cast("long")
+      val nStop = size(filter(ws,
+        w => w === "the" || w === "a")).cast("long")
+      val nDist = size(array_distinct(ws)).cast("long")
+      docs(s, d).select(col("doc_id"), nTok.as("n_tok"),
+          nStop.as("n_stop"), nDist.as("n_dist"), col("n_chars"))
+        .withColumn("score",
+          lit(-800L) * col("n_tok") + lit(3000L) * col("n_stop") +
+            lit(60L) * col("n_chars") + lit(600L) * col("n_dist"))
+        .withColumn("keep", col("score") >= 0L)
+        .select(col("doc_id"), col("n_tok"), col("n_stop"),
+          col("n_dist"), col("score"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-source RANK normalization of the classifier score — the
+    // curation trick that makes one global threshold fair across
+    // sources with different score distributions (a 60th-percentile
+    // academic page and a 60th-percentile forum post both survive a
+    // "top half per source" cut). percent_rank over a SOURCE-partitioned
+    // window with a full (score, doc_id) tie order: the statistic is
+    // (rank−1)/(n−1) — two integers, one division — so both engines
+    // agree bitwise. One hash shuffle on the source key, no global
+    // window; mega-source skew is the same per-key-sort bound as
+    // t_source_cap.
+    "t_quality_rank" -> ((s, d) => {
+      val ws = filter(TextFunctions.tokens(col("text")),
+        w => length(w) > 0)
+      val score =
+        lit(-800L) * size(ws).cast("long") +
+          lit(3000L) * size(filter(ws,
+            w => w === "the" || w === "a")).cast("long") +
+          lit(60L) * col("n_chars") +
+          lit(600L) * size(array_distinct(ws)).cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("score"), col("doc_id"))
+      docs(s, d).select(col("doc_id"), col("source"), score.as("score"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("keep", col("pr") >= 0.5)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // C4/RefinedWeb-style LINE-level dedup — the TRANSFORM counterpart
+    // of t_dup_spans' profile: repeated lines (boilerplate, navigation,
+    // license banners) are removed EVERYWHERE except their first
+    // occurrence, and each document is reassembled from its surviving
+    // lines. The corpus has no newlines, so "lines" are deterministic
+    // 10-token spans (span i = tokens[10i+1..10i+10]) — the same
+    // fixed-window discipline as chunking. Keeper = row_number 1 over a
+    // line-text-partitioned (doc_id, idx) order: ONE hash shuffle on
+    // the line text (the dedup key), then one per-doc aggregate whose
+    // ordered reassembly is an array_sort over doc-local rows — linear
+    // at any corpus size, never pairwise. Docs that lose every line
+    // survive with empty text (the doc-level drop decision belongs to
+    // the quality gate downstream, not the dedupper).
+    "t_line_dedup" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        filter(TextFunctions.tokens(col("text")),
+          w => length(w) > 0).as("ws"))
+      val lines = base.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), expr("(size(ws) - 1) div 10")),
+          i => array_join(slice(col("ws"), i * lit(10) + 1, lit(10)),
+            " ")))
+          .as(Seq("idx", "line")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("line"))
+        .orderBy(col("doc_id"), col("idx"))
+      // One pass: the keeper flag rides every line row into a single
+      // per-doc aggregate (collect_list skips the null non-keepers), so
+      // there is no totals-vs-kept join and the corpus is scanned once.
+      lines.withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(when(col("rn") === 1,
+              struct(col("idx"), col("line"))))),
+            x => x("line")), " ").as("text_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The FULL curation funnel as one declarative plan: quality gate →
     // exact dedup (content-hash keeper) → near-dup clustering keeper —
     // what a training-data pipeline actually runs, end-to-end, with the
@@ -620,6 +717,30 @@ object TextQueries {
         .stratifiedTopKByHash(docs(s, d), "lang", "doc_id", k = 10)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("lang"), col("doc_id"))),
+
+    // Vocabulary COVERAGE / OOV-rate report — the tokenizer-fit check a
+    // corpus runs before training (a vocab that leaves 20% of tokens
+    // out-of-vocabulary wastes sequence length on fallback bytes): per
+    // doc, the fraction of token occurrences outside the top-10
+    // frequency-ranked vocabulary. Vocab = one count aggregate + a
+    // 10-row TakeOrdered that BROADCASTS back onto the token stream
+    // (map-side null check), then one per-doc aggregate — two linear
+    // passes, no data-sized join, at any corpus size.
+    "t_vocab_coverage" -> ((s, d) => {
+      val tok = docs(s, d).select(col("doc_id"),
+        explode(filter(TextFunctions.tokens(col("text")),
+          w => length(w) > 0)).as("w"))
+      val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("w")).limit(10)
+        .select(col("w"), lit(1L).as("_v"))
+      tok.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_frac",
+          col("n_oov").cast("double") / col("n_tok"))
+        .orderBy(col("doc_id"))
+    }),
 
     // Corpus n-gram vocabulary: top-20 word bigrams by document frequency
     // (each doc counts a distinct bigram once) — the vocab-building scan
@@ -848,6 +969,30 @@ object TextQueries {
           dd.where(pmod(col("doc_id"), lit(97)) === 0)
             .select(col("doc_id").as("id")),
           rounds = 4)
+        .orderBy(col("id"))
+    }),
+
+    // PERSONALIZED PageRank over the same citation graph: restart mass
+    // returns only to the seed set (every 101st doc), so rank measures
+    // proximity-weighted importance RELATIVE to the seeds — the
+    // "documents like these trusted ones" quality-prior propagation
+    // (Graph.personalizedPagerankInt). Same integer micro-unit
+    // discipline as g_pagerank; the oracle unrolls all three rounds
+    // with the seed-gated restart term.
+    "g_ppr" -> ((s, d) => {
+      val dd = docs(s, d)
+      val withN = dd.select(col("doc_id"))
+        .crossJoin(broadcast(dd.agg(count(lit(1)).as("nn"))))
+      val edges = withN.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 1, col("nn")).as("dst"))
+        .unionByName(withN.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 13 + 3, col("nn")).as("dst")))
+        .where(col("src") =!= col("dst"))
+      Graph.personalizedPagerankInt(edges,
+          dd.select(col("doc_id").as("id")),
+          dd.where(pmod(col("doc_id"), lit(101)) === 0)
+            .select(col("doc_id").as("id")),
+          iters = 3)
         .orderBy(col("id"))
     }),
 
@@ -1852,6 +1997,86 @@ object TextQueries {
          |SELECT doc_id, symbol_frac, alpha_word_frac, stopword_frac,
          |  (alpha_word_frac >= 0.8 AND symbol_frac <= 0.1) AS keep
          |FROM s ORDER BY doc_id""".stripMargin,
+    "t_vocab_coverage" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |  unnest(list_filter($wsSql, x -> length(x) > 0)) AS w
+         |  FROM documents),
+         |v AS (SELECT w FROM (SELECT w, count(*) AS n FROM tok
+         |  GROUP BY 1) ORDER BY n DESC, w LIMIT 10)
+         |SELECT doc_id, count(*) AS n_tok,
+         |  count(*) FILTER (WHERE w NOT IN (SELECT w FROM v))
+         |    AS n_oov,
+         |  CAST(count(*) FILTER (WHERE w NOT IN (SELECT w FROM v))
+         |    AS DOUBLE) / count(*) AS oov_frac
+         |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t_quality_logistic" ->
+      s"""WITH w AS (SELECT doc_id, n_chars,
+         |  list_filter($wsSql, x -> length(x) > 0) AS ws FROM documents),
+         |f AS (SELECT doc_id, len(ws) AS n_tok,
+         |  len(list_filter(ws, x -> x = 'the' OR x = 'a')) AS n_stop,
+         |  len(list_distinct(ws)) AS n_dist, n_chars FROM w)
+         |SELECT doc_id, n_tok, n_stop, n_dist,
+         |  -800*n_tok + 3000*n_stop + 60*n_chars + 600*n_dist AS score,
+         |  (-800*n_tok + 3000*n_stop + 60*n_chars + 600*n_dist) >= 0
+         |    AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "t_quality_rank" ->
+      s"""WITH w AS (SELECT doc_id, source, n_chars,
+         |  list_filter($wsSql, x -> length(x) > 0) AS ws FROM documents),
+         |f AS (SELECT doc_id, source,
+         |  -800*len(ws) + 3000*len(list_filter(ws,
+         |    x -> x = 'the' OR x = 'a')) + 60*n_chars
+         |    + 600*len(list_distinct(ws)) AS score FROM w),
+         |r AS (SELECT doc_id, source, score, percent_rank() OVER (
+         |  PARTITION BY source ORDER BY score, doc_id) AS pr FROM f)
+         |SELECT doc_id, source, score, pr, pr >= 0.5 AS keep
+         |FROM r ORDER BY source, doc_id""".stripMargin,
+    "t_line_dedup" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  list_filter($wsSql, x -> length(x) > 0) AS ws FROM documents),
+         |l AS (SELECT doc_id, unnest(list_transform(
+         |  range(0, greatest((len(ws)-1)//10, 0) + 1),
+         |  i -> {'idx': i,
+         |        'line': array_to_string(ws[i*10+1 : i*10+10], ' ')}))
+         |  AS u FROM w),
+         |ll AS (SELECT doc_id, u.idx AS idx, u.line AS line FROM l),
+         |k AS (SELECT doc_id, idx, line, row_number() OVER (
+         |  PARTITION BY line ORDER BY doc_id, idx) AS rn FROM ll),
+         |kept AS (SELECT doc_id, count(*) AS n_kept,
+         |  string_agg(line, ' ' ORDER BY idx) AS text_kept
+         |  FROM k WHERE rn = 1 GROUP BY 1),
+         |tot AS (SELECT doc_id, count(*) AS n_lines FROM ll GROUP BY 1)
+         |SELECT t.doc_id, t.n_lines,
+         |  coalesce(kept.n_kept, 0) AS n_kept,
+         |  coalesce(kept.text_kept, '') AS text_kept
+         |FROM tot t LEFT JOIN kept USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "g_ppr" -> {
+      // Same unrolled-round generator as g_pagerank with the
+      // personalized restart: r₀ and the 150 000 base land only on
+      // seed ids (doc_id % 101 = 0).
+      val rounds = (1 to 3).map { i =>
+        s"""m$i AS (SELECT e2.dst AS id, sum(r${i - 1}.r // od.outdeg) AS c
+           |  FROM e2 JOIN r${i - 1} ON e2.src = r${i - 1}.id
+           |  JOIN od ON e2.src = od.src GROUP BY 1),
+           |r$i AS (SELECT r${i - 1}.id,
+           |  (CASE WHEN r${i - 1}.id % 101 = 0 THEN 150000 ELSE 0 END)
+           |    + (17 * coalesce(m$i.c, 0)) // 20 AS r
+           |  FROM r${i - 1} LEFT JOIN m$i USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH n AS (SELECT count(*) AS c FROM documents),
+         |e AS (SELECT doc_id AS src, (doc_id*7+1) % c AS dst
+         |        FROM documents, n
+         |      UNION ALL
+         |      SELECT doc_id, (doc_id*13+3) % c FROM documents, n),
+         |e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+         |od AS (SELECT src, count(*) AS outdeg FROM e2 GROUP BY 1),
+         |r0 AS (SELECT doc_id AS id, CAST(CASE WHEN doc_id % 101 = 0
+         |  THEN 1000000 ELSE 0 END AS BIGINT) AS r FROM documents),
+         |$rounds
+         |SELECT id, CAST(r AS BIGINT) AS rank FROM r3
+         |ORDER BY id""".stripMargin
+    },
     "dq_pii_luhn" ->
       """WITH p AS (SELECT doc_id, text ||
         |  CASE WHEN doc_id%11=0 THEN ' pay 4532015112830366 now'

@@ -74,6 +74,44 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("personalized pagerank: chain matches hand-computed seed flow") {
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L).toDF("id")
+    val seeds = Seq(0L).toDF("id")
+    val out = Graph.personalizedPagerankInt(edges, nodes, seeds, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    // r0 = (1e6, 0, 0); only node 0 gets the 150000 restart.
+    // iter1: n0 = 150000; n1 = (17·1000000) div 20 = 850000; n2 = 0.
+    // iter2: n0 = 150000; n1 = (17·150000) div 20 = 127500;
+    //        n2 = (17·850000) div 20 = 722500.
+    assert(out == Map(0L -> 150000L, 1L -> 127500L, 2L -> 722500L))
+  }
+
+  test("personalized pagerank: seeding every node recovers global pagerank") {
+    val edges = (0L until 30L).flatMap(i =>
+      Seq((i, (i * 7 + 1) % 30), (i, (i * 13 + 3) % 30)))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val nodes = (0L until 30L).toDF("id")
+    val ppr = Graph.personalizedPagerankInt(edges, nodes, nodes, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val pr = Graph.pagerankInt(edges, nodes, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(ppr == pr)
+  }
+
+  test("personalized pagerank: mass never reaches an upstream-only node") {
+    // 2 → 0 → 1 with seed {0}: node 2 has no in-edges from the seed's
+    // forward cone, so its rank stays exactly 0 every round.
+    val edges = Seq((2L, 0L), (0L, 1L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L).toDF("id")
+    val seeds = Seq(0L).toDF("id")
+    val out = Graph.personalizedPagerankInt(edges, nodes, seeds, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out(2L) == 0L)
+    assert(out(0L) == 150000L)
+    assert(out(1L) > 0L)
+  }
+
   test("weighted pagerank: heavier in-edges earn strictly more rank") {
     // 1 →(w9)→ 2 and 1 →(w1)→ 3: node 2 must outrank node 3.
     val edges = Seq((1L, 2L, 9L), (1L, 3L, 1L)).toDF("src", "dst", "w")
