@@ -120,7 +120,12 @@ object Bench {
     // stickiness, ABC Pareto classes (distributed prefix sum),
     // pinned-literal nDCG@10, vocabulary OOV coverage.
     "ev_rfm", "ev_dau_wau", "olap_abc", "sim_ndcg_label",
-    "t_vocab_coverage")
+    "t_vocab_coverage",
+    // Round-6 sixth-batch first-ships: snapshot time travel, C4
+    // blocklist gate, soft quality sampling, k-anon generalization
+    // ladder, CUSUM level-shift detection.
+    "s23_snapshot_asof", "t_blocklist_filter", "t_soft_sample",
+    "dq_anon_ladder", "ev_cusum_shift")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

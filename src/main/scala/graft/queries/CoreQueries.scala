@@ -640,6 +640,39 @@ object CoreQueries {
         min(col("n")).as("min_group_size"))
     }),
 
+    // DQ (ext): k-anonymity GENERALIZATION ladder — the decision input
+    // for the release transform dq_k_anonymity only audits: each rung
+    // coarsens the quasi-identifier tuple one step (acctbal in $1000
+    // bands → $5000 bands → dropped → segment only) and reports the
+    // k=5 exposure at that rung. The publisher picks the first rung
+    // whose risk is acceptable; the rung costs ONE grouped count per
+    // level (never a self-join), and banding is floor division on
+    // exact cents — deterministic on negative balances too (floor, not
+    // truncate-toward-zero). Four aggregates over a broadcast-sized
+    // dim; on a 100 TB fact each rung is one map-combinable pass.
+    "dq_anon_ladder" -> ((s, d) => {
+      val cents = (col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("long")
+      def rung(lvl: Int, keys: Seq[org.apache.spark.sql.Column]) =
+        t(s, d, "customer")
+          .groupBy(keys: _*)
+          .agg(count(lit(1)).as("n"))
+          .agg(lit(lvl.toLong).as("level"),
+            count(lit(1)).as("n_classes"),
+            sum(when(col("n") < 5, 1L).otherwise(0L))
+              .as("classes_below_k"),
+            sum(when(col("n") < 5, col("n")).otherwise(lit(0L)))
+              .cast("long").as("rows_at_risk"))
+      rung(0, Seq(col("c_mktsegment"), col("c_nationkey"),
+          floor(cents / lit(100000.0)).cast("long").as("band")))
+        .unionByName(rung(1, Seq(col("c_mktsegment"), col("c_nationkey"),
+          floor(cents / lit(500000.0)).cast("long").as("band"))))
+        .unionByName(rung(2,
+          Seq(col("c_mktsegment"), col("c_nationkey"))))
+        .unionByName(rung(3, Seq(col("c_mktsegment"))))
+        .orderBy(col("level"))
+    }),
+
     // DQ (ext): FUNCTIONAL-DEPENDENCY audit — does A → B actually hold
     // in the data? The profiling step behind normalization decisions,
     // key discovery, and "is this column derivable" pipeline pruning.
@@ -1021,6 +1054,25 @@ object CoreQueries {
         |CAST(coalesce(sum(n) FILTER (WHERE n < 5), 0) AS BIGINT)
         |  AS rows_at_risk,
         |min(n) AS min_group_size FROM g""".stripMargin,
+    "dq_anon_ladder" -> {
+      def rung(lvl: Int, keys: String) =
+        s"""SELECT CAST($lvl AS BIGINT) AS level,
+           |  count(*) AS n_classes,
+           |  count(*) FILTER (WHERE n < 5) AS classes_below_k,
+           |  CAST(coalesce(sum(n) FILTER (WHERE n < 5), 0) AS BIGINT)
+           |    AS rows_at_risk
+           |FROM (SELECT $keys, count(*) AS n FROM customer
+           |  GROUP BY ALL)""".stripMargin
+      val cents = "CAST(CAST(c_acctbal AS DECIMAL(12,2))*100 AS BIGINT)"
+      Seq(
+        rung(0, s"c_mktsegment, c_nationkey, " +
+          s"CAST(floor($cents/100000.0) AS BIGINT) AS band"),
+        rung(1, s"c_mktsegment, c_nationkey, " +
+          s"CAST(floor($cents/500000.0) AS BIGINT) AS band"),
+        rung(2, "c_mktsegment, c_nationkey"),
+        rung(3, "c_mktsegment"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY level")
+    },
     "dq_fd_audit" -> {
       def fd(name: String, tbl: String, lhs: String, rhs: String) =
         s"""SELECT '$name' AS fd, count(*) AS n_lhs,

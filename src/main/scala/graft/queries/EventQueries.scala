@@ -35,6 +35,40 @@ object EventQueries {
       EventPipeline.cohortRetention(ev(s, d))
         .orderBy(col("cohort"), col("week_n"))),
 
+    // CUSUM mean-shift detection over the daily event series — the
+    // change-point screen that catches a LEVEL shift a per-point
+    // threshold (ev_bursts) misses: the cumulative deviation
+    // dev_k = n_days·prefix_k − k·total (exact integers — prefix_k vs
+    // the k-day share of a uniform series) drifts steadily when the
+    // rate changes. Flag when |dev|·10 > n_days·total, i.e. cumulative
+    // excess beyond 10% of total volume. The running sum is a window
+    // over the ~30-row DAY aggregate (w_yoy posture — never events);
+    // the totals broadcast as one row. Zero floats anywhere.
+    "ev_cusum_shift" -> ((s, d) => {
+      val daily = ev(s, d).where(col("ts").isNotNull)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val tot = daily.agg(sum(col("n")).as("total"),
+        count(lit(1)).as("nd"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      daily
+        .withColumn("k", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("day")))
+          .cast("long"))
+        .withColumn("prefix", sum(col("n")).over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("dev",
+          col("nd") * col("prefix") - col("k") * col("total"))
+        .withColumn("shift_flag",
+          abs(col("dev")) * 10 > col("nd") * col("total"))
+        .select(col("day"), col("n"), col("prefix"), col("dev"),
+          col("shift_flag"))
+        .orderBy(col("day"))
+    }),
+
     // RFM customer segmentation — the classic marketing-warehouse op:
     // per user, Recency (days since last purchase vs the corpus max,
     // broadcast 1-row), Frequency (purchase count), Monetary (exact
@@ -731,6 +765,19 @@ object EventQueries {
         |SELECT cohort, CAST(date_diff('day', cohort, wk)/7 AS BIGINT) AS week_n,
         |count(*) AS active_users
         |FROM a JOIN c USING (user_id) GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "ev_cusum_shift" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |  count(*) AS nd FROM daily),
+        |r AS (SELECT day, n,
+        |  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+        |  CAST(sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS prefix
+        |  FROM daily)
+        |SELECT day, n, prefix, nd*prefix - k*total AS dev,
+        |  abs(nd*prefix - k*total) * 10 > nd * total AS shift_flag
+        |FROM r, t ORDER BY day""".stripMargin,
     "ev_rfm" ->
       """WITH p AS (SELECT user_id, CAST(max(ts) AS DATE) AS last_d,
         |  count(*) AS freq,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.sources.Tables
+import graft.sources.{Snapshots, Tables}
 
 /** Registered queries for the source/sink surface (SURVEY.md §2.1) plus the
   * remaining projection/preview/star-join operators (P3, P4, A11, J3).
@@ -296,6 +296,32 @@ object SourceQueries {
         .option("rows", "2000").option("parts", "8").load()
         .orderBy(col("id"))),
 
+    // S23 (ext): manifest-based snapshot versioning — TIME TRAVEL over
+    // immutable parquet + per-version manifests (Snapshots.scala). Three
+    // writes (append thirds 0 and 1 of customer, then OVERWRITE with
+    // third 2), then every version is read back AS OF its manifest and
+    // summarized. The oracle rebuilds each version's expected content
+    // from the raw table, so the hash match proves: append composes,
+    // overwrite replaces, and — the point of the format — versions 1
+    // and 2 remain bit-exactly readable AFTER the overwrite.
+    "s23_snapshot_asof" -> ((s, d) => {
+      val base = s"$scratch/snapshots_customer"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val c = t(s, d, "customer")
+      Snapshots.append(s, base, c.where(pmod(col("c_custkey"), lit(3)) === 0))
+      Snapshots.append(s, base, c.where(pmod(col("c_custkey"), lit(3)) === 1))
+      Snapshots.overwrite(s, base,
+        c.where(pmod(col("c_custkey"), lit(3)) === 2))
+      (1 to 3).map { v =>
+        Snapshots.readAsOf(s, base, v)
+          .agg(lit(v.toLong).as("version"), count(lit(1)).as("n_rows"),
+            sum((col("c_acctbal").cast("decimal(12,2)") * 100)
+              .cast("long")).cast("long").as("acctbal_cents"),
+            sum(col("c_custkey")).cast("long").as("key_sum"))
+      }.reduce(_ unionByName _).orderBy(col("version"))
+    }),
+
     // S10: batched JDBC append into an embedded Derby database
     // (batchsize=1000 like the reference's executemany batching,
     // merge_to_dw.py:25, 191), then read back over JDBC. On a cluster the
@@ -399,6 +425,17 @@ object SourceQueries {
     "s21_dsv2_source" ->
       """SELECT i AS id, md5(CAST(i AS VARCHAR)) AS text
         |FROM range(0, 2000) t(i) ORDER BY id""".stripMargin,
+    "s23_snapshot_asof" -> {
+      def v(n: Int, pred: String) =
+        s"""SELECT CAST($n AS BIGINT) AS version, count(*) AS n_rows,
+           |  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+           |    AS BIGINT)) AS BIGINT) AS acctbal_cents,
+           |  CAST(sum(c_custkey) AS BIGINT) AS key_sum
+           |FROM customer WHERE $pred""".stripMargin
+      Seq(v(1, "c_custkey % 3 = 0"), v(2, "c_custkey % 3 IN (0, 1)"),
+        v(3, "c_custkey % 3 = 2"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY version")
+    },
     "s20_corrupt_records" ->
       """SELECT count(*) FILTER (WHERE doc_id % 10 <> 0) AS n_good,
         |count(*) FILTER (WHERE doc_id % 10 = 0) AS n_corrupt,

@@ -622,6 +622,59 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // C4-style BLOCKLIST gate — the word-filter curation step (C4
+    // dropped any page containing a blocklisted word; production
+    // pipelines use a rate threshold instead so one stray token can't
+    // nuke a long document): per doc, blocklisted-token occurrences
+    // and a keep gate at ≤5% (n_bad·20 ≤ n_tok, exact integer
+    // cross-multiplication). The blocklist lives in the plan as an
+    // isInCollection literal — pure per-row projection, zero shuffle,
+    // scan-speed at any corpus size.
+    "t_blocklist_filter" -> ((s, d) => {
+      val bad = Seq("error", "slow", "dup")
+      val ws = filter(TextFunctions.tokens(col("text")),
+        w => length(w) > 0)
+      docs(s, d).select(col("doc_id"),
+          size(ws).cast("long").as("n_tok"),
+          size(filter(ws, w => w.isInCollection(bad))).cast("long")
+            .as("n_bad"))
+        .withColumn("keep", col("n_bad") * 20 <= col("n_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality-PROPORTIONAL deterministic sampling — soft filtering
+    // (CCNet/FineWeb family): instead of a hard keep/drop at a score
+    // threshold, keep each doc with probability score/score_max, so
+    // borderline text survives at reduced rate and the kept slice's
+    // quality mix is graded, not cliffed. No RNG: the coin is a
+    // multiplicative-hash residue h = (doc_id·1103515245 + 12345) mod
+    // 2³¹, and the decision h·score_max < score⁺·2³¹ is one exact
+    // integer cross-multiplication (score⁺ = max(score, 0); corpus max
+    // broadcasts as a 1-row aggregate). Per-row projection + one
+    // broadcast — zero data shuffle. (At ≫2⁵³ docs the hash product
+    // needs a decimal hop; documents here keep it in BIGINT.)
+    "t_soft_sample" -> ((s, d) => {
+      val ws = filter(TextFunctions.tokens(col("text")),
+        w => length(w) > 0)
+      val score =
+        lit(-800L) * size(ws).cast("long") +
+          lit(3000L) * size(filter(ws,
+            w => w === "the" || w === "a")).cast("long") +
+          lit(60L) * col("n_chars") +
+          lit(600L) * size(array_distinct(ws)).cast("long")
+      val scored = docs(s, d)
+        .select(col("doc_id"), score.as("score"),
+          pmod(col("doc_id") * 1103515245L + 12345L,
+            lit(2147483648L)).as("h"))
+      val mx = scored.agg(max(col("score")).as("smax"))
+      scored.crossJoin(broadcast(mx))
+        .withColumn("keep",
+          col("h") * col("smax") <
+            greatest(col("score"), lit(0L)) * lit(2147483648L))
+        .select(col("doc_id"), col("score"), col("h"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-source RANK normalization of the classifier score — the
     // curation trick that makes one global threshold fair across
     // sources with different score distributions (a 60th-percentile
@@ -2020,6 +2073,28 @@ object TextQueries {
          |  (-800*n_tok + 3000*n_stop + 60*n_chars + 600*n_dist) >= 0
          |    AS keep
          |FROM f ORDER BY doc_id""".stripMargin,
+    "t_blocklist_filter" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  list_filter($wsSql, x -> length(x) > 0) AS ws FROM documents)
+         |SELECT doc_id, len(ws) AS n_tok,
+         |  len(list_filter(ws,
+         |    x -> list_contains(['error','slow','dup'], x))) AS n_bad,
+         |  len(list_filter(ws,
+         |    x -> list_contains(['error','slow','dup'], x))) * 20
+         |    <= len(ws) AS keep
+         |FROM w ORDER BY doc_id""".stripMargin,
+    "t_soft_sample" ->
+      s"""WITH w AS (SELECT doc_id, n_chars,
+         |  list_filter($wsSql, x -> length(x) > 0) AS ws FROM documents),
+         |f AS (SELECT doc_id,
+         |  -800*len(ws) + 3000*len(list_filter(ws,
+         |    x -> x = 'the' OR x = 'a')) + 60*n_chars
+         |    + 600*len(list_distinct(ws)) AS score,
+         |  (doc_id*1103515245 + 12345) % 2147483648 AS h FROM w),
+         |m AS (SELECT max(score) AS smax FROM f)
+         |SELECT doc_id, score, h,
+         |  h * smax < greatest(score, 0) * 2147483648 AS keep
+         |FROM f, m ORDER BY doc_id""".stripMargin,
     "t_quality_rank" ->
       s"""WITH w AS (SELECT doc_id, source, n_chars,
          |  list_filter($wsSql, x -> length(x) > 0) AS ws FROM documents),
