@@ -125,7 +125,10 @@ object Bench {
     // blocklist gate, soft quality sampling, k-anon generalization
     // ladder, CUSUM level-shift detection.
     "s23_snapshot_asof", "t_blocklist_filter", "t_soft_sample",
-    "dq_anon_ladder", "ev_cusum_shift")
+    "dq_anon_ladder", "ev_cusum_shift",
+    // Round-6 seventh-batch first-ships: rank-change movers and
+    // linear multi-touch attribution.
+    "w_rank_change", "ev_attrib_linear")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

@@ -35,6 +35,44 @@ object EventQueries {
       EventPipeline.cohortRetention(ev(s, d))
         .orderBy(col("cohort"), col("week_n"))),
 
+    // LINEAR multi-touch attribution — the marketing-analytics op
+    // beyond last-touch (ev_attribution pairs a click with ONE view):
+    // every purchase splits one unit of credit EQUALLY across all of
+    // the user's view/click touches in the trailing 24 h. Per purchase:
+    // touch counts by channel (exact ints) and each channel's credit
+    // share — ONE division of two of the row's own integers, so
+    // nothing float-sums across rows. Join shape: purchases ⋈ touches
+    // on the USER key with the time band as a join predicate — the
+    // batch face of the stream-stream interval join, cost bounded by
+    // per-user event volume, never all-pairs.
+    "ev_attrib_linear" -> ((s, d) => {
+      val e = ev(s, d).where(col("ts").isNotNull)
+      val purch = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("pt"))
+      val touch = e.where(col("event_type").isin("view", "click"))
+        .select(col("user_id").as("t_user"), col("ts").as("tt"),
+          col("event_type").as("ch"))
+      purch.join(touch,
+          col("user_id") === col("t_user") &&
+            col("tt") <= col("pt") &&
+            col("tt") >= col("pt") - expr("INTERVAL 24 HOURS"),
+          "left")
+        .groupBy(col("p_id"))
+        .agg(count(col("ch")).as("n_touch"),
+          sum(when(col("ch") === "view", 1L).otherwise(0L))
+            .as("n_view"),
+          sum(when(col("ch") === "click", 1L).otherwise(0L))
+            .as("n_click"))
+        .withColumn("view_credit",
+          when(col("n_touch") > 0,
+            col("n_view").cast("double") / col("n_touch")))
+        .withColumn("click_credit",
+          when(col("n_touch") > 0,
+            col("n_click").cast("double") / col("n_touch")))
+        .orderBy(col("p_id"))
+    }),
+
     // CUSUM mean-shift detection over the daily event series — the
     // change-point screen that catches a LEVEL shift a per-point
     // threshold (ev_bursts) misses: the cumulative deviation
@@ -765,6 +803,25 @@ object EventQueries {
         |SELECT cohort, CAST(date_diff('day', cohort, wk)/7 AS BIGINT) AS week_n,
         |count(*) AS active_users
         |FROM a JOIN c USING (user_id) GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "ev_attrib_linear" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS pt
+        |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL),
+        |t AS (SELECT user_id AS t_user, ts AS tt, event_type AS ch
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |    AND ts IS NOT NULL),
+        |j AS (SELECT p.p_id, t.ch FROM p LEFT JOIN t
+        |  ON p.user_id = t.t_user AND t.tt <= p.pt
+        |    AND t.tt >= p.pt - INTERVAL 24 HOURS),
+        |a AS (SELECT p_id, count(ch) AS n_touch,
+        |  count(*) FILTER (WHERE ch = 'view') AS n_view,
+        |  count(*) FILTER (WHERE ch = 'click') AS n_click
+        |  FROM j GROUP BY 1)
+        |SELECT p_id, n_touch, n_view, n_click,
+        |  CASE WHEN n_touch > 0
+        |    THEN CAST(n_view AS DOUBLE) / n_touch END AS view_credit,
+        |  CASE WHEN n_touch > 0
+        |    THEN CAST(n_click AS DOUBLE) / n_touch END AS click_credit
+        |FROM a ORDER BY p_id""".stripMargin,
     "ev_cusum_shift" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
         |  FROM events WHERE ts IS NOT NULL GROUP BY 1),

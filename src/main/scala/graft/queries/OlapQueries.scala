@@ -342,6 +342,28 @@ object OlapQueries {
         .orderBy(col("region"))
     }),
 
+    // Rank-change movers ("who climbed the league table"): per-year
+    // nation revenue ranks with the previous year's rank and the delta
+    // — the BI movers-and-shakers card. Rank = row_number over the
+    // (year, revenue DESC, nation) total order (deterministic under
+    // ties); prev via lag over the nation's year series. BOTH windows
+    // run on the per-(year, nation) AGGREGATE — |years|·|nations| rows
+    // — never on facts, so the plan is one grouping pass plus two
+    // tiny windows at any fact-table size.
+    "w_rank_change" -> ((s, d) => {
+      val agg = ordersGeo(s, d)
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          col("n_name"))
+        .agg(revenue.as("revenue"))
+      val wRank = Window.partitionBy(col("yr"))
+        .orderBy(col("revenue").desc, col("n_name"))
+      val wLag = Window.partitionBy(col("n_name")).orderBy(col("yr"))
+      agg.withColumn("rk", row_number().over(wRank).cast("long"))
+        .withColumn("prev_rk", lag(col("rk"), 1).over(wLag))
+        .withColumn("delta", col("prev_rk") - col("rk"))
+        .orderBy(col("yr"), col("n_name"))
+    }),
+
     // ABC / Pareto classification of parts by revenue — the inventory
     // analytics staple ("which 20% of SKUs carry 80% of revenue"):
     // per-part exact revenue cents, globally ranked desc, running total
@@ -626,6 +648,24 @@ object OlapQueries {
         |        / CAST(n*sv AS DOUBLE), 12) AS gini,
         |  round(CAST(sv2 AS DOUBLE) / CAST(sv*sv AS DOUBLE), 12) AS hhi
         |FROM m ORDER BY 1""".stripMargin,
+    "w_rank_change" ->
+      """WITH a AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE)
+        |    AS revenue
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT yr, n_name, revenue,
+        |  CAST(row_number() OVER (PARTITION BY yr
+        |    ORDER BY revenue DESC, n_name) AS BIGINT) AS rk FROM a)
+        |SELECT yr, n_name, revenue, rk,
+        |  lag(rk, 1) OVER (PARTITION BY n_name ORDER BY yr) AS prev_rk,
+        |  lag(rk, 1) OVER (PARTITION BY n_name ORDER BY yr) - rk
+        |    AS delta
+        |FROM r ORDER BY yr, n_name""".stripMargin,
     "olap_abc" ->
       """WITH pc AS (SELECT l_partkey,
         |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100

@@ -729,17 +729,29 @@ object TextQueries {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("line"))
         .orderBy(col("doc_id"), col("idx"))
-      // One pass: the keeper flag rides every line row into a single
-      // per-doc aggregate (collect_list skips the null non-keepers), so
-      // there is no totals-vs-kept join and the corpus is scanned once.
-      lines.withColumn("rn", row_number().over(w))
+      // Two passes on purpose: filtering rn=1 BEFORE the per-doc
+      // aggregate lets Catalyst plan the keeper window as a
+      // WindowGroupLimit pair (asserted in PlanAuditSpec), so each map
+      // partition forwards only its per-line winner candidate and the
+      // line shuffle carries ~|distinct lines|, not |occurrences|. The
+      // totals side shuffles per-doc PARTIAL counts (map-combined,
+      // tiny). A fused single-pass form was measured equivalent here
+      // but ships every occurrence through BOTH shuffles — strictly
+      // more exchange volume at corpus scale.
+      val kept = lines
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_lines"),
-          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        .agg(count(lit(1)).as("n_kept"),
           array_join(transform(
-            array_sort(collect_list(when(col("rn") === 1,
-              struct(col("idx"), col("line"))))),
+            array_sort(collect_list(struct(col("idx"), col("line")))),
             x => x("line")), " ").as("text_kept"))
+      val totals = lines.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines"))
+      totals.join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("text_kept"), lit("")).as("text_kept"))
         .orderBy(col("doc_id"))
     }),
 

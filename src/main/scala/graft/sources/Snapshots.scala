@@ -74,15 +74,35 @@ object Snapshots {
   }
 
   private def publish(spark: SparkSession, basePath: String, df: DataFrame,
-                      carryForward: Boolean): Int = {
+                      carryForward: Boolean,
+                      dirName: Option[String] = None): Int = {
     val v = latestVersion(spark, basePath) + 1
-    val dir = s"$basePath/data/batch-$v"
+    val dir = s"$basePath/data/${dirName.getOrElse(s"batch-$v")}"
     df.write.mode("overwrite").parquet(dir)
     val prior =
       if (carryForward && v > 1) readManifest(spark, basePath, v - 1)
       else Seq.empty
     writeManifest(spark, basePath, v, prior :+ dir)
     v
+  }
+
+  /** Append under a CALLER-CHOSEN data directory name — the hook an
+    * idempotent writer needs: name the directory after its source batch
+    * id and membership in the latest manifest answers "was this batch
+    * already published?" without any extra ledger
+    * (see streaming.SnapshotStream). Crash-safe in both windows: data
+    * written but manifest not published → the retry overwrites the same
+    * directory and publishes once; manifest published → the retry sees
+    * the reference and skips.
+    */
+  def appendAs(spark: SparkSession, basePath: String, df: DataFrame,
+               dirName: String): Int =
+    publish(spark, basePath, df, carryForward = true, Some(dirName))
+
+  /** The latest manifest's directory list (empty if no version yet). */
+  def latestDirs(spark: SparkSession, basePath: String): Seq[String] = {
+    val v = latestVersion(spark, basePath)
+    if (v == 0) Seq.empty else readManifest(spark, basePath, v)
   }
 
   /** Publish a new version containing the previous version plus `df`.

@@ -521,4 +521,50 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD"),
       s"g_concomp lineage not checkpoint-bounded:\n$p")
   }
+
+  test("line dedup's keeper window prunes map-side (WindowGroupLimit)") {
+    // row_number()=1 over the line partition must plan as a
+    // WindowGroupLimit pair (partial before the line shuffle, final
+    // after), so only each partition's per-line winner candidates ride
+    // the exchange — the property that keeps the dedup shuffle at
+    // ~|distinct lines|, not |line occurrences|, on a 100 TB corpus.
+    val p = plan("t_line_dedup")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"keeper window lost its group-limit pushdown:\n$p")
+  }
+
+  test("ABC classes run on the distributed prefix sum, not a global window") {
+    // The only unbounded-frame window must consume the per-partition
+    // totals (the broadcast-offset relation), never the per-part rows:
+    // exactly one data window remains and it is pid-partitioned by
+    // withRunningTotal's local pass.
+    val p = plan("olap_abc")
+    assert(p.contains("_pid"),
+      s"olap_abc lost the two-phase prefix-sum shape:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"total lost its broadcast:\n$p")
+  }
+
+  test("linear attribution joins on the user key — never a loop join") {
+    // The 24h band rides the equi-join as a post-join predicate; a
+    // BroadcastNestedLoopJoin here would be the all-pairs regression.
+    val p = plan("ev_attrib_linear")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"attribution degraded to a nested-loop join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"no keyed join found:\n$p")
+  }
+
+  test("soft sampling is a per-row projection plus one broadcast scalar") {
+    // No data-sized shuffle: the only exchanges are the 1-row max
+    // broadcast and the presentation sort.
+    val p = plan("t_soft_sample")
+    assert(!p.contains("SortMergeJoin"),
+      s"soft sampling gained a data-sized join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"score max lost its broadcast:\n$p")
+  }
 }
