@@ -128,7 +128,15 @@ object Bench {
     "dq_anon_ladder", "ev_cusum_shift",
     // Round-6 seventh-batch first-ships: rank-change movers and
     // linear multi-touch attribution.
-    "w_rank_change", "ev_attrib_linear")
+    "w_rank_change", "ev_attrib_linear",
+    // Round-6 eighth-batch first-ships: session journeys and Simpson
+    // lexical diversity. (t_setsim_sweep stays correctness-only ON
+    // THIS CORPUS, the t_containment precedent: at its loose 0.7
+    // threshold the templated docs' verified-pair volume explodes —
+    // 31 s at sf0.1, pure output fan-out on a plan identical to
+    // t_setsim_prefix. On a diverse corpus the 0.7 pair set is the
+    // rare-overlap tail and the same plan prices the sweep cheaply.)
+    "ev_session_paths", "t_simpson_diversity")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the
@@ -196,7 +204,19 @@ object Bench {
     // Round-6 third-batch pins, from the round's FOURTH full-set run
     // (87 queries, 184.4 s, 87/87 measured, zero failures, zero
     // regressions, zero suspects — fully clean with the min+retry gate).
-    "ev_value_bands" -> 1.11, "sim_recall_trunc" -> 1.07)
+    "ev_value_bands" -> 1.11, "sim_recall_trunc" -> 1.07,
+    // Round-6 session pins (batches 4–7), from the round's FIFTH
+    // full-set run (105 queries, 221.4 s, 105/105 measured, zero
+    // failures, zero regressions; four retry-cleared suspects from
+    // transient host contention — BASELINE.md "Round 6 session").
+    "t_quality_logistic" -> 0.42, "t_quality_rank" -> 0.36,
+    "t_line_dedup" -> 0.65, "g_ppr" -> 1.04, "sim_mrr_label" -> 1.39,
+    "dq_fd_audit" -> 0.99, "ev_rfm" -> 0.23, "ev_dau_wau" -> 0.47,
+    "olap_abc" -> 1.03, "sim_ndcg_label" -> 1.12,
+    "t_vocab_coverage" -> 0.58, "s23_snapshot_asof" -> 0.61,
+    "t_blocklist_filter" -> 0.44, "t_soft_sample" -> 0.71,
+    "dq_anon_ladder" -> 0.43, "ev_cusum_shift" -> 0.26,
+    "w_rank_change" -> 0.65, "ev_attrib_linear" -> 0.51)
 
   def main(args: Array[String]): Unit = {
     // Optional args: restrict to the named queries (local plan iteration

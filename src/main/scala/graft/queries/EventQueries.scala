@@ -35,6 +35,27 @@ object EventQueries {
       EventPipeline.cohortRetention(ev(s, d))
         .orderBy(col("cohort"), col("week_n"))),
 
+    // Top session JOURNEYS — the product-analytics "what do sessions
+    // look like" card: gap-sessionize (the same 30-minute
+    // session_window the streaming path uses), concatenate each
+    // session's event types in (ts, event_id) order into a path
+    // string, count identical paths, top-15 with full tie-breaks. Two
+    // grouped aggregates — session assembly shuffles once on the user
+    // key (session_window is user-local), paths once on the path
+    // string; the oracle replays sessionization as the lag/cumsum
+    // gaps-and-islands, proving the two formulations agree event-level.
+    "ev_session_paths" -> ((s, d) => {
+      val e = ev(s, d).where(col("ts").isNotNull)
+      e.groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x("event_type")), ">").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("path")).limit(15)
+    }),
+
     // LINEAR multi-touch attribution — the marketing-analytics op
     // beyond last-touch (ev_attribution pairs a click with ONE view):
     // every purchase splits one unit of credit EQUALLY across all of
@@ -803,6 +824,22 @@ object EventQueries {
         |SELECT cohort, CAST(date_diff('day', cohort, wk)/7 AS BIGINT) AS week_n,
         |count(*) AS active_users
         |FROM a JOIN c USING (user_id) GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "ev_session_paths" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type
+        |  FROM events WHERE ts IS NOT NULL),
+        |f AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id)),
+        |g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f),
+        |p AS (SELECT user_id, sid,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM g GROUP BY 1, 2)
+        |SELECT path, count(*) AS n FROM p GROUP BY 1
+        |ORDER BY n DESC, path LIMIT 15""".stripMargin,
     "ev_attrib_linear" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, ts AS pt
         |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL),

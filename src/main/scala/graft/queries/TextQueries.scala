@@ -442,6 +442,43 @@ object TextQueries {
           docs(s, d), "doc_id", "text", tNum = 9, tDen = 10)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Similarity-THRESHOLD sweep — the dedup-knob tuning curve ("how
+    // many pairs does each threshold catch"): run the prefix-filtered
+    // join ONCE at the loosest threshold of interest (0.7) and band
+    // the verified pairs by floor(jac·10), so one pass prices every
+    // tighter setting. The banding double ops (one exact-int division,
+    // ·10, floor) are IEEE-identical in both engines, so even boundary
+    // values land in the same band everywhere. Same plan family as
+    // t_setsim_prefix plus one tiny aggregate over the pair set.
+    "t_setsim_sweep" -> ((s, d) =>
+      graft.operators.SetSimJoin.prefixJaccardPairs(
+          docs(s, d), "doc_id", "text", tNum = 7, tDen = 10)
+        .withColumn("band", floor(col("jac") * 10).cast("long"))
+        .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("band"))),
+
+    // Simpson DIVERSITY (1 − Σc²/n²) per document — the lexical-
+    // diversity quality signal with NO logarithm (the Gini–Simpson
+    // index as the cross-engine-exact entropy stand-in): low values =
+    // a few tokens dominate (spammy/templated text), high = diverse.
+    // Σc² and n are exact integers from one (doc, token) count
+    // aggregate; the final expression is one division. Two linear
+    // hash shuffles (token counts, then per-doc) — never pairwise.
+    "t_simpson_diversity" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          explode(filter(TextFunctions.tokens(col("text")),
+            w => length(w) > 0)).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tok"),
+          sum(col("c") * col("c")).as("sum_c2"),
+          count(lit(1)).as("n_distinct"))
+        .withColumn("simpson",
+          lit(1.0) - col("sum_c2").cast("double") /
+            (col("n_tok") * col("n_tok")))
+        .orderBy(col("doc_id"))),
+
     // Leakage-safe corpus split: every doc inherits its near-dup
     // CLUSTER's split (hash of the cluster label), so near-duplicates
     // cannot straddle train/eval. The n_leaky_clusters column COMPUTES
@@ -1719,6 +1756,28 @@ object TextQueries {
          |  FROM w a JOIN w b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, CAST(i AS DOUBLE)/(la+lb-i) AS jac
          |FROM p WHERE i*10 >= 9*(la+lb-i) ORDER BY 1, 2""".stripMargin,
+    "t_setsim_sweep" ->
+      s"""WITH w AS (SELECT doc_id, list_distinct($wsSql) AS ws
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |p AS (SELECT len(list_intersect(a.ws, b.ws)) AS i,
+         |  len(a.ws) AS la, len(b.ws) AS lb
+         |  FROM w a JOIN w b ON a.doc_id < b.doc_id),
+         |v AS (SELECT CAST(floor((CAST(i AS DOUBLE)/(la+lb-i))*10)
+         |    AS BIGINT) AS band
+         |  FROM p WHERE i*10 >= 7*(la+lb-i))
+         |SELECT band, count(*) AS n_pairs FROM v GROUP BY 1
+         |ORDER BY band""".stripMargin,
+    "t_simpson_diversity" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |  unnest(list_filter($wsSql, x -> length(x) > 0)) AS w
+         |  FROM documents),
+         |c AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+         |  CAST(sum(c*c) AS BIGINT) AS sum_c2,
+         |  count(*) AS n_distinct,
+         |  CAST(1.0 AS DOUBLE)
+         |    - CAST(sum(c*c) AS DOUBLE)/(sum(c)*sum(c)) AS simpson
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "t_setsim_incremental" ->
       s"""WITH w AS (SELECT doc_id, list_distinct($wsSql) AS ws
          |  FROM documents WHERE length(trim(text)) > 0),
