@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 session additions: invariants of the new curation gates,
+  * line dedup, soft sampling, ABC classes, and session paths that the
+  * oracles cannot express (cross-run determinism, monotonicity,
+  * reconstruction properties).
+  */
+class Round6Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  // ---- line dedup ------------------------------------------------------
+
+  test("line dedup: kept lines reconstruct a subsequence of the original") {
+    // Every doc's text_kept must be its original pseudo-line sequence
+    // with some lines removed — order preserved, nothing invented.
+    val rows = q("t_line_dedup")
+      .select($"doc_id", $"text_kept").as[(Long, String)]
+      .collect().toMap
+    val orig = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", lower(trim($"text")).as("t"))
+      .as[(Long, String)].collect().toMap
+    for ((id, kept) <- rows.take(50) if kept.nonEmpty) {
+      val toks = orig(id).split("\\s+").filter(_.nonEmpty)
+      val lines = toks.grouped(10).map(_.mkString(" ")).toSeq
+      val keptLines = kept.split(" ").grouped(10).map(_.mkString(" "))
+      // subsequence check against the doc's own line sequence
+      var i = 0
+      for (kl <- keptLines) {
+        val j = lines.indexOf(kl, i)
+        assert(j >= i, s"doc $id: kept line not in original order")
+        i = j + 1
+      }
+    }
+  }
+
+  test("line dedup: total kept lines equals distinct line count") {
+    // Exactly one survivor per distinct line text, corpus-wide.
+    val kept = q("t_line_dedup").agg(sum($"n_kept")).as[Long].collect().head
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val distinctLines = docs
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, (size(filter(split(lower(trim(text)), '\\s+'), x -> length(x) > 0)) - 1) div 10),
+          |i -> array_join(slice(filter(split(lower(trim(text)), '\\s+'), x -> length(x) > 0), i * 10 + 1, 10), ' '))"""
+          .stripMargin)).as("line"))
+      .select($"line").distinct().count()
+    assert(kept == distinctLines)
+  }
+
+  // ---- soft sampling ---------------------------------------------------
+
+  test("soft sampling: the max-score doc always survives; keep is monotone in score at fixed hash") {
+    val rows = q("t_soft_sample")
+      .select($"doc_id", $"score", $"h", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+    val smax = rows.map(_._2).max
+    assert(rows.filter(_._2 == smax).forall(_._4),
+      "a doc at the score max must always be kept (h < 2^31 strictly)")
+    // Decision replay: keep ⇔ h·smax < max(score,0)·2^31.
+    for ((_, s, h, k) <- rows)
+      assert(k == (h * smax < math.max(s, 0L) * 2147483648L))
+    // Zero-or-negative scores never survive.
+    assert(rows.filter(_._2 <= 0).forall(!_._4))
+  }
+
+  // ---- ABC classes -----------------------------------------------------
+
+  test("ABC classes are monotone down the revenue ranking") {
+    val rows = q("olap_abc")
+      .select($"cents", $"cum", $"cls")
+      .as[(Long, Long, String)].collect()
+      .sortBy(r => (-r._1, r._2)) // revenue desc = cum asc order
+    val classes = rows.map(_._3)
+    // Once the running share passes a cut, the class never goes back.
+    val order = Map("A" -> 0, "B" -> 1, "C" -> 2)
+    assert(classes.map(order).sliding(2).forall(w =>
+      w.length < 2 || w(0) <= w(1)))
+    // The A slice carries at most 80% + one part of total revenue.
+    val total = rows.map(_._1).sum
+    val aRev = rows.filter(_._3 == "A").map(_._1).sum
+    assert(aRev * 100 <= total * 80 + rows.map(_._1).max * 100)
+  }
+
+  // ---- quality rank ----------------------------------------------------
+
+  test("quality rank keeps at least half of every multi-doc source") {
+    val perSource = q("t_quality_rank")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"keep", 1L).otherwise(0L)).as("k"))
+      .as[(String, Long, Long)].collect()
+    for ((src, n, k) <- perSource if n > 1) {
+      // percent_rank >= 0.5 keeps the top half (rounded up at ties).
+      assert(k * 2 >= n - 1, s"source $src kept $k of $n")
+      assert(k < n || n == 1, s"source $src kept everything")
+    }
+  }
+
+  // ---- session paths ---------------------------------------------------
+
+  test("session paths cover every event exactly once") {
+    // Σ (path length · count) over ALL sessions = event count.
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .where($"ts".isNotNull)
+    val total = e.count()
+    val paths = e
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum($"n")).as[Long].collect().head
+    assert(paths == total)
+  }
+
+  // ---- determinism sweep ----------------------------------------------
+
+  test("new gates are bit-deterministic across runs") {
+    for (name <- Seq("t_quality_logistic", "t_blocklist_filter",
+      "t_soft_sample", "ev_rfm", "dq_fd_audit")) {
+      val a = q(name).collect().toSeq
+      val b = q(name).collect().toSeq
+      assert(a == b, s"$name differs run-to-run")
+    }
+  }
+}
