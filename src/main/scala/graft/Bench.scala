@@ -136,7 +136,11 @@ object Bench {
     // 31 s at sf0.1, pure output fan-out on a plan identical to
     // t_setsim_prefix. On a diverse corpus the 0.7 pair set is the
     // rare-overlap tail and the same plan prices the sweep cheaply.)
-    "ev_session_paths", "t_simpson_diversity")
+    "ev_session_paths", "t_simpson_diversity",
+    // Round-6 ninth-batch first-ship: the native whole-operator as-of
+    // join (custom strategy + merge exec), benched beside the composed
+    // carry-forward form it must at least match.
+    "ev_asof_native")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

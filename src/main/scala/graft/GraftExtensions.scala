@@ -10,12 +10,15 @@ import graft.functions.NativeFunctions
   * }}}
   *
   * injects the native function surface (the fused `cosine_sim` and
-  * `hamming_dist` Catalyst expressions) into every session at creation
-  * time, so SQL-only users get it without calling
-  * [[graft.functions.NativeFunctions.register]] from code. No custom
-  * optimizer rules or strategies are injected — every relational rewrite
-  * the engine needs is stock Catalyst (SURVEY.md §4); this hook exists
-  * for the scalar-expression rung of the extension ladder.
+  * `hamming_dist` Catalyst expressions, the `kmv_mink` native
+  * aggregate) and the whole-operator rung — the planner strategy for
+  * the native as-of join ([[graft.plans.AsofJoinStrategy]]) — into
+  * every session at creation time, so SQL-only users get the functions
+  * and plan-level users get the custom operator without calling the
+  * per-session registrars from code. No custom OPTIMIZER rules are
+  * injected: every relational rewrite the engine needs is stock
+  * Catalyst (SURVEY.md §4); custom nodes enter below the optimizer
+  * through their own strategy.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -31,5 +34,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       NativeFunctions.kmvIdentifier,
       NativeFunctions.kmvInfo,
       NativeFunctions.kmvBuilder))
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -219,6 +219,29 @@ object EventQueries {
         .orderBy(col("purchase_id"))
     }),
 
+    // The SAME as-of semantics through the NATIVE whole-operator path
+    // (graft.plans.NativeAsof: custom LogicalPlan node → injected
+    // SparkStrategy → forward-only merge SparkPlan with SMJ-style
+    // required distribution/ordering). Shares ev_asof_view's DuckDB
+    // ASOF JOIN oracle, so the custom exec is held to the identical
+    // row-level contract as the composed carry-forward operator.
+    "ev_asof_native" -> ((s, d) => {
+      val e = ev(s, d)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"))
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("event_id"))
+        .groupBy(col("user_id"), col("view_ts"))
+        .agg(max(col("event_id")).as("view_id"))
+      graft.plans.NativeAsof.asofJoin(purchases, views,
+          "user_id", "ts", "view_ts", Seq("view_id", "view_ts"))
+        .select(col("purchase_id"), col("user_id"), col("view_id"),
+          (unix_micros(col("ts")) - unix_micros(col("view_ts")))
+            .as("gap_us"))
+        .orderBy(col("purchase_id"))
+    }),
+
     // Click attribution: view ⋈ same-user clicks within a 30-minute
     // horizon — the batch face of the STREAM–STREAM interval join
     // (EventPipeline.attributeClicks; StreamingSpec proves stream ≡
@@ -924,6 +947,15 @@ object EventQueries {
         |  AND t_click < t_purchase) AS n_purchase
         |FROM u""".stripMargin,
     "ev_asof_view" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+        |  FROM events WHERE event_type='purchase'),
+        |v AS (SELECT user_id, ts, max(event_id) AS view_id
+        |  FROM events WHERE event_type='view' GROUP BY 1,2)
+        |SELECT p.purchase_id, p.user_id, v.view_id,
+        |  date_diff('microsecond', v.ts, p.ts) AS gap_us
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY purchase_id""".stripMargin,
+    "ev_asof_native" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts
         |  FROM events WHERE event_type='purchase'),
         |v AS (SELECT user_id, ts, max(event_id) AS view_id
