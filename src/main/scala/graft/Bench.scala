@@ -140,7 +140,10 @@ object Bench {
     // Round-6 ninth-batch first-ship: the native whole-operator as-of
     // join (custom strategy + merge exec), benched beside the composed
     // carry-forward form it must at least match.
-    "ev_asof_native")
+    "ev_asof_native",
+    // Round-6 tenth-batch first-ships: snapshot version diff,
+    // association rules, per-user bounce rate.
+    "s24_snapshot_diff", "fi_rules", "ev_bounce_rate")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

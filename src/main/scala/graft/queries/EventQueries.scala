@@ -56,6 +56,24 @@ object EventQueries {
         .orderBy(desc("n"), col("path")).limit(15)
     }),
 
+    // Bounce rate per user — the engagement-quality companion of
+    // ev_session_paths: share of a user's 30-minute sessions containing
+    // exactly one event. Session assembly is the same user-local
+    // session_window aggregate; the rate is one exact-int division.
+    "ev_bounce_rate" -> ((s, d) => {
+      val e = ev(s, d).where(col("ts").isNotNull)
+      e.groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_ev"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_ev") === 1, 1L).otherwise(0L))
+            .as("n_bounce"))
+        .withColumn("bounce_rate",
+          col("n_bounce").cast("double") / col("n_sessions"))
+        .orderBy(col("user_id"))
+    }),
+
     // LINEAR multi-touch attribution — the marketing-analytics op
     // beyond last-touch (ev_attribution pairs a click with ONE view):
     // every purchase splits one unit of credit EQUALLY across all of
@@ -863,6 +881,25 @@ object EventQueries {
         |  FROM g GROUP BY 1, 2)
         |SELECT path, count(*) AS n FROM p GROUP BY 1
         |ORDER BY n DESC, path LIMIT 15""".stripMargin,
+    "ev_bounce_rate" ->
+      """WITH e AS (SELECT user_id, ts, event_id
+        |  FROM events WHERE ts IS NOT NULL),
+        |f AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id)),
+        |g AS (SELECT user_id,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f),
+        |p AS (SELECT user_id, sid, count(*) AS n_ev FROM g
+        |  GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  count(*) FILTER (WHERE n_ev = 1) AS n_bounce,
+        |  CAST(count(*) FILTER (WHERE n_ev = 1) AS DOUBLE) / count(*)
+        |    AS bounce_rate
+        |FROM p GROUP BY 1 ORDER BY user_id""".stripMargin,
     "ev_attrib_linear" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, ts AS pt
         |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL),

@@ -245,6 +245,43 @@ object OlapQueries {
           t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 3L)
         .orderBy(col("item_a"), col("item_b"))),
 
+    // Association RULES from the frequent pairs — the step after
+    // fi_pairs a recommender/merchandiser actually reads: each frequent
+    // pair in BOTH directions with confidence(a→b) = sup_ab/sup_a (one
+    // exact-int division — its double is bit-identical cross-engine,
+    // so ranking on it is deterministic with the (ante, cons)
+    // tie-break) and conviction = sup_a·(N−sup_b) / (N·(sup_a−sup_ab))
+    // (one division of two exact integer products; NULL at
+    // confidence 1 where the denominator vanishes). Costs fi_pairs
+    // plus a row-doubling projection and a 1-row broadcast.
+    "fi_rules" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val pairs = graft.operators.Itemsets.frequentPairs(
+        li, "l_orderkey", "l_partkey", minSupport = 3L)
+      val nb = li.where(col("l_orderkey").isNotNull &&
+          col("l_partkey").isNotNull)
+        .agg(countDistinct(col("l_orderkey")).as("nbk"))
+      val fwd = pairs.select(col("item_a").as("ante"),
+        col("item_b").as("cons"), col("support"),
+        col("n_a").as("n_ante"), col("n_b").as("n_cons"))
+      val bwd = pairs.select(col("item_b").as("ante"),
+        col("item_a").as("cons"), col("support"),
+        col("n_b").as("n_ante"), col("n_a").as("n_cons"))
+      fwd.unionByName(bwd).crossJoin(broadcast(nb))
+        .withColumn("confidence",
+          col("support").cast("double") / col("n_ante"))
+        .withColumn("conviction",
+          when(col("n_ante") =!= col("support"),
+            (col("n_ante") * (col("nbk") - col("n_cons")))
+              .cast("double") /
+              (col("nbk") * (col("n_ante") - col("support")))))
+        .select(col("ante"), col("cons"), col("support"),
+          col("n_ante"), col("n_cons"), col("confidence"),
+          col("conviction"))
+        .orderBy(desc("confidence"), col("ante"), col("cons"))
+        .limit(20)
+    }),
+
     // Exact per-group median WITHOUT a per-group sort: 4096-bucket
     // histogram locates the two middle ranks, a targeted second pass
     // reads only the located buckets. Exact integers to the single
@@ -565,6 +602,29 @@ object OlapQueries {
         |FROM pr JOIN n na ON na.it = pr.ia JOIN n nc ON nc.it = pr.ib
         |CROSS JOIN tot
         |WHERE pr.s >= 3 ORDER BY item_a, item_b""".stripMargin,
+    "fi_rules" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |n AS (SELECT it, count(*) AS ni FROM b GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT bk) AS nbk FROM b),
+        |pr AS (SELECT a.it AS ia, c.it AS ib, count(*) AS s
+        |  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it GROUP BY 1, 2),
+        |pp AS (SELECT ia, ib, s, na.ni AS n_a, nc.ni AS n_b
+        |  FROM pr JOIN n na ON na.it = pr.ia JOIN n nc ON nc.it = pr.ib
+        |  WHERE s >= 3),
+        |r AS (SELECT ia AS ante, ib AS cons, s, n_a AS n_ante,
+        |    n_b AS n_cons FROM pp
+        |  UNION ALL
+        |  SELECT ib, ia, s, n_b, n_a FROM pp)
+        |SELECT ante, cons, CAST(s AS BIGINT) AS support,
+        |  CAST(n_ante AS BIGINT) AS n_ante,
+        |  CAST(n_cons AS BIGINT) AS n_cons,
+        |  CAST(s AS DOUBLE) / n_ante AS confidence,
+        |  CASE WHEN n_ante <> s THEN
+        |    CAST(n_ante * (tot.nbk - n_cons) AS DOUBLE)
+        |      / (tot.nbk * (n_ante - s)) END AS conviction
+        |FROM r, tot
+        |ORDER BY confidence DESC, ante, cons LIMIT 20""".stripMargin,
     "olap_group_median" ->
       """WITH s AS (SELECT l_returnflag AS g,
         |  CAST(CAST(l_extendedprice AS DECIMAL(12,2))*100 AS BIGINT) AS v

@@ -322,6 +322,33 @@ object SourceQueries {
       }.reduce(_ unionByName _).orderBy(col("version"))
     }),
 
+    // S24 (ext): INCREMENTAL snapshot diff — the time-travel format
+    // composed with Merkle-pruned reconciliation: what changed between
+    // two published versions? v1 = overwrite (customer thirds 2),
+    // v2 = append (thirds 0); Reconcile.prunedDiff runs over
+    // readAsOf(1) vs readAsOf(2), so only dirty Merkle buckets' rows
+    // enter the row-level join — the "audit an ingest batch after the
+    // fact" op a versioned lake makes possible. The oracle derives the
+    // expected added-set from the raw table.
+    "s24_snapshot_diff" -> ((s, d) => {
+      val base = s"$scratch/snapshots_diff"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val c = t(s, d, "customer")
+      val h = md5(concat_ws("|", col("c_name"),
+        col("c_acctbal").cast("decimal(12,2)")))
+      Snapshots.overwrite(s, base,
+        c.where(pmod(col("c_custkey"), lit(3)) === 2))
+      Snapshots.append(s, base,
+        c.where(pmod(col("c_custkey"), lit(3)) === 0))
+      val va = Snapshots.readAsOf(s, base, 1)
+        .select(col("c_custkey").as("k"), h.as("h"))
+      val vb = Snapshots.readAsOf(s, base, 2)
+        .select(col("c_custkey").as("k"), h.as("h"))
+      graft.operators.Reconcile.prunedDiff(va, vb, nBuckets = 64)
+        .orderBy(col("k"))
+    }),
+
     // S10: batched JDBC append into an embedded Derby database
     // (batchsize=1000 like the reference's executemany batching,
     // merge_to_dw.py:25, 191), then read back over JDBC. On a cluster the
@@ -425,6 +452,9 @@ object SourceQueries {
     "s21_dsv2_source" ->
       """SELECT i AS id, md5(CAST(i AS VARCHAR)) AS text
         |FROM range(0, 2000) t(i) ORDER BY id""".stripMargin,
+    "s24_snapshot_diff" ->
+      """SELECT c_custkey AS k, 'added' AS status FROM customer
+        |WHERE c_custkey % 3 = 0 ORDER BY k""".stripMargin,
     "s23_snapshot_asof" -> {
       def v(n: Int, pred: String) =
         s"""SELECT CAST($n AS BIGINT) AS version, count(*) AS n_rows,
