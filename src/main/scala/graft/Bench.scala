@@ -143,7 +143,12 @@ object Bench {
     "ev_asof_native",
     // Round-6 tenth-batch first-ships: snapshot version diff,
     // association rules, per-user bounce rate.
-    "s24_snapshot_diff", "fi_rules", "ev_bounce_rate")
+    "s24_snapshot_diff", "fi_rules", "ev_bounce_rate",
+    // Round-6 eleventh-batch first-ships: common-neighbor Jaccard link
+    // prediction, degree assortativity, largest-remainder proportional
+    // stratified sampling, Markov next-event prediction accuracy.
+    "g_link_predict", "g_assortativity", "t_proportional_sample",
+    "ev_markov_next")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

@@ -661,6 +661,48 @@ object EventQueries {
         .groupBy(col("event_type"), col("next_type"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("event_type"), col("next_type"))
+    }),
+
+    // Next-event Markov prediction accuracy — the eval face of
+    // ev_transitions: train a first-order model on transitions that
+    // COMPLETE before Jan 21 (next event inside the first 20 days),
+    // predict the argmax next type per current type (ties broken to the
+    // lexicographically smallest — row_number over the 5×5 count
+    // matrix), and score it on transitions that START on/after the
+    // split. Per current type: evals, hits, accuracy — the accuracy one
+    // double division of exact integers. The model is ≤|types| rows and
+    // BROADCASTS onto the eval pairs; both pair sets come from ONE
+    // user-partitioned lead window, so the whole query is one user-
+    // keyed shuffle plus a tiny aggregate. The boundary-straddling pair
+    // (starts before, completes after) belongs to neither set by
+    // construction — no train/eval leakage.
+    "ev_markov_next" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val split = lit("2024-01-21 00:00:00").cast("timestamp")
+      val pairs = ev(s, d).where(col("ts").isNotNull)
+        .select(col("ts"), col("event_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          lead(col("ts"), 1).over(w).as("next_ts"))
+        .where(col("next_type").isNotNull)
+      val wBest = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("n").desc, col("next_type"))
+      val model = pairs.where(col("next_ts") < split)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(wBest))
+        .where(col("rn") === 1)
+        .select(col("event_type"), col("next_type").as("predicted"))
+      pairs.where(col("ts") >= split)
+        .join(broadcast(model), Seq("event_type"), "left")
+        .groupBy(col("event_type"), col("predicted"))
+        .agg(count(lit(1)).cast("long").as("n_eval"),
+          sum(when(col("next_type") === col("predicted"), 1L)
+            .otherwise(0L)).cast("long").as("n_correct"))
+        .withColumn("accuracy",
+          col("n_correct").cast("double") / col("n_eval").cast("double"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1065,6 +1107,31 @@ object EventQueries {
         |  round(sum(value),4)/count(*) AS avg_value
         |FROM e JOIN c USING (seg)
         |WHERE ts >= c_start AND ts < c_end
-        |GROUP BY seg ORDER BY seg""".stripMargin
+        |GROUP BY seg ORDER BY seg""".stripMargin,
+    "ev_markov_next" ->
+      """WITH p AS (SELECT ts, event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS next_type,
+        |  lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS next_ts
+        |  FROM events WHERE ts IS NOT NULL),
+        |pp AS (SELECT * FROM p WHERE next_type IS NOT NULL),
+        |tr AS (SELECT event_type, next_type, count(*) AS n FROM pp
+        |  WHERE next_ts < TIMESTAMP '2024-01-21 00:00:00'
+        |  GROUP BY 1, 2),
+        |md AS (SELECT event_type, next_type AS predicted FROM
+        |  (SELECT event_type, next_type, row_number() OVER (
+        |     PARTITION BY event_type ORDER BY n DESC, next_type) AS rn
+        |   FROM tr) WHERE rn = 1)
+        |SELECT pp.event_type, md.predicted,
+        |  CAST(count(*) AS BIGINT) AS n_eval,
+        |  CAST(sum(CASE WHEN pp.next_type = md.predicted
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  CAST(sum(CASE WHEN pp.next_type = md.predicted
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS accuracy
+        |FROM pp LEFT JOIN md ON pp.event_type = md.event_type
+        |WHERE pp.ts >= TIMESTAMP '2024-01-21 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
   )
 }

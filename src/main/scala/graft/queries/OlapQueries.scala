@@ -577,7 +577,95 @@ object OlapQueries {
             t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
           .select(col("item_a"), col("item_b")),
         "item_a", "item_b", rounds = 6)
-        .orderBy(col("node")))
+        .orderBy(col("node"))),
+
+    // Link prediction over the co-purchase graph: top-20 NON-adjacent
+    // pairs by common-neighbor Jaccard |Γ(u)∩Γ(v)| / |Γ(u)∪Γ(v)| —
+    // the classic "products likely to be co-purchased next" / related-
+    // item discovery primitive. Common neighbors come from ONE wedge
+    // self-join of the symmetric adjacency (cost Σ_m deg(m)², the same
+    // hub bound as the triangle census; min-support 2 already prunes
+    // incidental hubs), existing edges leave by LEFT ANTI join, and the
+    // score is one double division of exact integers (IEEE division is
+    // correctly rounded, so both engines agree bitwise). Top-20 runs as
+    // TakeOrderedAndProject with a full (score, u, v) tie order — no
+    // global sort materializes. The staged pair graph feeds adjacency,
+    // degrees, AND the exclusion anti-join from one localCheckpoint.
+    "g_link_predict" -> ((s, d) => {
+      val e = graft.operators.Itemsets.frequentPairs(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
+        .select(col("item_a"), col("item_b")).localCheckpoint()
+      val adj = e.select(col("item_a").as("node"), col("item_b").as("nbr"))
+        .unionByName(
+          e.select(col("item_b").as("node"), col("item_a").as("nbr")))
+      val deg = adj.groupBy(col("node"))
+        .agg(count(lit(1)).cast("long").as("deg"))
+      val cand = adj.select(col("node").as("u"), col("nbr").as("m"))
+        .join(adj.select(col("node").as("v"), col("nbr").as("m2")),
+          col("m") === col("m2") && col("u") < col("v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).cast("long").as("cn"))
+      cand
+        .join(e, cand("u") === e("item_a") && cand("v") === e("item_b"),
+          "left_anti")
+        .join(deg.select(col("node").as("u"), col("deg").as("deg_a")),
+          Seq("u"))
+        .join(deg.select(col("node").as("v"), col("deg").as("deg_b")),
+          Seq("v"))
+        .withColumn("jaccard", col("cn").cast("double") /
+          (col("deg_a") + col("deg_b") - col("cn")).cast("double"))
+        .select(col("u").as("node_a"), col("v").as("node_b"), col("cn"),
+          col("deg_a"), col("deg_b"), col("jaccard"))
+        .orderBy(col("jaccard").desc, col("node_a"), col("node_b"))
+        .limit(20)
+    }),
+
+    // Degree assortativity of the co-purchase graph: Pearson r of
+    // (deg(u), deg(v)) over the DIRECTED edge list (both directions of
+    // every undirected edge, the standard convention) — "do popular
+    // products co-purchase with popular products?", the one-number
+    // mixing diagnostic. All five moments accumulate as EXACT
+    // decimal(38,0) sums of integers; floats appear only in the final
+    // r = cov/√(varx·vary) (two correctly-rounded casts, one √, one
+    // division, rounded to 12 digits on both sides — the
+    // olap_concentration precedent for >2^53 decimal→double). Zero
+    // variance (regular graph) yields NULL, not a crash. Cost: two
+    // node-keyed joins of the edge list against the |V|-row degree
+    // table plus one scalar aggregate — nothing all-pairs.
+    "g_assortativity" -> ((s, d) => {
+      val e = graft.operators.Itemsets.frequentPairs(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
+        .select(col("item_a"), col("item_b")).localCheckpoint()
+      val adj = e.select(col("item_a").as("src"), col("item_b").as("dst"))
+        .unionByName(
+          e.select(col("item_b").as("src"), col("item_a").as("dst")))
+      val deg = adj.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).cast("long").as("deg"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      adj
+        .join(deg.select(col("node").as("src"), col("deg").as("dx")),
+          Seq("src"))
+        .join(deg.select(col("node").as("dst"), col("deg").as("dy")),
+          Seq("dst"))
+        .agg(count(lit(1)).cast("long").as("m"),
+          sum(dec(col("dx"))).as("sx"), sum(dec(col("dy"))).as("sy"),
+          sum(dec(col("dx") * col("dx"))).as("sxx"),
+          sum(dec(col("dy") * col("dy"))).as("syy"),
+          sum(dec(col("dx") * col("dy"))).as("sxy"))
+        .withColumn("cov",
+          (dec(col("m")) * col("sxy") - col("sx") * col("sy"))
+            .cast("double"))
+        .withColumn("varx",
+          (dec(col("m")) * col("sxx") - col("sx") * col("sx"))
+            .cast("double"))
+        .withColumn("vary",
+          (dec(col("m")) * col("syy") - col("sy") * col("sy"))
+            .cast("double"))
+        .select(col("m").as("m_edges"),
+          when(col("varx") > 0 && col("vary") > 0,
+            round(col("cov") / sqrt(col("varx") * col("vary")), 12))
+            .as("assortativity"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -1058,6 +1146,55 @@ object OlapQueries {
         |FROM g
         |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
         |  AND CURRENT ROW)
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+    "g_link_predict" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |pr AS (SELECT a.it AS ia, c.it AS ib, count(*) AS s
+        |  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it GROUP BY 1, 2),
+        |e AS (SELECT ia, ib FROM pr WHERE s >= 2),
+        |adj AS (SELECT ia AS node, ib AS nbr FROM e
+        |  UNION ALL SELECT ib, ia FROM e),
+        |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM adj GROUP BY 1),
+        |cand AS (SELECT x.node AS u, y.node AS v,
+        |  CAST(count(*) AS BIGINT) AS cn
+        |  FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+        |  GROUP BY 1, 2),
+        |ne AS (SELECT cand.u, cand.v, cand.cn FROM cand LEFT JOIN e
+        |  ON cand.u = e.ia AND cand.v = e.ib WHERE e.ia IS NULL)
+        |SELECT ne.u AS node_a, ne.v AS node_b, ne.cn,
+        |  da.deg AS deg_a, db.deg AS deg_b,
+        |  CAST(ne.cn AS DOUBLE)
+        |    / CAST(da.deg + db.deg - ne.cn AS DOUBLE) AS jaccard
+        |FROM ne JOIN dg da ON ne.u = da.node
+        |JOIN dg db ON ne.v = db.node
+        |ORDER BY jaccard DESC, node_a, node_b LIMIT 20""".stripMargin,
+    "g_assortativity" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |pr AS (SELECT a.it AS ia, c.it AS ib, count(*) AS s
+        |  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it GROUP BY 1, 2),
+        |e AS (SELECT ia, ib FROM pr WHERE s >= 2),
+        |adj AS (SELECT ia AS src, ib AS dst FROM e
+        |  UNION ALL SELECT ib, ia FROM e),
+        |dg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM adj GROUP BY 1),
+        |dd AS (SELECT dx.deg AS x, dy.deg AS y FROM adj
+        |  JOIN dg dx ON adj.src = dx.node
+        |  JOIN dg dy ON adj.dst = dy.node),
+        |mo AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |  sum(CAST(x AS HUGEINT)*x) AS sxx,
+        |  sum(CAST(y AS HUGEINT)*y) AS syy,
+        |  sum(CAST(x AS HUGEINT)*y) AS sxy FROM dd)
+        |SELECT m AS m_edges,
+        |  CASE WHEN CAST(m*sxx - sx*sx AS DOUBLE) > 0
+        |        AND CAST(m*syy - sy*sy AS DOUBLE) > 0
+        |    THEN round(CAST(m*sxy - sx*sy AS DOUBLE)
+        |      / sqrt(CAST(m*sxx - sx*sx AS DOUBLE)
+        |           * CAST(m*syy - sy*sy AS DOUBLE)), 12)
+        |  END AS assortativity
+        |FROM mo""".stripMargin
   )
 }

@@ -712,6 +712,48 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Stratified sampling with LARGEST-REMAINDER apportionment: draw a
+    // fixed budget of K=100 documents with per-language allocations
+    // k_i = ⌊K·n_i/N⌋ plus one extra for the ⌈⌉-largest remainders
+    // (Hamilton's method — exact integers, Σk_i = K by construction,
+    // no float rounding can over- or under-fill the budget). The draw
+    // itself is the deterministic md5-order prefix per stratum — the
+    // same salted-hash order every sampling query here uses, so both
+    // engines pick identical rows. The allocation runs entirely on the
+    // |strata|-row aggregate (two broadcast scalars + one window over
+    // ≤|langs| rows); the per-stratum pick is one lang-partitioned
+    // window over documents — one hash shuffle on the stratum key, the
+    // t_source_cap skew bound. This is the "balanced language mix from
+    // an imbalanced crawl" curation primitive.
+    "t_proportional_sample" -> ((s, d) => {
+      val n = docs(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_i"))
+        .crossJoin(broadcast(docs(s, d)
+          .agg(count(lit(1)).cast("long").as("n_tot"))))
+        .withColumn("base", expr("(100 * n_i) div n_tot"))
+        .withColumn("rem", expr("(100 * n_i) % n_tot"))
+        .localCheckpoint()
+      val wRem = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rem").desc, col("lang"))
+      val alloc = n
+        .withColumn("rn", row_number().over(wRem).cast("long"))
+        .crossJoin(broadcast(n.agg(
+          (lit(100L) - sum(col("base"))).cast("long").as("extra"))))
+        .select(col("lang"), col("n_i"),
+          when(col("rn") <= col("extra"), col("base") + 1L)
+            .otherwise(col("base")).as("k_i"))
+      val wPick = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(md5(concat(lit("strat-"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      docs(s, d).select(col("doc_id"), col("lang"))
+        .withColumn("pick", row_number().over(wPick).cast("long"))
+        .join(broadcast(alloc), Seq("lang"))
+        .where(col("pick") <= col("k_i"))
+        .select(col("lang"), col("n_i"), col("k_i"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // Per-source RANK normalization of the classifier score — the
     // curation trick that makes one global threshold fair across
     // sources with different score distributions (a 60th-percentile
@@ -2278,6 +2320,22 @@ object TextQueries {
          |  JOIN q ON d.doc_id=q.doc_id),
          |k AS (SELECT doc_id, row_number() OVER (PARTITION BY cluster
          |  ORDER BY quality DESC, doc_id) AS rn FROM lab)
-         |SELECT doc_id FROM k WHERE rn=1 ORDER BY 1""".stripMargin
+         |SELECT doc_id FROM k WHERE rn=1 ORDER BY 1""".stripMargin,
+    "t_proportional_sample" ->
+      """WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_i
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_i) AS BIGINT) AS n_tot FROM n),
+        |a0 AS (SELECT lang, n_i, (100*n_i) // n_tot AS base,
+        |  (100*n_i) % n_tot AS rem FROM n, t),
+        |x AS (SELECT CAST(100 - sum(base) AS BIGINT) AS extra FROM a0),
+        |al AS (SELECT lang, n_i,
+        |  CASE WHEN row_number() OVER (ORDER BY rem DESC, lang) <= extra
+        |    THEN base + 1 ELSE base END AS k_i FROM a0, x),
+        |p AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |  ORDER BY md5('strat-' || CAST(doc_id AS VARCHAR)), doc_id)
+        |  AS pick FROM documents)
+        |SELECT al.lang, al.n_i, CAST(al.k_i AS BIGINT) AS k_i, p.doc_id
+        |FROM p JOIN al ON p.lang = al.lang WHERE p.pick <= al.k_i
+        |ORDER BY al.lang, p.doc_id""".stripMargin
   )
 }

@@ -117,11 +117,75 @@ class Round6Spec extends AnyFunSuite {
     assert(paths == total)
   }
 
+  // ---- link prediction -------------------------------------------------
+
+  test("link prediction never proposes an existing edge, and jaccard is in (0, 1]") {
+    val pred = q("g_link_predict")
+      .select($"node_a", $"node_b", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(pred.nonEmpty)
+    val edges = graft.operators.Itemsets.frequentPairs(
+        graft.sources.Tables.load(spark, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minSupport = 2L)
+      .select($"item_a", $"item_b").as[(Long, Long)].collect().toSet
+    for ((a, b, j) <- pred) {
+      assert(a < b, "pairs must be canonical a < b")
+      assert(!edges.contains((a, b)), s"($a,$b) is already an edge")
+      assert(j > 0.0 && j <= 1.0, s"jaccard $j out of range")
+    }
+    // Scores arrive ranked: non-increasing jaccard down the list.
+    val js = pred.map(_._3)
+    assert(js.zip(js.drop(1)).forall { case (x, y) => x >= y })
+  }
+
+  // ---- assortativity ---------------------------------------------------
+
+  test("assortativity is a correlation: |r| <= 1 on the co-purchase graph") {
+    val Array((m, r)) = q("g_assortativity")
+      .as[(Long, Option[Double])].collect()
+    assert(m > 0)
+    assert(r.forall(v => v >= -1.0 && v <= 1.0))
+  }
+
+  // ---- proportional stratified sampling --------------------------------
+
+  test("proportional sample: allocation sums to min(K, N) and no stratum overdraws") {
+    val rows = q("t_proportional_sample")
+      .select($"lang", $"n_i", $"k_i", $"doc_id")
+      .as[(String, Long, Long, Long)].collect()
+    val byLang = rows.groupBy(_._1)
+    // Each stratum yields exactly min(k_i, n_i) rows, k_i never exceeds
+    // what largest-remainder can grant (base + 1).
+    for ((_, rs) <- byLang) {
+      val (n_i, k_i) = (rs.head._2, rs.head._3)
+      assert(rs.length == math.min(k_i, n_i).toInt)
+      assert(rs.map(_._4).distinct.length == rs.length)
+    }
+    // The grant total is the full budget when the corpus can fill it.
+    val n = byLang.values.map(_.head._2).sum
+    val granted = byLang.values.map(_.head._3).sum
+    assert(granted == 100L || n < 100L)
+  }
+
+  // ---- markov next-event accuracy --------------------------------------
+
+  test("markov accuracy is a proper rate and eval pairs all post-date the split") {
+    val rows = q("ev_markov_next")
+      .select($"n_eval", $"n_correct", $"accuracy")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((ne, nc, acc) <- rows) {
+      assert(nc >= 0 && nc <= ne)
+      assert(acc == nc.toDouble / ne.toDouble)
+    }
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
     for (name <- Seq("t_quality_logistic", "t_blocklist_filter",
-      "t_soft_sample", "ev_rfm", "dq_fd_audit")) {
+      "t_soft_sample", "ev_rfm", "dq_fd_audit",
+      "g_link_predict", "t_proportional_sample", "ev_markov_next")) {
       val a = q(name).collect().toSeq
       val b = q(name).collect().toSeq
       assert(a == b, s"$name differs run-to-run")
