@@ -148,7 +148,10 @@ object Bench {
     // prediction, degree assortativity, largest-remainder proportional
     // stratified sampling, Markov next-event prediction accuracy.
     "g_link_predict", "g_assortativity", "t_proportional_sample",
-    "ev_markov_next")
+    "ev_markov_next",
+    // Round-6 twelfth-batch first-ships: dyadic-weight trailing EWMA,
+    // lift-ranked collocation extraction, most-frequent-value profile.
+    "ev_ewma", "t_collocations", "dq_mfv_profile")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

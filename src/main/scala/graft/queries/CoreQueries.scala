@@ -593,6 +593,39 @@ object CoreQueries {
         .orderBy(col("column"))
     }),
 
+    // DQ (ext): most-frequent-value profile — the categorical half of
+    // the profiling pair (dq_completeness covers nulls/cardinality):
+    // per audited CATEGORICAL column of orders, the modal value, its
+    // count, and its share of rows. ONE table scan fans each row out to
+    // |cols| (col_name, value) pairs via explode — the dq_completeness
+    // recipe — then one grouped count per (column, value); the mode is
+    // a row_number over each column's |distinct|-row count table
+    // (categorical ⇒ tiny by definition; ties break to the
+    // lexicographically smallest value), and the share is one exact-int
+    // IEEE division. Nothing here is per-row beyond the single scan.
+    "dq_mfv_profile" -> ((s, d) => {
+      val cols = Seq("o_orderstatus", "o_orderpriority")
+      val g = t(s, d, "orders")
+        .select(explode(array(cols.map(cn =>
+          struct(lit(cn).as("col_name"),
+            col(cn).cast("string").as("v"))): _*)).as("r"))
+        .groupBy(col("r.col_name").as("col_name"), col("r.v").as("v"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("col_name"))
+        .orderBy(col("cnt").desc, col("v"))
+      val stats = g.groupBy(col("col_name"))
+        .agg(sum(col("cnt")).cast("long").as("n_rows"),
+          count(lit(1)).cast("long").as("n_distinct"))
+      g.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .join(stats, "col_name")
+        .select(col("col_name"), col("n_rows"), col("n_distinct"),
+          col("v").as("top_value"), col("cnt").as("top_n"),
+          (col("cnt").cast("double") / col("n_rows").cast("double"))
+            .as("top_share"))
+        .orderBy(col("col_name"))
+    }),
+
     // DQ (ext): Benford first-digit audit — the classic fabricated-data
     // screen: observed first-digit shares of order totals against the
     // Benford expectation log10(1+1/d), shipped as PINNED 6-dp literals
@@ -1009,6 +1042,24 @@ object CoreQueries {
            |  count(DISTINCT $cn) AS n_distinct FROM customer"""
           .stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+    "dq_mfv_profile" -> {
+      val cols = Seq("o_orderstatus", "o_orderpriority")
+      val src = cols.map(cn =>
+        s"SELECT '$cn' AS col_name, CAST($cn AS VARCHAR) AS v FROM orders")
+        .mkString("\nUNION ALL\n")
+      s"""WITH s AS ($src),
+         |g AS (SELECT col_name, v, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM s GROUP BY 1, 2),
+         |p AS (SELECT col_name, v, cnt, row_number() OVER (
+         |  PARTITION BY col_name ORDER BY cnt DESC, v) AS rk FROM g),
+         |a AS (SELECT col_name, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_distinct FROM g GROUP BY 1)
+         |SELECT a.col_name, a.n_rows, a.n_distinct, p.v AS top_value,
+         |  p.cnt AS top_n,
+         |  CAST(p.cnt AS DOUBLE) / CAST(a.n_rows AS DOUBLE) AS top_share
+         |FROM a JOIN p ON a.col_name = p.col_name AND p.rk = 1
+         |ORDER BY a.col_name""".stripMargin
     },
     "dq_benford" -> {
       val vals = BenfordExpected

@@ -703,6 +703,38 @@ object EventQueries {
         .withColumn("accuracy",
           col("n_correct").cast("double") / col("n_eval").cast("double"))
         .orderBy(col("event_type"))
+    }),
+
+    // Exponentially-weighted trailing average of the daily count series
+    // (per event type) with DYADIC weights 128,64,…,1 over the last 8
+    // observations — the smoothing EWMA recursion s_t = α·x_t +
+    // (1−α)·s_{t−1} truncated at 8 terms so every weight is an exact
+    // power of two: numerator and denominator are BIGINT dot products
+    // (partial leading windows renormalize by the weights actually
+    // present — no warm-up bias), and the only float is one final IEEE
+    // division, so both engines agree bitwise where a float recursion
+    // never could. One window over the |types|×|days| AGGREGATE; the
+    // eight lags share a single window spec, so WindowExec materializes
+    // the frame once.
+    "ev_ewma" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+      val daily = ev(s, d).where(col("ts").isNotNull)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      val terms = (0 to 7).map { i =>
+        val c = if (i == 0) col("n") else lag(col("n"), i).over(w)
+        val wt = 1L << (7 - i)
+        (when(c.isNotNull, c * wt).otherwise(lit(0L)),
+         when(c.isNotNull, lit(wt)).otherwise(lit(0L)))
+      }
+      daily
+        .withColumn("num", terms.map(_._1).reduce(_ + _))
+        .withColumn("den", terms.map(_._2).reduce(_ + _))
+        .select(col("event_type"), col("day"), col("n"),
+          (col("num").cast("double") / col("den").cast("double"))
+            .as("ewma"))
+        .orderBy(col("event_type"), col("day"))
     })
   )
 
@@ -1132,6 +1164,23 @@ object EventQueries {
         |    AS accuracy
         |FROM pp LEFT JOIN md ON pp.event_type = md.event_type
         |WHERE pp.ts >= TIMESTAMP '2024-01-21 00:00:00'
-        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "ev_ewma" -> {
+      val terms = (0 to 7).map { i =>
+        val wt = 1L << (7 - i)
+        val c = if (i == 0) "n" else s"lag(n, $i) OVER w"
+        (s"CASE WHEN $c IS NOT NULL THEN $c * $wt ELSE 0 END",
+         s"CASE WHEN $c IS NOT NULL THEN $wt ELSE 0 END")
+      }
+      val num = terms.map(_._1).mkString(" + ")
+      val den = terms.map(_._2).mkString(" + ")
+      s"""WITH g AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |  CAST(count(*) AS BIGINT) AS n FROM events
+         |  WHERE ts IS NOT NULL GROUP BY 1, 2)
+         |SELECT event_type, day, n,
+         |  CAST($num AS DOUBLE) / CAST($den AS DOUBLE) AS ewma
+         |FROM g WINDOW w AS (PARTITION BY event_type ORDER BY day)
+         |ORDER BY event_type, day""".stripMargin
+    }
   )
 }

@@ -754,6 +754,47 @@ object TextQueries {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // COLLOCATION extraction: top-20 adjacent token pairs by LIFT
+    // N·c(ab)/(c(a)·c(b)) with a min-count floor of 5 — the statistical
+    // "these words are glued" signal (PMI's argument without its log;
+    // same ranking), vs t_top_ngrams' raw document frequency which just
+    // finds common pairs. The token stream with positions is staged
+    // ONCE and feeds unigram counts, bigram counts (one doc-keyed lead
+    // window — never a self-join), and the corpus token total; lift is
+    // computed double·double / double·double (IEEE multiply and divide
+    // are correctly rounded, so both engines agree bitwise, and double
+    // products can't overflow where BIGINT n_tok·c_ab could at corpus
+    // scale). Two |vocab|-keyed joins attach unigram counts; top-20 is
+    // TakeOrdered with full tie-breaks.
+    "t_collocations" -> ((s, d) => {
+      val p = docs(s, d).select(col("doc_id"),
+          posexplode(filter(TextFunctions.tokens(col("text")),
+            w => length(w) > 0)).as(Seq("pos", "w")))
+        .localCheckpoint()
+      val uni = p.groupBy(col("w"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      p.withColumn("w2", lead(col("w"), 1).over(wd))
+        .where(col("w2").isNotNull)
+        .groupBy(col("w").as("w1"), col("w2"))
+        .agg(count(lit(1)).cast("long").as("c_ab"))
+        .where(col("c_ab") >= 5)
+        .join(uni.select(col("w").as("w1"), col("c").as("c_a")),
+          Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("c_b")),
+          Seq("w2"))
+        .crossJoin(broadcast(
+          p.agg(count(lit(1)).cast("long").as("n_tok"))))
+        .withColumn("lift",
+          (col("n_tok").cast("double") * col("c_ab").cast("double")) /
+            (col("c_a").cast("double") * col("c_b").cast("double")))
+        .select(col("w1"), col("w2"), col("c_ab"), col("c_a"),
+          col("c_b"), col("lift"))
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     // Per-source RANK normalization of the classifier score — the
     // curation trick that makes one global threshold fair across
     // sources with different score distributions (a 60th-percentile
@@ -2336,6 +2377,23 @@ object TextQueries {
         |  AS pick FROM documents)
         |SELECT al.lang, al.n_i, CAST(al.k_i AS BIGINT) AS k_i, p.doc_id
         |FROM p JOIN al ON p.lang = al.lang WHERE p.pick <= al.k_i
-        |ORDER BY al.lang, p.doc_id""".stripMargin
+        |ORDER BY al.lang, p.doc_id""".stripMargin,
+    "t_collocations" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  list_filter($wsSql, t -> length(t)>0) AS ws FROM documents),
+         |g AS (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws FROM w),
+         |cab AS (SELECT ws[i] AS w1, ws[i+1] AS w2,
+         |  CAST(count(*) AS BIGINT) AS c_ab FROM g
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |u AS (SELECT unnest(ws) AS tok FROM w),
+         |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM u GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM u)
+         |SELECT cab.w1, cab.w2, cab.c_ab, a.c AS c_a, b.c AS c_b,
+         |  (CAST(n_tok AS DOUBLE) * CAST(c_ab AS DOUBLE))
+         |    / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) AS lift
+         |FROM cab JOIN uni a ON cab.w1 = a.tok
+         |JOIN uni b ON cab.w2 = b.tok, n
+         |ORDER BY lift DESC, cab.w1, cab.w2 LIMIT 20""".stripMargin
   )
 }

@@ -180,6 +180,54 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  // ---- dyadic EWMA -----------------------------------------------------
+
+  test("ewma stays inside its trailing window's range and equals n on the first row") {
+    val rows = q("ev_ewma")
+      .select($"event_type", $"day", $"n", $"ewma")
+      .as[(String, java.sql.Date, Long, Double)].collect()
+    for ((_, series) <- rows.groupBy(_._1)) {
+      val s = series.sortBy(_._2.getTime)
+      assert(s.head._4 == s.head._3.toDouble,
+        "no history: ewma must equal the raw count")
+      for (i <- s.indices) {
+        val window = s.slice(math.max(0, i - 7), i + 1).map(_._3)
+        assert(s(i)._4 >= window.min.toDouble &&
+          s(i)._4 <= window.max.toDouble,
+          s"ewma escapes its trailing window at index $i")
+      }
+    }
+  }
+
+  // ---- collocations ----------------------------------------------------
+
+  test("collocations: counts are consistent and ranking is by lift") {
+    val rows = q("t_collocations")
+      .select($"c_ab", $"c_a", $"c_b", $"lift")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((cab, ca, cb, lift) <- rows) {
+      assert(cab >= 5 && cab <= ca && cab <= cb)
+      assert(lift > 0.0)
+    }
+    val ls = rows.map(_._4)
+    assert(ls.zip(ls.drop(1)).forall { case (x, y) => x >= y })
+  }
+
+  // ---- most-frequent-value profile ------------------------------------
+
+  test("mfv profile: the mode's share is a proper fraction of a consistent total") {
+    val rows = q("dq_mfv_profile")
+      .select($"n_rows", $"n_distinct", $"top_n", $"top_share")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((n, nd, tn, share) <- rows) {
+      assert(nd >= 1 && tn >= 1 && tn <= n)
+      assert(tn * nd >= n, "the mode must cover at least the mean share")
+      assert(share == tn.toDouble / n.toDouble)
+    }
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
