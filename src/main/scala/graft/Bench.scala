@@ -151,7 +151,10 @@ object Bench {
     "ev_markov_next",
     // Round-6 twelfth-batch first-ships: dyadic-weight trailing EWMA,
     // lift-ranked collocation extraction, most-frequent-value profile.
-    "ev_ewma", "t_collocations", "dq_mfv_profile")
+    "ev_ewma", "t_collocations", "dq_mfv_profile",
+    // Round-6 thirteenth-batch first-ships: cosine radius search,
+    // audience-overlap matrix, per-language lexical richness.
+    "sim_range_search", "ev_audience_overlap", "t_lexical_richness")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

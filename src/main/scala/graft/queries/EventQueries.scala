@@ -735,6 +735,38 @@ object EventQueries {
           (col("num").cast("double") / col("den").cast("double"))
             .as("ewma"))
         .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Audience overlap matrix: pairwise Jaccard and overlap coefficient
+    // between event types' DISTINCT user sets — "how much of the
+    // purchase audience also errors", the segmentation-overlap card.
+    // The (type, user) distinct set is staged once and feeds both the
+    // per-type sizes and the intersection self-join; that join is keyed
+    // on user_id and each user contributes at most C(|types|,2) = 10
+    // pairs, so the shuffle is ≤10× the distinct set — never quadratic
+    // in users. Both statistics are one IEEE division of exact integers.
+    "ev_audience_overlap" -> ((s, d) => {
+      val tu = ev(s, d).select(col("event_type"), col("user_id"))
+        .distinct().localCheckpoint()
+      val sz = tu.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      tu.as("a").join(tu.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).cast("long").as("n_both"))
+        .join(sz.select(col("event_type").as("type_a"),
+          col("n").as("n_a")), Seq("type_a"))
+        .join(sz.select(col("event_type").as("type_b"),
+          col("n").as("n_b")), Seq("type_b"))
+        .withColumn("jaccard", col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double"))
+        .withColumn("overlap", col("n_both").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_both"), col("jaccard"), col("overlap"))
+        .orderBy(col("type_a"), col("type_b"))
     })
   )
 
@@ -1181,6 +1213,23 @@ object EventQueries {
          |  CAST($num AS DOUBLE) / CAST($den AS DOUBLE) AS ewma
          |FROM g WINDOW w AS (PARTITION BY event_type ORDER BY day)
          |ORDER BY event_type, day""".stripMargin
-    }
+    },
+    "ev_audience_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM tu GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(count(*) AS BIGINT) AS n_both
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, sa.n AS n_a, sb.n AS n_b, p.n_both,
+        |  CAST(p.n_both AS DOUBLE)
+        |    / CAST(sa.n + sb.n - p.n_both AS DOUBLE) AS jaccard,
+        |  CAST(p.n_both AS DOUBLE)
+        |    / CAST(least(sa.n, sb.n) AS DOUBLE) AS overlap
+        |FROM p JOIN sz sa ON p.type_a = sa.event_type
+        |JOIN sz sb ON p.type_b = sb.event_type
+        |ORDER BY 1, 2""".stripMargin
   )
 }

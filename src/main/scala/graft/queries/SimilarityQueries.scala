@@ -68,6 +68,31 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // RANGE (radius) search: every neighbor with cosine ≥ 0.25 of each
+    // query — the "all sufficiently similar" retrieval face top-k can't
+    // express (dedup candidates, recall-oriented retrieval, near-match
+    // audits). Unlike top-k there is NO per-query window at all: the
+    // threshold is a plain filter on the scored scan, so the plan is
+    // one broadcast-queries pass over the candidates with the predicate
+    // fused into the projection — embarrassingly parallel at any corpus
+    // size, and the LSH/IVF bucketing of the sim_topk_* family prunes
+    // the same scan when the corpus outgrows brute force. Scores are
+    // round-6 like every cosine here (absorbs the last-ulp drift of the
+    // two engines' sequential float sums).
+    "sim_range_search" -> ((s, d) => {
+      val v = emb(s, d)
+      val q = v.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      v.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+        .crossJoin(broadcast(q))
+        .where(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          round(Similarity.cosine(col("q_vec"), col("n_vec")), 6)
+            .as("cos"))
+        .where(col("cos") >= 0.25)
+        .orderBy(col("q_id"), col("cos").desc, col("n_id"))
+    }),
+
     // MMR diversity re-rank: top-20 cosine candidates for query vec 0,
     // greedily re-ranked by λ·rel − μ·max-sim-to-selected (λ=0.7,
     // μ=0.3 as an EXPLICIT shared literal — 1−0.7 is a different
@@ -970,6 +995,13 @@ object SimilarityQueries {
          |  FROM s)
          |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=10
          |ORDER BY q_id, rank""".stripMargin,
+    "sim_range_search" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, e AS q_vec FROM v WHERE vec_id<5),
+         |c AS (SELECT vec_id AS n_id, e AS n_vec FROM v),
+         |s AS (SELECT q_id, n_id, $cosSql AS cos FROM c, q WHERE n_id<>q_id)
+         |SELECT q_id, n_id, cos FROM s WHERE cos >= 0.25
+         |ORDER BY q_id, cos DESC, n_id""".stripMargin,
     "sim_mrr_label" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
          |  label FROM embeddings),

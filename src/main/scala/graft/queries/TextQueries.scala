@@ -795,6 +795,32 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Per-language lexical-richness report: token count, type count,
+    // hapax-legomena count, type-token ratio, hapax share — the
+    // CORPUS-level vocabulary-health profile beside the per-doc Simpson
+    // diversity (a crawl whose hapax share collapses is template spam;
+    // one whose TTR collapses is boilerplate). Two grouped aggregates —
+    // (lang, word) counts then per-lang moments — all exact BIGINTs
+    // with two final IEEE divisions; no windows, no joins, linear at
+    // any corpus size.
+    "t_lexical_richness" -> ((s, d) => {
+      docs(s, d).select(col("lang"),
+          explode(filter(TextFunctions.tokens(col("text")),
+            w => length(w) > 0)).as("w"))
+        .groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).cast("long").as("c"))
+        .groupBy(col("lang"))
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+          count(lit(1)).cast("long").as("n_types"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).cast("long")
+            .as("n_hapax"))
+        .withColumn("ttr",
+          col("n_types").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("hapax_share",
+          col("n_hapax").cast("double") / col("n_types").cast("double"))
+        .orderBy(col("lang"))
+    }),
+
     // Per-source RANK normalization of the classifier score — the
     // curation trick that makes one global threshold fair across
     // sources with different score distributions (a 60th-percentile
@@ -2394,6 +2420,20 @@ object TextQueries {
          |    / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) AS lift
          |FROM cab JOIN uni a ON cab.w1 = a.tok
          |JOIN uni b ON cab.w2 = b.tok, n
-         |ORDER BY lift DESC, cab.w1, cab.w2 LIMIT 20""".stripMargin
+         |ORDER BY lift DESC, cab.w1, cab.w2 LIMIT 20""".stripMargin,
+    "t_lexical_richness" ->
+      s"""WITH w AS (SELECT lang,
+         |  list_filter($wsSql, t -> length(t)>0) AS ws FROM documents),
+         |u AS (SELECT lang, unnest(ws) AS tok FROM w),
+         |wc AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM u GROUP BY 1, 2)
+         |SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hapax,
+         |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS hapax_share
+         |FROM wc GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -228,6 +228,52 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  // ---- range search ----------------------------------------------------
+
+  test("range search agrees with brute-force top-k where they overlap") {
+    // Every top-k hit whose score clears the radius must appear in the
+    // range result with the same score, and vice versa for the top-k
+    // depth — the two retrieval faces are views of one scored scan.
+    val range = q("sim_range_search")
+      .select($"q_id", $"n_id", $"cos").as[(Long, Long, Double)]
+      .collect().map { case (a, b, c) => ((a, b), c) }.toMap
+    val topk = q("sim_topk_brute")
+      .select($"q_id", $"n_id", $"cos").as[(Long, Long, Double)]
+      .collect()
+    for ((qid, nid, cos) <- topk if cos >= 0.25)
+      assert(range.get((qid, nid)).contains(cos),
+        s"top-k hit ($qid,$nid) at $cos missing from range result")
+    assert(range.values.forall(_ >= 0.25))
+  }
+
+  // ---- audience overlap ------------------------------------------------
+
+  test("audience overlap: bounds and full matrix") {
+    val rows = q("ev_audience_overlap")
+      .select($"n_a", $"n_b", $"n_both", $"jaccard", $"overlap")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(rows.length == 10, "C(5,2) type pairs expected")
+    for ((na, nb, nboth, j, o) <- rows) {
+      assert(nboth <= math.min(na, nb))
+      assert(j >= 0.0 && j <= o && o <= 1.0,
+        "jaccard <= overlap coefficient <= 1 always")
+    }
+  }
+
+  // ---- lexical richness ------------------------------------------------
+
+  test("lexical richness: hapax <= types <= tokens per language") {
+    val rows = q("t_lexical_richness")
+      .select($"n_tokens", $"n_types", $"n_hapax", $"ttr", $"hapax_share")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((tok, ty, hap, ttr, hs) <- rows) {
+      assert(hap <= ty && ty <= tok)
+      assert(ttr == ty.toDouble / tok.toDouble)
+      assert(hs == hap.toDouble / ty.toDouble)
+    }
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
