@@ -154,7 +154,10 @@ object Bench {
     "ev_ewma", "t_collocations", "dq_mfv_profile",
     // Round-6 thirteenth-batch first-ships: cosine radius search,
     // audience-overlap matrix, per-language lexical richness.
-    "sim_range_search", "ev_audience_overlap", "t_lexical_richness")
+    "sim_range_search", "ev_audience_overlap", "t_lexical_richness",
+    // Round-6 fourteenth-batch first-ships: language-ID PRF metrics,
+    // weekly growth accounting, Tukey-fence IQR anomaly flags.
+    "t_langid_prf", "ev_growth_accounting", "ev_anomaly_iqr")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

@@ -767,6 +767,78 @@ object EventQueries {
         .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
           col("n_both"), col("jaccard"), col("overlap"))
         .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // Weekly GROWTH ACCOUNTING (new / retained / resurrected / churned)
+    // — the canonical active-user decomposition beyond ev_retention's
+    // cohort triangle: a user's week is `new` on first appearance,
+    // `retained` when also active the prior week, `resurrected` after a
+    // gap; a `churned` event lands on week w+7 when a user active in w
+    // skips w+7 (attributed only up to the corpus's last observed week
+    // — the future is unknowable). One user-keyed window over the
+    // DISTINCT (user, week) set classifies everything; churn is the
+    // same window's lead face; weeks where everyone quits still report
+    // via the FULL join of the active and churn ledgers. All counts are
+    // exact integers.
+    "ev_growth_accounting" -> ((s, d) => {
+      val uw = ev(s, d).where(col("ts").isNotNull)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct().localCheckpoint()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("wk"))
+      val lagged = uw
+        .withColumn("prev", lag(col("wk"), 1).over(w))
+        .withColumn("nxt", lead(col("wk"), 1).over(w))
+      val active = lagged.groupBy(col("wk")).agg(
+        sum(when(col("prev").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_new"),
+        sum(when(datediff(col("wk"), col("prev")) === 7, 1L)
+          .otherwise(0L)).cast("long").as("n_retained"),
+        sum(when(col("prev").isNotNull &&
+            datediff(col("wk"), col("prev")) > 7, 1L)
+          .otherwise(0L)).cast("long").as("n_resurrected"))
+      val churn = lagged
+        .where(col("nxt").isNull || datediff(col("nxt"), col("wk")) > 7)
+        .select(date_add(col("wk"), 7).as("wk"))
+        .crossJoin(broadcast(uw.agg(max(col("wk")).as("_mx"))))
+        .where(col("wk") <= col("_mx"))
+        .groupBy(col("wk"))
+        .agg(count(lit(1)).cast("long").as("n_churned"))
+      active.join(churn, Seq("wk"), "full")
+        .select(col("wk"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+          coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+        .orderBy(col("wk"))
+    }),
+
+    // Tukey-fence anomaly flags on the daily count series: a (type,
+    // day) cell is an outlier when its count leaves [q1 − 1.5·IQR,
+    // q3 + 1.5·IQR]. Quartiles are EXACT nearest-rank order statistics
+    // from the two-pass histogram ladder (never a per-group sort), the
+    // fences broadcast (≤|types| rows), and 1.5 = 3/2 makes the flag a
+    // pure integer test 2n < 2q1 − 3·IQR — no float can flip it. The
+    // robust complement to ev_bursts' mean+3σ flags: a heavy-tailed
+    // day inflates σ and hides siblings, but can't move the quartiles.
+    "ev_anomaly_iqr" -> ((s, d) => {
+      val daily = ev(s, d).where(col("ts").isNotNull)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .localCheckpoint()
+      val fences = graft.operators.Median.groupQuantilesLong(
+          daily, Seq("event_type"), "n", Seq(25, 75))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("pct") === 25, col("value"))).as("q1"),
+          min(when(col("pct") === 75, col("value"))).as("q3"))
+      daily.join(broadcast(fences), Seq("event_type"))
+        .withColumn("is_outlier",
+          col("n") * 2 < col("q1") * 2 - (col("q3") - col("q1")) * 3 ||
+            col("n") * 2 > col("q3") * 2 + (col("q3") - col("q1")) * 3)
+        .select(col("event_type"), col("day"), col("n"),
+          col("q1"), col("q3"), col("is_outlier"))
+        .orderBy(col("event_type"), col("day"))
     })
   )
 
@@ -1230,6 +1302,53 @@ object EventQueries {
         |    / CAST(least(sa.n, sb.n) AS DOUBLE) AS overlap
         |FROM p JOIN sz sa ON p.type_a = sa.event_type
         |JOIN sz sb ON p.type_b = sb.event_type
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    "ev_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |  CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events WHERE ts IS NOT NULL),
+        |lg AS (SELECT user_id, wk,
+        |  lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+        |  lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nxt
+        |  FROM uw),
+        |act AS (SELECT wk,
+        |  CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(sum(CASE WHEN date_diff('day', prev, wk) = 7
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL
+        |      AND date_diff('day', prev, wk) > 7
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM lg GROUP BY 1),
+        |mx AS (SELECT max(wk) AS m FROM uw),
+        |ch AS (SELECT wk + 7 AS wk, CAST(count(*) AS BIGINT)
+        |    AS n_churned
+        |  FROM lg, mx
+        |  WHERE (nxt IS NULL OR date_diff('day', wk, nxt) > 7)
+        |    AND wk + 7 <= m
+        |  GROUP BY 1)
+        |SELECT coalesce(act.wk, ch.wk) AS wk,
+        |  coalesce(n_new, 0) AS n_new,
+        |  coalesce(n_retained, 0) AS n_retained,
+        |  coalesce(n_resurrected, 0) AS n_resurrected,
+        |  coalesce(n_churned, 0) AS n_churned
+        |FROM act FULL JOIN ch ON act.wk = ch.wk ORDER BY 1""".stripMargin,
+    "ev_anomaly_iqr" ->
+      """WITH g AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n FROM events
+        |  WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type, n,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY n) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS cnt FROM g),
+        |q AS (SELECT event_type,
+        |  min(CASE WHEN rn = greatest(1, (25*cnt+99)//100) THEN n END)
+        |    AS q1,
+        |  min(CASE WHEN rn = greatest(1, (75*cnt+99)//100) THEN n END)
+        |    AS q3
+        |  FROM r GROUP BY 1)
+        |SELECT g.event_type, g.day, g.n, q.q1, q.q3,
+        |  (2*g.n < 2*q.q1 - 3*(q.q3 - q.q1)
+        |   OR 2*g.n > 2*q.q3 + 3*(q.q3 - q.q1)) AS is_outlier
+        |FROM g JOIN q USING (event_type) ORDER BY 1, 2""".stripMargin
   )
 }

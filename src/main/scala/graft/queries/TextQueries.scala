@@ -91,6 +91,40 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("lang_pred"))),
 
+    // Per-class precision / recall / F1 of the marker-word language ID
+    // — the metrics sheet distilled from t_lang_confusion's matrix. One
+    // projection feeds two grouped counts (per actual class with its
+    // true positives, per predicted class), FULL-joined so a class that
+    // appears only as a prediction still reports. Every metric is ONE
+    // exact-int IEEE division: precision tp/n_pred, recall tp/n_actual,
+    // and F1 in its 2tp/(n_actual+n_pred) form — algebraically equal to
+    // the harmonic mean but a single division of integers, so no
+    // intermediate float can drift between engines. Degenerate
+    // denominators yield NULL, not a crash.
+    "t_langid_prf" -> ((s, d) => {
+      val pred = docs(s, d).select(col("lang"),
+        TextFunctions.predictedLang(col("text")).as("pred"))
+      val byActual = pred.groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_actual"),
+          sum(when(col("lang") === col("pred"), 1L).otherwise(0L))
+            .cast("long").as("tp"))
+      val byPred = pred.groupBy(col("pred"))
+        .agg(count(lit(1)).cast("long").as("n_pred"))
+      byActual.join(byPred, col("lang") === col("pred"), "full")
+        .select(coalesce(col("lang"), col("pred")).as("cls"),
+          coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("tp"), lit(0L)).as("tp"))
+        .withColumn("prec", when(col("n_pred") > 0,
+          col("tp").cast("double") / col("n_pred").cast("double")))
+        .withColumn("rec", when(col("n_actual") > 0,
+          col("tp").cast("double") / col("n_actual").cast("double")))
+        .withColumn("f1", when(col("n_actual") + col("n_pred") > 0,
+          (col("tp") * 2).cast("double") /
+            (col("n_actual") + col("n_pred")).cast("double")))
+        .orderBy(col("cls"))
+    }),
+
     // Document fingerprint (min-md5 over 5-gram shingles).
     "t_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -1543,6 +1577,41 @@ object TextQueries {
          | FROM (SELECT *, greatest(s_en,s_de,s_es,s_fr,s_zh) AS mx FROM s))
          |SELECT lang, lang_pred, count(*) AS n FROM p
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t_langid_prf" ->
+      s"""WITH w AS (SELECT doc_id, lang, list_distinct($wsSql) AS dw
+         |  FROM documents),
+         |s AS (SELECT doc_id, lang,
+         | len(list_intersect(dw, ['the','and','of','is','to'])) AS s_en,
+         | len(list_intersect(dw, ['der','die','und','das','ist'])) AS s_de,
+         | len(list_intersect(dw, ['el','la','de','que','los'])) AS s_es,
+         | len(list_intersect(dw, ['le','les','des','et','est'])) AS s_fr,
+         | len(list_intersect(dw, ['de5','shi4','le5','zai4','he2'])) AS s_zh
+         | FROM w),
+         |p AS (SELECT lang, CASE WHEN s_en=mx THEN 'en' WHEN s_de=mx THEN 'de'
+         | WHEN s_es=mx THEN 'es' WHEN s_fr=mx THEN 'fr' ELSE 'zh' END
+         |   AS pred
+         | FROM (SELECT *, greatest(s_en,s_de,s_es,s_fr,s_zh) AS mx FROM s)),
+         |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_actual,
+         |  CAST(sum(CASE WHEN lang = pred THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS tp FROM p GROUP BY 1),
+         |b AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_pred
+         |  FROM p GROUP BY 1)
+         |SELECT coalesce(a.lang, b.pred) AS cls,
+         |  CAST(coalesce(a.n_actual, 0) AS BIGINT) AS n_actual,
+         |  CAST(coalesce(b.n_pred, 0) AS BIGINT) AS n_pred,
+         |  CAST(coalesce(a.tp, 0) AS BIGINT) AS tp,
+         |  CASE WHEN coalesce(b.n_pred, 0) > 0 THEN
+         |    CAST(coalesce(a.tp, 0) AS DOUBLE) / CAST(b.n_pred AS DOUBLE)
+         |  END AS prec,
+         |  CASE WHEN coalesce(a.n_actual, 0) > 0 THEN
+         |    CAST(a.tp AS DOUBLE) / CAST(a.n_actual AS DOUBLE)
+         |  END AS rec,
+         |  CASE WHEN coalesce(a.n_actual, 0) + coalesce(b.n_pred, 0) > 0
+         |    THEN CAST(2 * coalesce(a.tp, 0) AS DOUBLE)
+         |      / CAST(coalesce(a.n_actual, 0) + coalesce(b.n_pred, 0)
+         |             AS DOUBLE)
+         |  END AS f1
+         |FROM a FULL JOIN b ON a.lang = b.pred ORDER BY 1""".stripMargin,
     "t_lang_id_ngram" ->
       s"""WITH s AS (SELECT doc_id, $ngramScoreSql FROM documents)
          |SELECT doc_id, CASE $ngramCaseSql

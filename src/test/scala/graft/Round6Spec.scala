@@ -274,6 +274,67 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  // ---- growth accounting ----------------------------------------------
+
+  test("growth accounting: actives decompose exactly and ledgers reconcile") {
+    val rows = q("ev_growth_accounting")
+      .select($"wk", $"n_new", $"n_retained", $"n_resurrected",
+        $"n_churned")
+      .as[(java.sql.Date, Long, Long, Long, Long)].collect()
+      .sortBy(_._1.getTime)
+    assert(rows.nonEmpty)
+    // Total new across all weeks = total distinct users (each user is
+    // new exactly once).
+    val users = spark.read.parquet(s"$dir/events.parquet")
+      .where($"ts".isNotNull).select($"user_id").distinct().count()
+    assert(rows.map(_._2).sum == users)
+    // Week-over-week ledger: actives(w) = retained(w+1) + churned-or-
+    // dormant; retained(w+1) can never exceed actives(w).
+    for (pair <- rows.sliding(2) if pair.length == 2 &&
+        pair(1)._1.getTime - pair(0)._1.getTime == 7L * 86400000L) {
+      val (a, b) = (pair(0), pair(1))
+      val activesA = a._2 + a._3 + a._4
+      assert(b._3 <= activesA, s"retained at ${b._1} exceeds actives")
+      assert(b._5 + b._3 == activesA,
+        s"churned+retained at ${b._1} must account for ${a._1} actives")
+    }
+  }
+
+  // ---- IQR anomaly fences ---------------------------------------------
+
+  test("IQR fences: quartiles are order statistics and flags match the fence") {
+    val rows = q("ev_anomaly_iqr")
+      .select($"event_type", $"n", $"q1", $"q3", $"is_outlier")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    for ((ty, series) <- rows.groupBy(_._1)) {
+      val ns = series.map(_._2).sorted
+      val (q1, q3) = (series.head._3, series.head._4)
+      assert(ns.contains(q1) && ns.contains(q3),
+        s"$ty: quartiles must be actual data values")
+      assert(q1 <= q3)
+      for ((_, n, a, b, flag) <- series)
+        assert(flag == (2 * n < 2 * a - 3 * (b - a) ||
+          2 * n > 2 * b + 3 * (b - a)))
+    }
+  }
+
+  // ---- language-ID PRF -------------------------------------------------
+
+  test("langid PRF: metrics reconcile with the confusion matrix") {
+    val conf = q("t_lang_confusion")
+      .select($"lang", $"lang_pred", $"n").as[(String, String, Long)]
+      .collect()
+    val prf = q("t_langid_prf")
+      .select($"cls", $"n_actual", $"n_pred", $"tp")
+      .as[(String, Long, Long, Long)].collect()
+    for ((cls, na, np, tp) <- prf) {
+      assert(na == conf.filter(_._1 == cls).map(_._3).sum)
+      assert(np == conf.filter(_._2 == cls).map(_._3).sum)
+      assert(tp == conf.filter(c => c._1 == cls && c._2 == cls)
+        .map(_._3).sum)
+    }
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
