@@ -157,7 +157,10 @@ object Bench {
     "sim_range_search", "ev_audience_overlap", "t_lexical_richness",
     // Round-6 fourteenth-batch first-ships: language-ID PRF metrics,
     // weekly growth accounting, Tukey-fence IQR anomaly flags.
-    "t_langid_prf", "ev_growth_accounting", "ev_anomaly_iqr")
+    "t_langid_prf", "ev_growth_accounting", "ev_anomaly_iqr",
+    // Round-6 fifteenth-batch first-ships: a-priori frequent triples,
+    // dyadic time-decay attribution, lead-lag cross-correlation.
+    "fi_triples", "ev_attrib_decay", "ev_lag_correlation")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the
@@ -237,7 +240,21 @@ object Bench {
     "t_vocab_coverage" -> 0.58, "s23_snapshot_asof" -> 0.61,
     "t_blocklist_filter" -> 0.44, "t_soft_sample" -> 0.71,
     "dq_anon_ladder" -> 0.43, "ev_cusum_shift" -> 0.26,
-    "w_rank_change" -> 0.65, "ev_attrib_linear" -> 0.51)
+    "w_rank_change" -> 0.65, "ev_attrib_linear" -> 0.51,
+    // Round-6 session pins (batches 8–14), from the round's SIXTH
+    // full-set run (124 queries, 209.6 s, 124/124 measured, zero
+    // failures, zero regressions, zero suspects — BASELINE.md
+    // "Round 6 session, second sweep").
+    "ev_session_paths" -> 0.48, "t_simpson_diversity" -> 0.44,
+    "ev_asof_native" -> 0.36, "s24_snapshot_diff" -> 0.84,
+    "fi_rules" -> 1.76, "ev_bounce_rate" -> 0.52,
+    "g_link_predict" -> 2.27, "g_assortativity" -> 1.93,
+    "t_proportional_sample" -> 0.40, "ev_markov_next" -> 0.73,
+    "ev_ewma" -> 0.25, "t_collocations" -> 0.62,
+    "dq_mfv_profile" -> 0.41, "sim_range_search" -> 0.56,
+    "ev_audience_overlap" -> 0.32, "t_lexical_richness" -> 0.32,
+    "t_langid_prf" -> 0.32, "ev_growth_accounting" -> 0.37,
+    "ev_anomaly_iqr" -> 0.98)
 
   def main(args: Array[String]): Unit = {
     // Optional args: restrict to the named queries (local plan iteration

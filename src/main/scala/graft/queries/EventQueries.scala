@@ -839,6 +839,90 @@ object EventQueries {
         .select(col("event_type"), col("day"), col("n"),
           col("q1"), col("q3"), col("is_outlier"))
         .orderBy(col("event_type"), col("day"))
+    }),
+
+    // TIME-DECAY multi-touch attribution — the recency-weighted sibling
+    // of ev_attrib_linear: each touch STRICTLY within the 24h
+    // pre-purchase band (exclusive lower edge — an exactly-24h-old
+    // touch would need weight 2^-1) carries weight 2^(23 − hours_ago),
+    // an exact power of two (halving per hour — the dyadic half-life
+    // trick from ev_ewma), so per-
+    // purchase weight sums are BIGINT dot products and each channel's
+    // credit is ONE IEEE division. The same user-keyed equi-join with
+    // the band as predicate (PlanAuditSpec posture); touchless
+    // purchases survive the left join with NULL credits.
+    "ev_attrib_decay" -> ((s, d) => {
+      val e = ev(s, d).where(col("ts").isNotNull)
+      val purch = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("pt"))
+      val touch = e.where(col("event_type").isin("view", "click"))
+        .select(col("user_id").as("t_user"), col("ts").as("tt"),
+          col("event_type").as("ch"))
+      purch.join(touch,
+          col("user_id") === col("t_user") &&
+            col("tt") <= col("pt") &&
+            col("tt") > col("pt") - expr("INTERVAL 24 HOURS"),
+          "left")
+        .withColumn("w", expr(
+          "shiftleft(1L, cast(23 - ((unix_micros(pt) - unix_micros(tt))" +
+            " div 3600000000) as int))"))
+        .groupBy(col("p_id"))
+        .agg(count(col("ch")).as("n_touch"),
+          sum(when(col("ch") === "view", col("w")).otherwise(0L))
+            .cast("long").as("w_view"),
+          sum(when(col("ch") === "click", col("w")).otherwise(0L))
+            .cast("long").as("w_click"))
+        .withColumn("view_credit", when(col("n_touch") > 0,
+          col("w_view").cast("double") /
+            (col("w_view") + col("w_click")).cast("double")))
+        .withColumn("click_credit", when(col("n_touch") > 0,
+          col("w_click").cast("double") /
+            (col("w_view") + col("w_click")).cast("double")))
+        .orderBy(col("p_id"))
+    }),
+
+    // Lead–lag cross-correlation between the error and purchase DAILY
+    // series at offsets −3…+3 — "does error volume lead conversions?",
+    // the ops-diagnostics screen. Per lag: Pearson r from exact
+    // decimal(38,0) moments over the ~30-row aligned day pairs
+    // (g_assortativity's discipline — floats only in the final
+    // cov/√(varx·vary), round-12 both sides, NULL on zero variance).
+    // The 7-row lag dimension broadcasts onto the day aggregate; the
+    // alignment join is day-keyed. Everything runs on aggregates.
+    "ev_lag_correlation" -> ((s, d) => {
+      val daily = ev(s, d).where(col("ts").isNotNull)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .localCheckpoint()
+      val x = daily.where(col("event_type") === "error")
+        .select(col("day"), col("n").as("x"))
+      val y = daily.where(col("event_type") === "purchase")
+        .select(col("day").as("yday"), col("n").as("y"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      x.crossJoin(broadcast(x.sparkSession.range(-3, 4)
+          .select(col("id").cast("int").as("lag"))))
+        .join(y, col("yday") === expr("date_add(day, lag)"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+          sum(dec(col("x") * col("x"))).as("sxx"),
+          sum(dec(col("y") * col("y"))).as("syy"),
+          sum(dec(col("x") * col("y"))).as("sxy"))
+        .withColumn("cov",
+          (dec(col("n_days")) * col("sxy") - col("sx") * col("sy"))
+            .cast("double"))
+        .withColumn("varx",
+          (dec(col("n_days")) * col("sxx") - col("sx") * col("sx"))
+            .cast("double"))
+        .withColumn("vary",
+          (dec(col("n_days")) * col("syy") - col("sy") * col("sy"))
+            .cast("double"))
+        .select(col("lag"), col("n_days"),
+          when(col("varx") > 0 && col("vary") > 0,
+            round(col("cov") / sqrt(col("varx") * col("vary")), 12))
+            .as("r"))
+        .orderBy(col("lag"))
     })
   )
 
@@ -1349,6 +1433,53 @@ object EventQueries {
         |SELECT g.event_type, g.day, g.n, q.q1, q.q3,
         |  (2*g.n < 2*q.q1 - 3*(q.q3 - q.q1)
         |   OR 2*g.n > 2*q.q3 + 3*(q.q3 - q.q1)) AS is_outlier
-        |FROM g JOIN q USING (event_type) ORDER BY 1, 2""".stripMargin
+        |FROM g JOIN q USING (event_type) ORDER BY 1, 2""".stripMargin,
+    "ev_attrib_decay" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS pt
+        |  FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'),
+        |t AS (SELECT user_id AS t_user, ts AS tt, event_type AS ch
+        |  FROM events WHERE ts IS NOT NULL
+        |    AND event_type IN ('view', 'click')),
+        |j AS (SELECT p.p_id, t.ch,
+        |  CAST(1 AS BIGINT) << CAST(23 -
+        |    (epoch_us(p.pt) - epoch_us(t.tt)) // 3600000000 AS INT)
+        |    AS w
+        |  FROM p LEFT JOIN t ON p.user_id = t.t_user
+        |    AND t.tt <= p.pt AND t.tt > p.pt - INTERVAL 24 HOURS)
+        |SELECT p_id, count(ch) AS n_touch,
+        |  CAST(sum(CASE WHEN ch = 'view' THEN w ELSE 0 END) AS BIGINT)
+        |    AS w_view,
+        |  CAST(sum(CASE WHEN ch = 'click' THEN w ELSE 0 END) AS BIGINT)
+        |    AS w_click,
+        |  CASE WHEN count(ch) > 0 THEN
+        |    CAST(sum(CASE WHEN ch = 'view' THEN w ELSE 0 END) AS DOUBLE)
+        |      / CAST(sum(w) AS DOUBLE) END AS view_credit,
+        |  CASE WHEN count(ch) > 0 THEN
+        |    CAST(sum(CASE WHEN ch = 'click' THEN w ELSE 0 END) AS DOUBLE)
+        |      / CAST(sum(w) AS DOUBLE) END AS click_credit
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_lag_correlation" ->
+      """WITH g AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n FROM events
+        |  WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |x AS (SELECT day, n AS x FROM g WHERE event_type = 'error'),
+        |y AS (SELECT day AS yday, n AS y FROM g
+        |  WHERE event_type = 'purchase'),
+        |l AS (SELECT unnest([-3,-2,-1,0,1,2,3]) AS lag),
+        |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+        |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |  sum(CAST(x AS HUGEINT)*x) AS sxx,
+        |  sum(CAST(y AS HUGEINT)*y) AS syy,
+        |  sum(CAST(x AS HUGEINT)*y) AS sxy
+        |  FROM x CROSS JOIN l JOIN y ON yday = x.day + lag
+        |  GROUP BY 1)
+        |SELECT CAST(lag AS INT) AS lag, n_days,
+        |  CASE WHEN CAST(n_days*sxx - sx*sx AS DOUBLE) > 0
+        |        AND CAST(n_days*syy - sy*sy AS DOUBLE) > 0
+        |    THEN round(CAST(n_days*sxy - sx*sy AS DOUBLE)
+        |      / sqrt(CAST(n_days*sxx - sx*sx AS DOUBLE)
+        |           * CAST(n_days*syy - sy*sy AS DOUBLE)), 12)
+        |  END AS r
+        |FROM m ORDER BY 1""".stripMargin
   )
 }

@@ -579,6 +579,45 @@ object OlapQueries {
         "item_a", "item_b", rounds = 6)
         .orderBy(col("node"))),
 
+    // Frequent TRIPLES — the a-priori level the pair queries stop at:
+    // candidate (a,b,c) exists only when ALL THREE sub-pairs are
+    // frequent (the level-wise closure prune), and support counts
+    // baskets containing the whole triple. Occurrence rows build
+    // incrementally: frequent-pair occurrences (the same basket
+    // self-join bound as frequentPairs, semi-joined to the surviving
+    // pair list before any third item attaches) extend by one
+    // basket-keyed join, with the (a,c)/(b,c) closure joins pruning
+    // candidates BEFORE the count — at no point does an unpruned
+    // 3-way basket product exist. All counts exact BIGINTs.
+    "fi_triples" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val b = li.where(col("l_orderkey").isNotNull &&
+          col("l_partkey").isNotNull)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+        .distinct().localCheckpoint()
+      val pairs = graft.operators.Itemsets.frequentPairs(
+          li, "l_orderkey", "l_partkey", minSupport = 2L)
+        .select(col("item_a"), col("item_b")).localCheckpoint()
+      val pocc = b.as("x").join(b.as("y"),
+          col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
+        .select(col("x.bk").as("bk"), col("x.it").as("a"),
+          col("y.it").as("b"))
+        .join(pairs.select(col("item_a").as("a"),
+          col("item_b").as("b")), Seq("a", "b"))
+      pocc.join(b.select(col("bk"), col("it").as("c")), Seq("bk"))
+        .where(col("c") > col("b"))
+        .join(pairs.select(col("item_a").as("a"),
+          col("item_b").as("c")), Seq("a", "c"))
+        .join(pairs.select(col("item_a").as("b"),
+          col("item_b").as("c")), Seq("b", "c"))
+        .groupBy(col("a"), col("b"), col("c"))
+        .agg(count(lit(1)).cast("long").as("support"))
+        .where(col("support") >= 2)
+        .select(col("a").as("item_a"), col("b").as("item_b"),
+          col("c").as("item_c"), col("support"))
+        .orderBy(col("item_a"), col("item_b"), col("item_c"))
+    }),
+
     // Link prediction over the co-purchase graph: top-20 NON-adjacent
     // pairs by common-neighbor Jaccard |Γ(u)∩Γ(v)| / |Γ(u)∪Γ(v)| —
     // the classic "products likely to be co-purchased next" / related-
@@ -1147,6 +1186,23 @@ object OlapQueries {
         |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
         |  AND CURRENT ROW)
         |ORDER BY day""".stripMargin,
+    "fi_triples" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |pr AS (SELECT a.it AS ia, c.it AS ib, count(*) AS s
+        |  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it GROUP BY 1, 2),
+        |e AS (SELECT ia, ib FROM pr WHERE s >= 2),
+        |po AS (SELECT x.bk, x.it AS a, y.it AS bb
+        |  FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+        |  JOIN e ON x.it = e.ia AND y.it = e.ib),
+        |t3 AS (SELECT po.a, po.bb AS b, z.it AS c
+        |  FROM po JOIN b z ON z.bk = po.bk AND z.it > po.bb
+        |  JOIN e e2 ON e2.ia = po.a AND e2.ib = z.it
+        |  JOIN e e3 ON e3.ia = po.bb AND e3.ib = z.it)
+        |SELECT a AS item_a, b AS item_b, c AS item_c,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM t3 GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |ORDER BY 1, 2, 3""".stripMargin,
     "g_link_predict" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
         |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),

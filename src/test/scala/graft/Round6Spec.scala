@@ -335,6 +335,62 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  // ---- frequent triples ------------------------------------------------
+
+  test("frequent triples: a-priori closure holds and support is bounded by sub-pairs") {
+    // Recompute pairs at the triples' own support floor (fi_pairs ships
+    // at minSupport=3; the triples mine at 2 to keep level 3 populated).
+    val pairs = graft.operators.Itemsets.frequentPairs(
+        graft.sources.Tables.load(spark, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minSupport = 2L)
+      .select($"item_a", $"item_b", $"support")
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, s) => ((a, b), s) }.toMap
+    val triples = q("fi_triples")
+      .select($"item_a", $"item_b", $"item_c", $"support")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(triples.nonEmpty, "templated baskets must yield some triple")
+    for ((a, b, c, s) <- triples) {
+      assert(a < b && b < c, "canonical order")
+      val subs = Seq((a, b), (a, c), (b, c)).map(k =>
+        pairs.getOrElse(k, fail(s"sub-pair $k of ($a,$b,$c) not frequent")))
+      assert(s >= 2 && s <= subs.min,
+        "triple support can never exceed any sub-pair's")
+    }
+  }
+
+  // ---- time-decay attribution -----------------------------------------
+
+  test("decay attribution: credits are a partition of one and purchases match linear") {
+    val decay = q("ev_attrib_decay")
+      .select($"p_id", $"n_touch", $"view_credit", $"click_credit")
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+    val linear = q("ev_attrib_linear").select($"p_id").as[Long]
+      .collect().toSet
+    assert(decay.map(_._1).toSet == linear,
+      "both attribution models cover the same purchase set")
+    for ((id, nt, v, c) <- decay) {
+      if (nt == 0) assert(v.isEmpty && c.isEmpty)
+      else {
+        val s = v.get + c.get
+        assert(math.abs(s - 1.0) < 1e-12, s"purchase $id credits sum $s")
+      }
+    }
+  }
+
+  // ---- lag correlation -------------------------------------------------
+
+  test("lag correlation: r bounded, all seven lags reported") {
+    val rows = q("ev_lag_correlation")
+      .select($"lag", $"n_days", $"r")
+      .as[(Int, Long, Option[Double])].collect()
+    assert(rows.map(_._1).sorted.toSeq == (-3 to 3))
+    for ((_, nd, r) <- rows) {
+      assert(nd > 0)
+      assert(r.forall(v => v >= -1.0 && v <= 1.0))
+    }
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
