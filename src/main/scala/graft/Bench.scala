@@ -160,7 +160,10 @@ object Bench {
     "t_langid_prf", "ev_growth_accounting", "ev_anomaly_iqr",
     // Round-6 fifteenth-batch first-ships: a-priori frequent triples,
     // dyadic time-decay attribution, lead-lag cross-correlation.
-    "fi_triples", "ev_attrib_decay", "ev_lag_correlation")
+    "fi_triples", "ev_attrib_decay", "ev_lag_correlation",
+    // Round-6 sixteenth-batch first-ships: zero-float p-chart rate
+    // control, dyadic degree distribution, per-source dup-rate report.
+    "ev_error_pchart", "g_degree_dist", "dq_dup_rate_source")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

@@ -923,6 +923,39 @@ object EventQueries {
             round(col("cov") / sqrt(col("varx") * col("vary")), 12))
             .as("r"))
         .orderBy(col("lag"))
+    }),
+
+    // p-CHART rate control: each day's ERROR RATE e_i/n_i against the
+    // 3σ binomial control limits around the corpus rate E/N — the SRE
+    // error-budget screen that ev_bursts (raw counts) can't replace on
+    // days whose traffic volume itself moves. The σ test squares to
+    // (e_i·N − E·n_i)² > 9·E·(N−E)·n_i — ENTIRELY in integers (cents-
+    // style cross-multiplication), so no float can flip a flag; the
+    // rate columns are one IEEE division each for display only. One
+    // day-keyed aggregate + a broadcast one-row total.
+    "ev_error_pchart" -> ((s, d) => {
+      val daily = ev(s, d).where(col("ts").isNotNull)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .cast("long").as("e"))
+        .localCheckpoint()
+      val tot = daily.agg(sum(col("n")).cast("long").as("nn"),
+        sum(col("e")).cast("long").as("ee"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      daily.crossJoin(broadcast(tot))
+        .withColumn("lhs", {
+          val diff = dec(col("e")) * col("nn") - dec(col("ee")) * col("n")
+          diff * diff
+        })
+        .withColumn("rhs",
+          dec(lit(9)) * col("ee") * (dec(col("nn")) - col("ee")) * col("n"))
+        .select(col("day"), col("n"), col("e"),
+          (col("e").cast("double") / col("n").cast("double")).as("rate"),
+          (col("ee").cast("double") / col("nn").cast("double"))
+            .as("rate_bar"),
+          (col("lhs") > col("rhs")).as("out_of_control"))
+        .orderBy(col("day"))
     })
   )
 
@@ -1480,6 +1513,21 @@ object EventQueries {
         |      / sqrt(CAST(n_days*sxx - sx*sx AS DOUBLE)
         |           * CAST(n_days*syy - sy*sy AS DOUBLE)), 12)
         |  END AS r
-        |FROM m ORDER BY 1""".stripMargin
+        |FROM m ORDER BY 1""".stripMargin,
+    "ev_error_pchart" ->
+      """WITH g AS (SELECT CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS e
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |  CAST(sum(e) AS BIGINT) AS ee FROM g)
+        |SELECT day, n, e,
+        |  CAST(e AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+        |  CAST(ee AS DOUBLE) / CAST(nn AS DOUBLE) AS rate_bar,
+        |  (CAST(e AS HUGEINT)*nn - CAST(ee AS HUGEINT)*n)
+        |    * (CAST(e AS HUGEINT)*nn - CAST(ee AS HUGEINT)*n)
+        |    > 9 * CAST(ee AS HUGEINT) * (nn - ee) * n AS out_of_control
+        |FROM g, t ORDER BY day""".stripMargin
   )
 }

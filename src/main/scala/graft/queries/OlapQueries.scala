@@ -659,6 +659,32 @@ object OlapQueries {
         .limit(20)
     }),
 
+    // Degree DISTRIBUTION of the co-purchase graph in dyadic buckets
+    // (bucket k holds degrees in [2^k, 2^(k+1))) — the heavy-tail
+    // profile every graph plan here depends on (the Σdeg² wedge bounds
+    // of the triangle/link-prediction joins are priced by exactly this
+    // histogram). Bucket = floor(log2 deg) computed as the BINARY
+    // DIGIT COUNT minus one (conv/printf '%b' — pure integer string
+    // length, no float log whose last-ulp error could misbucket an
+    // exact power of two). One degree aggregate + one ≤64-row bucket
+    // count.
+    "g_degree_dist" -> ((s, d) => {
+      val e = graft.operators.Itemsets.frequentPairs(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
+        .select(col("item_a"), col("item_b"))
+      val adj = e.select(col("item_a").as("node"), col("item_b").as("nbr"))
+        .unionByName(
+          e.select(col("item_b").as("node"), col("item_a").as("nbr")))
+      adj.groupBy(col("node"))
+        .agg(count(lit(1)).cast("long").as("deg"))
+        .withColumn("bucket",
+          expr("cast(length(conv(deg, 10, 2)) - 1 as bigint)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_nodes"),
+          min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+        .orderBy(col("bucket"))
+    }),
+
     // Degree assortativity of the co-purchase graph: Pearson r of
     // (deg(u), deg(v)) over the DIRECTED edge list (both directions of
     // every undirected edge, the standard convention) — "do popular
@@ -1226,6 +1252,20 @@ object OlapQueries {
         |FROM ne JOIN dg da ON ne.u = da.node
         |JOIN dg db ON ne.v = db.node
         |ORDER BY jaccard DESC, node_a, node_b LIMIT 20""".stripMargin,
+    "g_degree_dist" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |pr AS (SELECT a.it AS ia, c.it AS ib, count(*) AS s
+        |  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it GROUP BY 1, 2),
+        |e AS (SELECT ia, ib FROM pr WHERE s >= 2),
+        |adj AS (SELECT ia AS node, ib AS nbr FROM e
+        |  UNION ALL SELECT ib, ia FROM e),
+        |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM adj GROUP BY 1)
+        |SELECT CAST(length(printf('%b', deg)) - 1 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  min(deg) AS min_deg, max(deg) AS max_deg
+        |FROM dg GROUP BY 1 ORDER BY 1""".stripMargin,
     "g_assortativity" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
         |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),

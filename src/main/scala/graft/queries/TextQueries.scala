@@ -829,6 +829,27 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Per-source DUPLICATION-RATE report — the curation dashboard card
+    // behind the "which crawl sources are copy-paste farms" decision:
+    // per source, document count, distinct text count (by md5 — the
+    // same canonical hash the exact-dedup keeper uses), duplicate rows
+    // beyond each first copy, and the dup rate (ONE exact-int IEEE
+    // division). Cross-source copies count per-source by design — the
+    // report prices each source's own redundancy. Two grouped
+    // aggregates ((source, hash) then source); the md5 is map-side.
+    "dq_dup_rate_source" -> ((s, d) =>
+      docs(s, d)
+        .select(col("source"), md5(col("text")).as("h"))
+        .groupBy(col("source"), col("h"))
+        .agg(count(lit(1)).cast("long").as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).cast("long").as("n_docs"),
+          count(lit(1)).cast("long").as("n_distinct"),
+          sum(col("c") - 1).cast("long").as("n_dup_rows"))
+        .withColumn("dup_rate",
+          col("n_dup_rows").cast("double") / col("n_docs").cast("double"))
+        .orderBy(col("source"))),
+
     // Per-language lexical-richness report: token count, type count,
     // hapax-legomena count, type-token ratio, hapax share — the
     // CORPUS-level vocabulary-health profile beside the per-doc Simpson
@@ -2490,6 +2511,16 @@ object TextQueries {
          |FROM cab JOIN uni a ON cab.w1 = a.tok
          |JOIN uni b ON cab.w2 = b.tok, n
          |ORDER BY lift DESC, cab.w1, cab.w2 LIMIT 20""".stripMargin,
+    "dq_dup_rate_source" ->
+      """WITH g AS (SELECT source, md5(text) AS h,
+        |  CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(c - 1) AS BIGINT) AS n_dup_rows,
+        |  CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+        |    AS dup_rate
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "t_lexical_richness" ->
       s"""WITH w AS (SELECT lang,
          |  list_filter($wsSql, t -> length(t)>0) AS ws FROM documents),

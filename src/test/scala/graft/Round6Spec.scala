@@ -391,6 +391,61 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  // ---- p-chart ---------------------------------------------------------
+
+  test("p-chart: integer flag agrees with the float fence and totals reconcile") {
+    val rows = q("ev_error_pchart")
+      .select($"n", $"e", $"rate", $"rate_bar", $"out_of_control")
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val (nn, ee) = (rows.map(_._1).sum, rows.map(_._2).sum)
+    for ((n, e, rate, rateBar, flag) <- rows) {
+      assert(rate == e.toDouble / n.toDouble)
+      assert(rateBar == ee.toDouble / nn.toDouble)
+      // The exact integer test must agree with the real-valued fence
+      // it encodes (float check is a sanity bound, not the gate).
+      val sigma = math.sqrt(rateBar * (1 - rateBar) / n)
+      val floatFlag = math.abs(rate - rateBar) > 3 * sigma
+      assert(flag == floatFlag,
+        s"integer and float fences disagree at n=$n e=$e")
+    }
+  }
+
+  // ---- degree distribution --------------------------------------------
+
+  test("degree distribution: dyadic buckets tile the degree range exactly") {
+    val rows = q("g_degree_dist")
+      .select($"bucket", $"n_nodes", $"min_deg", $"max_deg")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    var total = 0L
+    for ((b, n, lo, hi) <- rows) {
+      assert(lo >= (1L << b) && hi < (1L << (b + 1)),
+        s"bucket $b range [$lo,$hi] escapes [2^$b, 2^${b + 1})")
+      assert(lo <= hi && n > 0)
+      total += n
+    }
+    // Node total equals the graph's vertex count.
+    val edges = graft.operators.Itemsets.frequentPairs(
+        graft.sources.Tables.load(spark, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minSupport = 2L)
+      .select($"item_a", $"item_b").as[(Long, Long)].collect()
+    assert(total == edges.flatMap(p => Seq(p._1, p._2)).distinct.length)
+  }
+
+  // ---- duplication rate ------------------------------------------------
+
+  test("dup-rate report: counts reconcile and rate is exact") {
+    val rows = q("dq_dup_rate_source")
+      .select($"n_docs", $"n_distinct", $"n_dup_rows", $"dup_rate")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((nd, nu, ndup, rate) <- rows) {
+      assert(nu + ndup == nd, "distinct + duplicates = documents")
+      assert(rate == ndup.toDouble / nd.toDouble)
+    }
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
