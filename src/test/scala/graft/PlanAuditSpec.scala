@@ -567,4 +567,74 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("BroadcastExchange"),
       s"score max lost its broadcast:\n$p")
   }
+
+  test("link prediction tops out as TakeOrdered, never a global sort") {
+    val p = plan("g_link_predict")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 lost its TakeOrdered plan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"wedge join degraded to a cartesian product:\n$p")
+  }
+
+  test("markov model broadcasts onto the eval pairs") {
+    val p = plan("ev_markov_next")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=|types|-row model lost its broadcast:\n$p")
+  }
+
+  test("decay attribution joins on the user key — never a loop join") {
+    // Same contract as linear attribution: the strict 24h band is a
+    // post-join predicate on the user-keyed equi-join.
+    val p = plan("ev_attrib_decay")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"decay attribution degraded to a nested-loop join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"no keyed join found:\n$p")
+  }
+
+  test("range search has no window operator at all") {
+    // Radius retrieval is a filter fused into the scored scan — the
+    // whole point vs top-k; a Window reappearing means someone ranked.
+    val p = plan("sim_range_search")
+    assert(!p.contains("Window"),
+      s"range search regressed to a ranking plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"queries lost their broadcast:\n$p")
+  }
+
+  test("ewma's eight lags share one window operator") {
+    val p = plan("ev_ewma")
+    val windows = "Window ".r.findAllIn(p).size
+    assert(windows == 1,
+      s"ev_ewma should evaluate all lags in ONE window (got $windows):\n$p")
+  }
+
+  test("mfv profile fans out from a single orders scan") {
+    val p = plan("dq_mfv_profile")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1,
+      s"dq_mfv_profile should scan orders once (got $scans):\n$p")
+    assert(p.contains("Generate explode"),
+      s"per-column fan-out lost its explode:\n$p")
+  }
+
+  test("frequent triples never build an unpruned basket product") {
+    val p = plan("fi_triples")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"triple mining degraded to a product join:\n$p")
+  }
+
+  test("p-chart and growth accounting stay on aggregate-sized state") {
+    // p-chart: one day aggregate + broadcast totals, no data-sized join.
+    val pc = plan("ev_error_pchart")
+    assert(!pc.contains("SortMergeJoin"),
+      s"p-chart gained a data-sized join:\n$pc")
+    // growth accounting: the user-keyed window is the only fact shuffle;
+    // the churn/active reconciliation joins week-sized aggregates.
+    val ga = plan("ev_growth_accounting")
+    assert(ga.contains("Window"), s"growth accounting lost its window:\n$ga")
+  }
 }
