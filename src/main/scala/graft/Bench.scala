@@ -163,7 +163,10 @@ object Bench {
     "fi_triples", "ev_attrib_decay", "ev_lag_correlation",
     // Round-6 sixteenth-batch first-ships: zero-float p-chart rate
     // control, dyadic degree distribution, per-source dup-rate report.
-    "ev_error_pchart", "g_degree_dist", "dq_dup_rate_source")
+    "ev_error_pchart", "g_degree_dist", "dq_dup_rate_source",
+    // Round-6 seventeenth-batch first-ships: LSH bucket-balance skew
+    // report, basket-size pair bill, customer-band migration matrix.
+    "sim_bucket_balance", "fi_basket_stats", "w_customer_migration")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

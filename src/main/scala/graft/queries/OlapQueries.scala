@@ -659,6 +659,56 @@ object OlapQueries {
         .limit(20)
     }),
 
+    // Basket-size profile in dyadic buckets, with each bucket's exact
+    // within-basket pair count Σ sz(sz−1)/2 — the number that PRICES
+    // the frequent-pair self-join (its cost is exactly this sum), so
+    // the market-basket pipeline can read its own bill before running.
+    // Same binary-digit-count bucketing as g_degree_dist (no float
+    // log); one basket-size aggregate + one ≤64-row bucket count.
+    "fi_basket_stats" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+        .distinct()
+        .groupBy(col("bk")).agg(count(lit(1)).cast("long").as("sz"))
+        .withColumn("bucket",
+          expr("cast(length(conv(sz, 10, 2)) - 1 as bigint)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_baskets"),
+          min(col("sz")).as("min_size"), max(col("sz")).as("max_size"),
+          sum(expr("sz * (sz - 1) div 2")).cast("long").as("n_pairs"))
+        .orderBy(col("bucket"))),
+
+    // Customer-band MIGRATION matrix between the corpus's first two
+    // years — "who moved up, who lapsed": per-customer first-year and
+    // second-year revenue (exact cents) banded by PINNED literal
+    // thresholds (low < $200k ≤ mid < $600k ≤ high — no data-derived
+    // quantile can drift between engines), with customers absent in
+    // year two reported as 'none'. One customer-keyed aggregate + a
+    // broadcast min-year scalar; the matrix is a ≤12-row count.
+    "w_customer_migration" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val yr = year(col("o_orderdate")).cast("long")
+      val per = o.select(col("o_custkey"), yr.as("yr"),
+          (col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long").as("c"))
+        .crossJoin(broadcast(o.agg(min(yr).as("y0"))))
+        .where(col("yr") === col("y0") || col("yr") === col("y0") + 1)
+        .groupBy(col("o_custkey"), (col("yr") === col("y0")).as("is_y1"))
+        .agg(sum(col("c")).cast("long").as("rev"))
+      val band = when(col("rev") < 20000000L, "low")
+        .when(col("rev") < 60000000L, "mid").otherwise("high")
+      per.where(col("is_y1"))
+        .select(col("o_custkey"), band.as("band_y1"))
+        .join(per.where(!col("is_y1"))
+          .select(col("o_custkey"), band.as("band_y2")),
+          Seq("o_custkey"), "left")
+        .groupBy(col("band_y1"),
+          coalesce(col("band_y2"), lit("none")).as("band_y2"))
+        .agg(count(lit(1)).cast("long").as("n_customers"))
+        .orderBy(col("band_y1"), col("band_y2"))
+    }),
+
     // Degree DISTRIBUTION of the co-purchase graph in dyadic buckets
     // (bucket k holds degrees in [2^k, 2^(k+1))) — the heavy-tail
     // profile every graph plan here depends on (the Σdeg² wedge bounds
@@ -1252,6 +1302,36 @@ object OlapQueries {
         |FROM ne JOIN dg da ON ne.u = da.node
         |JOIN dg db ON ne.v = db.node
         |ORDER BY jaccard DESC, node_a, node_b LIMIT 20""".stripMargin,
+    "fi_basket_stats" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |s AS (SELECT bk, CAST(count(*) AS BIGINT) AS sz
+        |  FROM b GROUP BY 1)
+        |SELECT CAST(length(printf('%b', sz)) - 1 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_baskets,
+        |  min(sz) AS min_size, max(sz) AS max_size,
+        |  CAST(sum((sz * (sz - 1)) // 2) AS BIGINT) AS n_pairs
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w_customer_migration" ->
+      """WITH y0 AS (SELECT min(CAST(year(o_orderdate) AS BIGINT)) AS y0
+        |  FROM orders),
+        |per AS (SELECT o_custkey,
+        |  CAST(year(o_orderdate) AS BIGINT) = y0 AS is_y1,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+        |    AS BIGINT) AS rev
+        |  FROM orders, y0
+        |  WHERE CAST(year(o_orderdate) AS BIGINT) IN (y0, y0 + 1)
+        |  GROUP BY 1, 2),
+        |bd AS (SELECT o_custkey, is_y1,
+        |  CASE WHEN rev < 20000000 THEN 'low'
+        |       WHEN rev < 60000000 THEN 'mid' ELSE 'high' END AS band
+        |  FROM per)
+        |SELECT a.band AS band_y1, coalesce(b.band, 'none') AS band_y2,
+        |  CAST(count(*) AS BIGINT) AS n_customers
+        |FROM (SELECT o_custkey, band FROM bd WHERE is_y1) a
+        |LEFT JOIN (SELECT o_custkey, band FROM bd WHERE NOT is_y1) b
+        |  ON a.o_custkey = b.o_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "g_degree_dist" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
         |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),

@@ -464,6 +464,29 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // LSH BUCKET-BALANCE report — the skew diagnostic that prices every
+    // bucketed similarity join here: per bucket, vector count, corpus
+    // share, and the within-bucket candidate-pair count n(n−1)/2 whose
+    // SUM is exactly the work the partitioned top-k / near-dup joins
+    // do. A fat bucket shows up as a fat n_pairs row — the signal to
+    // add bits or re-seed planes BEFORE running the join. One grouped
+    // count + a broadcast total; the share is one IEEE division,
+    // n_pairs an exact integer (n(n−1) is always even, `div 2` exact).
+    "sim_bucket_balance" -> ((s, d) => {
+      val g = emb(s, d)
+        .withColumn("bucket",
+          Similarity.projectionBucket(col("embedding"), lshPlanes))
+        .groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_vecs"))
+      g.crossJoin(broadcast(
+          g.agg(sum(col("n_vecs")).cast("long").as("n_tot"))))
+        .select(col("bucket"), col("n_vecs"),
+          (col("n_vecs").cast("double") / col("n_tot").cast("double"))
+            .as("share"),
+          expr("n_vecs * (n_vecs - 1) div 2").cast("long").as("n_pairs"))
+        .orderBy(col("bucket"))
+    }),
+
     // Multi-probe LSH: query probes its own bucket plus every 1-bit
     // neighbor — the recall knob that widens the search without touching
     // the stored bucketing.
@@ -995,6 +1018,16 @@ object SimilarityQueries {
          |  FROM s)
          |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=10
          |ORDER BY q_id, rank""".stripMargin,
+    "sim_bucket_balance" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id, e, $bucketSql AS bucket FROM v),
+         |g AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_vecs FROM b GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_tot FROM g)
+         |SELECT bucket, n_vecs,
+         |  CAST(n_vecs AS DOUBLE) / CAST(n_tot AS DOUBLE) AS share,
+         |  CAST((n_vecs * (n_vecs - 1)) // 2 AS BIGINT) AS n_pairs
+         |FROM g, t ORDER BY bucket""".stripMargin,
     "sim_range_search" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |q AS (SELECT vec_id AS q_id, e AS q_vec FROM v WHERE vec_id<5),

@@ -446,6 +446,63 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  // ---- LSH bucket balance ---------------------------------------------
+
+  test("bucket balance: shares sum to one and pair counts price the join") {
+    val rows = q("sim_bucket_balance")
+      .select($"n_vecs", $"share", $"n_pairs")
+      .as[(Long, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_._1).sum
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-12)
+    for ((n, share, pairs) <- rows) {
+      assert(share == n.toDouble / total.toDouble)
+      assert(pairs == n * (n - 1) / 2)
+    }
+    // The report's Σpairs is exactly the bucketed self-join's row count.
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("bucket", graft.operators.Similarity.projectionBucket(
+        $"embedding",
+        graft.operators.Similarity.lshPlanes(dim = 64, nBits = 4,
+          seed = 42L)))
+    val joinRows = v.as("a").join(v.as("b"),
+        $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id").count()
+    assert(rows.map(_._3).sum == joinRows)
+  }
+
+  // ---- basket stats ----------------------------------------------------
+
+  test("basket stats: pair bill equals the frequent-pair join's input") {
+    val rows = q("fi_basket_stats")
+      .select($"n_baskets", $"min_size", $"max_size", $"n_pairs")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val b = spark.read.parquet(s"$dir/lineitem.parquet")
+      .where($"l_orderkey".isNotNull && $"l_partkey".isNotNull)
+      .select($"l_orderkey".as("bk"), $"l_partkey".as("it")).distinct()
+    val pairJoinRows = b.as("a").join(b.as("c"),
+        $"a.bk" === $"c.bk" && $"a.it" < $"c.it").count()
+    assert(rows.map(_._4).sum == pairJoinRows,
+      "Σ sz(sz−1)/2 must equal the basket self-join's row count")
+    assert(rows.map(_._1).sum == b.select($"bk").distinct().count())
+  }
+
+  // ---- customer migration ---------------------------------------------
+
+  test("customer migration: matrix covers exactly the year-one customers") {
+    val rows = q("w_customer_migration")
+      .select($"band_y1", $"band_y2", $"n_customers")
+      .as[(String, String, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Set("low", "mid", "high")(r._1)))
+    assert(rows.forall(r => Set("low", "mid", "high", "none")(r._2)))
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val y0 = o.agg(min(year($"o_orderdate"))).as[Int].collect().head
+    val y1Customers = o.where(year($"o_orderdate") === y0)
+      .select($"o_custkey").distinct().count()
+    assert(rows.map(_._3).sum == y1Customers)
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
