@@ -166,7 +166,10 @@ object Bench {
     "ev_error_pchart", "g_degree_dist", "dq_dup_rate_source",
     // Round-6 seventeenth-batch first-ships: LSH bucket-balance skew
     // report, basket-size pair bill, customer-band migration matrix.
-    "sim_bucket_balance", "fi_basket_stats", "w_customer_migration")
+    "sim_bucket_balance", "fi_basket_stats", "w_customer_migration",
+    // Round-6 eighteenth-batch first-ships: CCNet head/middle/tail
+    // split, near-dup cluster-size profile, DoW×HoD heatmap.
+    "t_ccnet_buckets", "t_neardup_profile", "ev_heatmap")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

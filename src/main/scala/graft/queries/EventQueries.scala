@@ -956,6 +956,26 @@ object EventQueries {
             .as("rate_bar"),
           (col("lhs") > col("rhs")).as("out_of_control"))
         .orderBy(col("day"))
+    }),
+
+    // Day-of-week × hour-of-day activity HEATMAP — the traffic-shape
+    // card. Both axes are PURE INTEGER epoch arithmetic ((epoch days +
+    // 3) mod 7 → 0 = Monday; epoch hours mod 24, UTC) because the two
+    // engines disagree on dayofweek()'s origin (Spark 1=Sunday, DuckDB
+    // 0=Sunday) and a convention bug here would pass every row-count
+    // check while shifting the whole matrix a day. One grouped count +
+    // a broadcast total; the share is one IEEE division.
+    "ev_heatmap" -> ((s, d) => {
+      val g = ev(s, d).where(col("ts").isNotNull)
+        .groupBy(
+          expr("(unix_micros(ts) div 86400000000 + 3) % 7").as("dow"),
+          expr("(unix_micros(ts) div 3600000000) % 24").as("hod"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      g.crossJoin(broadcast(g.agg(sum(col("n")).cast("long").as("nt"))))
+        .select(col("dow"), col("hod"), col("n"),
+          (col("n").cast("double") / col("nt").cast("double"))
+            .as("share"))
+        .orderBy(col("dow"), col("hod"))
     })
   )
 
@@ -1528,6 +1548,16 @@ object EventQueries {
         |  (CAST(e AS HUGEINT)*nn - CAST(ee AS HUGEINT)*n)
         |    * (CAST(e AS HUGEINT)*nn - CAST(ee AS HUGEINT)*n)
         |    > 9 * CAST(ee AS HUGEINT) * (nn - ee) * n AS out_of_control
-        |FROM g, t ORDER BY day""".stripMargin
+        |FROM g, t ORDER BY day""".stripMargin,
+    "ev_heatmap" ->
+      """WITH g AS (SELECT
+        |  CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS BIGINT) AS dow,
+        |  CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hod,
+        |  CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM g)
+        |SELECT dow, hod, n,
+        |  CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) AS share
+        |FROM g, t ORDER BY dow, hod""".stripMargin
   )
 }

@@ -367,6 +367,70 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet-style HEAD/MIDDLE/TAIL split: bucket every document by
+    // corpus-wide familiarity terciles — the canonical quality
+    // partition a crawl pipeline ships as three sub-corpora. The score
+    // becomes an exact integer (milli-units: (df_total·10⁶) div
+    // n_grams — at lake scale the product wants decimal(38,0), here
+    // df_total < 2^43 keeps the long exact) so the terciles come from
+    // the Median histogram ladder (nearest-rank order statistics, no
+    // global sort), and the two cut points broadcast back as one row.
+    // Bucketing is integer comparison only — no float can move a doc
+    // across a cut between engines.
+    "t_ccnet_buckets" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("gram"))
+      val scored = docs(s, d).select(col("doc_id"),
+          explode(TextFunctions.shingles(col("text"), 3)).as("gram"))
+        .distinct()
+        .withColumn("_df", count(lit(1)).over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), sum(col("_df")).as("df_total"))
+        .withColumn("score_milli",
+          expr("(df_total * 1000000) div n_grams"))
+        .localCheckpoint()
+      val cuts = graft.operators.Median.groupQuantilesLong(
+          scored, Seq.empty, "score_milli", Seq(33, 67))
+        .agg(min(when(col("pct") === 33, col("value"))).as("t33"),
+          min(when(col("pct") === 67, col("value"))).as("t67"))
+      scored.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("score_milli"), col("t33"),
+          col("t67"),
+          when(col("score_milli") >= col("t67"), "head")
+            .when(col("score_milli") >= col("t33"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Near-dup CLUSTER-SIZE profile — "how duplicated is this corpus,
+    // at what multiplicity": component sizes of the 0.5-Jaccard
+    // near-dup graph histogrammed, with unclustered documents reported
+    // as size-1 clusters (every component node has an edge, so true
+    // singletons only come from the complement count — two broadcast
+    // scalars, no extra doc scan joins). n_docs = size · clusters is
+    // exact by construction.
+    "t_neardup_profile" -> ((s, d) => {
+      val cc = Dedup.connectedComponents(
+        Dedup.nearDupPairs(docs(s, d), "doc_id", "text",
+          threshold = 0.5),
+        "id_a", "id_b").localCheckpoint()
+      val multi = cc.groupBy(col("cluster"))
+        .agg(count(lit(1)).cast("long").as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).cast("long").as("n_clusters"))
+      val singles = docs(s, d)
+        .agg(count(lit(1)).cast("long").as("nd"))
+        .crossJoin(broadcast(cc.agg(count(lit(1)).cast("long").as("ni"))))
+        .select(lit(1L).as("cluster_size"),
+          (col("nd") - col("ni")).as("n_clusters"))
+      multi.unionByName(singles)
+        .groupBy(col("cluster_size"))
+        .agg(sum(col("n_clusters")).cast("long").as("n_clusters"))
+        .where(col("n_clusters") > 0)
+        .withColumn("n_docs", expr("cluster_size * n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // Per-source document cap — the domain-cap curation op (web corpora
     // cap pages per domain so no single host dominates the mix): keep
     // the top 10 docs per source by (n_chars DESC, doc_id) via
@@ -1926,6 +1990,53 @@ object TextQueries {
          |  UNION SELECT e.src, r.dst FROM e JOIN reach r ON e.dst=r.src)
          |SELECT src AS node, min(dst) AS cluster FROM reach
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t_ccnet_buckets" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |g AS (SELECT DISTINCT doc_id,
+         |  unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(ws)-2,1)+1),
+         |    i -> array_to_string(ws[i:i+2],' ')))) AS gram FROM w),
+         |f AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+         |sc AS (SELECT g.doc_id,
+         |  (CAST(sum(f.df) AS BIGINT) * 1000000) // count(*)
+         |    AS score_milli
+         |  FROM g JOIN f USING (gram) GROUP BY 1),
+         |r AS (SELECT score_milli,
+         |  row_number() OVER (ORDER BY score_milli) AS rn,
+         |  count(*) OVER () AS cnt FROM sc),
+         |q AS (SELECT
+         |  min(CASE WHEN rn = greatest(1, (33*cnt+99)//100)
+         |    THEN score_milli END) AS t33,
+         |  min(CASE WHEN rn = greatest(1, (67*cnt+99)//100)
+         |    THEN score_milli END) AS t67 FROM r)
+         |SELECT sc.doc_id, CAST(sc.score_milli AS BIGINT) AS score_milli,
+         |  CAST(q.t33 AS BIGINT) AS t33, CAST(q.t67 AS BIGINT) AS t67,
+         |  CASE WHEN sc.score_milli >= q.t67 THEN 'head'
+         |       WHEN sc.score_milli >= q.t33 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM sc, q ORDER BY doc_id""".stripMargin,
+    "t_neardup_profile" ->
+      s"""WITH RECURSIVE ${neardupPairCtesFrom("documents")},
+         |pairs AS (SELECT id_a, id_b FROM j WHERE jac>=0.5),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (SELECT src, src FROM e
+         |  UNION SELECT e.src, r.dst FROM e JOIN reach r ON e.dst=r.src)
+         |, comp AS (SELECT src AS node, min(dst) AS cluster FROM reach
+         |  GROUP BY 1),
+         |szs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz
+         |  FROM comp GROUP BY 1),
+         |multi AS (SELECT sz AS cluster_size,
+         |  CAST(count(*) AS BIGINT) AS n_clusters FROM szs GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+         |inn AS (SELECT CAST(count(*) AS BIGINT) AS ni FROM comp),
+         |uni AS (SELECT * FROM multi
+         |  UNION ALL SELECT 1, nd - ni FROM tot, inn)
+         |SELECT cluster_size,
+         |  CAST(sum(n_clusters) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * sum(n_clusters) AS BIGINT) AS n_docs
+         |FROM uni GROUP BY 1 HAVING sum(n_clusters) > 0
+         |ORDER BY 1""".stripMargin,
     "t_neardup_kept" ->
       s"""WITH RECURSIVE ${neardupPairCtesFrom("documents")},
          |pairs AS (SELECT id_a, id_b FROM j WHERE jac>=0.5),

@@ -503,6 +503,57 @@ class Round6Spec extends AnyFunSuite {
     assert(rows.map(_._3).sum == y1Customers)
   }
 
+  // ---- CCNet buckets ---------------------------------------------------
+
+  test("ccnet buckets: tercile cuts are order statistics and buckets are ordered") {
+    val rows = q("t_ccnet_buckets")
+      .select($"score_milli", $"t33", $"t67", $"bucket")
+      .as[(Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    val (t33, t67) = (rows.head._2, rows.head._3)
+    assert(t33 <= t67)
+    val scores = rows.map(_._1)
+    assert(scores.contains(t33) && scores.contains(t67),
+      "cuts must be actual score values (nearest-rank)")
+    for ((s, _, _, b) <- rows) b match {
+      case "head"   => assert(s >= t67)
+      case "middle" => assert(s >= t33 && s < t67)
+      case "tail"   => assert(s < t33)
+      case other    => fail(s"unknown bucket $other")
+    }
+    // Terciles split roughly in thirds (nearest-rank slack allowed).
+    val n = rows.length
+    assert(rows.count(_._4 == "tail") <= n / 2)
+    assert(rows.count(_._4 == "head") >= n / 6)
+  }
+
+  // ---- near-dup profile ------------------------------------------------
+
+  test("neardup profile: document mass is conserved across cluster sizes") {
+    val rows = q("t_neardup_profile")
+      .select($"cluster_size", $"n_clusters", $"n_docs")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    for ((sz, nc, ndocs) <- rows) assert(ndocs == sz * nc && nc > 0)
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_._3).sum == total,
+      "every document lands in exactly one cluster-size row")
+  }
+
+  // ---- heatmap ---------------------------------------------------------
+
+  test("heatmap: cells tile the event count and axes stay in range") {
+    val rows = q("ev_heatmap")
+      .select($"dow", $"hod", $"n", $"share")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 6))
+    assert(rows.forall(r => r._2 >= 0 && r._2 <= 23))
+    val total = spark.read.parquet(s"$dir/events.parquet")
+      .where($"ts".isNotNull).count()
+    assert(rows.map(_._3).sum == total)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
