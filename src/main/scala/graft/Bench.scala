@@ -169,7 +169,10 @@ object Bench {
     "sim_bucket_balance", "fi_basket_stats", "w_customer_migration",
     // Round-6 eighteenth-batch first-ships: CCNet head/middle/tail
     // split, near-dup cluster-size profile, DoW×HoD heatmap.
-    "t_ccnet_buckets", "t_neardup_profile", "ev_heatmap")
+    "t_ccnet_buckets", "t_neardup_profile", "ev_heatmap",
+    // Round-6 nineteenth-batch first-ships: context-window fit report
+    // and Apdex satisfaction score.
+    "t_context_fit", "ev_apdex")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

@@ -958,6 +958,26 @@ object EventQueries {
         .orderBy(col("day"))
     }),
 
+    // APDEX score per event type — the SRE satisfaction index over the
+    // value column as latency: satisfied ≤ T, tolerating ≤ 4T (T = 50,
+    // a PINNED literal both engines share), and the score
+    // (satisfied + tolerating/2) / total computed as the SINGLE
+    // division (2·sat + tol) / (2·total) so the half-weight never
+    // exists as a float. One grouped aggregate; the band predicates
+    // are plain comparisons on the scanned column.
+    "ev_apdex" -> ((s, d) =>
+      ev(s, d).where(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("value") <= 50.0, 1L).otherwise(0L))
+            .cast("long").as("n_satisfied"),
+          sum(when(col("value") > 50.0 && col("value") <= 200.0, 1L)
+            .otherwise(0L)).cast("long").as("n_tolerating"))
+        .withColumn("apdex",
+          (col("n_satisfied") * 2 + col("n_tolerating")).cast("double") /
+            (col("n") * 2).cast("double"))
+        .orderBy(col("event_type"))),
+
     // Day-of-week × hour-of-day activity HEATMAP — the traffic-shape
     // card. Both axes are PURE INTEGER epoch arithmetic ((epoch days +
     // 3) mod 7 → 0 = Monday; epoch hours mod 24, UTC) because the two
@@ -1549,6 +1569,18 @@ object EventQueries {
         |    * (CAST(e AS HUGEINT)*nn - CAST(ee AS HUGEINT)*n)
         |    > 9 * CAST(ee AS HUGEINT) * (nn - ee) * n AS out_of_control
         |FROM g, t ORDER BY day""".stripMargin,
+    "ev_apdex" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_satisfied,
+        |  CAST(sum(CASE WHEN value > 50.0 AND value <= 200.0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_tolerating,
+        |  CAST(2 * sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END)
+        |    + sum(CASE WHEN value > 50.0 AND value <= 200.0
+        |      THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(2 * count(*) AS DOUBLE) AS apdex
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_heatmap" ->
       """WITH g AS (SELECT
         |  CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS BIGINT) AS dow,

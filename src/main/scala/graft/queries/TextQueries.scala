@@ -367,6 +367,38 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // CONTEXT-WINDOW FIT report — the sequence-length planning card a
+    // training pipeline reads before choosing packing parameters: doc
+    // token counts in dyadic buckets (binary-digit-count, the
+    // g_degree_dist discipline) with each bucket's doc count, token
+    // mass, and the running share of documents that fit ≤ the bucket's
+    // upper edge — i.e. "a 2^k context window holds this fraction of
+    // the corpus whole". The cumulative column rides a window over the
+    // ≤64-row bucket aggregate; shares are exact-int IEEE divisions.
+    "t_context_fit" -> ((s, d) => {
+      val sizes = docs(s, d).select(
+          size(filter(TextFunctions.tokens(col("text")),
+            w => length(w) > 0)).cast("long").as("n_tok"))
+        .where(col("n_tok") > 0)
+      val g = sizes
+        .withColumn("bucket",
+          expr("cast(length(conv(n_tok, 10, 2)) - 1 as bigint)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bucket"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      g.crossJoin(broadcast(
+          g.agg(sum(col("n_docs")).cast("long").as("nd"))))
+        .withColumn("n_fit", sum(col("n_docs")).over(w).cast("long"))
+        .select(col("bucket"), col("n_docs"), col("n_tokens"),
+          (col("n_fit").cast("double") / col("nd").cast("double"))
+            .as("fit_share"))
+        .orderBy(col("bucket"))
+    }),
+
     // CCNet-style HEAD/MIDDLE/TAIL split: bucket every document by
     // corpus-wide familiarity terciles — the canonical quality
     // partition a crawl pipeline ships as three sub-corpora. The score
@@ -1990,6 +2022,23 @@ object TextQueries {
          |  UNION SELECT e.src, r.dst FROM e JOIN reach r ON e.dst=r.src)
          |SELECT src AS node, min(dst) AS cluster FROM reach
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t_context_fit" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  len(list_filter($wsSql, t -> length(t)>0)) AS n_tok
+         |  FROM documents),
+         |s AS (SELECT CAST(n_tok AS BIGINT) AS n_tok FROM w
+         |  WHERE n_tok > 0),
+         |g AS (SELECT CAST(length(printf('%b', n_tok)) - 1 AS BIGINT)
+         |    AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |  FROM s GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nd FROM g)
+         |SELECT bucket, n_docs, n_tokens,
+         |  CAST(sum(n_docs) OVER (ORDER BY bucket
+         |    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         |    / CAST(nd AS DOUBLE) AS fit_share
+         |FROM g, t ORDER BY bucket""".stripMargin,
     "t_ccnet_buckets" ->
       s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
          |g AS (SELECT DISTINCT doc_id,

@@ -554,6 +554,35 @@ class Round6Spec extends AnyFunSuite {
     assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
   }
 
+  // ---- context fit -----------------------------------------------------
+
+  test("context fit: cumulative share is monotone and ends at one") {
+    val rows = q("t_context_fit")
+      .select($"bucket", $"n_docs", $"n_tokens", $"fit_share")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    val shares = rows.map(_._4)
+    assert(shares.zip(shares.drop(1)).forall { case (a, b) => a <= b })
+    assert(shares.last == 1.0)
+    for ((b, nd, nt, _) <- rows)
+      assert(nt >= nd * (1L << b) && nt < nd * (1L << (b + 1)),
+        s"bucket $b token mass outside its dyadic range")
+  }
+
+  // ---- apdex -----------------------------------------------------------
+
+  test("apdex: bands partition and the score is the exact single division") {
+    val rows = q("ev_apdex")
+      .select($"n", $"n_satisfied", $"n_tolerating", $"apdex")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((n, sat, tol, a) <- rows) {
+      assert(sat + tol <= n)
+      assert(a == (2 * sat + tol).toDouble / (2 * n).toDouble)
+      assert(a >= 0.0 && a <= 1.0)
+    }
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
