@@ -172,7 +172,10 @@ object Bench {
     "t_ccnet_buckets", "t_neardup_profile", "ev_heatmap",
     // Round-6 nineteenth-batch first-ships: context-window fit report
     // and Apdex satisfaction score.
-    "t_context_fit", "ev_apdex")
+    "t_context_fit", "ev_apdex",
+    // Round-6 twentieth-batch first-ships: per-user Simpson behavioral
+    // diversity and the quality-gate ablation matrix.
+    "ev_user_diversity", "t_gate_ablation")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the
@@ -266,7 +269,18 @@ object Bench {
     "dq_mfv_profile" -> 0.41, "sim_range_search" -> 0.56,
     "ev_audience_overlap" -> 0.32, "t_lexical_richness" -> 0.32,
     "t_langid_prf" -> 0.32, "ev_growth_accounting" -> 0.37,
-    "ev_anomaly_iqr" -> 0.98)
+    "ev_anomaly_iqr" -> 0.98,
+    // Round-6 session pins (batches 15–19), from the round's SEVENTH
+    // full-set run (138 queries, 210.0 s, 138/138 measured, zero
+    // failures, zero regressions, zero suspects — BASELINE.md
+    // "Round 6 session, third sweep").
+    "fi_triples" -> 2.47, "ev_attrib_decay" -> 0.39,
+    "ev_lag_correlation" -> 0.46, "ev_error_pchart" -> 0.21,
+    "g_degree_dist" -> 4.11, "dq_dup_rate_source" -> 0.20,
+    "sim_bucket_balance" -> 0.33, "fi_basket_stats" -> 0.90,
+    "w_customer_migration" -> 0.56, "t_ccnet_buckets" -> 4.35,
+    "t_neardup_profile" -> 4.91, "ev_heatmap" -> 0.30,
+    "t_context_fit" -> 0.34, "ev_apdex" -> 0.15)
 
   def main(args: Array[String]): Unit = {
     // Optional args: restrict to the named queries (local plan iteration

@@ -958,6 +958,26 @@ object EventQueries {
         .orderBy(col("day"))
     }),
 
+    // Per-user behavioral DIVERSITY: Simpson index 1 − Σc²/n² over each
+    // user's event-type mix — the no-logarithm entropy stand-in
+    // (t_simpson_diversity's trick pointed at behavior): 0 = pure
+    // habit (one event type), →0.8 = uniform across all five. Σc² and
+    // n come from one (user, type) count aggregate; the index is ONE
+    // IEEE division of exact integers. Two linear key-hash shuffles,
+    // never pairwise.
+    "ev_user_diversity" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("c"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("c")).cast("long").as("n_events"),
+          count(lit(1)).cast("long").as("n_types"),
+          sum(col("c") * col("c")).cast("long").as("sum_c2"))
+        .withColumn("diversity",
+          lit(1.0) - col("sum_c2").cast("double") /
+            (col("n_events") * col("n_events")).cast("double"))
+        .orderBy(col("user_id"))),
+
     // APDEX score per event type — the SRE satisfaction index over the
     // value column as latency: satisfied ≤ T, tolerating ≤ 4T (T = 50,
     // a PINNED literal both engines share), and the score
@@ -1569,6 +1589,15 @@ object EventQueries {
         |    * (CAST(e AS HUGEINT)*nn - CAST(ee AS HUGEINT)*n)
         |    > 9 * CAST(ee AS HUGEINT) * (nn - ee) * n AS out_of_control
         |FROM g, t ORDER BY day""".stripMargin,
+    "ev_user_diversity" ->
+      """WITH g AS (SELECT user_id, event_type,
+        |  CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(c*c) AS BIGINT) AS sum_c2,
+        |  1.0 - CAST(sum(c*c) AS DOUBLE)
+        |    / CAST(sum(c) * sum(c) AS DOUBLE) AS diversity
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_apdex" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END)

@@ -367,6 +367,40 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Quality-gate ABLATION matrix — which filters actually bite, and
+    // where they overlap: every document is scored against three
+    // independent gates (length n_tok ≥ 5, naturalness ≥ 1 stopword,
+    // repetition 2·distinct ≥ total — the last a cross-multiplied
+    // integer ratio test) and counted per gate-combination bitmask.
+    // The curation question this answers — "if I drop the stopword
+    // gate, how many docs change fate?" — needs the full 2³ matrix,
+    // not three marginal pass rates. One scan, one 8-row aggregate;
+    // the share is one IEEE division.
+    "t_gate_ablation" -> ((s, d) => {
+      val ws = filter(TextFunctions.tokens(col("text")),
+        w => length(w) > 0)
+      val m = docs(s, d).select(
+          size(ws).cast("long").as("n_tok"),
+          size(filter(ws, w => w === "the" || w === "a")).cast("long")
+            .as("n_stop"),
+          size(array_distinct(ws)).cast("long").as("n_uniq"))
+        .select((col("n_tok") >= 5).as("g_len"),
+          (col("n_stop") >= 1).as("g_stop"),
+          (col("n_uniq") * 2 >= col("n_tok")).as("g_rep"))
+        .groupBy(col("g_len"), col("g_stop"), col("g_rep"))
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+      m.crossJoin(broadcast(
+          m.agg(sum(col("n_docs")).cast("long").as("nt"))))
+        .select(
+          (when(col("g_len"), 1L).otherwise(0L) +
+            when(col("g_stop"), 2L).otherwise(0L) +
+            when(col("g_rep"), 4L).otherwise(0L)).as("mask"),
+          col("g_len"), col("g_stop"), col("g_rep"), col("n_docs"),
+          (col("n_docs").cast("double") / col("nt").cast("double"))
+            .as("share"))
+        .orderBy(col("mask"))
+    }),
+
     // CONTEXT-WINDOW FIT report — the sequence-length planning card a
     // training pipeline reads before choosing packing parameters: doc
     // token counts in dyadic buckets (binary-digit-count, the
@@ -2022,6 +2056,24 @@ object TextQueries {
          |  UNION SELECT e.src, r.dst FROM e JOIN reach r ON e.dst=r.src)
          |SELECT src AS node, min(dst) AS cluster FROM reach
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t_gate_ablation" ->
+      s"""WITH w AS (SELECT list_filter($wsSql, t -> length(t)>0) AS ws
+         |  FROM documents),
+         |b AS (SELECT CAST(len(ws) AS BIGINT) AS n_tok,
+         |  CAST(len(list_filter(ws, t -> t = 'the' OR t = 'a'))
+         |    AS BIGINT) AS n_stop,
+         |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq FROM w),
+         |g AS (SELECT n_tok >= 5 AS g_len, n_stop >= 1 AS g_stop,
+         |  n_uniq * 2 >= n_tok AS g_rep FROM b),
+         |m AS (SELECT g_len, g_stop, g_rep,
+         |  CAST(count(*) AS BIGINT) AS n_docs FROM g GROUP BY 1, 2, 3),
+         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nt FROM m)
+         |SELECT CAST(CASE WHEN g_len THEN 1 ELSE 0 END
+         |    + CASE WHEN g_stop THEN 2 ELSE 0 END
+         |    + CASE WHEN g_rep THEN 4 ELSE 0 END AS BIGINT) AS mask,
+         |  g_len, g_stop, g_rep, n_docs,
+         |  CAST(n_docs AS DOUBLE) / CAST(nt AS DOUBLE) AS share
+         |FROM m, t ORDER BY mask""".stripMargin,
     "t_context_fit" ->
       s"""WITH w AS (SELECT doc_id,
          |  len(list_filter($wsSql, t -> length(t)>0)) AS n_tok

@@ -583,6 +583,37 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  // ---- user diversity --------------------------------------------------
+
+  test("user diversity: bounded by the type count and zero for single-type users") {
+    val rows = q("ev_user_diversity")
+      .select($"n_events", $"n_types", $"sum_c2", $"diversity")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((n, ty, c2, div) <- rows) {
+      assert(div == 1.0 - c2.toDouble / (n * n).toDouble)
+      if (ty == 1) assert(div == 0.0)
+      // Simpson is maximized by the uniform mix: 1 − 1/k.
+      assert(div >= 0.0 && div <= 1.0 - 1.0 / ty)
+    }
+  }
+
+  // ---- gate ablation ---------------------------------------------------
+
+  test("gate ablation: masks encode the bits and shares tile the corpus") {
+    val rows = q("t_gate_ablation")
+      .select($"mask", $"g_len", $"g_stop", $"g_rep", $"n_docs", $"share")
+      .as[(Long, Boolean, Boolean, Boolean, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 8)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    for ((m, gl, gs, gr, _, _) <- rows)
+      assert(m == (if (gl) 1 else 0) + (if (gs) 2 else 0) +
+        (if (gr) 4 else 0))
+    val total = rows.map(_._5).sum
+    assert(total == spark.read.parquet(s"$dir/documents.parquet").count())
+    assert(math.abs(rows.map(_._6).sum - 1.0) < 1e-12)
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
