@@ -175,7 +175,10 @@ object Bench {
     "t_context_fit", "ev_apdex",
     // Round-6 twentieth-batch first-ships: per-user Simpson behavioral
     // diversity and the quality-gate ablation matrix.
-    "ev_user_diversity", "t_gate_ablation")
+    "ev_user_diversity", "t_gate_ablation",
+    // Round-6 twenty-first-batch first-ships: first-touch attribution,
+    // cart-abandonment rate, per-dimension embedding variance.
+    "ev_attrib_first", "ev_cart_abandonment", "sim_dim_variance")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

@@ -958,6 +958,65 @@ object EventQueries {
         .orderBy(col("day"))
     }),
 
+    // FIRST-touch attribution — the family's missing corner (last-touch
+    // rides the as-of join, linear and decay ship above): per purchase,
+    // the EARLIEST view/click in the 24h band, resolved by min over a
+    // (tt, event-order, channel) struct so ties at the same microsecond
+    // break deterministically; the channel mix then aggregates per
+    // channel. Same banded user-keyed equi-join; no window over facts
+    // (the min is a grouped aggregate, map-side combinable).
+    "ev_attrib_first" -> ((s, d) => {
+      val e = ev(s, d).where(col("ts").isNotNull)
+      val purch = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("pt"))
+      val touch = e.where(col("event_type").isin("view", "click"))
+        .select(col("user_id").as("t_user"), col("ts").as("tt"),
+          col("event_id").as("t_id"), col("event_type").as("ch"))
+      purch.join(touch,
+          col("user_id") === col("t_user") &&
+            col("tt") <= col("pt") &&
+            col("tt") >= col("pt") - expr("INTERVAL 24 HOURS"))
+        .groupBy(col("p_id"))
+        .agg(min(struct(col("tt"), col("t_id"), col("ch")))
+          .getField("ch").as("first_channel"))
+        .groupBy(col("first_channel"))
+        .agg(count(lit(1)).cast("long").as("n_purchases"))
+        .orderBy(col("first_channel"))
+    }),
+
+    // CART-ABANDONMENT rate per day: the share of view events NOT
+    // followed by a purchase from the same user within 24h — the
+    // conversion-health daily card. The existence probe is a LEFT SEMI
+    // join on the user key with the 24h band as predicate (the
+    // attribution join's shape, but semi: no fan-out, each view counts
+    // once however many purchases follow), then one day aggregate;
+    // the rate is ONE exact-int IEEE division.
+    "ev_cart_abandonment" -> ((s, d) => {
+      val e = ev(s, d).where(col("ts").isNotNull)
+      val views = e.where(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id"),
+          col("ts").as("vt"))
+        .localCheckpoint()
+      val purch = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("pt"))
+      val converted = views.join(purch,
+          col("user_id") === col("p_user") &&
+            col("pt") >= col("vt") &&
+            col("pt") <= col("vt") + expr("INTERVAL 24 HOURS"),
+          "left_semi")
+        .select(col("v_id"), lit(1L).as("_conv"))
+      views.join(converted, Seq("v_id"), "left")
+        .groupBy(col("vt").cast("date").as("day"))
+        .agg(count(lit(1)).cast("long").as("n_views"),
+          sum(coalesce(col("_conv"), lit(0L))).cast("long")
+            .as("n_converted"))
+        .withColumn("abandon_rate",
+          (col("n_views") - col("n_converted")).cast("double") /
+            col("n_views").cast("double"))
+        .orderBy(col("day"))
+    }),
+
     // Per-user behavioral DIVERSITY: Simpson index 1 − Σc²/n² over each
     // user's event-type mix — the no-logarithm entropy stand-in
     // (t_simpson_diversity's trick pointed at behavior): 0 = pure
@@ -1589,6 +1648,37 @@ object EventQueries {
         |    * (CAST(e AS HUGEINT)*nn - CAST(ee AS HUGEINT)*n)
         |    > 9 * CAST(ee AS HUGEINT) * (nn - ee) * n AS out_of_control
         |FROM g, t ORDER BY day""".stripMargin,
+    "ev_attrib_first" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS pt
+        |  FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'),
+        |t AS (SELECT user_id AS t_user, ts AS tt, event_id AS t_id,
+        |  event_type AS ch FROM events
+        |  WHERE ts IS NOT NULL AND event_type IN ('view', 'click')),
+        |j AS (SELECT p.p_id, t.tt, t.t_id, t.ch
+        |  FROM p JOIN t ON p.user_id = t.t_user
+        |    AND t.tt <= p.pt AND t.tt >= p.pt - INTERVAL 24 HOURS),
+        |f AS (SELECT p_id, ch, row_number() OVER (PARTITION BY p_id
+        |  ORDER BY tt, t_id) AS rn FROM j)
+        |SELECT ch AS first_channel,
+        |  CAST(count(*) AS BIGINT) AS n_purchases
+        |FROM f WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_cart_abandonment" ->
+      """WITH v AS (SELECT event_id AS v_id, user_id, ts AS vt
+        |  FROM events WHERE ts IS NOT NULL AND event_type = 'view'),
+        |p AS (SELECT user_id AS p_user, ts AS pt FROM events
+        |  WHERE ts IS NOT NULL AND event_type = 'purchase'),
+        |c AS (SELECT DISTINCT v.v_id FROM v JOIN p
+        |  ON v.user_id = p.p_user AND p.pt >= v.vt
+        |    AND p.pt <= v.vt + INTERVAL 24 HOURS)
+        |SELECT CAST(v.vt AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_views,
+        |  CAST(sum(CASE WHEN c.v_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_converted,
+        |  CAST(count(*) - sum(CASE WHEN c.v_id IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS abandon_rate
+        |FROM v LEFT JOIN c ON v.v_id = c.v_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_user_diversity" ->
       """WITH g AS (SELECT user_id, event_type,
         |  CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2)

@@ -464,6 +464,35 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Per-DIMENSION variance profile of the embedding space — the
+    // whitening/Matryoshka diagnostic ("which dims carry signal, which
+    // are dead") read before choosing truncation or PCA rank. A naive
+    // avg() over corpus-order doubles is shuffle-order-nondeterministic
+    // — so each value first becomes an exact MICRO-UNIT integer
+    // (round(v·10⁶), half-away-from-zero in both engines) and the
+    // moments accumulate as order-independent decimal(38,0) sums; mean
+    // and variance are then single deterministic IEEE expressions of
+    // those exact integers, rounded to 12 (the g_assortativity
+    // discipline). One positional explode + one 64-row aggregate.
+    "sim_dim_variance" -> ((s, d) =>
+      emb(s, d).select(
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("dim", "v")))
+        .select(col("dim").cast("long").as("dim"),
+          expr("cast(round(v * 1000000) as long)").as("u"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("u").cast("decimal(38,0)")).as("su"),
+          sum((col("u") * col("u")).cast("decimal(38,0)")).as("su2"))
+        .select(col("dim"), col("n"),
+          round(col("su").cast("double") /
+            (col("n").cast("double") * 1000000.0), 12).as("mean"),
+          round((col("n").cast("decimal(38,0)") * col("su2") -
+              col("su") * col("su")).cast("double") /
+            (col("n").cast("double") * col("n").cast("double") * 1.0e12),
+            12).as("variance"))
+        .orderBy(col("dim"))),
+
     // LSH BUCKET-BALANCE report — the skew diagnostic that prices every
     // bucketed similarity join here: per bucket, vector count, corpus
     // share, and the within-bucket candidate-pair count n(n−1)/2 whose
@@ -1018,6 +1047,22 @@ object SimilarityQueries {
          |  FROM s)
          |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=10
          |ORDER BY q_id, rank""".stripMargin,
+    "sim_dim_variance" ->
+      """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |x AS (SELECT CAST(i - 1 AS BIGINT) AS dim,
+        |  CAST(round(e[i] * 1000000) AS BIGINT) AS u
+        |  FROM v, unnest(range(1, len(e) + 1)) AS r(i)),
+        |m AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(u AS HUGEINT)) AS su,
+        |  sum(CAST(u AS HUGEINT) * u) AS su2 FROM x GROUP BY 1)
+        |SELECT dim, n,
+        |  round(CAST(su AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * 1000000.0), 12) AS mean,
+        |  round(CAST(n * su2 - su * su AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1.0e12), 12)
+        |    AS variance
+        |FROM m ORDER BY dim""".stripMargin,
     "sim_bucket_balance" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |b AS (SELECT vec_id, e, $bucketSql AS bucket FROM v),

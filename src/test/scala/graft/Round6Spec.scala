@@ -614,6 +614,47 @@ class Round6Spec extends AnyFunSuite {
     assert(math.abs(rows.map(_._6).sum - 1.0) < 1e-12)
   }
 
+  // ---- first-touch attribution ----------------------------------------
+
+  test("first-touch channel mix covers exactly the touched purchases") {
+    val first = q("ev_attrib_first")
+      .select($"first_channel", $"n_purchases").as[(String, Long)]
+      .collect()
+    assert(first.nonEmpty)
+    assert(first.forall(r => Set("view", "click")(r._1)))
+    // Purchases with >=1 touch per the linear model = first-touch total
+    // (both read the same 24h band; linear keeps touchless rows with
+    // n_touch = 0, first-touch drops them).
+    val touched = q("ev_attrib_linear")
+      .select($"n_touch").as[Long].collect().count(_ > 0)
+    assert(first.map(_._2).sum == touched)
+  }
+
+  // ---- cart abandonment ------------------------------------------------
+
+  test("cart abandonment: converted never exceeds views and the rate is exact") {
+    val rows = q("ev_cart_abandonment")
+      .select($"n_views", $"n_converted", $"abandon_rate")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((v, c, r) <- rows) {
+      assert(c <= v)
+      assert(r == (v - c).toDouble / v.toDouble)
+    }
+  }
+
+  // ---- dimension variance ----------------------------------------------
+
+  test("dimension variance: 64 live dims, non-negative variance, full count") {
+    val rows = q("sim_dim_variance")
+      .select($"dim", $"n", $"variance").as[(Long, Long, Double)]
+      .collect()
+    assert(rows.map(_._1).sorted.toSeq == (0L until 64L))
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.forall(_._2 == vecs))
+    assert(rows.forall(_._3 >= 0.0))
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
