@@ -178,7 +178,10 @@ object Bench {
     "ev_user_diversity", "t_gate_ablation",
     // Round-6 twenty-first-batch first-ships: first-touch attribution,
     // cart-abandonment rate, per-dimension embedding variance.
-    "ev_attrib_first", "ev_cart_abandonment", "sim_dim_variance")
+    "ev_attrib_first", "ev_cart_abandonment", "sim_dim_variance",
+    // Round-6 twenty-second-batch first-ships: kNN label purity and
+    // the cross-source contamination matrix.
+    "sim_knn_purity", "t_cross_source_overlap")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

@@ -682,6 +682,38 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // kNN label PURITY — the LOCAL embedding-quality eval beside
+    // sim_centroid_classify's global one: for every vector, what
+    // fraction of its 3 nearest (cell-bucketed) neighbors share its
+    // label. A space whose purity collapses can't support kNN search,
+    // retrieval eval, or semantic dedup, whatever the centroid
+    // accuracy says. Reuses sim_knn_join's exact bucketed top-k; two
+    // |V|-keyed label joins; purity one exact-int IEEE division per
+    // label row.
+    "sim_knn_purity" -> ((s, d) => {
+      val v0 = emb(s, d)
+      val trained = Similarity.kmeansCentroids(v0, "embedding",
+        dim = 64, k = 8, iters = 2, seed = 7L)
+      val v = v0.withColumn("cell",
+        Similarity.centroidCell(col("embedding"), trained))
+      val lab = emb(s, d).select(col("vec_id"), col("label"))
+      Similarity.partitionedTopK(v, v, "vec_id", "embedding", "cell",
+          k = 3)
+        .select(col("q_id"), col("n_id"))
+        .join(lab.select(col("vec_id").as("q_id"),
+          col("label").as("q_label")), Seq("q_id"))
+        .join(lab.select(col("vec_id").as("n_id"),
+          col("label").as("n_label")), Seq("n_id"))
+        .groupBy(col("q_label").as("label"))
+        .agg(countDistinct(col("q_id")).cast("long").as("n_queries"),
+          count(lit(1)).cast("long").as("n_neighbors"),
+          sum(when(col("q_label") === col("n_label"), 1L).otherwise(0L))
+            .cast("long").as("n_same"))
+        .withColumn("purity", col("n_same").cast("double") /
+          col("n_neighbors").cast("double"))
+        .orderBy(col("label"))
+    }),
+
     // Index PERSISTENCE — build once, query many: the trained quantizer
     // (8 centroid rows) and the per-vector cell assignments land as
     // parquet lake artifacts; the query path then reads the INDEX (one
@@ -1332,6 +1364,28 @@ object SimilarityQueries {
          |  FROM s)
          |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=3
          |ORDER BY q_id, rank""".stripMargin,
+    "sim_knn_purity" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |${kmeansCtes(k = 8, iters = 2, seed = 7L)},
+         |q AS (SELECT vec_id AS q_id, cell, e AS q_vec FROM aF),
+         |c AS (SELECT vec_id AS n_id, cell, e AS n_vec FROM aF),
+         |s AS (SELECT q_id, n_id, $cosSql AS cos FROM c JOIN q USING (cell)
+         |  WHERE n_id<>q_id),
+         |r AS (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+         |    AS rank FROM s),
+         |k3 AS (SELECT q_id, n_id FROM r WHERE rank <= 3),
+         |lb AS (SELECT vec_id, label FROM embeddings)
+         |SELECT ql.label,
+         |  CAST(count(DISTINCT k3.q_id) AS BIGINT) AS n_queries,
+         |  CAST(count(*) AS BIGINT) AS n_neighbors,
+         |  CAST(sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_same,
+         |  CAST(sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS purity
+         |FROM k3 JOIN lb ql ON k3.q_id = ql.vec_id
+         |JOIN lb nl ON k3.n_id = nl.vec_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // The persisted-index path must return EXACTLY the train-inline
     // result — same oracle.
     "sim_topk_ivf_persist" -> trainedTopkSql,

@@ -367,6 +367,33 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // CROSS-SOURCE contamination matrix — which source pairs share
+    // verbatim 5-gram content (mirror sites, syndication, template
+    // farms): distinct (source, shingle) pairs joined on the shingle,
+    // counted per source pair. Ubiquitous shingles (present in > 10 of
+    // the 20 sources) are DROPPED first — the decontam stop-gram cap —
+    // so no common phrase can fan a join key across every source pair;
+    // a surviving shingle contributes at most C(10,2) pairs. Exact
+    // integer counts; the md5-free raw shingles keep the join key
+    // identical to the Spark side's shingle strings.
+    "t_cross_source_overlap" -> ((s, d) => {
+      val g = docs(s, d).select(col("source"),
+          explode(TextFunctions.shingles(col("text"), 5)).as("sh"))
+        .distinct().localCheckpoint()
+      val eligible = g.groupBy(col("sh"))
+        .agg(count(lit(1)).cast("long").as("nsrc"))
+        .where(col("nsrc") >= 2 && col("nsrc") <= 10)
+        .select(col("sh"))
+      val gg = g.join(eligible, Seq("sh"))
+      gg.as("a").join(gg.as("b"),
+          col("a.sh") === col("b.sh") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).cast("long").as("n_shared_shingles"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // Quality-gate ABLATION matrix — which filters actually bite, and
     // where they overlap: every document is scored against three
     // independent gates (length n_tok ≥ 5, naturalness ≥ 1 stopword,
@@ -2056,6 +2083,19 @@ object TextQueries {
          |  UNION SELECT e.src, r.dst FROM e JOIN reach r ON e.dst=r.src)
          |SELECT src AS node, min(dst) AS cluster FROM reach
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t_cross_source_overlap" ->
+      s"""WITH w AS (SELECT source, $wsSql AS ws FROM documents),
+         |g AS (SELECT DISTINCT source,
+         |  unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(ws)-4,1)+1),
+         |    i -> array_to_string(ws[i:i+4],' ')))) AS sh FROM w),
+         |el AS (SELECT sh FROM g GROUP BY sh
+         |  HAVING count(*) >= 2 AND count(*) <= 10),
+         |gg AS (SELECT g.source, g.sh FROM g JOIN el USING (sh))
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared_shingles
+         |FROM gg a JOIN gg b ON a.sh = b.sh AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t_gate_ablation" ->
       s"""WITH w AS (SELECT list_filter($wsSql, t -> length(t)>0) AS ws
          |  FROM documents),

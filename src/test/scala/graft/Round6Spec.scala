@@ -655,6 +655,32 @@ class Round6Spec extends AnyFunSuite {
     assert(rows.forall(_._3 >= 0.0))
   }
 
+  // ---- knn purity ------------------------------------------------------
+
+  test("knn purity: neighbor ledger is consistent and purity bounded") {
+    val rows = q("sim_knn_purity")
+      .select($"n_queries", $"n_neighbors", $"n_same", $"purity")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((nq, nn, ns, p) <- rows) {
+      assert(nn <= nq * 3, "at most 3 neighbors per query")
+      assert(ns <= nn)
+      assert(p == ns.toDouble / nn.toDouble)
+    }
+  }
+
+  // ---- cross-source overlap -------------------------------------------
+
+  test("cross-source overlap is symmetric-canonical and capped shingles only") {
+    val rows = q("t_cross_source_overlap")
+      .select($"source_a", $"source_b", $"n_shared_shingles")
+      .as[(String, String, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._1 < r._2), "canonical pair order")
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+    assert(rows.forall(_._3 > 0))
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
