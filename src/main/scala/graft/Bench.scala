@@ -181,7 +181,10 @@ object Bench {
     "ev_attrib_first", "ev_cart_abandonment", "sim_dim_variance",
     // Round-6 twenty-second-batch first-ships: kNN label purity and
     // the cross-source contamination matrix.
-    "sim_knn_purity", "t_cross_source_overlap")
+    "sim_knn_purity", "t_cross_source_overlap",
+    // Round-6 twenty-third-batch first-ships: month seasonality index
+    // and YoY delta-contribution waterfall.
+    "w_seasonality_index", "olap_delta_contribution")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

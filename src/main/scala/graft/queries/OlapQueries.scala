@@ -659,6 +659,64 @@ object OlapQueries {
         .limit(20)
     }),
 
+    // Month-of-year SEASONALITY index: each calendar month's share of
+    // total revenue relative to the uniform 1/12 — index 1.2 means "a
+    // 20% hot month", the demand-planning card. Exact cent sums; the
+    // index is computed as the single expression (12·month_rev)/total
+    // so the 1/12 never exists as a float. One month aggregate + a
+    // broadcast total.
+    "w_seasonality_index" -> ((s, d) => {
+      val g = t(s, d, "orders")
+        .groupBy(month(col("o_orderdate")).cast("long").as("mon"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long")).cast("decimal(38,0)").as("rev"))
+      g.crossJoin(broadcast(
+          g.agg(sum(col("rev")).cast("decimal(38,0)").as("tot"))))
+        .select(col("mon"),
+          (col("rev").cast("double") / 100.0).as("revenue"),
+          ((col("rev") * 12).cast("double") / col("tot").cast("double"))
+            .as("seasonality"))
+        .orderBy(col("mon"))
+    }),
+
+    // YoY DELTA CONTRIBUTION — "which nations drove the change":
+    // per-nation revenue delta between the corpus's first two years,
+    // with each nation's share of the TOTAL delta (the waterfall-chart
+    // decomposition; shares sum to 1 by construction, negative movers
+    // carry negative shares). Deltas are exact cent integers; the
+    // share is one IEEE division by the broadcast total. Nations
+    // absent in a year contribute that year as zero via the FULL join
+    // + coalesce.
+    "olap_delta_contribution" -> ((s, d) => {
+      val o = ordersGeo(s, d)
+      val yr = year(col("o_orderdate")).cast("long")
+      val per = o.select(col("n_name"), yr.as("yr"),
+          (col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long").as("c"))
+        .crossJoin(broadcast(o.agg(min(yr).as("y0"))))
+        .where(col("yr") === col("y0") || col("yr") === col("y0") + 1)
+        .groupBy(col("n_name"), (col("yr") === col("y0")).as("is_y1"))
+        .agg(sum(col("c")).cast("long").as("rev"))
+      val a = per.where(col("is_y1"))
+        .select(col("n_name"), col("rev").as("rev_y1"))
+      val b = per.where(!col("is_y1"))
+        .select(col("n_name").as("n2"), col("rev").as("rev_y2"))
+      val delta = a.join(b, col("n_name") === col("n2"), "full")
+        .select(coalesce(col("n_name"), col("n2")).as("nation"),
+          coalesce(col("rev_y1"), lit(0L)).as("rev_y1"),
+          coalesce(col("rev_y2"), lit(0L)).as("rev_y2"))
+        .withColumn("delta", col("rev_y2") - col("rev_y1"))
+      delta.crossJoin(broadcast(
+          delta.agg(sum(col("delta")).cast("long").as("td"))))
+        .select(col("nation"),
+          (col("rev_y1").cast("double") / 100.0).as("rev_y1"),
+          (col("rev_y2").cast("double") / 100.0).as("rev_y2"),
+          (col("delta").cast("double") / 100.0).as("delta"),
+          when(col("td") =!= 0, col("delta").cast("double") /
+            col("td").cast("double")).as("share_of_change"))
+        .orderBy(col("nation"))
+    }),
+
     // Basket-size profile in dyadic buckets, with each bucket's exact
     // within-basket pair count Σ sz(sz−1)/2 — the number that PRICES
     // the frequent-pair self-join (its cost is exactly this sum), so
@@ -1302,6 +1360,39 @@ object OlapQueries {
         |FROM ne JOIN dg da ON ne.u = da.node
         |JOIN dg db ON ne.v = db.node
         |ORDER BY jaccard DESC, node_a, node_b LIMIT 20""".stripMargin,
+    "w_seasonality_index" ->
+      """WITH g AS (SELECT CAST(month(o_orderdate) AS BIGINT) AS mon,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * 100)
+        |    AS HUGEINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(rev) AS tot FROM g)
+        |SELECT mon, CAST(rev AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(rev * 12 AS DOUBLE) / CAST(tot AS DOUBLE) AS seasonality
+        |FROM g, t ORDER BY mon""".stripMargin,
+    "olap_delta_contribution" ->
+      """WITH o AS (SELECT n_name, CAST(year(o_orderdate) AS BIGINT)
+        |    AS yr,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    AS c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |y0 AS (SELECT min(yr) AS y0 FROM o),
+        |per AS (SELECT n_name, yr = y0 AS is_y1,
+        |  CAST(sum(c) AS BIGINT) AS rev
+        |  FROM o, y0 WHERE yr IN (y0, y0 + 1) GROUP BY 1, 2),
+        |d AS (SELECT coalesce(a.n_name, b.n_name) AS nation,
+        |  coalesce(a.rev, 0) AS rev_y1, coalesce(b.rev, 0) AS rev_y2,
+        |  coalesce(b.rev, 0) - coalesce(a.rev, 0) AS delta
+        |  FROM (SELECT n_name, rev FROM per WHERE is_y1) a
+        |  FULL JOIN (SELECT n_name, rev FROM per WHERE NOT is_y1) b
+        |    ON a.n_name = b.n_name),
+        |t AS (SELECT CAST(sum(delta) AS BIGINT) AS td FROM d)
+        |SELECT nation, CAST(rev_y1 AS DOUBLE) / 100.0 AS rev_y1,
+        |  CAST(rev_y2 AS DOUBLE) / 100.0 AS rev_y2,
+        |  CAST(delta AS DOUBLE) / 100.0 AS delta,
+        |  CASE WHEN td <> 0 THEN CAST(delta AS DOUBLE)
+        |    / CAST(td AS DOUBLE) END AS share_of_change
+        |FROM d, t ORDER BY nation""".stripMargin,
     "fi_basket_stats" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
         |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),

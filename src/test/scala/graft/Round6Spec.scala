@@ -681,6 +681,32 @@ class Round6Spec extends AnyFunSuite {
     assert(rows.forall(_._3 > 0))
   }
 
+  // ---- seasonality -----------------------------------------------------
+
+  test("seasonality: indices average to one over the twelve months") {
+    val rows = q("w_seasonality_index")
+      .select($"mon", $"seasonality").as[(Long, Double)].collect()
+    assert(rows.map(_._1).sorted.toSeq == (1L to 12L))
+    // Σ (12·m/T) = 12 exactly when every month is present.
+    assert(math.abs(rows.map(_._2).sum - 12.0) < 1e-9)
+    assert(rows.forall(_._2 > 0))
+  }
+
+  // ---- delta contribution ---------------------------------------------
+
+  test("delta contribution: shares decompose the total change exactly") {
+    val rows = q("olap_delta_contribution")
+      .select($"rev_y1", $"rev_y2", $"delta", $"share_of_change")
+      .as[(Double, Double, Double, Option[Double])].collect()
+    assert(rows.nonEmpty)
+    for ((a, b, dl, _) <- rows)
+      assert(math.abs(dl - (b - a)) < 1e-9)
+    val totalDelta = rows.map(_._3).sum
+    if (math.abs(totalDelta) > 1e-9)
+      assert(math.abs(rows.flatMap(_._4).sum - 1.0) < 1e-9,
+        "waterfall shares must sum to one")
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
