@@ -184,7 +184,10 @@ object Bench {
     "sim_knn_purity", "t_cross_source_overlap",
     // Round-6 twenty-third-batch first-ships: month seasonality index
     // and YoY delta-contribution waterfall.
-    "w_seasonality_index", "olap_delta_contribution")
+    "w_seasonality_index", "olap_delta_contribution",
+    // Round-6 twenty-fourth-batch first-ship: label-centroid
+    // separation matrix.
+    "sim_label_separation")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

@@ -682,6 +682,47 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Label-centroid SEPARATION matrix — class separability at a
+    // glance (two labels whose centroids run cos ≈ 1 will confuse any
+    // classifier or ANN filter built on this space). The trick that
+    // keeps it deterministic: cos(mean_a, mean_b) = cos(sum_a, sum_b)
+    // — the 1/n factors cancel — so after the micro-unit integer cast
+    // (the sim_dim_variance discipline) the per-(label, dim) SUMS are
+    // exact decimals, the 45-pair dot products and squared norms stay
+    // exact, and the only floats are one √·√ division per pair,
+    // round-12. Plan: one explode + a (label, dim) aggregate (640
+    // rows), then a dim-keyed pair join over that aggregate — nothing
+    // vector-sized is ever pairwise.
+    "sim_label_separation" -> ((s, d) => {
+      val x = emb(s, d).select(col("label").cast("long").as("label"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("dim", "v")))
+        .select(col("label"), col("dim"),
+          expr("cast(round(v * 1000000) as long)").as("u"))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("u").cast("decimal(38,0)")).as("su"))
+        .localCheckpoint()
+      val nrm = x.groupBy(col("label"))
+        .agg(sum((col("su") * col("su")).cast("decimal(38,0)"))
+          .as("n2"))
+      x.select(col("label").as("la"), col("dim"), col("su").as("sa"))
+        .join(x.select(col("label").as("lb"), col("dim").as("dim2"),
+          col("su").as("sb")),
+          col("dim") === col("dim2") && col("la") < col("lb"))
+        .groupBy(col("la"), col("lb"))
+        .agg(sum((col("sa") * col("sb")).cast("decimal(38,0)"))
+          .as("dot"))
+        .join(broadcast(nrm.select(col("label").as("la"),
+          col("n2").as("n2a"))), Seq("la"))
+        .join(broadcast(nrm.select(col("label").as("lb"),
+          col("n2").as("n2b"))), Seq("lb"))
+        .select(col("la").as("label_a"), col("lb").as("label_b"),
+          round(col("dot").cast("double") /
+            (sqrt(col("n2a").cast("double")) *
+              sqrt(col("n2b").cast("double"))), 12).as("centroid_cos"))
+        .orderBy(col("label_a"), col("label_b"))
+    }),
+
     // kNN label PURITY — the LOCAL embedding-quality eval beside
     // sim_centroid_classify's global one: for every vector, what
     // fraction of its 3 nearest (cell-bucketed) neighbors share its
@@ -1364,6 +1405,26 @@ object SimilarityQueries {
          |  FROM s)
          |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=3
          |ORDER BY q_id, rank""".stripMargin,
+    "sim_label_separation" ->
+      """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |x AS (SELECT CAST(label AS BIGINT) AS label,
+        |  CAST(i - 1 AS BIGINT) AS dim,
+        |  CAST(round(e[i] * 1000000) AS BIGINT) AS u
+        |  FROM v, unnest(range(1, len(e) + 1)) AS r(i)),
+        |sm AS (SELECT label, dim, sum(CAST(u AS HUGEINT)) AS su
+        |  FROM x GROUP BY 1, 2),
+        |nm AS (SELECT label, sum(su * su) AS n2 FROM sm GROUP BY 1),
+        |p AS (SELECT a.label AS la, b.label AS lb,
+        |  sum(a.su * b.su) AS dot
+        |  FROM sm a JOIN sm b ON a.dim = b.dim AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT p.la AS label_a, p.lb AS label_b,
+        |  round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))
+        |    * sqrt(CAST(nb.n2 AS DOUBLE))), 12) AS centroid_cos
+        |FROM p JOIN nm na ON p.la = na.label
+        |JOIN nm nb ON p.lb = nb.label
+        |ORDER BY 1, 2""".stripMargin,
     "sim_knn_purity" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |${kmeansCtes(k = 8, iters = 2, seed = 7L)},

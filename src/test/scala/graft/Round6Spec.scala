@@ -707,6 +707,17 @@ class Round6Spec extends AnyFunSuite {
         "waterfall shares must sum to one")
   }
 
+  // ---- label separation -----------------------------------------------
+
+  test("label separation: full matrix of valid cosines") {
+    val rows = q("sim_label_separation")
+      .select($"label_a", $"label_b", $"centroid_cos")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.length == 45, "C(10,2) label pairs")
+    assert(rows.forall(r => r._1 < r._2))
+    assert(rows.forall(r => r._3 >= -1.0 && r._3 <= 1.0))
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
