@@ -179,9 +179,14 @@ object Bench {
     // Round-6 twenty-first-batch first-ships: first-touch attribution,
     // cart-abandonment rate, per-dimension embedding variance.
     "ev_attrib_first", "ev_cart_abandonment", "sim_dim_variance",
-    // Round-6 twenty-second-batch first-ships: kNN label purity and
-    // the cross-source contamination matrix.
-    "sim_knn_purity", "t_cross_source_overlap",
+    // Round-6 twenty-second-batch first-ship: the cross-source
+    // contamination matrix. (sim_knn_purity stays correctness-only,
+    // the sim_knn_join precedent: the 8-cell coarse quantizer puts
+    // ~n/8 vectors per cell, so the full self-kNN approaches
+    // all-pairs on THIS corpus — 56.8 s at sf0.1, scaling 4.5. The
+    // plan is the bucketed-top-k shape; the cell count is the knob,
+    // and the headline already prices that shape via sim_topk_lsh.)
+    "t_cross_source_overlap",
     // Round-6 twenty-third-batch first-ships: month seasonality index
     // and YoY delta-contribution waterfall.
     "w_seasonality_index", "olap_delta_contribution",
@@ -282,6 +287,15 @@ object Bench {
     "ev_audience_overlap" -> 0.32, "t_lexical_richness" -> 0.32,
     "t_langid_prf" -> 0.32, "ev_growth_accounting" -> 0.37,
     "ev_anomaly_iqr" -> 0.98,
+    // Round-6 session pins (batches 20–24), from the round's EIGHTH
+    // full-set run (148 queries, 262.7 s, 148/148 measured, zero
+    // failures, zero regressions, zero suspects — BASELINE.md
+    // "Round 6 session, fourth sweep").
+    "ev_user_diversity" -> 0.19, "t_gate_ablation" -> 0.37,
+    "ev_attrib_first" -> 0.37, "ev_cart_abandonment" -> 0.33,
+    "sim_dim_variance" -> 0.27, "t_cross_source_overlap" -> 3.93,
+    "w_seasonality_index" -> 0.23, "olap_delta_contribution" -> 0.77,
+    "sim_label_separation" -> 0.37,
     // Round-6 session pins (batches 15–19), from the round's SEVENTH
     // full-set run (138 queries, 210.0 s, 138/138 measured, zero
     // failures, zero regressions, zero suspects — BASELINE.md
