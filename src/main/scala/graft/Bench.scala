@@ -192,7 +192,10 @@ object Bench {
     "w_seasonality_index", "olap_delta_contribution",
     // Round-6 twenty-fourth-batch first-ship: label-centroid
     // separation matrix.
-    "sim_label_separation")
+    "sim_label_separation",
+    // Round-6 twenty-fifth-batch first-ships: ID-continuity audit and
+    // the dedup savings report.
+    "dq_id_continuity", "t_dedup_savings")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

@@ -593,6 +593,29 @@ object CoreQueries {
         .orderBy(col("column"))
     }),
 
+    // DQ (ext): surrogate-ID continuity audit — the ingestion-health
+    // check that catches dropped batches: for each audited table's ID
+    // column, expected span (max − min + 1) vs actual distinct count;
+    // the gap is exactly the number of missing IDs if the sequence was
+    // meant to be dense. One aggregate per table, unioned — no windows,
+    // no self-joins, nothing data-sized beyond the scans.
+    "dq_id_continuity" -> ((s, d) => {
+      val specs = Seq(("orders", "o_orderkey"), ("events", "event_id"),
+        ("documents", "doc_id"))
+      specs.map { case (tn, idc) =>
+        t(s, d, tn).agg(
+          lit(tn).as("table_name"),
+          min(col(idc)).cast("long").as("min_id"),
+          max(col(idc)).cast("long").as("max_id"),
+          countDistinct(col(idc)).cast("long").as("n_ids"))
+          .withColumn("n_missing",
+            col("max_id") - col("min_id") + 1 - col("n_ids"))
+      }.reduce(_ unionByName _)
+        .select(col("table_name"), col("min_id"), col("max_id"),
+          col("n_ids"), col("n_missing"))
+        .orderBy(col("table_name"))
+    }),
+
     // DQ (ext): most-frequent-value profile — the categorical half of
     // the profiling pair (dq_completeness covers nulls/cardinality):
     // per audited CATEGORICAL column of orders, the modal value, its
@@ -1042,6 +1065,19 @@ object CoreQueries {
            |  count(DISTINCT $cn) AS n_distinct FROM customer"""
           .stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+    "dq_id_continuity" -> {
+      val specs = Seq(("orders", "o_orderkey"), ("events", "event_id"),
+        ("documents", "doc_id"))
+      specs.map { case (tn, idc) =>
+        s"""SELECT '$tn' AS table_name,
+           |  CAST(min($idc) AS BIGINT) AS min_id,
+           |  CAST(max($idc) AS BIGINT) AS max_id,
+           |  CAST(count(DISTINCT $idc) AS BIGINT) AS n_ids,
+           |  CAST(max($idc) - min($idc) + 1 - count(DISTINCT $idc)
+           |    AS BIGINT) AS n_missing
+           |FROM $tn""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
     },
     "dq_mfv_profile" -> {
       val cols = Seq("o_orderstatus", "o_orderpriority")

@@ -495,6 +495,35 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // DEDUP SAVINGS report — the line a curation run actually reports
+    // up: documents and TOKENS before vs after near-dedup, and the
+    // share of training tokens the dedup saves (one exact-int IEEE
+    // division each). Token counts join the keeper set on the doc key;
+    // everything else is two scalar aggregates folded into one row via
+    // broadcast. "We dropped 3% of docs" and "we dropped 9% of tokens"
+    // are different decisions — duplicates skew long.
+    "t_dedup_savings" -> ((s, d) => {
+      val tok = docs(s, d).select(col("doc_id"),
+          size(filter(TextFunctions.tokens(col("text")),
+            w => length(w) > 0)).cast("long").as("n_tok"))
+        .localCheckpoint()
+      val kept = Dedup.nearDedupKept(docs(s, d), "doc_id", "text",
+          threshold = 0.5)
+        .select(col("doc_id"))
+      val keptAgg = tok.join(kept, Seq("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_docs_kept"),
+          sum(col("n_tok")).cast("long").as("n_tokens_kept"))
+      tok.agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens"))
+        .crossJoin(broadcast(keptAgg))
+        .select(col("n_docs"), col("n_docs_kept"),
+          col("n_tokens"), col("n_tokens_kept"),
+          ((col("n_docs") - col("n_docs_kept")).cast("double") /
+            col("n_docs").cast("double")).as("doc_savings"),
+          ((col("n_tokens") - col("n_tokens_kept")).cast("double") /
+            col("n_tokens").cast("double")).as("token_savings"))
+    }),
+
     // Near-dup CLUSTER-SIZE profile — "how duplicated is this corpus,
     // at what multiplicity": component sizes of the 0.5-Jaccard
     // near-dup graph histogrammed, with unclustered documents reported
@@ -2156,6 +2185,31 @@ object TextQueries {
          |       WHEN sc.score_milli >= q.t33 THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM sc, q ORDER BY doc_id""".stripMargin,
+    "t_dedup_savings" ->
+      s"""WITH RECURSIVE ${neardupPairCtesFrom("documents")},
+         |pairs AS (SELECT id_a, id_b FROM j WHERE jac>=0.5),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (SELECT src, src FROM e
+         |  UNION SELECT e.src, r.dst FROM e JOIN reach r ON e.dst=r.src),
+         |cc AS (SELECT src AS node, min(dst) AS cluster FROM reach
+         |  GROUP BY 1),
+         |tok AS (SELECT doc_id,
+         |  CAST(len(list_filter($wsSql, t -> length(t)>0)) AS BIGINT)
+         |    AS n_tok FROM documents),
+         |kept AS (SELECT doc_id FROM documents
+         |  WHERE doc_id NOT IN (SELECT node FROM cc WHERE node<>cluster)),
+         |ka AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_kept,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens_kept
+         |  FROM tok JOIN kept USING (doc_id)),
+         |ta AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM tok)
+         |SELECT n_docs, n_docs_kept, n_tokens, n_tokens_kept,
+         |  CAST(n_docs - n_docs_kept AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |    AS doc_savings,
+         |  CAST(n_tokens - n_tokens_kept AS DOUBLE)
+         |    / CAST(n_tokens AS DOUBLE) AS token_savings
+         |FROM ta, ka""".stripMargin,
     "t_neardup_profile" ->
       s"""WITH RECURSIVE ${neardupPairCtesFrom("documents")},
          |pairs AS (SELECT id_a, id_b FROM j WHERE jac>=0.5),

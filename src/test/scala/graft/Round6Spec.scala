@@ -718,6 +718,32 @@ class Round6Spec extends AnyFunSuite {
     assert(rows.forall(r => r._3 >= -1.0 && r._3 <= 1.0))
   }
 
+  // ---- id continuity ---------------------------------------------------
+
+  test("id continuity: spans reconcile and dense tables report zero missing") {
+    val rows = q("dq_id_continuity")
+      .select($"table_name", $"min_id", $"max_id", $"n_ids", $"n_missing")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq ==
+      Seq("documents", "events", "orders"))
+    for ((tn, lo, hi, n, miss) <- rows) {
+      assert(miss == hi - lo + 1 - n, s"$tn ledger broken")
+      assert(miss >= 0 && n >= 1)
+    }
+  }
+
+  // ---- dedup savings ---------------------------------------------------
+
+  test("dedup savings reconciles with the keeper set and token totals") {
+    val Array((nd, ndk, nt, ntk, dsv, tsv)) = q("t_dedup_savings")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    assert(ndk <= nd && ntk <= nt)
+    val keptCount = q("t_neardup_kept").count()
+    assert(ndk == keptCount)
+    assert(dsv == (nd - ndk).toDouble / nd.toDouble)
+    assert(tsv == (nt - ntk).toDouble / nt.toDouble)
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
