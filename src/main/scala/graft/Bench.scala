@@ -299,6 +299,10 @@ object Bench {
     "sim_dim_variance" -> 0.27, "t_cross_source_overlap" -> 3.93,
     "w_seasonality_index" -> 0.23, "olap_delta_contribution" -> 0.77,
     "sim_label_separation" -> 0.37,
+    // Round-6 final pins (batch 25), from the round's NINTH full-set
+    // run (149 queries, 241.9 s, 149/149 measured, zero failures,
+    // zero regressions, zero suspects).
+    "dq_id_continuity" -> 0.40, "t_dedup_savings" -> 4.61,
     // Round-6 session pins (batches 15–19), from the round's SEVENTH
     // full-set run (138 queries, 210.0 s, 138/138 measured, zero
     // failures, zero regressions, zero suspects — BASELINE.md
