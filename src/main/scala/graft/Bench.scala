@@ -195,7 +195,10 @@ object Bench {
     "sim_label_separation",
     // Round-6 twenty-fifth-batch first-ships: ID-continuity audit and
     // the dedup savings report.
-    "dq_id_continuity", "t_dedup_savings")
+    "dq_id_continuity", "t_dedup_savings",
+    // Round-6 twenty-sixth-batch first-ships: CCNet-split fairness
+    // matrix and the embedding norm audit.
+    "t_ccnet_by_lang", "sim_norm_audit")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

@@ -682,6 +682,38 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Embedding NORM audit — the dead/exploding-vector detector run
+    // before any cosine machinery trusts the space (a near-zero norm
+    // makes cosine meaningless; an extreme one dominates dot-product
+    // retrieval). Norm² in exact micro²-units (Σu², u = round(v·10⁶))
+    // so the band test 4·n2 < lo·10¹² / 4·n2 > hi·10¹² is pure integer
+    // cross-multiplication against the pinned [0.5, 2.0]² band; per
+    // label: vectors, dead, exploding, and the flagged share (one
+    // division). One explode + two grouped aggregates.
+    "sim_norm_audit" -> ((s, d) => {
+      val n2 = emb(s, d).select(col("vec_id"),
+          col("label").cast("long").as("label"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("dim", "v")))
+        .select(col("vec_id"), col("label"),
+          expr("cast(round(v * 1000000) as long)").as("u"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(expr("u * u")).cast("decimal(38,0)").as("n2"))
+      n2.select(col("label"),
+          (col("n2") < lit(250000000000L)).as("dead"),
+          (col("n2") > lit(4000000000000L)).as("exploding"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).cast("long").as("n_vecs"),
+          sum(when(col("dead"), 1L).otherwise(0L)).cast("long")
+            .as("n_dead"),
+          sum(when(col("exploding"), 1L).otherwise(0L)).cast("long")
+            .as("n_exploding"))
+        .withColumn("flagged_share",
+          (col("n_dead") + col("n_exploding")).cast("double") /
+            col("n_vecs").cast("double"))
+        .orderBy(col("label"))
+    }),
+
     // Label-centroid SEPARATION matrix — class separability at a
     // glance (two labels whose centroids run cos ≈ 1 will confuse any
     // classifier or ANN filter built on this space). The trick that
@@ -1405,6 +1437,24 @@ object SimilarityQueries {
          |  FROM s)
          |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=3
          |ORDER BY q_id, rank""".stripMargin,
+    "sim_norm_audit" ->
+      """WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |  CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |x AS (SELECT vec_id, label,
+        |  CAST(round(e[i] * 1000000) AS BIGINT) AS u
+        |  FROM v, unnest(range(1, len(e) + 1)) AS r(i)),
+        |n2 AS (SELECT vec_id, label, sum(CAST(u AS HUGEINT) * u) AS n2
+        |  FROM x GROUP BY 1, 2),
+        |f AS (SELECT label, n2 < 250000000000 AS dead,
+        |  n2 > 4000000000000 AS exploding FROM n2)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dead,
+        |  CAST(sum(CASE WHEN exploding THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exploding,
+        |  CAST(sum(CASE WHEN dead OR exploding THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS flagged_share
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_label_separation" ->
       """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e
         |  FROM embeddings),

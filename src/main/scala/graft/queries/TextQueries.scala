@@ -524,6 +524,46 @@ object TextQueries {
             col("n_tokens").cast("double")).as("token_savings"))
     }),
 
+    // CCNet-split FAIRNESS matrix — does the familiarity tercile skew
+    // against non-English? The head/middle/tail assignment (identical
+    // construction to t_ccnet_buckets: milli-unit score, ladder
+    // terciles) crossed with the language label, with each language's
+    // head share — the bias check a curation run owes its corpus
+    // before shipping the "head" slice as high-quality. Counts exact;
+    // the share one IEEE division.
+    "t_ccnet_by_lang" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("gram"))
+      val scored = docs(s, d).select(col("doc_id"), col("lang"),
+          explode(TextFunctions.shingles(col("text"), 3)).as("gram"))
+        .distinct()
+        .withColumn("_df", count(lit(1)).over(w))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_grams"), sum(col("_df")).as("df_total"))
+        .withColumn("score_milli",
+          expr("(df_total * 1000000) div n_grams"))
+        .localCheckpoint()
+      val cuts = graft.operators.Median.groupQuantilesLong(
+          scored, Seq.empty, "score_milli", Seq(33, 67))
+        .agg(min(when(col("pct") === 33, col("value"))).as("t33"),
+          min(when(col("pct") === 67, col("value"))).as("t67"))
+      val bucketed = scored.crossJoin(broadcast(cuts))
+        .select(col("lang"),
+          when(col("score_milli") >= col("t67"), "head")
+            .when(col("score_milli") >= col("t33"), "middle")
+            .otherwise("tail").as("bucket"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+      val tot = bucketed.groupBy(col("lang"))
+        .agg(sum(col("n_docs")).cast("long").as("n_lang"))
+      bucketed.join(tot, Seq("lang"))
+        .withColumn("share_of_lang",
+          col("n_docs").cast("double") / col("n_lang").cast("double"))
+        .select(col("lang"), col("bucket"), col("n_docs"),
+          col("n_lang"), col("share_of_lang"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     // Near-dup CLUSTER-SIZE profile — "how duplicated is this corpus,
     // at what multiplicity": component sizes of the 0.5-Jaccard
     // near-dup graph histogrammed, with unclustered documents reported
@@ -2185,6 +2225,38 @@ object TextQueries {
          |       WHEN sc.score_milli >= q.t33 THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM sc, q ORDER BY doc_id""".stripMargin,
+    "t_ccnet_by_lang" ->
+      s"""WITH w AS (SELECT doc_id, lang, $wsSql AS ws FROM documents),
+         |g AS (SELECT DISTINCT doc_id, lang,
+         |  unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(ws)-2,1)+1),
+         |    i -> array_to_string(ws[i:i+2],' ')))) AS gram FROM w),
+         |f AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+         |sc AS (SELECT g.doc_id, g.lang,
+         |  (CAST(sum(f.df) AS BIGINT) * 1000000) // count(*)
+         |    AS score_milli
+         |  FROM g JOIN f USING (gram) GROUP BY 1, 2),
+         |r AS (SELECT score_milli,
+         |  row_number() OVER (ORDER BY score_milli) AS rn,
+         |  count(*) OVER () AS cnt FROM sc),
+         |q AS (SELECT
+         |  min(CASE WHEN rn = greatest(1, (33*cnt+99)//100)
+         |    THEN score_milli END) AS t33,
+         |  min(CASE WHEN rn = greatest(1, (67*cnt+99)//100)
+         |    THEN score_milli END) AS t67 FROM r),
+         |b AS (SELECT lang,
+         |  CASE WHEN score_milli >= t67 THEN 'head'
+         |       WHEN score_milli >= t33 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |  FROM sc, q),
+         |m AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM b GROUP BY 1, 2),
+         |t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_lang
+         |  FROM m GROUP BY 1)
+         |SELECT m.lang, m.bucket, m.n_docs, t.n_lang,
+         |  CAST(m.n_docs AS DOUBLE) / CAST(t.n_lang AS DOUBLE)
+         |    AS share_of_lang
+         |FROM m JOIN t USING (lang) ORDER BY m.lang, m.bucket""".stripMargin,
     "t_dedup_savings" ->
       s"""WITH RECURSIVE ${neardupPairCtesFrom("documents")},
          |pairs AS (SELECT id_a, id_b FROM j WHERE jac>=0.5),

@@ -744,6 +744,40 @@ class Round6Spec extends AnyFunSuite {
     assert(tsv == (nt - ntk).toDouble / nt.toDouble)
   }
 
+  // ---- ccnet fairness matrix ------------------------------------------
+
+  test("ccnet-by-lang: per-language shares tile and totals match the split") {
+    val rows = q("t_ccnet_by_lang")
+      .select($"lang", $"bucket", $"n_docs", $"n_lang", $"share_of_lang")
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((_, perLang) <- rows.groupBy(_._1)) {
+      assert(perLang.map(_._3).sum == perLang.head._4)
+      assert(math.abs(perLang.map(_._5).sum - 1.0) < 1e-12)
+    }
+    // Cross-check: bucket totals equal t_ccnet_buckets' split exactly.
+    val byBucket = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    val direct = q("t_ccnet_buckets").groupBy($"bucket").count()
+      .as[(String, Long)].collect().toMap
+    for ((b, n) <- byBucket) assert(direct(b) == n,
+      s"bucket $b: fairness matrix $n vs direct split ${direct(b)}")
+  }
+
+  // ---- norm audit ------------------------------------------------------
+
+  test("norm audit: flags partition and cover every vector") {
+    val rows = q("sim_norm_audit")
+      .select($"n_vecs", $"n_dead", $"n_exploding", $"flagged_share")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((n, d, e, sh) <- rows) {
+      assert(d + e <= n)
+      assert(sh == (d + e).toDouble / n.toDouble)
+    }
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_._1).sum == vecs)
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
