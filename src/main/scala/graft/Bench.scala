@@ -198,7 +198,10 @@ object Bench {
     "dq_id_continuity", "t_dedup_savings",
     // Round-6 twenty-sixth-batch first-ships: CCNet-split fairness
     // matrix and the embedding norm audit.
-    "t_ccnet_by_lang", "sim_norm_audit")
+    "t_ccnet_by_lang", "sim_norm_audit",
+    // Round-6 twenty-seventh-batch first-ships: session-depth
+    // distribution and the per-source epoch plan.
+    "ev_session_depth", "mix_epoch_plan")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

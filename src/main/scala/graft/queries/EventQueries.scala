@@ -958,6 +958,28 @@ object EventQueries {
         .orderBy(col("day"))
     }),
 
+    // Session DEPTH distribution in dyadic buckets — "how long are
+    // sessions, at what multiplicity": the same 30-minute
+    // session_window assembly as the journey query, bucketed by the
+    // binary-digit-count floor(log2) (no float log), with each
+    // bucket's session count, depth range, and event mass. One
+    // user-keyed sessionization shuffle + a ≤64-row bucket count; the
+    // oracle replays sessionization as gaps-and-islands, re-proving
+    // the two formulations agree at the aggregate level.
+    "ev_session_depth" -> ((s, d) =>
+      ev(s, d).where(col("ts").isNotNull)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).cast("long").as("depth"))
+        .withColumn("bucket",
+          expr("cast(length(conv(depth, 10, 2)) - 1 as bigint)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_sessions"),
+          min(col("depth")).as("min_depth"),
+          max(col("depth")).as("max_depth"),
+          sum(col("depth")).cast("long").as("n_events"))
+        .orderBy(col("bucket"))),
+
     // FIRST-touch attribution — the family's missing corner (last-touch
     // rides the as-of join, linear and decay ship above): per purchase,
     // the EARLIEST view/click in the 24h band, resolved by min over a
@@ -1648,6 +1670,25 @@ object EventQueries {
         |    * (CAST(e AS HUGEINT)*nn - CAST(ee AS HUGEINT)*n)
         |    > 9 * CAST(ee AS HUGEINT) * (nn - ee) * n AS out_of_control
         |FROM g, t ORDER BY day""".stripMargin,
+    "ev_session_depth" ->
+      """WITH e AS (SELECT user_id, ts, event_id
+        |  FROM events WHERE ts IS NOT NULL),
+        |f AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id)),
+        |g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f),
+        |s AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS depth
+        |  FROM g GROUP BY 1, 2)
+        |SELECT CAST(length(printf('%b', depth)) - 1 AS BIGINT)
+        |    AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  min(depth) AS min_depth, max(depth) AS max_depth,
+        |  CAST(sum(depth) AS BIGINT) AS n_events
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_attrib_first" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, ts AS pt
         |  FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'),

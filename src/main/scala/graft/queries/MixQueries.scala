@@ -42,6 +42,38 @@ object MixQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // EPOCH PLAN — "how many passes over each source fill the target
+    // mix": given a PINNED token budget (100k) and pinned per-language
+    // mix weights (milli-units: en 400, de/es 200, fr/zh 100), each
+    // language's target token mass and the repeat factor
+    // epochs = target/available, computed as exact integer milli-
+    // epochs ((target·1000) div n_tokens) with one display division.
+    // Epochs > 1 is the up-sampling signal (low-resource languages get
+    // repeated); ≪ 1 means sub-sampling. One token-count aggregate +
+    // a 5-row broadcast weight table.
+    "mix_epoch_plan" -> ((s, d) => {
+      val wts = Seq(("en", 400L), ("de", 200L), ("es", 200L),
+        ("fr", 100L), ("zh", 100L))
+      val wdf = wts.map { case (l, wm) =>
+        docs(s, d).sparkSession.range(1)
+          .select(lit(l).as("lang"), lit(wm).as("w_milli"))
+      }.reduce(_ unionByName _)
+      docs(s, d).select(col("lang"),
+          size(filter(TextFunctions.tokens(col("text")),
+            t => length(t) > 0)).cast("long").as("nt"))
+        .groupBy(col("lang"))
+        .agg(sum(col("nt")).cast("long").as("n_tokens"))
+        .join(broadcast(wdf), Seq("lang"))
+        .withColumn("target_tokens",
+          expr("(100000 * w_milli) div 1000"))
+        .withColumn("epochs_milli",
+          expr("(target_tokens * 1000) div n_tokens"))
+        .withColumn("epochs", col("epochs_milli").cast("double") / 1000.0)
+        .select(col("lang"), col("n_tokens"), col("w_milli"),
+          col("target_tokens"), col("epochs_milli"), col("epochs"))
+        .orderBy(col("lang"))
+    }),
+
     // Temperature-scaled sampling weights (α = 1/2), the multilingual-
     // training mix rule (XLM-style): w_l ∝ n_l^α lifts low-resource
     // languages relative to raw frequency. Weights stay EXACT integers
@@ -195,6 +227,23 @@ object MixQueries {
     "t_mix_weighted" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE $mixCaseSql ORDER BY doc_id""".stripMargin,
+    "mix_epoch_plan" ->
+      s"""WITH w AS (SELECT lang,
+         |  CAST(len(list_filter($wsSql, t -> length(t)>0)) AS BIGINT)
+         |    AS nt FROM documents),
+         |tok AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens
+         |  FROM w GROUP BY 1),
+         |wt AS (SELECT * FROM (VALUES
+         |  ('en', CAST(400 AS BIGINT)), ('de', CAST(200 AS BIGINT)),
+         |  ('es', CAST(200 AS BIGINT)), ('fr', CAST(100 AS BIGINT)),
+         |  ('zh', CAST(100 AS BIGINT))) AS t(lang, w_milli))
+         |SELECT tok.lang, n_tokens, w_milli,
+         |  CAST((100000 * w_milli) // 1000 AS BIGINT) AS target_tokens,
+         |  CAST((((100000 * w_milli) // 1000) * 1000) // n_tokens
+         |    AS BIGINT) AS epochs_milli,
+         |  CAST((((100000 * w_milli) // 1000) * 1000) // n_tokens
+         |    AS DOUBLE) / 1000.0 AS epochs
+         |FROM tok JOIN wt USING (lang) ORDER BY tok.lang""".stripMargin,
     "t_pack_sequences" ->
       s"""$packCteSql
          |SELECT doc_id, n_tok, pack_id FROM p ORDER BY doc_id""".stripMargin,

@@ -778,6 +778,40 @@ class Round6Spec extends AnyFunSuite {
     assert(rows.map(_._1).sum == vecs)
   }
 
+  // ---- session depth ---------------------------------------------------
+
+  test("session depth: event mass reconciles with the event log") {
+    val rows = q("ev_session_depth")
+      .select($"bucket", $"n_sessions", $"min_depth", $"max_depth",
+        $"n_events")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    for ((b, ns, lo, hi, ne) <- rows) {
+      assert(lo >= (1L << b) && hi < (1L << (b + 1)))
+      assert(ne >= ns * lo && ne <= ns * hi)
+    }
+    val total = spark.read.parquet(s"$dir/events.parquet")
+      .where($"ts".isNotNull).count()
+    assert(rows.map(_._5).sum == total,
+      "every event lands in exactly one session bucket")
+  }
+
+  // ---- epoch plan ------------------------------------------------------
+
+  test("epoch plan: targets apportion the budget and epochs are exact") {
+    val rows = q("mix_epoch_plan")
+      .select($"n_tokens", $"w_milli", $"target_tokens", $"epochs_milli",
+        $"epochs")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.length == 5)
+    assert(rows.map(_._2).sum == 1000L, "mix weights sum to one")
+    assert(rows.map(_._3).sum == 100000L, "targets fill the budget")
+    for ((nt, _, tgt, em, e) <- rows) {
+      assert(em == tgt * 1000 / nt)
+      assert(e == em.toDouble / 1000.0)
+    }
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
