@@ -201,7 +201,10 @@ object Bench {
     "t_ccnet_by_lang", "sim_norm_audit",
     // Round-6 twenty-seventh-batch first-ships: session-depth
     // distribution and the per-source epoch plan.
-    "ev_session_depth", "mix_epoch_plan")
+    "ev_session_depth", "mix_epoch_plan",
+    // Round-6 twenty-eighth-batch first-ships: boilerplate-line report
+    // and per-type inter-arrival percentiles.
+    "t_boilerplate_lines", "ev_interarrival_median")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

@@ -958,6 +958,33 @@ object EventQueries {
         .orderBy(col("day"))
     }),
 
+    // Per-type INTER-ARRIVAL median and p90 — "how often does each
+    // event type fire per user": exact microsecond gaps from ONE
+    // user+type-keyed lead window, then the two-pass histogram
+    // quantile ladder (never a per-group sort) over the ~5 type
+    // groups. The cadence card behind rate-limit and session-gap
+    // tuning; all integers until the display seconds (one division).
+    "ev_interarrival_median" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = ev(s, d).where(col("ts").isNotNull)
+        .select(col("event_type"), col("ts"), col("user_id"),
+          col("event_id"))
+        .withColumn("nxt", lead(col("ts"), 1).over(w))
+        .where(col("nxt").isNotNull)
+        .select(col("event_type"),
+          expr("unix_micros(nxt) - unix_micros(ts)").as("gap_us"))
+      graft.operators.Median.groupQuantilesLong(
+          gaps, Seq("event_type"), "gap_us", Seq(50, 90))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("pct") === 50, col("value"))).as("p50_us"),
+          min(when(col("pct") === 90, col("value"))).as("p90_us"))
+        .select(col("event_type"), col("p50_us"), col("p90_us"),
+          (col("p50_us").cast("double") / 1000000.0).as("p50_sec"))
+        .orderBy(col("event_type"))
+    }),
+
     // Session DEPTH distribution in dyadic buckets — "how long are
     // sessions, at what multiplicity": the same 30-minute
     // session_window assembly as the journey query, bucketed by the
@@ -1670,6 +1697,25 @@ object EventQueries {
         |    * (CAST(e AS HUGEINT)*nn - CAST(ee AS HUGEINT)*n)
         |    > 9 * CAST(ee AS HUGEINT) * (nn - ee) * n AS out_of_control
         |FROM g, t ORDER BY day""".stripMargin,
+    "ev_interarrival_median" ->
+      """WITH g AS (SELECT event_type,
+        |  epoch_us(lead(ts) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id)) - epoch_us(ts) AS gap_us
+        |  FROM events WHERE ts IS NOT NULL),
+        |gg AS (SELECT event_type, CAST(gap_us AS BIGINT) AS gap_us
+        |  FROM g WHERE gap_us IS NOT NULL),
+        |r AS (SELECT event_type, gap_us,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY gap_us)
+        |    AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS cnt FROM gg)
+        |SELECT event_type,
+        |  min(CASE WHEN rn = greatest(1, (50*cnt+99)//100)
+        |    THEN gap_us END) AS p50_us,
+        |  min(CASE WHEN rn = greatest(1, (90*cnt+99)//100)
+        |    THEN gap_us END) AS p90_us,
+        |  CAST(min(CASE WHEN rn = greatest(1, (50*cnt+99)//100)
+        |    THEN gap_us END) AS DOUBLE) / 1000000.0 AS p50_sec
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_session_depth" ->
       """WITH e AS (SELECT user_id, ts, event_id
         |  FROM events WHERE ts IS NOT NULL),

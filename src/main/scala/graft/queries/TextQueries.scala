@@ -495,6 +495,28 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BOILERPLATE LINE report — the top-20 most-duplicated lines by
+    // DOCUMENT frequency (each doc counts a line once): the signature
+    // list line-dedup feeds on, surfaced for human review ("is this a
+    // nav bar or a legitimate common sentence"). Same 10-token
+    // pseudo-line construction as t_line_dedup; one distinct + one
+    // grouped count + TakeOrdered with full tie-breaks.
+    "t_boilerplate_lines" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          filter(TextFunctions.tokens(col("text")),
+            w => length(w) > 0).as("ws"))
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(0), expr("(size(ws) - 1) div 10")),
+            i => array_join(slice(col("ws"), i * lit(10) + 1, lit(10)),
+              " "))).as("line"))
+        .distinct()
+        .groupBy(col("line"))
+        .agg(count(lit(1)).cast("long").as("df"))
+        .where(col("df") >= 2)
+        .orderBy(col("df").desc, col("line"))
+        .limit(20)),
+
     // DEDUP SAVINGS report — the line a curation run actually reports
     // up: documents and TOKENS before vs after near-dedup, and the
     // share of training tokens the dedup saves (one exact-int IEEE
@@ -2225,6 +2247,16 @@ object TextQueries {
          |       WHEN sc.score_milli >= q.t33 THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM sc, q ORDER BY doc_id""".stripMargin,
+    "t_boilerplate_lines" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  list_filter($wsSql, x -> length(x) > 0) AS ws FROM documents),
+         |l AS (SELECT DISTINCT doc_id, unnest(list_transform(
+         |  range(0, greatest((len(ws)-1)//10, 0) + 1),
+         |  i -> array_to_string(ws[i*10+1 : i*10+10], ' '))) AS line
+         |  FROM w)
+         |SELECT line, CAST(count(*) AS BIGINT) AS df FROM l
+         |GROUP BY 1 HAVING count(*) >= 2
+         |ORDER BY df DESC, line LIMIT 20""".stripMargin,
     "t_ccnet_by_lang" ->
       s"""WITH w AS (SELECT doc_id, lang, $wsSql AS ws FROM documents),
          |g AS (SELECT DISTINCT doc_id, lang,

@@ -812,6 +812,32 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  // ---- boilerplate lines ----------------------------------------------
+
+  test("boilerplate lines: document frequencies are honest and ranked") {
+    val rows = q("t_boilerplate_lines")
+      .select($"line", $"df").as[(String, Long)].collect()
+    assert(rows.nonEmpty)
+    val dfs = rows.map(_._2)
+    assert(dfs.zip(dfs.drop(1)).forall { case (a, b) => a >= b })
+    assert(dfs.forall(_ >= 2))
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(dfs.forall(_ <= total))
+  }
+
+  // ---- inter-arrival percentiles --------------------------------------
+
+  test("inter-arrival: p50 <= p90 and both are observed gaps") {
+    val rows = q("ev_interarrival_median")
+      .select($"event_type", $"p50_us", $"p90_us", $"p50_sec")
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.length == 5)
+    for ((_, p50, p90, sec) <- rows) {
+      assert(p50 <= p90 && p50 > 0)
+      assert(sec == p50.toDouble / 1000000.0)
+    }
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
