@@ -312,6 +312,12 @@ object Bench {
     // run (149 queries, 241.9 s, 149/149 measured, zero failures,
     // zero regressions, zero suspects).
     "dq_id_continuity" -> 0.40, "t_dedup_savings" -> 4.61,
+    // Round-6 closing pins (batches 26–28), from the round's TENTH
+    // full-set run (155 queries, 227.2 s, 155/155 measured, zero
+    // failures, zero regressions, zero suspects).
+    "t_ccnet_by_lang" -> 4.73, "sim_norm_audit" -> 0.28,
+    "ev_session_depth" -> 0.33, "mix_epoch_plan" -> 0.47,
+    "t_boilerplate_lines" -> 0.36, "ev_interarrival_median" -> 0.73,
     // Round-6 session pins (batches 15–19), from the round's SEVENTH
     // full-set run (138 queries, 210.0 s, 138/138 measured, zero
     // failures, zero regressions, zero suspects — BASELINE.md
