@@ -204,7 +204,10 @@ object Bench {
     "ev_session_depth", "mix_epoch_plan",
     // Round-6 twenty-eighth-batch first-ships: boilerplate-line report
     // and per-type inter-arrival percentiles.
-    "t_boilerplate_lines", "ev_interarrival_median")
+    "t_boilerplate_lines", "ev_interarrival_median",
+    // Round-6 twenty-ninth-batch first-ships: new-vs-returning revenue
+    // split and the hub wedge-share report.
+    "ev_new_vs_returning", "g_hub_report")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

@@ -958,6 +958,35 @@ object EventQueries {
         .orderBy(col("day"))
     }),
 
+    // NEW vs RETURNING revenue split per day — the growth-quality card
+    // ("is revenue coming from acquisition or retention"): a purchase
+    // is NEW-user revenue when it lands on the purchaser's first-ever
+    // activity day. First days come from one user aggregate that joins
+    // back on the user key (never a window over facts); revenue is
+    // exact cents with one display division per column. Days with only
+    // one cohort still report via zero-filled sums.
+    "ev_new_vs_returning" -> ((s, d) => {
+      val e = ev(s, d).where(col("ts").isNotNull)
+      val firstDay = e.groupBy(col("user_id"))
+        .agg(min(col("ts").cast("date")).as("first_day"))
+      e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").cast("date").as("day"),
+          (col("value").cast("decimal(12,2)") * 100).cast("long")
+            .as("cents"))
+        .join(firstDay, Seq("user_id"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).cast("long").as("n_purchases"),
+          sum(when(col("day") === col("first_day"), col("cents"))
+            .otherwise(0L)).cast("long").as("new_cents"),
+          sum(when(col("day") =!= col("first_day"), col("cents"))
+            .otherwise(0L)).cast("long").as("ret_cents"))
+        .select(col("day"), col("n_purchases"),
+          (col("new_cents").cast("double") / 100.0).as("new_revenue"),
+          (col("ret_cents").cast("double") / 100.0)
+            .as("returning_revenue"))
+        .orderBy(col("day"))
+    }),
+
     // Per-type INTER-ARRIVAL median and p90 — "how often does each
     // event type fire per user": exact microsecond gaps from ONE
     // user+type-keyed lead window, then the two-pass histogram
@@ -1697,6 +1726,22 @@ object EventQueries {
         |    * (CAST(e AS HUGEINT)*nn - CAST(ee AS HUGEINT)*n)
         |    > 9 * CAST(ee AS HUGEINT) * (nn - ee) * n AS out_of_control
         |FROM g, t ORDER BY day""".stripMargin,
+    "ev_new_vs_returning" ->
+      """WITH e AS (SELECT user_id, ts, event_type, value FROM events
+        |  WHERE ts IS NOT NULL),
+        |fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        |  FROM e GROUP BY 1),
+        |p AS (SELECT e.user_id, CAST(e.ts AS DATE) AS day,
+        |  CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |  fd.first_day
+        |  FROM e JOIN fd ON e.user_id = fd.user_id
+        |  WHERE e.event_type = 'purchase')
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CASE WHEN day = first_day THEN cents ELSE 0 END)
+        |    AS DOUBLE) / 100.0 AS new_revenue,
+        |  CAST(sum(CASE WHEN day <> first_day THEN cents ELSE 0 END)
+        |    AS DOUBLE) / 100.0 AS returning_revenue
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_interarrival_median" ->
       """WITH g AS (SELECT event_type,
         |  epoch_us(lead(ts) OVER (PARTITION BY user_id, event_type

@@ -793,6 +793,32 @@ object OlapQueries {
         .orderBy(col("bucket"))
     }),
 
+    // HUB report — the "which nodes to cap" companion to
+    // g_degree_dist: the top-10 co-purchase vertices by degree with
+    // each hub's share of Σdeg², i.e. its share of the wedge-join
+    // bill. The capping decision (drop or sample hub neighborhoods
+    // before a triangle/link-prediction pass) reads exactly this
+    // column. Degree table + broadcast Σdeg² scalar + TakeOrdered;
+    // the share is one IEEE division of exact integers.
+    "g_hub_report" -> ((s, d) => {
+      val e = graft.operators.Itemsets.frequentPairs(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
+        .select(col("item_a"), col("item_b"))
+      val deg = e.select(col("item_a").as("node"), col("item_b").as("nbr"))
+        .unionByName(
+          e.select(col("item_b").as("node"), col("item_a").as("nbr")))
+        .groupBy(col("node"))
+        .agg(count(lit(1)).cast("long").as("deg"))
+      deg.crossJoin(broadcast(deg.agg(
+          sum((col("deg") * col("deg")).cast("decimal(38,0)"))
+            .as("sd2"))))
+        .select(col("node"), col("deg"),
+          ((col("deg") * col("deg")).cast("double") /
+            col("sd2").cast("double")).as("wedge_share"))
+        .orderBy(col("deg").desc, col("node"))
+        .limit(10)
+    }),
+
     // Degree assortativity of the co-purchase graph: Pearson r of
     // (deg(u), deg(v)) over the DIRECTED edge list (both directions of
     // every undirected edge, the standard convention) — "do popular
@@ -1437,6 +1463,21 @@ object OlapQueries {
         |  CAST(count(*) AS BIGINT) AS n_nodes,
         |  min(deg) AS min_deg, max(deg) AS max_deg
         |FROM dg GROUP BY 1 ORDER BY 1""".stripMargin,
+    "g_hub_report" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |pr AS (SELECT a.it AS ia, c.it AS ib, count(*) AS s
+        |  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it GROUP BY 1, 2),
+        |e AS (SELECT ia, ib FROM pr WHERE s >= 2),
+        |adj AS (SELECT ia AS node, ib AS nbr FROM e
+        |  UNION ALL SELECT ib, ia FROM e),
+        |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM adj GROUP BY 1),
+        |t AS (SELECT sum(CAST(deg AS HUGEINT) * deg) AS sd2 FROM dg)
+        |SELECT node, deg,
+        |  CAST(CAST(deg AS HUGEINT) * deg AS DOUBLE)
+        |    / CAST(sd2 AS DOUBLE) AS wedge_share
+        |FROM dg, t ORDER BY deg DESC, node LIMIT 10""".stripMargin,
     "g_assortativity" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
         |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),

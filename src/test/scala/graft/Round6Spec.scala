@@ -838,6 +838,34 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  // ---- new vs returning ------------------------------------------------
+
+  test("new-vs-returning: revenue split reconciles with total purchase value") {
+    val rows = q("ev_new_vs_returning")
+      .select($"n_purchases", $"new_revenue", $"returning_revenue")
+      .as[(Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val split = rows.map(r => r._2 + r._3).sum
+    val total = spark.read.parquet(s"$dir/events.parquet")
+      .where($"ts".isNotNull && $"event_type" === "purchase")
+      .agg(sum(($"value".cast("decimal(12,2)") * 100).cast("long")))
+      .as[Long].collect().head
+    assert(math.abs(split - total.toDouble / 100.0) < 1e-6,
+      "every purchase lands in exactly one cohort column")
+  }
+
+  // ---- hub report ------------------------------------------------------
+
+  test("hub report: ranked by degree and shares are honest fractions") {
+    val rows = q("g_hub_report")
+      .select($"deg", $"wedge_share").as[(Long, Double)].collect()
+    assert(rows.length == 10)
+    val ds = rows.map(_._1)
+    assert(ds.zip(ds.drop(1)).forall { case (a, b) => a >= b })
+    assert(rows.forall(r => r._2 > 0.0 && r._2 <= 1.0))
+    assert(rows.map(_._2).sum <= 1.0 + 1e-12)
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
