@@ -321,6 +321,10 @@ object Bench {
     "t_ccnet_by_lang" -> 4.73, "sim_norm_audit" -> 0.28,
     "ev_session_depth" -> 0.33, "mix_epoch_plan" -> 0.47,
     "t_boilerplate_lines" -> 0.36, "ev_interarrival_median" -> 0.73,
+    // Round-6 last pins (batch 29), from the round's ELEVENTH full-set
+    // run (157 queries, 241.7 s, 157/157 measured, zero failures,
+    // zero regressions, zero suspects).
+    "ev_new_vs_returning" -> 0.28, "g_hub_report" -> 1.95,
     // Round-6 session pins (batches 15–19), from the round's SEVENTH
     // full-set run (138 queries, 210.0 s, 138/138 measured, zero
     // failures, zero regressions, zero suspects — BASELINE.md
