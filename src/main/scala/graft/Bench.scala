@@ -207,7 +207,11 @@ object Bench {
     "t_boilerplate_lines", "ev_interarrival_median",
     // Round-6 twenty-ninth-batch first-ships: new-vs-returning revenue
     // split and the hub wedge-share report.
-    "ev_new_vs_returning", "g_hub_report")
+    "ev_new_vs_returning", "g_hub_report",
+    // Round-6 thirtieth-batch first-ships: the order/lineitem
+    // reconciliation audit (lineitem-wide groupBy + full-outer join)
+    // and the pair-free anisotropy audit (two passes over embeddings).
+    "dq_order_reconcile", "sim_anisotropy")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

@@ -571,6 +571,36 @@ object CoreQueries {
       Quality.report(custReport, liReport, fkReport)
     }),
 
+    // DQ (ext): cross-table ROLLUP reconciliation — does each order
+    // header's o_totalprice agree with the sum of its lineitems'
+    // extended prices? The warehouse-close audit that catches partial
+    // loads (orders without lines), orphaned facts (lines without a
+    // header), and amount drift, in ONE pass: per-order lineitem sums
+    // (map-side combinable), one full-outer equi-join against the
+    // header, one scalar aggregate. Exact money: both sides cast to
+    // DECIMAL(20,2) at the scan; the drift is per-row integral ×100
+    // cast to BIGINT cents before summing, so the total is
+    // order-independent and HUGEINT never reaches the output.
+    "dq_order_reconcile" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(20,2)").as("ov"))
+      val l = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(20,2)")).as("lv"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "full_outer")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          count(when(col("o_orderkey").isNotNull &&
+            col("l_orderkey").isNotNull, 1)).as("n_with_lines"),
+          count(when(col("o_orderkey").isNotNull &&
+            col("l_orderkey").isNull, 1)).as("n_no_lines"),
+          count(when(col("o_orderkey").isNull, 1)).as("n_orphan_lines"),
+          count(when(col("ov") === col("lv"), 1)).as("n_amount_equal"),
+          coalesce(sum(when(
+            col("o_orderkey").isNotNull && col("l_orderkey").isNotNull,
+            abs((col("ov") - col("lv")) * 100).cast("long"))), lit(0L))
+            .as("abs_delta_cents"))
+    }),
+
     // DQ (ext): one-pass completeness/cardinality profile — per column
     // of a table: rows, nulls, exact distincts, in ONE aggregate over
     // ONE scan (the multi-countDistinct expands map-side; the
@@ -1111,6 +1141,24 @@ object CoreQueries {
          |  abs(CAST(c.n AS DOUBLE)/tot - e.expected) AS deviation
          |FROM c JOIN e USING (digit), tt ORDER BY c.digit""".stripMargin
     },
+    "dq_order_reconcile" ->
+      """WITH ls AS (SELECT l_orderkey,
+        |  sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS lv
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT o.o_orderkey AS ok, ls.l_orderkey AS lk,
+        |  CAST(o.o_totalprice AS DECIMAL(20,2)) AS ov, ls.lv
+        |  FROM orders o FULL OUTER JOIN ls ON o.o_orderkey = ls.l_orderkey)
+        |SELECT count(ok) AS n_orders,
+        |  count(CASE WHEN ok IS NOT NULL AND lk IS NOT NULL THEN 1 END)
+        |    AS n_with_lines,
+        |  count(CASE WHEN ok IS NOT NULL AND lk IS NULL THEN 1 END)
+        |    AS n_no_lines,
+        |  count(CASE WHEN ok IS NULL THEN 1 END) AS n_orphan_lines,
+        |  count(CASE WHEN ov = lv THEN 1 END) AS n_amount_equal,
+        |  CAST(coalesce(sum(CASE WHEN ok IS NOT NULL AND lk IS NOT NULL
+        |    THEN CAST(abs((ov - lv) * 100) AS BIGINT) END), 0) AS BIGINT)
+        |    AS abs_delta_cents
+        |FROM j""".stripMargin,
     "dq_constraints" ->
       """WITH r AS (
         |SELECT 'customer_pk_unique' AS rule,

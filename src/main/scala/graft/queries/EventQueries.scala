@@ -987,6 +987,32 @@ object EventQueries {
         .orderBy(col("day"))
     }),
 
+    // L7 POWER-USER CURVE — "of everyone active in the trailing week,
+    // how many were active on 1, 2, …, 7 distinct days": the
+    // engagement-depth histogram behind stickiness/health cards
+    // (ev_dau_wau's volume decomposed by user intensity). One distinct
+    // (user, day) aggregate over the 7-day slice (the max-date anchor
+    // is a broadcast scalar, so the slice filter is a plain predicate
+    // on the scan), one user-keyed count, then the ≤7-row histogram;
+    // the share is exact permille floor division over a window on
+    // that ≤7-row result — no float anywhere.
+    "ev_power_curve" -> ((s, d) => {
+      val e = ev(s, d).where(col("ts").isNotNull)
+      val anchor = e.agg(max(col("ts").cast("date")).as("mxd"))
+      val perUser = e
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .crossJoin(broadcast(anchor))
+        .where(col("day") >= date_sub(col("mxd"), 6))
+        .select(col("user_id"), col("day")).distinct()
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("days_active"))
+      perUser.groupBy(col("days_active"))
+        .agg(count(lit(1)).as("n_users"))
+        .withColumn("pct_permille",
+          expr("(1000 * n_users) div sum(n_users) over ()"))
+        .orderBy(col("days_active"))
+    }),
+
     // Per-type INTER-ARRIVAL median and p90 — "how often does each
     // event type fire per user": exact microsecond gaps from ONE
     // user+type-keyed lead window, then the two-pass histogram
@@ -1742,6 +1768,19 @@ object EventQueries {
         |  CAST(sum(CASE WHEN day <> first_day THEN cents ELSE 0 END)
         |    AS DOUBLE) / 100.0 AS returning_revenue
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_power_curve" ->
+      """WITH mx AS (SELECT CAST(max(ts) AS DATE) AS mxd FROM events
+        |  WHERE ts IS NOT NULL),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events, mx
+        |  WHERE ts IS NOT NULL AND CAST(ts AS DATE) >= mxd - 6),
+        |u AS (SELECT user_id, count(*) AS days_active FROM a GROUP BY 1),
+        |h AS (SELECT CAST(days_active AS BIGINT) AS days_active,
+        |  CAST(count(*) AS BIGINT) AS n_users FROM u GROUP BY 1)
+        |SELECT days_active, n_users,
+        |  (1000 * n_users) // CAST(sum(n_users) OVER () AS BIGINT)
+        |    AS pct_permille
+        |FROM h ORDER BY 1""".stripMargin,
     "ev_interarrival_median" ->
       """WITH g AS (SELECT event_type,
         |  epoch_us(lead(ts) OVER (PARTITION BY user_id, event_type

@@ -379,6 +379,58 @@ object OlapQueries {
         .orderBy(col("region"))
     }),
 
+    // "TOP-5 + OTHER" rollup — the BI pie-chart contract: the five
+    // highest-revenue nations keep their names, the long tail folds
+    // into one OTHER bucket, and every bucket carries its exact
+    // permille share. The rank runs on the ~25-row nation AGGREGATE
+    // (row_number over (cents DESC, name) — deterministic under
+    // ties), cents stay BIGINT end-to-end, the share is integer floor
+    // division over a window on the ≤6-row bucket table, and the one
+    // display division is the last step.
+    "olap_top_n_other" -> ((s, d) => {
+      val agg = ordersGeo(s, d)
+        .groupBy(col("n_name"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long")).cast("long").as("cents"))
+      val w = Window.orderBy(col("cents").desc, col("n_name"))
+      agg.withColumn("rn", row_number().over(w))
+        .withColumn("bucket",
+          when(col("rn") <= 5, col("n_name")).otherwise(lit("OTHER")))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_nations"),
+          sum(col("cents")).cast("long").as("revenue_cents"))
+        .withColumn("share_permille",
+          expr("(1000 * revenue_cents) div sum(revenue_cents) over ()"))
+        .select(col("bucket"), col("n_nations"),
+          (col("revenue_cents").cast("double") / 100.0).as("revenue"),
+          col("share_permille"))
+        .orderBy(col("revenue").desc, col("bucket"))
+    }),
+
+    // Running-max DRAWDOWN — "how far below its best day has daily
+    // revenue fallen, and when": the series-health card behind
+    // regression detection on any revenue/SLA/throughput series. Both
+    // windows run over the ~|days| DAILY aggregate (running max, then
+    // the argmax pick by (depth DESC, day) row_number — deterministic
+    // under ties), never over facts; cents stay BIGINT; the output is
+    // the single worst day.
+    "w_drawdown" -> ((s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long")).cast("long").as("cents"))
+      val wRun = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPick = Window.orderBy(col("dd_cents").desc, col("day"))
+      daily
+        .withColumn("peak_cents", max(col("cents")).over(wRun))
+        .withColumn("dd_cents", col("peak_cents") - col("cents"))
+        .withColumn("rn", row_number().over(wPick))
+        .where(col("rn") === 1)
+        .select(col("day"), col("peak_cents"), col("cents"),
+          col("dd_cents"))
+    }),
+
     // Rank-change movers ("who climbed the league table"): per-year
     // nation revenue ranks with the previous year's rank and the delta
     // — the BI movers-and-shakers card. Rank = row_number over the
@@ -995,6 +1047,36 @@ object OlapQueries {
         |        / CAST(n*sv AS DOUBLE), 12) AS gini,
         |  round(CAST(sv2 AS DOUBLE) / CAST(sv*sv AS DOUBLE), 12) AS hhi
         |FROM m ORDER BY 1""".stripMargin,
+    "olap_top_n_other" ->
+      """WITH a AS (SELECT n.n_name,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1),
+        |b AS (SELECT *, row_number() OVER (ORDER BY cents DESC, n_name)
+        |  AS rn FROM a),
+        |g AS (SELECT CASE WHEN rn <= 5 THEN n_name ELSE 'OTHER' END
+        |    AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_nations,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |  FROM b GROUP BY 1)
+        |SELECT bucket, n_nations,
+        |  CAST(revenue_cents AS DOUBLE) / 100.0 AS revenue,
+        |  (1000 * revenue_cents) //
+        |    CAST(sum(revenue_cents) OVER () AS BIGINT) AS share_permille
+        |FROM g ORDER BY revenue DESC, bucket""".stripMargin,
+    "w_drawdown" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT day, cents, max(cents) OVER (ORDER BY day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS peak_cents FROM dly)
+        |SELECT day, peak_cents, cents, peak_cents - cents AS dd_cents
+        |FROM r ORDER BY dd_cents DESC, day LIMIT 1""".stripMargin,
     "w_rank_change" ->
       """WITH a AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
         |  n_name,

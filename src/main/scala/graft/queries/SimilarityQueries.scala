@@ -714,6 +714,37 @@ object SimilarityQueries {
         .orderBy(col("label"))
     }),
 
+    // Embedding-space ANISOTROPY audit — the mean pairwise dot product
+    // of the whole corpus WITHOUT any pair join: for quantized vectors
+    // q = floor(x·4096), Σ_{i≠j}⟨q_i,q_j⟩ = ‖Σq‖² − Σ‖q‖², so the
+    // corpus-collapse check (a healthy space has near-zero mean dot; a
+    // collapsed/anisotropic one trends positive — the signal behind
+    // "all my nearest neighbours look the same") costs per-dim totals
+    // plus one scalar: two tiny aggregates over ONE scan at ANY corpus
+    // size. Exact DECIMAL(38,0) integers throughout; the display mean
+    // is the only division (both engines cast the same integers).
+    "sim_anisotropy" -> ((s, d) => {
+      val q = emb(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> floor(cast(x as double) * 4096))")
+          .as("q"))
+      val dims = q
+        .select(posexplode(col("q")).as(Seq("dim", "qx")))
+        .groupBy(col("dim"))
+        .agg(sum(col("qx")).cast("decimal(38,0)").as("sd"))
+        .agg(sum(col("sd") * col("sd")).cast("decimal(38,0)")
+          .as("centroid_dot"))
+      q.select(expr("aggregate(q, 0L, (a, x) -> a + x * x)").as("n2"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n2")).cast("decimal(38,0)").as("sum_norm2"))
+        .crossJoin(broadcast(dims))
+        .select(col("n"),
+          col("sum_norm2").cast("long").as("sum_norm2"),
+          col("centroid_dot").cast("long").as("centroid_dot"),
+          ((col("centroid_dot") - col("sum_norm2")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double"))
+            .as("mean_pair_dot"))
+    }),
+
     // Label-centroid SEPARATION matrix — class separability at a
     // glance (two labels whose centroids run cos ≈ 1 will confuse any
     // classifier or ANN filter built on this space). The trick that
@@ -1437,6 +1468,24 @@ object SimilarityQueries {
          |  FROM s)
          |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=3
          |ORDER BY q_id, rank""".stripMargin,
+    "sim_anisotropy" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |x AS (SELECT vec_id, g.i AS dim,
+        |  CAST(floor(e[g.i] * 4096) AS BIGINT) AS qx
+        |  FROM v, generate_series(1, 64) AS g(i)),
+        |dt AS (SELECT dim, CAST(sum(qx) AS DECIMAL(38,0)) AS sd
+        |  FROM x GROUP BY 1),
+        |cd AS (SELECT CAST(sum(sd * sd) AS DECIMAL(38,0)) AS centroid_dot
+        |  FROM dt),
+        |n2 AS (SELECT vec_id, sum(qx * qx) AS n2 FROM x GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n2) AS DECIMAL(38,0)) AS sum_norm2 FROM n2)
+        |SELECT s.n, CAST(s.sum_norm2 AS BIGINT) AS sum_norm2,
+        |  CAST(cd.centroid_dot AS BIGINT) AS centroid_dot,
+        |  CAST(cd.centroid_dot - s.sum_norm2 AS DOUBLE) /
+        |    CAST(s.n * (s.n - 1) AS DOUBLE) AS mean_pair_dot
+        |FROM s, cd""".stripMargin,
     "sim_norm_audit" ->
       """WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
         |  CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -68,6 +68,23 @@ object TextQueries {
         TextFunctions.punctRatio(col("text")).as("punct_ratio"))
         .orderBy(col("doc_id"))),
 
+    // Tokenizer FERTILITY by language — tokens per 1 000 chars: the
+    // multilingual mix-planning card (a high-fertility language costs
+    // more sequence positions per byte of corpus, so epoch token
+    // budgets must be priced per language, not per char — the same
+    // reason mix_epoch_plan budgets tokens). ONE grouped aggregate
+    // over a zero-shuffle projection; the per-kilochar rate is exact
+    // integer floor division, so no float can drift between engines.
+    "t_tokenizer_fertility" -> ((s, d) =>
+      docs(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text"))).as("tokens"),
+          sum(col("n_chars")).as("chars"))
+        .select(col("lang"), col("n_docs"), col("tokens"), col("chars"),
+          expr("(1000 * tokens) div chars").as("tokens_per_kchar"))
+        .orderBy(col("lang"))),
+
     // Marker-word language ID.
     "t_lang_id" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -1817,6 +1834,16 @@ object TextQueries {
          |CAST(length(regexp_replace(text,'\\s','','g')) AS DOUBLE)/len(ws) AS avg_word_len,
          |CAST(length(regexp_replace(text,'[^.,!?;:]','','g')) AS DOUBLE)/length(text) AS punct_ratio
          |FROM w ORDER BY doc_id""".stripMargin,
+    "t_tokenizer_fertility" ->
+      s"""WITH w AS (SELECT lang, n_chars,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($wsSql) END AS nt
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars,
+         |  (1000 * CAST(sum(nt) AS BIGINT)) // CAST(sum(n_chars) AS BIGINT)
+         |    AS tokens_per_kchar
+         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "t_lang_id" ->
       s"""WITH w AS (SELECT doc_id, list_distinct($wsSql) AS dw FROM documents),
          |s AS (SELECT doc_id,

@@ -866,6 +866,119 @@ class Round6Spec extends AnyFunSuite {
     assert(rows.map(_._2).sum <= 1.0 + 1e-12)
   }
 
+  // ---- batch 30: fertility / power curve / reconcile / anisotropy ------
+
+  test("tokenizer fertility: per-lang sums reconcile with t_text_stats") {
+    // The grouped token totals must equal the per-doc token counts the
+    // stats query reports, language by language.
+    val fert = q("t_tokenizer_fertility")
+      .select($"lang", $"tokens").as[(String, Long)].collect().toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val perDoc = q("t_text_stats").join(docs, "doc_id")
+      .groupBy($"lang").agg(sum($"n_tokens").as("t"))
+      .select($"lang", $"t").as[(String, Long)].collect().toMap
+    assert(fert == perDoc)
+    // fertility is a floor: rate * chars <= 1000 * tokens
+    val rows = q("t_tokenizer_fertility")
+      .select($"tokens", $"chars", $"tokens_per_kchar")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.forall { case (t, c, r) =>
+      r * c <= 1000L * t && (r + 1) * c > 1000L * t })
+  }
+
+  test("power curve: histogram partitions the trailing-week actives") {
+    val rows = q("ev_power_curve")
+      .select($"days_active", $"n_users", $"pct_permille")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall(r => r._1 >= 1 && r._1 <= 7))
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .where($"ts".isNotNull)
+    val mxd = ev.agg(max($"ts".cast("date"))).collect().head.getDate(0)
+    val actives = ev.select($"user_id", $"ts".cast("date").as("day"))
+      .where($"day" >= date_sub(lit(mxd), 6))
+      .select($"user_id").distinct().count()
+    assert(rows.map(_._2).sum == actives,
+      "every trailing-week active user lands in exactly one bucket")
+    assert(rows.map(_._3).sum <= 1000, "floor shares never exceed 1000")
+  }
+
+  test("order reconcile: counts partition the order and line universes") {
+    val r = q("dq_order_reconcile").collect().head
+    val nOrders = r.getAs[Long]("n_orders")
+    val withL = r.getAs[Long]("n_with_lines")
+    val noL = r.getAs[Long]("n_no_lines")
+    assert(withL + noL == nOrders)
+    assert(nOrders ==
+      spark.read.parquet(s"$dir/orders.parquet").count())
+    assert(r.getAs[Long]("n_amount_equal") <= withL)
+    assert(r.getAs[Long]("abs_delta_cents") >= 0L)
+  }
+
+  test("anisotropy: centroid identity matches the brute-force pair sum") {
+    // ‖Σq‖² − Σ‖q‖² must equal the literal Σ_{i≠j}⟨q_i,q_j⟩ computed
+    // the quadratic way on the tiny SF — the identity the operator
+    // rides at scale.
+    val r = q("sim_anisotropy").collect().head
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"embedding").as[Seq[Float]].collect()
+      .map(_.map(x => math.floor(x.toDouble * 4096).toLong).toArray)
+    val n = vecs.length.toLong
+    assert(r.getAs[Long]("n") == n)
+    val dims = vecs.head.length
+    val sums = Array.ofDim[Long](dims)
+    for (v <- vecs; i <- 0 until dims) sums(i) += v(i)
+    val centroidDot = sums.map(s => s * s).sum
+    val sumNorm2 = vecs.map(v => v.map(x => x * x).sum).sum
+    assert(r.getAs[Long]("centroid_dot") == centroidDot)
+    assert(r.getAs[Long]("sum_norm2") == sumNorm2)
+    val brute = centroidDot - sumNorm2 // = Σ_{i≠j} dot by the identity
+    assert(math.abs(r.getAs[Double]("mean_pair_dot") -
+      brute.toDouble / (n * (n - 1)).toDouble) < 1e-9)
+  }
+
+  test("top-n-other: buckets partition total revenue; OTHER folds the tail") {
+    val rows = q("olap_top_n_other")
+      .select($"bucket", $"n_nations", $"revenue", $"share_permille")
+      .as[(String, Long, Double, Long)].collect()
+    assert(rows.count(_._1 != "OTHER") <= 5)
+    assert(rows.filter(_._1 != "OTHER").forall(_._2 == 1L))
+    assert(rows.map(_._4).sum <= 1000)
+    // buckets partition the joined fact total exactly (cents are exact,
+    // so the double sums are sums of exact cent values)
+    val total = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(s"$dir/customer.parquet"),
+        $"o_custkey" === $"c_custkey")
+      .agg(sum(($"o_totalprice".cast("decimal(12,2)") * 100)
+        .cast("long"))).as[Long].collect().head
+    assert(rows.map(r => math.round(r._3 * 100)).sum == total)
+    // every named bucket out-earns any nation folded into OTHER, so
+    // n_nations of OTHER carries the rest of the nation universe
+    val nNations = rows.map(_._2).sum
+    val distinctNations = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(s"$dir/customer.parquet"),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey").distinct().count()
+    assert(nNations == distinctNations)
+  }
+
+  test("drawdown: the reported day is the deepest peak-to-day gap") {
+    val r = q("w_drawdown").collect().head
+    val peak = r.getAs[Long]("peak_cents")
+    val cents = r.getAs[Long]("cents")
+    val dd = r.getAs[Long]("dd_cents")
+    assert(dd == peak - cents && dd >= 0L && peak >= cents)
+    // recompute the max drawdown directly
+    val daily = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum(($"o_totalprice".cast("decimal(12,2)") * 100)
+        .cast("long")).as("cents"))
+      .orderBy($"day")
+      .select($"cents").as[Long].collect()
+    var runMax = Long.MinValue; var best = 0L
+    for (c <- daily) { runMax = math.max(runMax, c); best = math.max(best, runMax - c) }
+    assert(dd == best)
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
