@@ -211,7 +211,11 @@ object Bench {
     // Round-6 thirtieth-batch first-ships: the order/lineitem
     // reconciliation audit (lineitem-wide groupBy + full-outer join)
     // and the pair-free anisotropy audit (two passes over embeddings).
-    "dq_order_reconcile", "sim_anisotropy")
+    "dq_order_reconcile", "sim_anisotropy",
+    // Round-6 thirty-first-batch first-ships: the forecast backtest
+    // (dense-spine windows) and the full-row duplicate audit (four
+    // whole-table distinct aggregates).
+    "ev_forecast_backtest", "dq_duplicate_rows")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

