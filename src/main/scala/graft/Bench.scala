@@ -333,6 +333,12 @@ object Bench {
     // run (157 queries, 241.7 s, 157/157 measured, zero failures,
     // zero regressions, zero suspects).
     "ev_new_vs_returning" -> 0.28, "g_hub_report" -> 1.95,
+    // Round-6 batch 30/31 pins, from the round's TWELFTH full-set run
+    // (161 queries, 267.0 s, 161/161 measured, zero failures, zero
+    // regressions; t_rrf_fusion/pipeline_clean flagged suspect and
+    // retry-cleared — the documented block-transient pattern).
+    "dq_order_reconcile" -> 1.18, "sim_anisotropy" -> 0.31,
+    "ev_forecast_backtest" -> 0.31, "dq_duplicate_rows" -> 0.91,
     // Round-6 session pins (batches 15–19), from the round's SEVENTH
     // full-set run (138 queries, 210.0 s, 138/138 measured, zero
     // failures, zero regressions, zero suspects — BASELINE.md
