@@ -215,7 +215,11 @@ object Bench {
     // Round-6 thirty-first-batch first-ships: the forecast backtest
     // (dense-spine windows) and the full-row duplicate audit (four
     // whole-table distinct aggregates).
-    "ev_forecast_backtest", "dq_duplicate_rows")
+    "ev_forecast_backtest", "dq_duplicate_rows",
+    // Round-6 thirty-second-batch first-ships: the seasonal-residual
+    // anomaly detector (two ladder passes over hour cells) and the
+    // cross-table temporal-order audit (lineitem-wide equi-join).
+    "ev_anomaly_seasonal", "dq_temporal_order")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

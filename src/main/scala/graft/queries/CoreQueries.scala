@@ -571,6 +571,32 @@ object CoreQueries {
       Quality.report(custReport, liReport, fkReport)
     }),
 
+    // DQ (ext): TEMPORAL-ORDER audit — cross-table event-ordering
+    // integrity: a lineitem must not ship before its order was placed,
+    // and a ship lag beyond 90 days is an SLA breach worth counting.
+    // The rule class dq_constraints can't express (it audits columns
+    // within one table); here ONE equi-join + one scalar aggregate
+    // prices the whole rule at any fact size. The before-order test
+    // compares raw timestamps; the lag tests compare exact integer
+    // day diffs — both mirrored verbatim in the oracle.
+    "dq_temporal_order" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val l = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_shipdate"), col("o_orderdate"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+            .as("lag_days"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("l_shipdate") < col("o_orderdate"), 1L)
+            .otherwise(0L)).cast("long").as("n_ship_before_order"),
+          sum(when(col("lag_days") > 90, 1L).otherwise(0L)).cast("long")
+            .as("n_late_90d"),
+          min(col("lag_days")).as("min_lag_days"),
+          max(col("lag_days")).as("max_lag_days"))
+    }),
+
     // DQ (ext): FRESHNESS audit — per temporal table, the newest
     // record and its staleness against the corpus-wide "now" (the max
     // across all audited tables): the first page of any ingestion-ops
@@ -1184,6 +1210,19 @@ object CoreQueries {
          |  abs(CAST(c.n AS DOUBLE)/tot - e.expected) AS deviation
          |FROM c JOIN e USING (digit), tt ORDER BY c.digit""".stripMargin
     },
+    "dq_temporal_order" ->
+      """WITH j AS (SELECT l.l_shipdate, o.o_orderdate,
+        |  CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |    CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_days
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_ship_before_order,
+        |  CAST(sum(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_late_90d,
+        |  min(lag_days) AS min_lag_days,
+        |  max(lag_days) AS max_lag_days
+        |FROM j""".stripMargin,
     "dq_freshness" ->
       """WITH m AS (
         |SELECT 'events' AS tbl, max(ts) AS last_ts FROM events

@@ -525,6 +525,39 @@ object EventQueries {
         .orderBy(col("day"), col("hod"))
     }),
 
+    // Seasonality-ADJUSTED anomaly detection — the composition every
+    // ops pipeline converges to: an hour cell is anomalous relative to
+    // ITS OWN hour-of-day's typical load, not a global fence (a 3 AM
+    // spike and a 3 PM lull both surface; a global threshold sees
+    // neither). Per-(day, hod) counts → per-hod MEDIAN center and MAD
+    // spread via the exact two-pass histogram ladder (never a
+    // per-group sort) → |n − center| > 3·MAD flags in pure integers.
+    // Facts pay one grouped count; everything after runs on the
+    // ≤24-group ladder aggregates.
+    "ev_anomaly_seasonal" -> ((s, d) => {
+      val hc = ev(s, d).where(col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"),
+          hour(col("ts")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // center pass + deviation pass
+      val c = graft.operators.Median.groupQuantilesLong(
+          hc, Seq("hod"), "n", Seq(50))
+        .select(col("hod"), col("value").as("center"))
+      val dev = hc.join(broadcast(c), Seq("hod"))
+        .select(col("hod"), col("center"),
+          abs(col("n") - col("center")).as("devn"))
+        .localCheckpoint() // MAD pass + flag count
+      val mad = graft.operators.Median.groupQuantilesLong(
+          dev, Seq("hod"), "devn", Seq(50))
+        .select(col("hod"), col("value").as("mad"))
+      dev.join(broadcast(mad), Seq("hod"))
+        .groupBy(col("hod"), col("center"), col("mad"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(when(col("devn") > lit(3) * col("mad"), 1L).otherwise(0L))
+            .cast("long").as("n_anomalies"))
+        .orderBy(col("hod"))
+    }),
+
     // Two-proportion A/B test (user-parity cohorts, purchase
     // conversion): z mirrors the float ops; the 95% SIGNIFICANCE
     // decision is EXACT integer arithmetic — 625·D²·N vs
@@ -1269,6 +1302,27 @@ object EventQueries {
         |FROM h CROSS JOIN m
         |WHERE nh*n - s > 0 AND (nh*n - s)*(nh*n - s) > 9*(nh*sq - s*s)
         |ORDER BY hr""".stripMargin,
+    "ev_anomaly_seasonal" ->
+      """WITH hc AS (SELECT CAST(ts AS DATE) AS day,
+        |  CAST(hour(ts) AS BIGINT) AS hod, CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT hod, n, row_number() OVER (PARTITION BY hod
+        |    ORDER BY n) AS rn,
+        |  count(*) OVER (PARTITION BY hod) AS cnt FROM hc),
+        |c AS (SELECT hod, n AS center FROM r
+        |  WHERE rn = greatest(1, (50*cnt + 99)//100)),
+        |d AS (SELECT hc.hod, c.center, abs(hc.n - c.center) AS devn
+        |  FROM hc JOIN c ON c.hod = hc.hod),
+        |r2 AS (SELECT hod, devn, row_number() OVER (PARTITION BY hod
+        |    ORDER BY devn) AS rn,
+        |  count(*) OVER (PARTITION BY hod) AS cnt FROM d),
+        |m AS (SELECT hod, devn AS mad FROM r2
+        |  WHERE rn = greatest(1, (50*cnt + 99)//100))
+        |SELECT d.hod, d.center, m.mad, count(*) AS n_cells,
+        |  CAST(sum(CASE WHEN d.devn > 3*m.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_anomalies
+        |FROM d JOIN m ON m.hod = d.hod
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "ev_seasonal_hour" ->
       """WITH hc AS (SELECT CAST(ts AS DATE) AS day, hour(ts) AS hod,
         |  count(*) AS n FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),

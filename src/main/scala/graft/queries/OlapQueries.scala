@@ -769,6 +769,44 @@ object OlapQueries {
         .orderBy(col("nation"))
     }),
 
+    // Price-volume GROWTH DECOMPOSITION — "did revenue move because we
+    // took more orders or bigger orders": ΔR split into the volume
+    // effect ΔN·AOV₀ (order-count change at year-0 value) and the
+    // value effect (the remainder — per-order value change plus mix).
+    // One grouped pass over the first two years (min-year broadcast,
+    // the olap_delta_contribution anchor); every sum is BIGINT cents
+    // and the two effects are single divisions of exact integers, so
+    // both engines do the identical float ops in the identical order.
+    "olap_growth_decomposition" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val yr = year(col("o_orderdate")).cast("long")
+      o.select(yr.as("yr"),
+          (col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long").as("c"))
+        .crossJoin(broadcast(o.agg(min(yr).as("y0"))))
+        .where(col("yr") === col("y0") || col("yr") === col("y0") + 1)
+        .groupBy(col("y0"))
+        .agg(
+          sum(when(col("yr") === col("y0"), 1L).otherwise(0L))
+            .cast("long").as("n0"),
+          sum(when(col("yr") === col("y0") + 1, 1L).otherwise(0L))
+            .cast("long").as("n1"),
+          sum(when(col("yr") === col("y0"), col("c")).otherwise(0L))
+            .cast("long").as("r0"),
+          sum(when(col("yr") === col("y0") + 1, col("c")).otherwise(0L))
+            .cast("long").as("r1"))
+        .select(col("y0"), (col("y0") + 1).as("y1"), col("n0"),
+          col("n1"),
+          (col("r0").cast("double") / 100.0).as("rev_y0"),
+          (col("r1").cast("double") / 100.0).as("rev_y1"),
+          ((col("r1") - col("r0")).cast("double") / 100.0).as("delta"),
+          (((col("n1") - col("n0")) * col("r0")).cast("double") /
+            (col("n0") * 100L).cast("double")).as("volume_effect"),
+          (((col("r1") - col("r0")).cast("double") / 100.0) -
+            (((col("n1") - col("n0")) * col("r0")).cast("double") /
+              (col("n0") * 100L).cast("double"))).as("value_effect"))
+    }),
+
     // Basket-size profile in dyadic buckets, with each bucket's exact
     // within-basket pair count Σ sz(sz−1)/2 — the number that PRICES
     // the frequent-pair self-join (its cost is exactly this sum), so
@@ -1477,6 +1515,32 @@ object OlapQueries {
         |SELECT mon, CAST(rev AS DOUBLE) / 100.0 AS revenue,
         |  CAST(rev * 12 AS DOUBLE) / CAST(tot AS DOUBLE) AS seasonality
         |FROM g, t ORDER BY mon""".stripMargin,
+    "olap_growth_decomposition" ->
+      """WITH y AS (SELECT CAST(min(year(o_orderdate)) AS BIGINT) AS ymin
+        |  FROM orders),
+        |b AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |a AS (SELECT ymin AS y0,
+        |  CAST(sum(CASE WHEN yr = ymin THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n0,
+        |  CAST(sum(CASE WHEN yr = ymin + 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n1,
+        |  CAST(sum(CASE WHEN yr = ymin THEN c ELSE 0 END) AS BIGINT)
+        |    AS r0,
+        |  CAST(sum(CASE WHEN yr = ymin + 1 THEN c ELSE 0 END) AS BIGINT)
+        |    AS r1
+        |  FROM b, y WHERE yr = ymin OR yr = ymin + 1 GROUP BY ymin)
+        |SELECT y0, y0 + 1 AS y1, n0, n1,
+        |  CAST(r0 AS DOUBLE) / 100.0 AS rev_y0,
+        |  CAST(r1 AS DOUBLE) / 100.0 AS rev_y1,
+        |  CAST(r1 - r0 AS DOUBLE) / 100.0 AS delta,
+        |  CAST((n1 - n0) * r0 AS DOUBLE) / CAST(n0 * 100 AS DOUBLE)
+        |    AS volume_effect,
+        |  CAST(r1 - r0 AS DOUBLE) / 100.0 -
+        |    CAST((n1 - n0) * r0 AS DOUBLE) / CAST(n0 * 100 AS DOUBLE)
+        |    AS value_effect
+        |FROM a""".stripMargin,
     "olap_delta_contribution" ->
       """WITH o AS (SELECT n_name, CAST(year(o_orderdate) AS BIGINT)
         |    AS yr,

@@ -1040,6 +1040,60 @@ class Round6Spec extends AnyFunSuite {
     assert(m.columns.toSeq == Seq("lang_pred", "band", "n_docs"))
   }
 
+  // ---- batch 32: seasonal anomaly / growth decomposition / temporal ----
+
+  test("seasonal anomaly: centers and MADs are ladder-exact per hour") {
+    val rows = q("ev_anomaly_seasonal")
+      .select($"hod", $"center", $"mad", $"n_cells", $"n_anomalies")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall(r => r._1 >= 0 && r._1 <= 23))
+    assert(rows.forall(r => r._5 <= r._4 && r._3 >= 0))
+    // recompute one hour's center/MAD/flags sequentially
+    val hc = spark.read.parquet(s"$dir/events.parquet")
+      .where($"ts".isNotNull)
+      .groupBy($"ts".cast("date").as("day"),
+        hour($"ts").cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"))
+      .select($"hod", $"n").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq)
+    def ladder(v: IndexedSeq[Long]): Long =
+      v(math.max(1, (50 * v.size + 99) / 100) - 1)
+    for ((hod, center, mad, nCells, nAnom) <- rows) {
+      val ns = hc(hod)
+      assert(nCells == ns.size)
+      assert(center == ladder(ns))
+      val devs = ns.map(n => math.abs(n - center)).sorted
+      assert(mad == ladder(devs))
+      assert(nAnom == devs.count(_ > 3 * mad))
+    }
+  }
+
+  test("growth decomposition: effects sum to the exact revenue delta") {
+    val r = q("olap_growth_decomposition").collect().head
+    val delta = r.getAs[Double]("delta")
+    val vol = r.getAs[Double]("volume_effect")
+    val vale = r.getAs[Double]("value_effect")
+    assert(math.abs((vol + vale) - delta) < 1e-9,
+      "the two effects tile the delta by construction")
+    assert(r.getAs[Long]("y1") == r.getAs[Long]("y0") + 1)
+    assert(r.getAs[Long]("n0") > 0)
+  }
+
+  test("temporal order: lag bounds bracket the flags") {
+    val r = q("dq_temporal_order").collect().head
+    val n = r.getAs[Long]("n_lines")
+    assert(n == spark.read.parquet(s"$dir/lineitem.parquet").count(),
+      "every lineitem has a parent order in this corpus")
+    val before = r.getAs[Long]("n_ship_before_order")
+    val late = r.getAs[Long]("n_late_90d")
+    assert(before + late <= n)
+    assert(r.getAs[Long]("min_lag_days") <= r.getAs[Long]("max_lag_days"))
+    if (late > 0) assert(r.getAs[Long]("max_lag_days") > 90)
+    // before-order is a TIMESTAMP test; a same-date violation still
+    // day-diffs to 0, so the bound is ≤ 0, not < 0
+    if (before > 0) assert(r.getAs[Long]("min_lag_days") <= 0)
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
