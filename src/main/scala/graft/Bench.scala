@@ -219,7 +219,11 @@ object Bench {
     // Round-6 thirty-second-batch first-ships: the seasonal-residual
     // anomaly detector (two ladder passes over hour cells) and the
     // cross-table temporal-order audit (lineitem-wide equi-join).
-    "ev_anomaly_seasonal", "dq_temporal_order")
+    "ev_anomaly_seasonal", "dq_temporal_order",
+    // Round-6 thirty-third-batch first-ships: modularity (pair graph +
+    // 4 label-prop rounds + three label-keyed aggregates) and the
+    // vocabulary concentration curve (token-stream aggregate).
+    "g_modularity", "t_ngram_coverage_curve")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

@@ -575,6 +575,60 @@ object OlapQueries {
         "item_a", "item_b", rounds = 4)
         .orderBy(col("node"))),
 
+    // Community-partition QUALITY — Newman modularity of the label-
+    // propagation communities over the co-purchase graph: Q =
+    // Σ_c [e_c/m − (d_c/2m)²]. Every count (directed internal edges
+    // in_c, degree sums d_c, edge total m) is an exact integer from
+    // label-keyed aggregates; the per-community contribution is then
+    // in_c/(2m) − (d_c/(2m))² — identical float ops in identical
+    // order in both engines, no pow(). The frequent-pair edge table
+    // is STAGED once and feeds label prop, the degree table, and the
+    // internal-edge count, so the basket self-join runs one time.
+    "g_modularity" -> ((s, d) => {
+      val fp = graft.operators.Itemsets.frequentPairs(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
+        .select(col("item_a"), col("item_b"))
+        .localCheckpoint()
+      val e2 = fp.select(col("item_a").as("src"), col("item_b").as("dst"))
+        .unionByName(
+          fp.select(col("item_b").as("src"), col("item_a").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint()
+      val comm = graft.operators.Graph.labelPropagation(
+        fp, "item_a", "item_b", rounds = 4) // (node, community)
+      val mdf = e2.agg(count(lit(1)).as("cd"))
+        .select(expr("cd div 2").as("m"))
+      val deg = e2.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val inn = e2
+        .join(comm.select(col("node").as("src"),
+          col("community").as("ca")), "src")
+        .join(comm.select(col("node").as("dst"),
+          col("community").as("cb")), "dst")
+        .where(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community"))
+        .agg(count(lit(1)).as("in_directed"))
+      comm.join(deg, "node")
+        .groupBy(col("community"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("deg")).cast("long").as("deg_sum"))
+        .join(inn, Seq("community"), "left")
+        .select(col("community"), col("n_nodes"),
+          coalesce(col("in_directed"), lit(0L)).as("ind"),
+          col("deg_sum"))
+        .crossJoin(broadcast(mdf))
+        .select(col("community"), col("n_nodes"),
+          expr("ind div 2").as("e_in"), col("deg_sum"),
+          col("m").as("m_edges"),
+          (col("ind").cast("double") / (lit(2) * col("m")).cast("double")
+            - (col("deg_sum").cast("double") /
+                (lit(2) * col("m")).cast("double")) *
+              (col("deg_sum").cast("double") /
+                (lit(2) * col("m")).cast("double"))).as("q_contrib"))
+        .orderBy(col("community"))
+    }),
+
     // Support-weighted PageRank over the symmetric co-purchase graph:
     // rank mass follows co-purchase strength, not edge count. Integer
     // micro-units; the oracle unrolls all 3 rounds bit-for-bit. The
@@ -1240,6 +1294,49 @@ object OlapQueries {
         |    AS BIGINT) AS n_outliers
         |FROM d JOIN m ON m.g = d.g
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "g_modularity" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""c$i AS MATERIALIZED (SELECT e2.src, l${i - 1}.lbl,
+           |  count(*) AS cnt
+           |  FROM e2 JOIN l${i - 1} ON l${i - 1}.node = e2.dst
+           |  GROUP BY 1, 2),
+           |l$i AS MATERIALIZED (SELECT src AS node, lbl FROM (
+           |  SELECT src, lbl, row_number() OVER (PARTITION BY src
+           |    ORDER BY cnt DESC, lbl) AS rn FROM c$i) WHERE rn = 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+         |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+         |pr AS (SELECT a.it AS ia, c.it AS ib, count(*) AS s
+         |  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it GROUP BY 1, 2),
+         |fp AS (SELECT ia, ib FROM pr WHERE s >= 2),
+         |e2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |  SELECT ia AS src, ib AS dst FROM fp
+         |  UNION ALL SELECT ib, ia FROM fp)),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e2),
+         |$rounds,
+         |mm AS (SELECT CAST(count(*) // 2 AS BIGINT) AS m FROM e2),
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |  FROM e2 GROUP BY 1),
+         |inn AS (SELECT x.lbl AS community,
+         |  CAST(count(*) AS BIGINT) AS ind
+         |  FROM e2 JOIN l4 x ON x.node = e2.src
+         |  JOIN l4 y ON y.node = e2.dst
+         |  WHERE x.lbl = y.lbl GROUP BY 1),
+         |dc AS (SELECT l4.lbl AS community,
+         |  CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(sum(deg.deg) AS BIGINT) AS deg_sum
+         |  FROM l4 JOIN deg ON deg.node = l4.node GROUP BY 1)
+         |SELECT dc.community, dc.n_nodes,
+         |  CAST(coalesce(inn.ind, 0) // 2 AS BIGINT) AS e_in,
+         |  dc.deg_sum, mm.m AS m_edges,
+         |  CAST(coalesce(inn.ind, 0) AS DOUBLE) / CAST(2*mm.m AS DOUBLE)
+         |    - (CAST(dc.deg_sum AS DOUBLE) / CAST(2*mm.m AS DOUBLE))
+         |      * (CAST(dc.deg_sum AS DOUBLE) / CAST(2*mm.m AS DOUBLE))
+         |    AS q_contrib
+         |FROM dc LEFT JOIN inn ON inn.community = dc.community, mm
+         |ORDER BY 1""".stripMargin
+    },
     "g_communities" -> {
       val rounds = (1 to 4).map { i =>
         s"""c$i AS MATERIALIZED (SELECT e2.src, l${i - 1}.lbl,

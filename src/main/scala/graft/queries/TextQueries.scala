@@ -1301,6 +1301,38 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Vocabulary CONCENTRATION curve — what share of all token
+    // occurrences do the top-10 / top-100 / top-1000 types carry: the
+    // Zipf-mass summary behind vocab-size and stopword decisions (a
+    // corpus whose top-100 covers 80% tokenizes very differently from
+    // one where it covers 40%). The ranked head comes from ONE
+    // TakeOrdered over the vocab aggregate — no global sort — and the
+    // rank window then runs on ≤1000 rows; shares are exact permille
+    // floor division against the broadcast occurrence total.
+    "t_ngram_coverage_curve" -> ((s, d) => {
+      val tok = docs(s, d).select(
+        explode(filter(TextFunctions.tokens(col("text")),
+          w => length(w) > 0)).as("w"))
+      val vc = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // total pass + ranked-head pass
+      val total = vc.agg(sum(col("c")).cast("long").as("total_tokens"))
+      val ranked = vc.orderBy(desc("c"), col("w")).limit(1000)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("c"), col("w"))).cast("long"))
+      val ks = s.range(1).select(
+        explode(array(lit(10L), lit(100L), lit(1000L))).as("k"))
+      ranked.join(broadcast(ks), col("rn") <= col("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("c")).cast("long").as("mass"))
+        .crossJoin(broadcast(total))
+        .select(col("k"), col("n_terms"), col("mass"),
+          col("total_tokens"),
+          expr("(1000 * mass) div total_tokens").as("coverage_permille"))
+        .orderBy(col("k"))
+    }),
+
     // Corpus n-gram vocabulary: top-20 word bigrams by document frequency
     // (each doc counts a distinct bigram once) — the vocab-building scan
     // of a tokenizer-training pipeline.
@@ -2620,6 +2652,23 @@ object TextQueries {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |SELECT doc_id, lang FROM r WHERE rn<=10 ORDER BY lang, doc_id""".stripMargin,
+    "t_ngram_coverage_curve" ->
+      s"""WITH w AS (SELECT list_filter($wsSql, x -> length(x) > 0) AS ws
+         |  FROM documents),
+         |tok AS (SELECT unnest(ws) AS tok FROM w),
+         |vc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens FROM vc),
+         |r AS (SELECT tok, c,
+         |  CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rn
+         |  FROM vc),
+         |k AS (SELECT CAST(unnest([10, 100, 1000]) AS BIGINT) AS k)
+         |SELECT k.k, CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(sum(r.c) AS BIGINT) AS mass, tot.total_tokens,
+         |  (1000 * CAST(sum(r.c) AS BIGINT)) // tot.total_tokens
+         |    AS coverage_permille
+         |FROM k JOIN r ON r.rn <= k.k, tot
+         |GROUP BY 1, tot.total_tokens ORDER BY 1""".stripMargin,
     "t_top_ngrams" ->
       s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
          |g AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -1094,6 +1094,39 @@ class Round6Spec extends AnyFunSuite {
     if (before > 0) assert(r.getAs[Long]("min_lag_days") <= 0)
   }
 
+  // ---- batch 33: modularity / coverage curve ---------------------------
+
+  test("modularity: degree and edge ledgers reconcile; Q is bounded") {
+    val rows = q("g_modularity")
+      .select($"n_nodes", $"e_in", $"deg_sum", $"m_edges", $"q_contrib")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val m = rows.head._4
+    assert(rows.forall(_._4 == m), "m is a global constant")
+    assert(rows.map(_._3).sum == 2 * m, "Σ deg_sum = 2m (handshake)")
+    assert(rows.map(_._2).sum <= m, "internal edges never exceed m")
+    val qTotal = rows.map(_._5).sum
+    assert(qTotal >= -0.5 && qTotal <= 1.0, s"Q=$qTotal out of range")
+    // communities must be the same partition g_communities reports
+    val nNodes = rows.map(_._1).sum
+    assert(nNodes == q("g_communities").count())
+  }
+
+  test("coverage curve: mass is monotone in k and bounded by the total") {
+    val rows = q("t_ngram_coverage_curve")
+      .select($"k", $"n_terms", $"mass", $"total_tokens",
+        $"coverage_permille")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(10L, 100L, 1000L))
+    val vocabHead = rows.last._2 // largest k sees the full (capped) vocab
+    assert(rows.forall(r => r._2 == math.min(r._1, vocabHead)),
+      "n_terms = min(k, vocab size)")
+    val masses = rows.map(_._3)
+    assert(masses.zip(masses.drop(1)).forall { case (a, b) => a <= b })
+    assert(rows.forall(r => r._3 <= r._4 && r._5 <= 1000))
+    assert(rows.forall(r => r._5 == 1000L * r._3 / r._4))
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
