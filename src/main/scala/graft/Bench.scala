@@ -223,7 +223,10 @@ object Bench {
     // Round-6 thirty-third-batch first-ships: modularity (pair graph +
     // 4 label-prop rounds + three label-keyed aggregates) and the
     // vocabulary concentration curve (token-stream aggregate).
-    "g_modularity", "t_ngram_coverage_curve")
+    "g_modularity", "t_ngram_coverage_curve",
+    // Round-6 thirty-fourth-batch first-ships: per-path conversion
+    // (session_window assembly) and the hourly load-error correlation.
+    "ev_path_conversion", "ev_load_error_corr")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

@@ -56,6 +56,65 @@ object EventQueries {
         .orderBy(desc("n"), col("path")).limit(15)
     }),
 
+    // Per-path CONVERSION — which session journeys actually end in
+    // money: the top-15 paths by volume with each path's exact
+    // permille purchase-conversion rate (the "what flows convert"
+    // card one step past ev_session_paths' raw counts). The SAME
+    // user-local session_window assembly; the conversion flag is a
+    // max() inside the session aggregate, so it costs nothing extra;
+    // the rate divides the path row's own integers.
+    "ev_path_conversion" -> ((s, d) => {
+      val e = ev(s, d).where(col("ts").isNotNull)
+      e.groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x("event_type")), ">").as("path"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("conv")).cast("long").as("n_converted"))
+        .orderBy(desc("n_sessions"), col("path")).limit(15)
+        .withColumn("conv_permille",
+          expr("(1000 * n_converted) div n_sessions"))
+    }),
+
+    // Does the ERROR count track the TRAFFIC — the capacity-planning
+    // question ("are errors load-proportional or independent?"),
+    // answered as Pearson r over hourly (events, errors) cells plus
+    // the OLS slope (errors per event). One grouped count over facts;
+    // the correlation moments are exact DECIMAL(38,0) sums over the
+    // ~|hours| aggregate (the Stats.corrOls discipline), floats only
+    // in the final r/slope divisions — identical ops both engines.
+    "ev_load_error_corr" -> ((s, d) => {
+      val hourly = ev(s, d).where(col("ts").isNotNull)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("x"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("y"))
+      val d38 = "decimal(38,0)"
+      val m = hourly.agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x")).cast(d38).as("sx"),
+        sum(col("y")).cast(d38).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("y") * col("y")).cast(d38)).as("syy"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val denx = col("n") * col("sxx") - col("sx") * col("sx")
+      val deny = col("n") * col("syy") - col("sy") * col("sy")
+      m.select(col("n").cast("long").as("n_hours"),
+        col("sx").cast("long").as("total_events"),
+        col("sy").cast("long").as("total_errors"),
+        when(denx > 0 && deny > 0,
+          num.cast("double") /
+            (sqrt(denx.cast("double")) * sqrt(deny.cast("double"))))
+          .as("r"),
+        when(denx > 0, num.cast("double") / denx.cast("double"))
+          .as("slope"))
+    }),
+
     // Bounce rate per user — the engagement-quality companion of
     // ev_session_paths: share of a user's 30-minute sessions containing
     // exactly one event. Session assembly is the same user-local
@@ -1495,6 +1554,52 @@ object EventQueries {
         |  FROM g GROUP BY 1, 2)
         |SELECT path, count(*) AS n FROM p GROUP BY 1
         |ORDER BY n DESC, path LIMIT 15""".stripMargin,
+    "ev_path_conversion" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type
+        |  FROM events WHERE ts IS NOT NULL),
+        |f AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id)),
+        |g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f),
+        |p AS (SELECT user_id, sid,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS conv
+        |  FROM g GROUP BY 1, 2),
+        |t AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(conv) AS BIGINT) AS n_converted
+        |  FROM p GROUP BY 1
+        |  ORDER BY n_sessions DESC, path LIMIT 15)
+        |SELECT path, n_sessions, n_converted,
+        |  (1000 * n_converted) // n_sessions AS conv_permille
+        |FROM t ORDER BY n_sessions DESC, path""".stripMargin,
+    "ev_load_error_corr" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+        |  CAST(count(*) AS BIGINT) AS x,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |  CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+        |  CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+        |  CAST(sum(x*y) AS DECIMAL(38,0)) AS sxy,
+        |  CAST(sum(x*x) AS DECIMAL(38,0)) AS sxx,
+        |  CAST(sum(y*y) AS DECIMAL(38,0)) AS syy FROM h)
+        |SELECT CAST(n AS BIGINT) AS n_hours,
+        |  CAST(sx AS BIGINT) AS total_events,
+        |  CAST(sy AS BIGINT) AS total_errors,
+        |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+        |    CAST(n*sxy - sx*sy AS DOUBLE) /
+        |      (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+        |       sqrt(CAST(n*syy - sy*sy AS DOUBLE))) END AS r,
+        |  CASE WHEN n*sxx - sx*sx > 0 THEN
+        |    CAST(n*sxy - sx*sy AS DOUBLE) /
+        |      CAST(n*sxx - sx*sx AS DOUBLE) END AS slope
+        |FROM m""".stripMargin,
     "ev_bounce_rate" ->
       """WITH e AS (SELECT user_id, ts, event_id
         |  FROM events WHERE ts IS NOT NULL),

@@ -1127,6 +1127,38 @@ class Round6Spec extends AnyFunSuite {
     assert(rows.forall(r => r._5 == 1000L * r._3 / r._4))
   }
 
+  // ---- batch 34: path conversion / load-error correlation --------------
+
+  test("path conversion: rates are honest and purchase paths convert") {
+    val rows = q("ev_path_conversion")
+      .select($"path", $"n_sessions", $"n_converted", $"conv_permille")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    assert(rows.forall(r => r._3 <= r._2 && r._4 <= 1000))
+    assert(rows.forall(r => r._4 == 1000L * r._3 / r._2))
+    // a path containing 'purchase' converts by definition; one
+    // without can never convert
+    for ((path, n, conv, _) <- rows)
+      if (path.split(">").contains("purchase")) assert(conv == n)
+      else assert(conv == 0L)
+    // volumes agree with ev_session_paths on the shared top-15
+    val sp = q("ev_session_paths")
+      .select($"path", $"n").as[(String, Long)].collect().toMap
+    assert(rows.forall(r => sp.get(r._1).forall(_ == r._2)))
+  }
+
+  test("load-error correlation: moments reconcile with the hourly cells") {
+    val r = q("ev_load_error_corr").collect().head
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .where($"ts".isNotNull)
+    assert(r.getAs[Long]("total_events") == ev.count())
+    assert(r.getAs[Long]("total_errors") ==
+      ev.where($"event_type" === "error").count())
+    val corr = r.getAs[Double]("r")
+    assert(corr >= -1.0 && corr <= 1.0)
+    assert(r.getAs[Long]("n_hours") > 0)
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
