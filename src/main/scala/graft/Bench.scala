@@ -226,7 +226,10 @@ object Bench {
     "g_modularity", "t_ngram_coverage_curve",
     // Round-6 thirty-fourth-batch first-ships: per-path conversion
     // (session_window assembly) and the hourly load-error correlation.
-    "ev_path_conversion", "ev_load_error_corr")
+    "ev_path_conversion", "ev_load_error_corr",
+    // Round-6 thirty-fifth-batch first-ships: the strict-order window
+    // funnel (three conditional-min fact passes) and χ² drift.
+    "ev_window_funnel", "dq_drift_chisq")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

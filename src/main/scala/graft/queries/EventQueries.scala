@@ -56,6 +56,42 @@ object EventQueries {
         .orderBy(desc("n"), col("path")).limit(15)
     }),
 
+    // Strict-order WINDOW FUNNEL (the ClickHouse windowFunnel
+    // semantics, distinct from ev_funnel's min-timestamp family): how
+    // deep does each user get through view → click → purchase when
+    // every later step must happen AFTER the previous step and within
+    // 24 h of the FIRST step. Each level is one conditional-min
+    // aggregate joined user-keyed onto the previous level's anchor —
+    // three fact passes, no window over facts, no per-user event
+    // arrays; the result is the ≤4-row level histogram.
+    "ev_window_funnel" -> ((s, d) => {
+      val e = ev(s, d).where(col("ts").isNotNull)
+      val t1 = e.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = e.where(col("event_type") === "click")
+        .join(t1, "user_id")
+        .where(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("interval 24 hours"))
+        .groupBy(col("user_id"), col("t1"))
+        .agg(min(col("ts")).as("t2"))
+      val t3 = e.where(col("event_type") === "purchase")
+        .join(t2, "user_id")
+        .where(col("ts") > col("t2") &&
+          col("ts") <= col("t1") + expr("interval 24 hours"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      e.select(col("user_id")).distinct()
+        .join(t1.select(col("user_id"), lit(1L).as("l1")), Seq("user_id"), "left")
+        .join(t2.select(col("user_id"), lit(1L).as("l2")), Seq("user_id"), "left")
+        .join(t3.select(col("user_id"), lit(1L).as("l3")), Seq("user_id"), "left")
+        .select(
+          when(col("l3").isNotNull, 3L)
+            .when(col("l2").isNotNull, 2L)
+            .when(col("l1").isNotNull, 1L)
+            .otherwise(0L).as("level"))
+        .groupBy(col("level")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("level"))
+    }),
+
     // Per-path CONVERSION — which session journeys actually end in
     // money: the top-15 paths by volume with each path's exact
     // permille purchase-conversion rate (the "what flows convert"
@@ -1554,6 +1590,32 @@ object EventQueries {
         |  FROM g GROUP BY 1, 2)
         |SELECT path, count(*) AS n FROM p GROUP BY 1
         |ORDER BY n DESC, path LIMIT 15""".stripMargin,
+    "ev_window_funnel" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events
+        |  WHERE ts IS NOT NULL),
+        |t1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, t1.t1, min(e.ts) AS t2
+        |  FROM e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t1
+        |    AND e.ts <= t1.t1 + INTERVAL 24 HOURS
+        |  GROUP BY 1, 2),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |  FROM e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        |    AND e.ts <= t2.t1 + INTERVAL 24 HOURS
+        |  GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |lv AS (SELECT u.user_id,
+        |  CASE WHEN t3.user_id IS NOT NULL THEN 3
+        |    WHEN t2.user_id IS NOT NULL THEN 2
+        |    WHEN t1.user_id IS NOT NULL THEN 1 ELSE 0 END AS level
+        |  FROM u LEFT JOIN t1 ON u.user_id = t1.user_id
+        |  LEFT JOIN t2 ON u.user_id = t2.user_id
+        |  LEFT JOIN t3 ON u.user_id = t3.user_id)
+        |SELECT CAST(level AS BIGINT) AS level,
+        |  count(*) AS n_users
+        |FROM lv GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_path_conversion" ->
       """WITH e AS (SELECT user_id, ts, event_id, event_type
         |  FROM events WHERE ts IS NOT NULL),

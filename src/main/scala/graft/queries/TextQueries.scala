@@ -884,6 +884,38 @@ object TextQueries {
         docs(s, d).where(col("doc_id") % 2 === 0),
         docs(s, d).where(col("doc_id") % 2 === 1), "lang")),
 
+    // χ² drift contributions — WHICH category drove the shift, the
+    // attribution sheet beside dq_drift_lang's single TVD score. The
+    // two-sample χ² term collapses algebraically to D_i²/(A·B·c_i)
+    // with D_i = B·a_i − A·b_i and c_i = a_i + b_i — all exact
+    // integers, one double division per category and NO global float
+    // sum (Σ over categories is the caller's reduction; a cross-
+    // engine float sum over an unordered aggregate would not be
+    // bit-stable, so the engine refuses to take it).
+    "dq_drift_chisq" -> ((s, d) => {
+      val ca = docs(s, d).where(col("doc_id") % 2 === 0)
+        .groupBy(col("lang").as("cat")).agg(count(lit(1)).as("n_a"))
+      val cb = docs(s, d).where(col("doc_id") % 2 === 1)
+        .groupBy(col("lang").as("cat2")).agg(count(lit(1)).as("n_b"))
+      val j = ca.join(cb, col("cat") === col("cat2"), "full_outer")
+        .select(coalesce(col("cat"), col("cat2")).as("cat"),
+          coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"))
+      val tot = j.agg(sum(col("n_a")).cast("long").as("ta"),
+        sum(col("n_b")).cast("long").as("tb"))
+      val d38 = "decimal(38,0)"
+      j.crossJoin(broadcast(tot))
+        .select(col("cat"), col("n_a"), col("n_b"),
+          ((col("tb") * col("n_a") - col("ta") * col("n_b"))
+            .cast(d38) *
+           (col("tb") * col("n_a") - col("ta") * col("n_b"))
+            .cast(d38)).cast("double")
+            .divide(((col("ta") * col("tb")).cast(d38) *
+              (col("n_a") + col("n_b")).cast(d38)).cast("double"))
+            .as("contrib"))
+        .orderBy(col("cat"))
+    }),
+
     // Numeric drift through the shared pinned histogram grid: n_chars
     // of the two halves bucketed identically, then categorical TVD.
     "dq_drift_nchars" -> ((s, d) =>
@@ -2576,6 +2608,23 @@ object TextQueries {
         |  coalesce(n, 0) AS n
         |FROM s CROSS JOIN t LEFT JOIN c ON c.bucket = s.bucket
         |ORDER BY 1""".stripMargin,
+    "dq_drift_chisq" ->
+      """WITH a AS (SELECT lang AS cat, count(*) AS n_a FROM documents
+        |  WHERE doc_id % 2 = 0 GROUP BY 1),
+        |b AS (SELECT lang AS cat, count(*) AS n_b FROM documents
+        |  WHERE doc_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT coalesce(a.cat, b.cat) AS cat,
+        |  CAST(coalesce(a.n_a, 0) AS BIGINT) AS n_a,
+        |  CAST(coalesce(b.n_b, 0) AS BIGINT) AS n_b
+        |  FROM a FULL OUTER JOIN b ON a.cat = b.cat),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |  CAST(sum(n_b) AS BIGINT) AS tb FROM j)
+        |SELECT cat, n_a, n_b,
+        |  CAST(CAST(tb*n_a - ta*n_b AS DECIMAL(38,0)) *
+        |       CAST(tb*n_a - ta*n_b AS DECIMAL(38,0)) AS DOUBLE) /
+        |  CAST(CAST(ta*tb AS DECIMAL(38,0)) *
+        |       CAST(n_a + n_b AS DECIMAL(38,0)) AS DOUBLE) AS contrib
+        |FROM j, t ORDER BY cat""".stripMargin,
     "dq_drift_lang" ->
       """WITH a AS (SELECT lang AS cat FROM documents WHERE doc_id % 2 = 0),
         |b AS (SELECT lang AS cat FROM documents WHERE doc_id % 2 = 1),

@@ -1159,6 +1159,37 @@ class Round6Spec extends AnyFunSuite {
     assert(r.getAs[Long]("n_hours") > 0)
   }
 
+  // ---- batch 35: window funnel / chi-square drift ----------------------
+
+  test("window funnel: levels partition users and depth is monotone") {
+    val rows = q("ev_window_funnel")
+      .select($"level", $"n_users").as[(Long, Long)].collect().toMap
+    val users = spark.read.parquet(s"$dir/events.parquet")
+      .where($"ts".isNotNull).select($"user_id").distinct().count()
+    assert(rows.values.sum == users, "every user has exactly one level")
+    assert(rows.keys.forall(l => l >= 0 && l <= 3))
+    // strict-order semantics: reaching level k implies the level-(k-1)
+    // population includes you, so cumulative counts are monotone
+    val atLeast = (0L to 3L).map(k =>
+      rows.filter(_._1 >= k).values.sum)
+    assert(atLeast.zip(atLeast.drop(1)).forall { case (a, b) => a >= b })
+  }
+
+  test("chi-square drift: contributions reconcile with the split counts") {
+    val rows = q("dq_drift_chisq")
+      .select($"cat", $"n_a", $"n_b", $"contrib")
+      .as[(String, Long, Long, Double)].collect()
+    val ta = rows.map(_._2).sum; val tb = rows.map(_._3).sum
+    assert(ta + tb ==
+      spark.read.parquet(s"$dir/documents.parquet").count())
+    for ((_, na, nb, contrib) <- rows) {
+      val dd = (tb * na - ta * nb).toDouble
+      val expect = dd * dd / (ta.toDouble * tb * (na + nb))
+      assert(math.abs(contrib - expect) < 1e-12)
+      assert(contrib >= 0.0)
+    }
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
