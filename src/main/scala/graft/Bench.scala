@@ -353,6 +353,13 @@ object Bench {
     // retry-cleared — the documented block-transient pattern).
     "dq_order_reconcile" -> 1.18, "sim_anisotropy" -> 0.31,
     "ev_forecast_backtest" -> 0.31, "dq_duplicate_rows" -> 0.91,
+    // Round-6 batch 32-35 pins, from the round's THIRTEENTH full-set
+    // run (169 queries, 245.2 s, 169/169 measured, zero failures,
+    // zero regressions, zero suspects).
+    "ev_anomaly_seasonal" -> 1.16, "dq_temporal_order" -> 0.42,
+    "g_modularity" -> 3.98, "t_ngram_coverage_curve" -> 0.29,
+    "ev_path_conversion" -> 0.58, "ev_load_error_corr" -> 0.18,
+    "ev_window_funnel" -> 0.60, "dq_drift_chisq" -> 0.32,
     // Round-6 session pins (batches 15–19), from the round's SEVENTH
     // full-set run (138 queries, 210.0 s, 138/138 measured, zero
     // failures, zero regressions, zero suspects — BASELINE.md

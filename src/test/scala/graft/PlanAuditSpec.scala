@@ -627,6 +627,48 @@ class PlanAuditSpec extends AnyFunSuite {
       s"triple mining degraded to a product join:\n$p")
   }
 
+  test("order reconcile: pruned scans, partial aggregation, equi-outer join") {
+    val p = plan("dq_order_reconcile")
+    // full-outer on the order key must stay an equi join
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"reconcile degraded to a product join:\n$p")
+    assert(p.contains("FullOuter"), s"reconcile lost full-outer:\n$p")
+    // the lineitem scan must not read the columns the audit never uses
+    assert(!p.contains("l_quantity") && !p.contains("l_shipdate"),
+      s"reconcile scan reads pruned columns:\n$p")
+  }
+
+  test("temporal-order audit joins equi and prunes both scans") {
+    val p = plan("dq_temporal_order")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"temporal audit degraded to a product join:\n$p")
+    assert(!p.contains("l_extendedprice"),
+      s"temporal audit reads pruned lineitem columns:\n$p")
+  }
+
+  test("window funnel anchors join equi with time bands as filters") {
+    val p = plan("ev_window_funnel")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"window funnel degraded to a loop join:\n$p")
+    assert(!p.contains("Window"),
+      s"window funnel should need no window operator:\n$p")
+  }
+
+  test("coverage curve takes its head via TakeOrdered, not a global sort") {
+    val p = plan("t_ngram_coverage_curve")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab head lost its TakeOrdered:\n$p")
+  }
+
+  test("modularity never builds a node product beyond the staged edges") {
+    val p = plan("g_modularity")
+    assert(!p.contains("CartesianProduct"),
+      s"modularity grew a cartesian:\n$p")
+  }
+
   test("p-chart and growth accounting stay on aggregate-sized state") {
     // p-chart: one day aggregate + broadcast totals, no data-sized join.
     val pc = plan("ev_error_pchart")
