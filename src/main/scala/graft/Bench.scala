@@ -229,7 +229,11 @@ object Bench {
     "ev_path_conversion", "ev_load_error_corr",
     // Round-6 thirty-fifth-batch first-ships: the strict-order window
     // funnel (three conditional-min fact passes) and χ² drift.
-    "ev_window_funnel", "dq_drift_chisq")
+    "ev_window_funnel", "dq_drift_chisq",
+    // Round-6 thirty-sixth-batch first-ships: k-means diversity
+    // sampling (trained centroids + per-cell quota) and MTTR (one
+    // forward-frame user window + the quantile ladder).
+    "sim_diverse_sample", "ev_mttr")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

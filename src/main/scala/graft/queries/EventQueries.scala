@@ -56,6 +56,38 @@ object EventQueries {
         .orderBy(desc("n"), col("path")).limit(15)
     }),
 
+    // MTTR — time from each ERROR to the user's next successful event:
+    // the SRE recovery metric (p50/p90, exact microseconds). The
+    // forward-looking "next OK" is ONE user-keyed conditional-min
+    // window over the FOLLOWING frame — no self-join, no as-of pass —
+    // and the quantiles come from the exact histogram ladder over the
+    // error-gap set. Counts ride the same error slice; display
+    // microseconds stay integers end-to-end.
+    "ev_mttr" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(1, org.apache.spark.sql.expressions.Window
+          .unboundedFollowing)
+      val errs = ev(s, d).where(col("ts").isNotNull)
+        .withColumn("nxt_ok",
+          min(when(col("event_type") =!= "error", col("ts"))).over(w))
+        .where(col("event_type") === "error")
+        .localCheckpoint() // counts pass + quantile ladder passes
+      val gaps = errs.where(col("nxt_ok").isNotNull)
+        .select(lit("all").as("g"),
+          expr("unix_micros(nxt_ok) - unix_micros(ts)").as("gap_us"))
+      val q = graft.operators.Median.groupQuantilesLong(
+          gaps, Seq("g"), "gap_us", Seq(50, 90))
+        .select(col("pct"), col("value").as("gap_us"))
+      val t = errs.agg(count(lit(1)).as("n_errors"),
+        sum(when(col("nxt_ok").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_recovered"))
+      q.crossJoin(broadcast(t))
+        .select(col("pct"), col("n_errors"), col("n_recovered"),
+          col("gap_us"))
+        .orderBy(col("pct"))
+    }),
+
     // Strict-order WINDOW FUNNEL (the ClickHouse windowFunnel
     // semantics, distinct from ev_funnel's min-timestamp family): how
     // deep does each user get through view → click → purchase when
@@ -1590,6 +1622,28 @@ object EventQueries {
         |  FROM g GROUP BY 1, 2)
         |SELECT path, count(*) AS n FROM p GROUP BY 1
         |ORDER BY n DESC, path LIMIT 15""".stripMargin,
+    "ev_mttr" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE ts IS NOT NULL),
+        |f AS (SELECT *, min(CASE WHEN event_type <> 'error' THEN ts END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |    AS nxt_ok
+        |  FROM e),
+        |er AS (SELECT * FROM f WHERE event_type = 'error'),
+        |g AS (SELECT CAST(epoch_us(nxt_ok) - epoch_us(ts) AS BIGINT)
+        |    AS gap_us FROM er WHERE nxt_ok IS NOT NULL),
+        |t AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM er)
+        |    AS n_errors,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_recovered),
+        |r AS (SELECT gap_us, row_number() OVER (ORDER BY gap_us) AS rn,
+        |  count(*) OVER () AS cnt FROM g),
+        |sel AS (SELECT CAST(50 AS BIGINT) AS pct, gap_us FROM r
+        |  WHERE rn = greatest(1, (50*cnt + 99)//100)
+        |UNION ALL SELECT CAST(90 AS BIGINT), gap_us FROM r
+        |  WHERE rn = greatest(1, (90*cnt + 99)//100))
+        |SELECT sel.pct, t.n_errors, t.n_recovered, sel.gap_us
+        |FROM sel, t ORDER BY pct""".stripMargin,
     "ev_window_funnel" ->
       """WITH e AS (SELECT user_id, ts, event_type FROM events
         |  WHERE ts IS NOT NULL),

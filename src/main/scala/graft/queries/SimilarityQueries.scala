@@ -714,6 +714,29 @@ object SimilarityQueries {
         .orderBy(col("label"))
     }),
 
+    // DIVERSITY sampling — one small quota per k-means cell of the
+    // embedding space (the SemDeDup/DiverseSample curation move: a
+    // uniform row sample over-draws the dense clusters; sampling
+    // per-cell guarantees every REGION of the space is represented).
+    // Training is the shared k=8/iters=2/seed=7 codepath the IVF
+    // variants already prove; assignment is one broadcast-centroid
+    // projection, and the quota is a row_number over each cell
+    // ordered by vec_id — deterministic, never a global sort.
+    "sim_diverse_sample" -> ((s, d) => {
+      val v0 = emb(s, d)
+      val trained = Similarity.kmeansCentroids(v0, "embedding",
+        dim = 64, k = 8, iters = 2, seed = 7L)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cell")).orderBy(col("vec_id"))
+      v0.withColumn("cell",
+          Similarity.centroidCell(col("embedding"), trained)
+            .cast("long"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 5)
+        .select(col("cell"), col("vec_id"), col("rank"))
+        .orderBy(col("cell"), col("rank"))
+    }),
+
     // Embedding-space ANISOTROPY audit — the mean pairwise dot product
     // of the whole corpus WITHOUT any pair join: for quantized vectors
     // q = floor(x·4096), Σ_{i≠j}⟨q_i,q_j⟩ = ‖Σq‖² − Σ‖q‖², so the
@@ -1468,6 +1491,16 @@ object SimilarityQueries {
          |  FROM s)
          |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=3
          |ORDER BY q_id, rank""".stripMargin,
+    "sim_diverse_sample" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |${kmeansCtes(k = 8, iters = 2, seed = 7L)},
+         |r AS (SELECT CAST(cell AS BIGINT) AS cell, vec_id,
+         |  CAST(row_number() OVER (PARTITION BY cell ORDER BY vec_id)
+         |    AS BIGINT) AS rank
+         |  FROM aF)
+         |SELECT cell, vec_id, rank FROM r WHERE rank <= 5
+         |ORDER BY cell, rank""".stripMargin,
     "sim_anisotropy" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |  FROM embeddings),

@@ -1190,6 +1190,38 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  // ---- batch 36: diverse sample / MTTR ----------------------------------
+
+  test("diverse sample: quotas respected and members belong to their cell") {
+    val rows = q("sim_diverse_sample")
+      .select($"cell", $"vec_id", $"rank").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.groupBy(_._1).values.forall(_.length <= 5))
+    assert(rows.forall(r => r._3 >= 1 && r._3 <= 5))
+    // ranks are dense per cell and follow vec_id order
+    for ((_, members) <- rows.groupBy(_._1)) {
+      val sorted = members.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to sorted.length).toSeq)
+      val ids = sorted.map(_._2)
+      assert(ids.zip(ids.drop(1)).forall { case (a, b) => a < b })
+    }
+    // deterministic across runs (k-means is seeded)
+    val again = q("sim_diverse_sample").collect().toSeq
+    assert(again == q("sim_diverse_sample").collect().toSeq)
+  }
+
+  test("mttr: recovery gaps are observed values and p50 <= p90") {
+    val rows = q("ev_mttr")
+      .select($"pct", $"n_errors", $"n_recovered", $"gap_us")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(50L, 90L))
+    assert(rows(0)._4 <= rows(1)._4, "p50 <= p90")
+    assert(rows.forall(r => r._3 <= r._2 && r._4 > 0))
+    val errors = spark.read.parquet(s"$dir/events.parquet")
+      .where($"ts".isNotNull && $"event_type" === "error").count()
+    assert(rows.head._2 == errors)
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
