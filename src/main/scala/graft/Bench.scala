@@ -233,7 +233,11 @@ object Bench {
     // Round-6 thirty-sixth-batch first-ships: k-means diversity
     // sampling (trained centroids + per-cell quota) and MTTR (one
     // forward-frame user window + the quantile ladder).
-    "sim_diverse_sample", "ev_mttr")
+    "sim_diverse_sample", "ev_mttr",
+    // Round-6 thirty-seventh-batch first-ships: the adoption curve
+    // (per-type first-use + running total) and the three-table domain
+    // conformance audit.
+    "ev_adoption_curve", "dq_domain_conformance")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

@@ -571,6 +571,36 @@ object CoreQueries {
       Quality.report(custReport, liReport, fkReport)
     }),
 
+    // DQ (ext): enumerated-DOMAIN conformance — are the categorical
+    // columns still drawing from their declared value sets (the
+    // upstream-schema-drift check that catches a renamed event type or
+    // a new order status before it silently lands in every GROUP BY).
+    // One aggregate per audited column against its PINNED allowed
+    // set (broadcast literal), unioned; min() surfaces a deterministic
+    // example violator.
+    "dq_domain_conformance" -> ((s, d) => {
+      def audit(df: DataFrame, tbl: String, c: String,
+                allowed: Seq[String]) =
+        df.agg(count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_null"),
+          sum(when(col(c).isNotNull && !col(c).isin(allowed: _*), 1L)
+            .otherwise(0L)).cast("long").as("n_out_of_domain"),
+          min(when(col(c).isNotNull && !col(c).isin(allowed: _*),
+            col(c))).as("example_violation"))
+          .select(lit(s"$tbl.$c").as("column"), col("n_rows"),
+            col("n_null"), col("n_out_of_domain"),
+            col("example_violation"))
+      audit(t(s, d, "events"), "events", "event_type",
+          Seq("view", "click", "purchase", "signup", "error"))
+        .unionByName(audit(t(s, d, "orders"), "orders", "o_orderstatus",
+          Seq("F", "O", "P")))
+        .unionByName(audit(t(s, d, "customer"), "customer",
+          "c_mktsegment", Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+            "HOUSEHOLD", "MACHINERY")))
+        .orderBy(col("column"))
+    }),
+
     // DQ (ext): TEMPORAL-ORDER audit — cross-table event-ordering
     // integrity: a lineitem must not ship before its order was placed,
     // and a ship lag beyond 90 days is an SLA breach worth counting.
@@ -1210,6 +1240,40 @@ object CoreQueries {
          |  abs(CAST(c.n AS DOUBLE)/tot - e.expected) AS deviation
          |FROM c JOIN e USING (digit), tt ORDER BY c.digit""".stripMargin
     },
+    "dq_domain_conformance" ->
+      """WITH a AS (
+        |SELECT 'events.event_type' AS "column", count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_null,
+        |  CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type
+        |    NOT IN ('view','click','purchase','signup','error')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_domain,
+        |  min(CASE WHEN event_type IS NOT NULL AND event_type
+        |    NOT IN ('view','click','purchase','signup','error')
+        |    THEN event_type END) AS example_violation
+        |FROM events
+        |UNION ALL
+        |SELECT 'orders.o_orderstatus', count(*),
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(sum(CASE WHEN o_orderstatus IS NOT NULL AND
+        |    o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  min(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus
+        |    NOT IN ('F','O','P') THEN o_orderstatus END)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'customer.c_mktsegment', count(*),
+        |  CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(sum(CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment
+        |    NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD',
+        |    'MACHINERY') THEN 1 ELSE 0 END) AS BIGINT),
+        |  min(CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment
+        |    NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD',
+        |    'MACHINERY') THEN c_mktsegment END)
+        |FROM customer)
+        |SELECT * FROM a ORDER BY "column"""".stripMargin,
     "dq_temporal_order" ->
       """WITH j AS (SELECT l.l_shipdate, o.o_orderdate,
         |  CAST(date_diff('day', CAST(o.o_orderdate AS DATE),

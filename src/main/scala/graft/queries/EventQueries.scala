@@ -690,6 +690,46 @@ object EventQueries {
     // decision is EXACT integer arithmetic — 625·D²·N vs
     // 2401·n₁n₂·x·(N−x) with D = x₁n₂−x₂n₁ (z² > 1.96² cross-
     // multiplied, 1.96² = 2401/625) — no float threshold can flip it.
+    // Sample-Ratio-Mismatch guardrail — the FIRST check any A/B
+    // readout must pass: is the user_id%2 assignment actually 50/50?
+    // A skewed split invalidates ev_ab_test before any effect size is
+    // read. The 1-df χ² decision at α=0.05 is EXACT integer
+    // arithmetic: (a−b)²/(a+b) > 3.84 ⟺ 25·(a−b)² > 96·(a+b) — no
+    // float threshold can flip it. One distinct-user aggregate.
+    "ev_ab_srm" -> ((s, d) =>
+      ev(s, d).select(col("user_id")).distinct()
+        .select(pmod(col("user_id"), lit(2)).cast("long").as("grp"))
+        .agg(sum(when(col("grp") === 0, 1L).otherwise(0L))
+            .cast("long").as("n_a"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L))
+            .cast("long").as("n_b"))
+        .select(col("n_a"), col("n_b"),
+          (lit(25L) * (col("n_a") - col("n_b")) *
+            (col("n_a") - col("n_b")) >
+            lit(96L) * (col("n_a") + col("n_b"))).as("srm_detected"))),
+
+    // Cumulative ADOPTION curve — per event type, how many users had
+    // used it by each day: each user's first-use day per type is one
+    // grouped min; the running total is a window over the ≤|types|·
+    // |days| first-use aggregate, never over facts. The PM "feature
+    // uptake" card.
+    "ev_adoption_curve" -> ((s, d) => {
+      val first = ev(s, d).where(col("ts").isNotNull)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(col("ts").cast("date")).as("first_day"))
+      val daily = first.groupBy(col("event_type"),
+          col("first_day").as("day"))
+        .agg(count(lit(1)).as("n_new"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      daily.withColumn("n_adopted", sum(col("n_new")).over(w))
+        .select(col("event_type"), col("day"), col("n_new"),
+          col("n_adopted").cast("long").as("n_adopted"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     "ev_ab_test" -> ((s, d) => {
       // Conversion = the user's FIRST purchase (event-time order, id
       // tie-break) had value ≥ 50 — a non-saturating definition ("has
@@ -1458,6 +1498,26 @@ object EventQueries {
         |SELECT day, hod, n, hod_cells, hod_total,
         |  n * hod_cells > 2 * hod_total AS is_peak
         |FROM hc JOIN b USING (hod) ORDER BY day, hod""".stripMargin,
+    "ev_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |g AS (SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_b FROM u)
+        |SELECT n_a, n_b,
+        |  25 * (n_a - n_b) * (n_a - n_b) > 96 * (n_a + n_b)
+        |    AS srm_detected
+        |FROM g""".stripMargin,
+    "ev_adoption_curve" ->
+      """WITH f AS (SELECT event_type, user_id,
+        |  min(CAST(ts AS DATE)) AS first_day
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |d AS (SELECT event_type, first_day AS day,
+        |  CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1, 2)
+        |SELECT event_type, day, n_new,
+        |  CAST(sum(n_new) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_adopted
+        |FROM d ORDER BY event_type, day""".stripMargin,
     "ev_ab_test" ->
       """WITH fp AS (SELECT user_id, value, row_number() OVER
         |    (PARTITION BY user_id ORDER BY ts, event_id) AS rn

@@ -1222,6 +1222,45 @@ class Round6Spec extends AnyFunSuite {
     assert(rows.head._2 == errors)
   }
 
+  // ---- batch 37: SRM / adoption curve / domain conformance -------------
+
+  test("srm: counts partition the user universe; flag matches the math") {
+    val r = q("ev_ab_srm").collect().head
+    val na = r.getAs[Long]("n_a"); val nb = r.getAs[Long]("n_b")
+    val users = spark.read.parquet(s"$dir/events.parquet")
+      .select($"user_id").distinct().count()
+    assert(na + nb == users)
+    assert(r.getAs[Boolean]("srm_detected") ==
+      (25L * (na - nb) * (na - nb) > 96L * (na + nb)))
+  }
+
+  test("adoption curve: cumulative counts are monotone and cap at users") {
+    val rows = q("ev_adoption_curve")
+      .select($"event_type", $"day", $"n_new", $"n_adopted")
+      .as[(String, java.sql.Date, Long, Long)].collect()
+    for ((_, series) <- rows.groupBy(_._1)) {
+      val s2 = series.sortBy(_._2.toLocalDate.toEpochDay)
+      var cum = 0L
+      for ((_, _, nNew, nAdopted) <- s2) {
+        cum += nNew
+        assert(nAdopted == cum, "running total reconstructs from n_new")
+      }
+      val users = spark.read.parquet(s"$dir/events.parquet")
+        .where($"ts".isNotNull).select($"user_id").distinct().count()
+      assert(cum <= users)
+    }
+  }
+
+  test("domain conformance: the synthetic corpus is fully in-domain") {
+    val rows = q("dq_domain_conformance")
+      .select($"column", $"n_rows", $"n_out_of_domain")
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_._3 == 0L),
+      "declared domains must cover the generated values")
+    assert(rows.forall(_._2 > 0L))
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
