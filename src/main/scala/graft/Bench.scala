@@ -237,7 +237,10 @@ object Bench {
     // Round-6 thirty-seventh-batch first-ships: the adoption curve
     // (per-type first-use + running total) and the three-table domain
     // conformance audit.
-    "ev_adoption_curve", "dq_domain_conformance")
+    "ev_adoption_curve", "dq_domain_conformance",
+    // Round-6 thirty-eighth-batch first-ships: the gate-agreement
+    // matrix (three gates in one projection) and IVF cell balance.
+    "t_gate_agreement", "sim_cell_balance")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

@@ -714,6 +714,25 @@ object SimilarityQueries {
         .orderBy(col("label"))
     }),
 
+    // IVF cell BALANCE — the trained-quantizer counterpart of
+    // sim_bucket_balance: per-cell population and the exact
+    // n(n−1)/2 pair bill a cell-bucketed self-join would pay there.
+    // A collapsed quantizer (one cell holding most vectors) shows up
+    // as one dominant pairs row — the retrain/raise-k signal. One
+    // broadcast-centroid projection + an 8-row aggregate.
+    "sim_cell_balance" -> ((s, d) => {
+      val v0 = emb(s, d)
+      val trained = Similarity.kmeansCentroids(v0, "embedding",
+        dim = 64, k = 8, iters = 2, seed = 7L)
+      v0.withColumn("cell",
+          Similarity.centroidCell(col("embedding"), trained)
+            .cast("long"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+        .withColumn("pairs",
+          expr("(n_vecs * (n_vecs - 1)) div 2"))
+        .orderBy(col("cell"))
+    }),
+
     // DIVERSITY sampling — one small quota per k-means cell of the
     // embedding space (the SemDeDup/DiverseSample curation move: a
     // uniform row sample over-draws the dense clusters; sampling
@@ -1491,6 +1510,15 @@ object SimilarityQueries {
          |  FROM s)
          |SELECT q_id, n_id, cos, rank FROM r WHERE rank<=3
          |ORDER BY q_id, rank""".stripMargin,
+    "sim_cell_balance" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |${kmeansCtes(k = 8, iters = 2, seed = 7L)}
+         |SELECT CAST(cell AS BIGINT) AS cell,
+         |  CAST(count(*) AS BIGINT) AS n_vecs,
+         |  (CAST(count(*) AS BIGINT) * (CAST(count(*) AS BIGINT) - 1))
+         |    // 2 AS pairs
+         |FROM aF GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_diverse_sample" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
          |  FROM embeddings),

@@ -1018,6 +1018,43 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gate AGREEMENT matrix — do the three quality gates (Gopher
+    // rules, linear classifier, blocklist) agree, and where exactly do
+    // they split? The 2³-cell count is the redundancy/coverage
+    // diagnostic a curation funnel reads before deciding gate order
+    // (a gate that never disagrees with a cheaper one is dead weight).
+    // The flags are the SAME expressions the three gate queries ship
+    // — each already oracle-proven doc-for-doc — evaluated in ONE
+    // zero-shuffle projection; the only shuffle carries ≤8 cells.
+    "t_gate_agreement" -> ((s, d) => {
+      val ws0 = TextFunctions.tokens(col("text"))
+      val symbolFrac = when(length(col("text")) === 0, lit(0.0))
+        .otherwise(
+          length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", ""))
+            .cast("double") / length(col("text")))
+      val alphaFrac = size(filter(ws0, w => w.rlike("[a-z]")))
+        .cast("double") / size(ws0)
+      val wsF = filter(TextFunctions.tokens(col("text")),
+        w => length(w) > 0)
+      val nTok = size(wsF).cast("long")
+      val nStop = size(filter(wsF, w => w === "the" || w === "a"))
+        .cast("long")
+      val nDist = size(array_distinct(wsF)).cast("long")
+      val nBad = size(filter(wsF,
+        w => w.isInCollection(Seq("error", "slow", "dup")))).cast("long")
+      docs(s, d).select(
+          (alphaFrac >= 0.8 && symbolFrac <= 0.1).as("keep_gopher"),
+          ((lit(-800L) * nTok + lit(3000L) * nStop +
+            lit(60L) * col("n_chars") + lit(600L) * nDist) >= 0L)
+            .as("keep_logistic"),
+          (nBad * 20 <= nTok).as("keep_blocklist"))
+        .groupBy(col("keep_gopher"), col("keep_logistic"),
+          col("keep_blocklist"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("keep_gopher"), col("keep_logistic"),
+          col("keep_blocklist"))
+    }),
+
     // C4-style BLOCKLIST gate — the word-filter curation step (C4
     // dropped any page containing a blocklisted word; production
     // pipelines use a rate threshold instead so one stray token can't
@@ -2925,6 +2962,27 @@ object TextQueries {
          |  (-800*n_tok + 3000*n_stop + 60*n_chars + 600*n_dist) >= 0
          |    AS keep
          |FROM f ORDER BY doc_id""".stripMargin,
+    "t_gate_agreement" ->
+      s"""WITH w AS (SELECT doc_id, text, n_chars, $wsSql AS ws,
+         |  list_filter($wsSql, x -> length(x) > 0) AS wf
+         |  FROM documents),
+         |f AS (SELECT doc_id,
+         |  (CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+         |     AS DOUBLE)/len(ws) >= 0.8 AND
+         |   CASE WHEN length(text)=0 THEN 0.0 ELSE
+         |     CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '',
+         |       'g')) AS DOUBLE)/length(text) END <= 0.1)
+         |    AS keep_gopher,
+         |  (-800*len(wf) + 3000*len(list_filter(wf,
+         |     x -> x = 'the' OR x = 'a')) + 60*n_chars +
+         |   600*len(list_distinct(wf))) >= 0 AS keep_logistic,
+         |  len(list_filter(wf,
+         |    x -> list_contains(['error','slow','dup'], x))) * 20
+         |    <= len(wf) AS keep_blocklist
+         |  FROM w)
+         |SELECT keep_gopher, keep_logistic, keep_blocklist,
+         |  count(*) AS n_docs
+         |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "t_blocklist_filter" ->
       s"""WITH w AS (SELECT doc_id,
          |  list_filter($wsSql, x -> length(x) > 0) AS ws FROM documents)

@@ -1261,6 +1261,39 @@ class Round6Spec extends AnyFunSuite {
     assert(rows.forall(_._2 > 0L))
   }
 
+  // ---- batch 38: gate agreement / cell balance --------------------------
+
+  test("gate agreement: cells tile the corpus and margins match the gates") {
+    val rows = q("t_gate_agreement")
+      .select($"keep_gopher", $"keep_logistic", $"keep_blocklist",
+        $"n_docs")
+      .as[(Boolean, Boolean, Boolean, Long)].collect()
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_._4).sum == total)
+    // each gate's marginal from the matrix equals its own query's kept set
+    def marginal(pick: ((Boolean, Boolean, Boolean, Long)) => Boolean) =
+      rows.filter(pick).map(_._4).sum
+    assert(marginal(_._1) ==
+      q("t_quality_gopher").where($"keep").count())
+    assert(marginal(_._2) ==
+      q("t_quality_logistic").where($"keep").count())
+    assert(marginal(_._3) ==
+      q("t_blocklist_filter").where($"keep").count())
+  }
+
+  test("cell balance: populations cover the corpus; pair bill is exact") {
+    val rows = q("sim_cell_balance")
+      .select($"cell", $"n_vecs", $"pairs")
+      .as[(Long, Long, Long)].collect()
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_._2).sum == n)
+    assert(rows.forall(r => r._3 == r._2 * (r._2 - 1) / 2))
+    // balance diagnostic ≡ the sample's cells: same trained quantizer
+    val cells = q("sim_diverse_sample").select($"cell").distinct()
+      .as[Long].collect().toSet
+    assert(cells.subsetOf(rows.map(_._1).toSet))
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
