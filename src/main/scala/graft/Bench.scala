@@ -240,7 +240,10 @@ object Bench {
     "ev_adoption_curve", "dq_domain_conformance",
     // Round-6 thirty-eighth-batch first-ships: the gate-agreement
     // matrix (three gates in one projection) and IVF cell balance.
-    "t_gate_agreement", "sim_cell_balance")
+    "t_gate_agreement", "sim_cell_balance",
+    // Round-6 thirty-ninth-batch first-ships: hub two-hop reach
+    // (seeded frontier joins) and the temperature sweep.
+    "g_two_hop_reach", "t_mix_temperature_sweep")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

@@ -94,6 +94,32 @@ object MixQueries {
         .orderBy(col("lang"))
     }),
 
+    // Temperature SWEEP — price the sampling-temperature knob before
+    // committing a mix: per-language shares at τ = 0.25 / 0.50 / 0.75
+    // from ONE 5-row language aggregate. Fractional powers are
+    // composed ONLY from sqrt (n^¼ = √√n, n^¾ = √n·√√n): sqrt is
+    // IEEE-correctly-rounded in both engines where pow() is not, so
+    // the floored micro-unit weights can never drift cross-engine.
+    "t_mix_temperature_sweep" -> ((s, d) => {
+      val counts = docs(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val nd = col("n_docs").cast("double")
+      def at(tauCenti: Int, f: org.apache.spark.sql.Column) =
+        counts.select(lit(tauCenti.toLong).as("tau_centi"), col("lang"),
+          col("n_docs"), floor(f * 1e6).cast("long").as("weight"))
+      val all = at(25, sqrt(sqrt(nd)))
+        .unionByName(at(50, sqrt(nd)))
+        .unionByName(at(75, sqrt(nd) * sqrt(sqrt(nd))))
+      val tot = all.groupBy(col("tau_centi"))
+        .agg(sum(col("weight")).cast("long").as("tw"))
+      all.join(broadcast(tot), Seq("tau_centi"))
+        .select(col("tau_centi"), col("lang"), col("n_docs"),
+          col("weight"),
+          (col("weight").cast("double") / col("tw").cast("double"))
+            .as("share"))
+        .orderBy(col("tau_centi"), col("lang"))
+    }),
+
     // Concat-and-chunk sequence packing in md5 shuffle order: each doc
     // joins the pack where its token stream starts. Global running total
     // via the two-phase prefix sum — no whole-corpus window.
@@ -247,6 +273,28 @@ object MixQueries {
     "t_pack_sequences" ->
       s"""$packCteSql
          |SELECT doc_id, n_tok, pack_id FROM p ORDER BY doc_id""".stripMargin,
+    "t_mix_temperature_sweep" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |SELECT CAST(25 AS BIGINT) AS tau_centi, lang, n_docs,
+        |  CAST(floor(sqrt(sqrt(CAST(n_docs AS DOUBLE))) * 1e6)
+        |    AS BIGINT) AS weight FROM c
+        |UNION ALL
+        |SELECT 50, lang, n_docs,
+        |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT)
+        |  FROM c
+        |UNION ALL
+        |SELECT 75, lang, n_docs,
+        |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) *
+        |    sqrt(sqrt(CAST(n_docs AS DOUBLE))) * 1e6) AS BIGINT)
+        |  FROM c),
+        |t AS (SELECT tau_centi, CAST(sum(weight) AS BIGINT) AS tw
+        |  FROM w GROUP BY 1)
+        |SELECT w.tau_centi, w.lang, w.n_docs, w.weight,
+        |  CAST(w.weight AS DOUBLE) / CAST(t.tw AS DOUBLE) AS share
+        |FROM w JOIN t ON w.tau_centi = t.tau_centi
+        |ORDER BY 1, 2""".stripMargin,
     "t_mix_temperature" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
         |  GROUP BY 1),

@@ -575,6 +575,42 @@ object OlapQueries {
         "item_a", "item_b", rounds = 4)
         .orderBy(col("node"))),
 
+    // Two-hop REACH of the top hubs — "how much of the graph can the
+    // ten busiest items influence within two co-purchase steps": the
+    // seeded reach/influence metric. Seeding from the TakeOrdered
+    // top-10 keeps the frontier joins bounded (10 rows × degree, then
+    // frontier × degree — the Σdeg² wedge bound applies only to ten
+    // vertices, never to the whole graph). Reach = distinct 2-hop
+    // neighborhood excluding the hub itself.
+    "g_two_hop_reach" -> ((s, d) => {
+      val fp = graft.operators.Itemsets.frequentPairs(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
+        .select(col("item_a"), col("item_b"))
+      val e2 = fp.select(col("item_a").as("src"), col("item_b").as("dst"))
+        .unionByName(
+          fp.select(col("item_b").as("src"), col("item_a").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint()
+      val deg = e2.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val hubs = deg.orderBy(desc("deg"), col("node")).limit(10)
+      val hop1 = e2.join(broadcast(hubs), col("src") === col("node"))
+        .select(col("node"), col("deg"), col("dst"))
+      val hop2 = hop1.select(col("node"), col("dst").as("mid"))
+        .join(e2.select(col("src").as("mid"), col("dst").as("dst2")),
+          Seq("mid"))
+        .select(col("node"), col("dst2").as("dst"))
+      hop1.select(col("node"), col("dst"))
+        .unionByName(hop2)
+        .where(col("dst") =!= col("node"))
+        .distinct()
+        .groupBy(col("node")).agg(count(lit(1)).as("reach_2hop"))
+        .join(broadcast(hubs), Seq("node"))
+        .select(col("node"), col("deg"), col("reach_2hop"))
+        .orderBy(desc("deg"), col("node"))
+    }),
+
     // Community-partition QUALITY — Newman modularity of the label-
     // propagation communities over the co-purchase graph: Q =
     // Σ_c [e_c/m − (d_c/2m)²]. Every count (directed internal edges
@@ -1294,6 +1330,31 @@ object OlapQueries {
         |    AS BIGINT) AS n_outliers
         |FROM d JOIN m ON m.g = d.g
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "g_two_hop_reach" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |pr AS (SELECT a.it AS ia, c.it AS ib, count(*) AS s
+        |  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it GROUP BY 1, 2),
+        |fp AS (SELECT ia, ib FROM pr WHERE s >= 2),
+        |e2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        |  SELECT ia AS src, ib AS dst FROM fp
+        |  UNION ALL SELECT ib, ia FROM fp)),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM e2 GROUP BY 1),
+        |hubs AS (SELECT node, deg FROM deg
+        |  ORDER BY deg DESC, node LIMIT 10),
+        |h1 AS (SELECT hubs.node, e2.dst FROM e2
+        |  JOIN hubs ON e2.src = hubs.node),
+        |h2 AS (SELECT h1.node, e2.dst FROM h1
+        |  JOIN e2 ON e2.src = h1.dst),
+        |r AS (SELECT DISTINCT node, dst FROM
+        |  (SELECT node, dst FROM h1 UNION ALL SELECT node, dst FROM h2)
+        |  WHERE dst <> node),
+        |c AS (SELECT node, CAST(count(*) AS BIGINT) AS reach_2hop
+        |  FROM r GROUP BY 1)
+        |SELECT hubs.node, hubs.deg, c.reach_2hop
+        |FROM hubs JOIN c ON c.node = hubs.node
+        |ORDER BY hubs.deg DESC, hubs.node""".stripMargin,
     "g_modularity" -> {
       val rounds = (1 to 4).map { i =>
         s"""c$i AS MATERIALIZED (SELECT e2.src, l${i - 1}.lbl,

@@ -1294,6 +1294,45 @@ class Round6Spec extends AnyFunSuite {
     assert(cells.subsetOf(rows.map(_._1).toSet))
   }
 
+  // ---- batch 39: temperature sweep / two-hop reach ----------------------
+
+  test("temperature sweep: flatter tau flattens shares; tiles per tau") {
+    val rows = q("t_mix_temperature_sweep")
+      .select($"tau_centi", $"lang", $"n_docs", $"weight", $"share")
+      .as[(Long, String, Long, Long, Double)].collect()
+    assert(rows.map(_._1).distinct.sorted.toSeq == Seq(25L, 50L, 75L))
+    for ((_, grp) <- rows.groupBy(_._1))
+      assert(math.abs(grp.map(_._5).sum - 1.0) < 1e-9,
+        "shares tile to 1 within each temperature")
+    // lower tau compresses the spread: max/min share ratio shrinks
+    def spread(tau: Long) = {
+      val g = rows.filter(_._1 == tau).map(_._5)
+      g.max / g.min
+    }
+    assert(spread(25) <= spread(50) && spread(50) <= spread(75))
+    // weight law: floor(n^tau * 1e6) for the sqrt compositions
+    for ((tau, _, n, w, _) <- rows) {
+      val f = tau match {
+        case 25L => math.sqrt(math.sqrt(n.toDouble))
+        case 50L => math.sqrt(n.toDouble)
+        case _   => math.sqrt(n.toDouble) * math.sqrt(math.sqrt(n.toDouble))
+      }
+      assert(w == math.floor(f * 1e6).toLong)
+    }
+  }
+
+  test("two-hop reach: bounded by graph order, at least the degree") {
+    val rows = q("g_two_hop_reach")
+      .select($"node", $"deg", $"reach_2hop")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 10)
+    val degs = rows.map(_._2)
+    assert(degs.zip(degs.drop(1)).forall { case (a, b) => a >= b })
+    // 1-hop neighbours are a subset of the 2-hop reach (e2 has no
+    // self-loops), so reach >= deg for every hub
+    assert(rows.forall(r => r._3 >= r._2))
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
