@@ -243,7 +243,13 @@ object Bench {
     "t_gate_agreement", "sim_cell_balance",
     // Round-6 thirty-ninth-batch first-ships: hub two-hop reach
     // (seeded frontier joins) and the temperature sweep.
-    "g_two_hop_reach", "t_mix_temperature_sweep")
+    "g_two_hop_reach", "t_mix_temperature_sweep",
+    // Round-6 fortieth-batch first-ships: per-day content fingerprints
+    // and the mod-N vs rendezvous resharding-cost comparison.
+    "dq_fingerprint_daily", "t_shard_stability",
+    // Round-6 forty-first-batch first-ships: the session-gap and
+    // attribution-window knob sweeps, and the Zipf frequency spectrum.
+    "ev_session_gap_sweep", "ev_attrib_window_sweep", "t_freq_spectrum")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

@@ -571,6 +571,25 @@ object CoreQueries {
       Quality.report(custReport, liReport, fkReport)
     }),
 
+    // DQ (ext): per-PARTITION content fingerprint — q_fingerprint at
+    // day granularity: an order-independent digest per order-date so
+    // two replicas reconcile by diffing ≤|days| digest rows and
+    // re-shipping ONLY the days that disagree (the partition-grain
+    // sibling of a19_diff_pruned's Merkle buckets). Same decimal-exact
+    // md5-prefix-sum construction, surfaced as the digit string both
+    // engines hash identically.
+    "dq_fingerprint_daily" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(col("o_orderdate").cast("date").as("day"),
+          concat_ws("|", col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus")).as("_r"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(conv(substring(md5(col("_r")), 1, 12), 16, 10)
+            .cast("decimal(38,0)")).cast("string").as("fingerprint"))
+        .orderBy(col("day"))
+    }),
+
     // DQ (ext): enumerated-DOMAIN conformance — are the categorical
     // columns still drawing from their declared value sets (the
     // upstream-schema-drift check that catches a renamed event type or
@@ -1240,6 +1259,13 @@ object CoreQueries {
          |  abs(CAST(c.n AS DOUBLE)/tot - e.expected) AS deviation
          |FROM c JOIN e USING (digit), tt ORDER BY c.digit""".stripMargin
     },
+    "dq_fingerprint_daily" ->
+      """SELECT CAST(o_orderdate AS DATE) AS day,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST('0x' || substr(md5(o_orderkey || '|' ||
+        |    o_custkey || '|' || o_orderstatus), 1, 12) AS BIGINT))
+        |    AS VARCHAR) AS fingerprint
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "dq_domain_conformance" ->
       """WITH a AS (
         |SELECT 'events.event_type' AS "column", count(*) AS n_rows,

@@ -1421,6 +1421,82 @@ object EventQueries {
           (col("n").cast("double") / col("nt").cast("double"))
             .as("share"))
         .orderBy(col("dow"), col("hod"))
+    }),
+
+    // Session-GAP sweep — price the sessionization knob before
+    // committing a gap: session counts at τ ∈ {15, 30, 60} minutes
+    // from ONE user-keyed lag pass (a session count is just the count
+    // of session-OPENS, so three conditional sums over the same gap
+    // column replace three sessionization runs). Same open-at-≥gap
+    // semantics as ev_sessions / session_window; events-per-session is
+    // an exact integer permille. The only data-sized shuffle is the
+    // user key; the sweep itself aggregates to one row then fans to 3.
+    "ev_session_gap_sweep" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val e = ev(s, d).where(col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap_us", unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(w)))
+      def opens(mins: Int) = sum(when(col("gap_us").isNull ||
+          col("gap_us") >= mins * 60L * 1000000L, 1L).otherwise(0L))
+        .cast("long")
+      e.agg(count(lit(1)).cast("long").as("n_events"),
+          opens(15).as("s15"), opens(30).as("s30"), opens(60).as("s60"))
+        .select(explode(array(
+          struct(lit(15L).as("gap_minutes"), col("s15").as("n_sessions"),
+            col("n_events")),
+          struct(lit(30L).as("gap_minutes"), col("s30").as("n_sessions"),
+            col("n_events")),
+          struct(lit(60L).as("gap_minutes"), col("s60").as("n_sessions"),
+            col("n_events")))).as("r"))
+        .select(col("r.gap_minutes").as("gap_minutes"),
+          col("r.n_sessions").as("n_sessions"),
+          col("r.n_events").as("n_events"),
+          expr("(1000 * r.n_events) div r.n_sessions")
+            .as("events_per_session_permille"))
+        .orderBy(col("gap_minutes"))
+    }),
+
+    // Attribution-WINDOW sweep — price the lookback knob: how many
+    // purchases have a view/click touch within 1 h / 6 h / 24 h, from
+    // ONE user-keyed window pass. The last preceding touch is a
+    // conditional max over the PRECEDING frame (ev_mttr's shape,
+    // looking back instead of forward — no banded self-join at all,
+    // where ev_attrib_first pays one for its channel split), and the
+    // three windows are conditional sums over the same gap column.
+    // Exact µs integers; coverage is an integer permille.
+    "ev_attrib_window_sweep" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val e = ev(s, d).where(col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+      val p = e.withColumn("touch_us",
+          max(when(col("event_type").isin("view", "click"),
+            unix_micros(col("ts")))).over(w))
+        .where(col("event_type") === "purchase")
+        .withColumn("gap_us", unix_micros(col("ts")) - col("touch_us"))
+      def within(h: Int) = sum(when(col("gap_us").isNotNull &&
+          col("gap_us") <= h * 3600L * 1000000L, 1L).otherwise(0L))
+        .cast("long")
+      p.agg(count(lit(1)).cast("long").as("n_purchases"),
+          within(1).as("a1"), within(6).as("a6"), within(24).as("a24"))
+        .select(explode(array(
+          struct(lit(1L).as("window_hours"), col("a1").as("n_attributed"),
+            col("n_purchases")),
+          struct(lit(6L).as("window_hours"), col("a6").as("n_attributed"),
+            col("n_purchases")),
+          struct(lit(24L).as("window_hours"),
+            col("a24").as("n_attributed"), col("n_purchases")))).as("r"))
+        .select(col("r.window_hours").as("window_hours"),
+          col("r.n_attributed").as("n_attributed"),
+          col("r.n_purchases").as("n_purchases"),
+          expr("(1000 * r.n_attributed) div r.n_purchases")
+            .as("attributed_permille"))
+        .orderBy(col("window_hours"))
     })
   )
 
@@ -2285,6 +2361,59 @@ object EventQueries {
         |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM g)
         |SELECT dow, hod, n,
         |  CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) AS share
-        |FROM g, t ORDER BY dow, hod""".stripMargin
+        |FROM g, t ORDER BY dow, hod""".stripMargin,
+    "ev_session_gap_sweep" ->
+      """WITH e AS (SELECT user_id, ts, event_id FROM events
+        |  WHERE ts IS NOT NULL),
+        |o AS (SELECT epoch_us(ts) - epoch_us(lag(ts) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        |  FROM e),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN gap_us IS NULL
+        |    OR gap_us >= 15*60*CAST(1000000 AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS s15,
+        |  CAST(sum(CASE WHEN gap_us IS NULL
+        |    OR gap_us >= 30*60*CAST(1000000 AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS s30,
+        |  CAST(sum(CASE WHEN gap_us IS NULL
+        |    OR gap_us >= 60*60*CAST(1000000 AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS s60 FROM o)
+        |SELECT CAST(15 AS BIGINT) AS gap_minutes, s15 AS n_sessions,
+        |  n_events, (1000 * n_events) // s15
+        |    AS events_per_session_permille FROM a
+        |UNION ALL SELECT 30, s30, n_events, (1000 * n_events) // s30
+        |  FROM a
+        |UNION ALL SELECT 60, s60, n_events, (1000 * n_events) // s60
+        |  FROM a
+        |ORDER BY gap_minutes""".stripMargin,
+    "ev_attrib_window_sweep" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE ts IS NOT NULL),
+        |f AS (SELECT *, max(CASE WHEN event_type IN ('view', 'click')
+        |    THEN epoch_us(ts) END) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS touch_us
+        |  FROM e),
+        |p AS (SELECT epoch_us(ts) - touch_us AS gap_us FROM f
+        |  WHERE event_type = 'purchase'),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CASE WHEN gap_us IS NOT NULL
+        |    AND gap_us <= 1*3600*CAST(1000000 AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS a1,
+        |  CAST(sum(CASE WHEN gap_us IS NOT NULL
+        |    AND gap_us <= 6*3600*CAST(1000000 AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS a6,
+        |  CAST(sum(CASE WHEN gap_us IS NOT NULL
+        |    AND gap_us <= 24*3600*CAST(1000000 AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS a24 FROM p)
+        |SELECT CAST(1 AS BIGINT) AS window_hours, a1 AS n_attributed,
+        |  n_purchases, (1000 * a1) // n_purchases AS attributed_permille
+        |  FROM a
+        |UNION ALL SELECT 6, a6, n_purchases, (1000 * a6) // n_purchases
+        |  FROM a
+        |UNION ALL SELECT 24, a24, n_purchases,
+        |  (1000 * a24) // n_purchases FROM a
+        |ORDER BY window_hours""".stripMargin
   )
 }

@@ -94,6 +94,48 @@ object MixQueries {
         .orderBy(col("lang"))
     }),
 
+    // RESHARDING cost — what fraction of the corpus MOVES when the
+    // shard count grows 8 → 10, under naive mod-N (moves ~(N−1)/N of
+    // everything) vs rendezvous/HRW hashing (moves only ~2/10 — the
+    // docs the two NEW buckets win): the operational argument for
+    // consistent placement of a 100 TB corpus. All hashing is the
+    // md5-prefix discipline; the HRW winner is a per-doc row_number
+    // over ≤10 candidate rows with a pinned (hash DESC, bucket)
+    // tie-break, mirrored verbatim in the oracle.
+    "t_shard_stability" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"))
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 12),
+        16, 10).cast("long")
+      val mods = base.select(col("doc_id"),
+        pmod(h, lit(8)).as("s8"), pmod(h, lit(10)).as("s10"))
+      val rv = base
+        .select(col("doc_id"), explode(expr("sequence(0, 9)")).as("b"))
+        .withColumn("hk", substring(md5(concat(
+          col("doc_id").cast("string"), lit("#"),
+          col("b").cast("string"))), 1, 12))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(desc("hk"), col("b"))
+      def winner(n: Int, cn: String) = rv.where(col("b") < n)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("doc_id"), col("b").cast("long").as(cn))
+      mods.join(winner(8, "r8"), Seq("doc_id"))
+        .join(winner(10, "r10"), Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("s8") =!= col("s10"), 1L).otherwise(0L))
+            .cast("long").as("mv_mod"),
+          sum(when(col("r8") =!= col("r10"), 1L).otherwise(0L))
+            .cast("long").as("mv_rv"))
+        .select(explode(array(
+          struct(lit("mod").as("scheme"), col("n_docs"),
+            col("mv_mod").as("n_moved")),
+          struct(lit("rendezvous").as("scheme"), col("n_docs"),
+            col("mv_rv").as("n_moved")))).as("r"))
+        .select(col("r.scheme").as("scheme"),
+          col("r.n_docs").as("n_docs"), col("r.n_moved").as("n_moved"),
+          expr("(1000 * r.n_moved) div r.n_docs").as("moved_permille"))
+        .orderBy(col("scheme"))
+    }),
+
     // Temperature SWEEP — price the sampling-temperature knob before
     // committing a mix: per-language shares at τ = 0.25 / 0.50 / 0.75
     // from ONE 5-row language aggregate. Fractional powers are
@@ -273,6 +315,34 @@ object MixQueries {
     "t_pack_sequences" ->
       s"""$packCteSql
          |SELECT doc_id, n_tok, pack_id FROM p ORDER BY doc_id""".stripMargin,
+    "t_shard_stability" ->
+      """WITH d0 AS (SELECT doc_id FROM documents),
+        |h AS (SELECT doc_id, CAST('0x' ||
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS hv
+        |  FROM d0),
+        |m AS (SELECT doc_id, hv % 8 AS s8, hv % 10 AS s10 FROM h),
+        |rv AS (SELECT doc_id, t.b,
+        |  substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+        |    CAST(t.b AS VARCHAR)), 1, 12) AS hk
+        |  FROM d0, range(10) AS t(b)),
+        |w8 AS (SELECT doc_id, b AS r8 FROM (SELECT doc_id, b,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY hk DESC, b)
+        |    AS rn FROM rv WHERE b < 8) WHERE rn = 1),
+        |w10 AS (SELECT doc_id, b AS r10 FROM (SELECT doc_id, b,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY hk DESC, b)
+        |    AS rn FROM rv) WHERE rn = 1),
+        |j AS (SELECT m.doc_id, s8, s10, r8, r10
+        |  FROM m JOIN w8 USING (doc_id) JOIN w10 USING (doc_id)),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN s8 <> s10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS mv_mod,
+        |  CAST(sum(CASE WHEN r8 <> r10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS mv_rv FROM j)
+        |SELECT 'mod' AS scheme, n_docs, mv_mod AS n_moved,
+        |  (1000 * mv_mod) // n_docs AS moved_permille FROM a
+        |UNION ALL SELECT 'rendezvous', n_docs, mv_rv,
+        |  (1000 * mv_rv) // n_docs FROM a
+        |ORDER BY scheme""".stripMargin,
     "t_mix_temperature_sweep" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
         |  FROM documents GROUP BY 1),

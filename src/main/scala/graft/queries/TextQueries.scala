@@ -1018,11 +1018,13 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Gate AGREEMENT matrix — do the three quality gates (Gopher
-    // rules, linear classifier, blocklist) agree, and where exactly do
-    // they split? The 2³-cell count is the redundancy/coverage
-    // diagnostic a curation funnel reads before deciding gate order
-    // (a gate that never disagrees with a cheaper one is dead weight).
+    // Gate AGREEMENT matrix — do the three PRODUCTION gates (Gopher
+    // rules, trained linear classifier, blocklist) agree, and where
+    // exactly do they split? The 2³-cell count is the redundancy/
+    // coverage diagnostic a curation funnel reads before deciding gate
+    // order (a gate that never disagrees with a cheaper one is dead
+    // weight). Sibling of t_gate_ablation, which crosses three CHEAP
+    // structural signals — this one crosses the shipped gate stack.
     // The flags are the SAME expressions the three gate queries ship
     // — each already oracle-proven doc-for-doc — evaluated in ONE
     // zero-shuffle projection; the only shuffle carries ≤8 cells.
@@ -1410,6 +1412,28 @@ object TextQueries {
         .select(explode(TextFunctions.shingles(col("text"), 2)).as("ngram"))
         .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
         .orderBy(desc("df"), col("ngram")).limit(20)),
+
+    // Zipf frequency SPECTRUM — frequency-of-frequencies over the
+    // token stream in dyadic buckets (bucket k holds tokens occurring
+    // 2^k..2^(k+1)−1 times): the vocabulary-mass diagnostic behind
+    // min-count cutoffs — hapax/rare mass (noise, misspellings) at the
+    // bottom vs stopword head mass at the top, in ~20 rows however
+    // large the corpus. Same whitespace tokens as every text query,
+    // the g_degree_dist dyadic-bucket discipline (binary-string length,
+    // exact in both engines). Token count is the one data-sized
+    // shuffle; the spectrum aggregate moves ≤~20 rows.
+    "t_freq_spectrum" -> ((s, d) =>
+      docs(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy(col("tok")).agg(count(lit(1)).cast("long").as("c"))
+        .withColumn("bucket",
+          expr("cast(length(conv(c, 10, 2)) - 1 as bigint)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          sum(col("c")).cast("long").as("n_occurrences"),
+          min(col("c")).as("min_count"), max(col("c")).as("max_count"))
+        .orderBy(col("bucket"))),
 
     // Multimodal frame sampling: payloads fan out to every-2nd 32-byte
     // frame; count per doc proves the generator arithmetic.
@@ -2762,6 +2786,16 @@ object TextQueries {
          |  i -> array_to_string(ws[i:i+1],' ')))) AS ngram FROM w)
          |SELECT ngram, count(*) AS df FROM g GROUP BY 1
          |ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
+    "t_freq_spectrum" ->
+      s"""WITH w AS (SELECT $wsSql AS ws FROM documents),
+         |g AS (SELECT unnest(ws) AS tok FROM w),
+         |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM g
+         |  WHERE length(tok) > 0 GROUP BY 1)
+         |SELECT CAST(length(printf('%b', c)) - 1 AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(c) AS BIGINT) AS n_occurrences,
+         |  min(c) AS min_count, max(c) AS max_count
+         |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm_png_roundtrip" ->
       """SELECT doc_id, CAST(8 + doc_id%16 AS INT) AS w,
         |CAST(8 + doc_id%8 AS INT) AS h,

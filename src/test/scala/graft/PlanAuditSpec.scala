@@ -669,6 +669,60 @@ class PlanAuditSpec extends AnyFunSuite {
       s"modularity grew a cartesian:\n$p")
   }
 
+  test("daily fingerprints aggregate in one hash exchange, no join") {
+    // One groupBy(day) over a three-column scan: any join or second
+    // exchange means the digest stopped being a single linear pass.
+    val p = plan("dq_fingerprint_daily")
+    assert(!p.contains("Join"), s"fingerprint grew a join:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"fingerprint should shuffle exactly once (got $hashExchanges):\n$p")
+    assert(!p.contains("o_totalprice"),
+      s"fingerprint scan reads pruned columns:\n$p")
+  }
+
+  test("shard stability joins equi on doc_id; candidate fan-out ≤10×") {
+    // The rendezvous winner is a row_number over an exploded ≤10-row
+    // candidate list per doc — the plan must stay equi-join + window,
+    // never a product join, and only doc_id leaves the scan.
+    val p = plan("t_shard_stability")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"shard stability degraded to a product join:\n$p")
+    assert(p.contains("Window"), s"HRW winner lost its window:\n$p")
+    assert(!p.contains("content") && !p.contains("lang"),
+      s"shard stability reads pruned document columns:\n$p")
+  }
+
+  test("knob sweeps price three settings from one window pass, no join") {
+    // Both sweeps' scale contract: ONE user-keyed window (lag / frame
+    // max) is the only data-sized shuffle; the three knob settings are
+    // conditional sums over the same column — a Join or a second
+    // window appearing means someone rebuilt the per-setting runs.
+    for (q <- Seq("ev_session_gap_sweep", "ev_attrib_window_sweep")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      assert(p.contains("Window"), s"$q lost its single window pass:\n$p")
+      val windows = "Window".r.findAllIn(p).size
+      assert(windows <= 2, // node + its codegen id line
+        s"$q should run exactly one window operator:\n$p")
+      assert(!p.contains("props") && !p.contains("value#"),
+        s"$q reads pruned event columns:\n$p")
+    }
+  }
+
+  test("freq spectrum shuffles tokens once; spectrum rows stay tiny") {
+    val p = plan("t_freq_spectrum")
+    assert(!p.contains("Join"), s"freq spectrum grew a join:\n$p")
+    // two hash exchanges: token counts (data-sized) + dyadic buckets
+    // (≤~20 rows); a third means an extra repartition crept in
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 2,
+      s"freq spectrum should shuffle twice (got $hashExchanges):\n$p")
+    assert(!p.contains("lang") && !p.contains("source"),
+      s"freq spectrum reads pruned document columns:\n$p")
+  }
+
   test("p-chart and growth accounting stay on aggregate-sized state") {
     // p-chart: one day aggregate + broadcast totals, no data-sized join.
     val pc = plan("ev_error_pchart")

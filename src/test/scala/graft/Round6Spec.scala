@@ -1333,6 +1333,93 @@ class Round6Spec extends AnyFunSuite {
     assert(rows.forall(r => r._3 >= r._2))
   }
 
+  // ---- batch 40: daily fingerprints / shard stability --------------------
+
+  test("daily fingerprints: rows tile the table; digests are stable") {
+    val rows = q("dq_fingerprint_daily")
+      .select($"day", $"n_rows", $"fingerprint")
+      .as[(java.sql.Date, Long, String)].collect()
+    assert(rows.map(_._2).sum ==
+      spark.read.parquet(s"$dir/orders.parquet").count())
+    assert(rows.forall(_._3.nonEmpty))
+    val again = q("dq_fingerprint_daily")
+      .select($"fingerprint").as[String].collect()
+    assert(again.toSeq == rows.map(_._3).toSeq, "digests are deterministic")
+  }
+
+  test("shard stability: rendezvous moves ~2/10, mod moves ~8/10") {
+    val rows = q("t_shard_stability")
+      .select($"scheme", $"n_docs", $"n_moved", $"moved_permille")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.values.forall(_._2 == total))
+    val modMoved = rows("mod")._4
+    val rvMoved = rows("rendezvous")._4
+    // mod-N remaps whenever h%8 != h%10 (expect ~800 permille);
+    // rendezvous moves only docs one of the two NEW buckets wins
+    // (expect ~200 permille). Wide 3-sigma bands for the small SF.
+    assert(rvMoved < modMoved,
+      "rendezvous must beat naive modulo on resharding cost")
+    assert(modMoved >= 550, s"mod moved only $modMoved permille")
+    assert(rvMoved <= 450, s"rendezvous moved $rvMoved permille")
+  }
+
+  // ---- batch 41: knob sweeps / frequency spectrum ----------------------
+
+  test("session gap sweep: sessions shrink, events/session grows with τ") {
+    val rows = q("ev_session_gap_sweep")
+      .select($"gap_minutes", $"n_sessions", $"n_events",
+        $"events_per_session_permille")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(15L, 30L, 60L))
+    val total = spark.read.parquet(s"$dir/events.parquet")
+      .where($"ts".isNotNull).count()
+    assert(rows.forall(_._3 == total), "n_events must be the corpus size")
+    // a 60-minute gap can only MERGE sessions a 15-minute gap splits
+    assert(rows(0)._2 >= rows(1)._2 && rows(1)._2 >= rows(2)._2,
+      "session count must be nonincreasing in the gap")
+    assert(rows(0)._4 <= rows(1)._4 && rows(1)._4 <= rows(2)._4,
+      "events/session must be nondecreasing in the gap")
+    // the 30-minute row must agree with the shipped sessionizer
+    val direct = q("ev_sessions").agg(sum($"n_sessions")).as[Long].head()
+    assert(rows(1)._2 == direct,
+      s"sweep 30m row ${rows(1)._2} != ev_sessions total $direct")
+  }
+
+  test("attribution window sweep: coverage is cumulative in the window") {
+    val rows = q("ev_attrib_window_sweep")
+      .select($"window_hours", $"n_attributed", $"n_purchases",
+        $"attributed_permille")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 6L, 24L))
+    val purchases = spark.read.parquet(s"$dir/events.parquet")
+      .where($"ts".isNotNull && $"event_type" === "purchase").count()
+    assert(rows.forall(_._3 == purchases))
+    assert(rows.forall(r => r._2 <= r._3), "attributed ≤ purchases")
+    assert(rows(0)._2 <= rows(1)._2 && rows(1)._2 <= rows(2)._2,
+      "a wider window can only attribute MORE purchases")
+    assert(rows.forall(r => r._4 == 1000 * r._2 / r._3))
+  }
+
+  test("freq spectrum: buckets tile the token stream; bounds are dyadic") {
+    val rows = q("t_freq_spectrum")
+      .select($"bucket", $"n_tokens", $"n_occurrences", $"min_count",
+        $"max_count")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("t"))
+      .where(length($"t") > 0)
+    assert(rows.map(_._3).sum == toks.count(),
+      "occurrences must tile the token stream")
+    assert(rows.map(_._2).sum == toks.distinct().count(),
+      "token counts must tile the vocabulary")
+    for ((b, _, _, lo, hi) <- rows) {
+      assert(lo >= (1L << b) && hi < (2L << b),
+        s"bucket $b bounds [$lo,$hi] escape [2^$b, 2^${b + 1})")
+    }
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
