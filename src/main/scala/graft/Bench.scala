@@ -249,7 +249,16 @@ object Bench {
     "dq_fingerprint_daily", "t_shard_stability",
     // Round-6 forty-first-batch first-ships: the session-gap and
     // attribution-window knob sweeps, and the Zipf frequency spectrum.
-    "ev_session_gap_sweep", "ev_attrib_window_sweep", "t_freq_spectrum")
+    "ev_session_gap_sweep", "ev_attrib_window_sweep", "t_freq_spectrum",
+    // Round-6 forty-second-batch first-ships: the LSH band sweep,
+    // per-type dwell-time quantiles, and closure by degree class.
+    "t_lsh_band_sweep", "ev_dwell_time", "g_closure_by_degree",
+    // Round-6 forty-third-batch first-ships: error-budget burn and
+    // the quality-score calibration table.
+    "ev_error_budget", "t_quality_calibration",
+    // Round-6 forty-fourth-batch first-ships: the Jaccard-threshold
+    // sweep and association-rule temporal stability.
+    "t_jaccard_threshold_sweep", "fi_rule_stability")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

@@ -26,6 +26,35 @@ import org.apache.spark.sql.functions._
   */
 object Itemsets {
 
+  /** Frequent pairs WITHOUT the lift column — the set-shaped output for
+    * callers that only consume the pair keys (stability overlap,
+    * candidate feeds). Skips the basket-total aggregate and its 1-row
+    * broadcast join entirely, so the plan is prune → self-join →
+    * count, nothing else.
+    *
+    * @return (item_a, item_b, support, n_a, n_b) with item_a < item_b.
+    */
+  def frequentPairsRaw(baskets: DataFrame, basketCol: String,
+                       itemCol: String, minSupport: Long): DataFrame = {
+    val b = baskets.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .where(col("bk").isNotNull && col("it").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val frequent = b.groupBy(col("it"))
+      .agg(count(lit(1)).as("n_item"))
+      .where(col("n_item") >= minSupport)
+    val pruned = b.join(broadcast(frequent), "it")
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+      .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"),
+        col("a.n_item").as("n_a"), col("b.n_item").as("n_b"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+      .select(col("item_a"), col("item_b"), col("support"),
+        col("n_a"), col("n_b"))
+  }
+
   /** Frequent co-occurring pairs with support ≥ `minSupport`.
     *
     * @return (item_a, item_b, support, n_a, n_b, lift) with
@@ -34,26 +63,13 @@ object Itemsets {
   def frequentPairs(baskets: DataFrame, basketCol: String, itemCol: String,
                     minSupport: Long): DataFrame = {
     // Distinct (basket, item): support counts baskets, not line repeats.
-    // Materialized once — read again by the item counts and twice by the
-    // self-join.
     val b = baskets.select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .where(col("bk").isNotNull && col("it").isNotNull)
       .distinct()
-      .localCheckpoint()
-    val itemCounts = b.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
-    val frequent = itemCounts.where(col("n_item") >= minSupport)
     // Broadcast-scalar basket total (for lift) — no single-partition
     // window, same pattern as the dashboard share-of-total queries.
     val total = b.agg(countDistinct(col("bk")).as("_n_baskets"))
-    // A-priori prune: only frequent items survive into pair generation.
-    val pruned = b.join(broadcast(frequent), "it")
-    val pairs = pruned.as("a")
-      .join(pruned.as("b"),
-        col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
-      .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"),
-        col("a.n_item").as("n_a"), col("b.n_item").as("n_b"))
-      .agg(count(lit(1)).as("support"))
-      .where(col("support") >= minSupport)
+    val pairs = frequentPairsRaw(baskets, basketCol, itemCol, minSupport)
     pairs.crossJoin(broadcast(total))
       .select(col("item_a"), col("item_b"), col("support"),
         col("n_a"), col("n_b"),
@@ -75,7 +91,7 @@ object Itemsets {
     */
   def cosineTopK(baskets: DataFrame, basketCol: String, itemCol: String,
                  minSupport: Long, k: Int): DataFrame = {
-    val p = frequentPairs(baskets, basketCol, itemCol, minSupport)
+    val p = frequentPairsRaw(baskets, basketCol, itemCol, minSupport)
     val sym = p.select(col("item_a").as("item"), col("item_b").as("other"),
         col("support"), col("n_a").as("ni"), col("n_b").as("no"))
       .unionByName(p.select(col("item_b").as("item"),

@@ -1497,6 +1497,57 @@ object EventQueries {
           expr("(1000 * r.n_attributed) div r.n_purchases")
             .as("attributed_permille"))
         .orderBy(col("window_hours"))
+    }),
+
+    // DWELL time per event type — how long users sit on each event
+    // before their next action, p50/p90 in exact µs: the engagement
+    // face of the latency dashboards. Dwell is lead(ts) − ts on the
+    // user-keyed window, kept only when the gap stays inside the
+    // 30-minute session bound (a cross-session gap is absence, not
+    // dwell); the per-type quantiles come from the two-pass exact
+    // histogram ladder — no per-group sort, ~10 output rows.
+    "ev_dwell_time" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val e = ev(s, d).where(col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("dwell_us",
+          unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+        .where(col("dwell_us").isNotNull &&
+          col("dwell_us") < 30L * 60L * 1000000L)
+        .select(col("event_type"), col("dwell_us"))
+      graft.operators.Median.groupQuantilesLong(
+          e, Seq("event_type"), "dwell_us", percents = Seq(50, 90))
+        .orderBy(col("event_type"), col("pct"))
+    }),
+
+    // ERROR-BUDGET burn — the SRE companion to ev_error_pchart's
+    // control limits: against a 200-permille error SLO, the cumulative
+    // burn through the month and the over-budget flag per day, in
+    // exact integers (burn = 1000·5·cumerr div cumev; 1000 = exactly
+    // on budget, cross-multiplied flag so no float can flip it). The
+    // fact pass is one day-grain aggregate; the running sums ride a
+    // ≤31-row ordered window over that aggregate — aggregate-sized
+    // state, the ev_error_pchart discipline.
+    "ev_error_budget" -> ((s, d) => {
+      val day = ev(s, d).where(col("ts").isNotNull)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .cast("long").as("n_errors"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      day
+        .withColumn("cum_events", sum(col("n_events")).over(w))
+        .withColumn("cum_errors", sum(col("n_errors")).over(w))
+        .select(col("day"), col("n_events"), col("n_errors"),
+          col("cum_events"), col("cum_errors"),
+          expr("(1000 * 5 * cum_errors) div cum_events")
+            .as("burn_permille"),
+          (col("cum_errors") * 5L > col("cum_events")).as("over_budget"))
+        .orderBy(col("day"))
     })
   )
 
@@ -2414,6 +2465,41 @@ object EventQueries {
         |  FROM a
         |UNION ALL SELECT 24, a24, n_purchases,
         |  (1000 * a24) // n_purchases FROM a
-        |ORDER BY window_hours""".stripMargin
+        |ORDER BY window_hours""".stripMargin,
+    "ev_dwell_time" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE ts IS NOT NULL),
+        |f AS (SELECT event_type, epoch_us(lead(ts) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts)
+        |    AS dwell_us
+        |  FROM e),
+        |g AS (SELECT event_type, dwell_us FROM f
+        |  WHERE dwell_us IS NOT NULL
+        |    AND dwell_us < 30*60*CAST(1000000 AS BIGINT)),
+        |r AS (SELECT event_type, dwell_us,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY dwell_us)
+        |    AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM g),
+        |p AS (SELECT unnest([50, 90]) AS pct)
+        |SELECT event_type, CAST(pct AS BIGINT) AS pct,
+        |  dwell_us AS value
+        |FROM r CROSS JOIN p WHERE rn = greatest(1, (pct*n + 99)//100)
+        |ORDER BY 1, 2""".stripMargin,
+    "ev_error_budget" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_errors
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |c AS (SELECT day, n_events, n_errors,
+        |  CAST(sum(n_events) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events,
+        |  CAST(sum(n_errors) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_errors
+        |  FROM d)
+        |SELECT day, n_events, n_errors, cum_events, cum_errors,
+        |  (1000 * 5 * cum_errors) // cum_events AS burn_permille,
+        |  cum_errors * 5 > cum_events AS over_budget
+        |FROM c ORDER BY day""".stripMargin
   )
 }

@@ -245,6 +245,43 @@ object OlapQueries {
           t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 3L)
         .orderBy(col("item_a"), col("item_b"))),
 
+    // Rule STABILITY across time — are the mined associations durable
+    // enough to act on? Mine frequent pairs independently on the early
+    // (< 1998-05) and late (≥ 1998-05) order halves and report the
+    // overlap:
+    // a rule set whose halves barely intersect is seasonal noise, not
+    // merchandising signal. Two a-priori-pruned runs over DISJOINT
+    // slices (combined fact volume = one full run), full-outer joined
+    // on the pair key, collapsed to a 1-row Jaccard report in exact
+    // integers — the set-stability face of dq_drift's distribution
+    // checks.
+    "fi_rule_stability" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val od = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val j = li.join(od, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_partkey"), col("o_orderdate"))
+      def mine(f: DataFrame) =
+        graft.operators.Itemsets.frequentPairsRaw(
+            f, "l_orderkey", "l_partkey", minSupport = 2L)
+          .select(col("item_a"), col("item_b"))
+      val early = mine(j.where(col("o_orderdate") < "1998-05-01"))
+        .withColumn("in_a", lit(1L))
+      val late = mine(j.where(col("o_orderdate") >= "1998-05-01"))
+        .withColumn("in_b", lit(1L))
+      early.join(late, Seq("item_a", "item_b"), "full_outer")
+        .agg(sum(coalesce(col("in_a"), lit(0L))).cast("long")
+            .as("n_early"),
+          sum(coalesce(col("in_b"), lit(0L))).cast("long").as("n_late"),
+          sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+            .otherwise(0L)).cast("long").as("n_common"))
+        .select(col("n_early"), col("n_late"), col("n_common"),
+          when(col("n_early") + col("n_late") - col("n_common") > 0,
+            expr("(1000 * n_common) div (n_early + n_late - n_common)"))
+            .otherwise(lit(0L)).as("jaccard_permille"))
+    }),
+
     // Association RULES from the frequent pairs — the step after
     // fi_pairs a recommender/merchandiser actually reads: each frequent
     // pair in BOTH directions with confidence(a→b) = sup_ab/sup_a (one
@@ -973,6 +1010,50 @@ object OlapQueries {
         .orderBy(col("bucket"))
     }),
 
+    // Local CLOSURE by degree class — does clustering concentrate in
+    // the low-degree long tail or survive at the hubs? Per-vertex
+    // triangle counts (g_triangles' ordered a<b<c enumeration, each
+    // triangle crediting its three corners) against the per-vertex
+    // wedge bill C(deg,2), aggregated into g_degree_dist's dyadic
+    // buckets: Σtri/Σwedges per bucket as an exact integer permille.
+    // The hub-closure drop-off this reveals is the standard argument
+    // for degree-aware sampling before an O(Σdeg²) wedge pass. The
+    // triangle joins are the census's equi-joins (left_semi close
+    // check, no product); everything after is aggregate-sized.
+    "g_closure_by_degree" -> ((s, d) => {
+      val e = graft.operators.Itemsets.frequentPairs(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
+        .select(col("item_a").as("a"), col("item_b").as("b"))
+        .localCheckpoint()
+      val tri = e.as("e1")
+        .join(e.as("e2"),
+          col("e2.a") === col("e1.a") && col("e2.b") > col("e1.b"))
+        .select(col("e1.a").as("ta"), col("e1.b").as("tb"),
+          col("e2.b").as("tc"))
+        .join(e.as("e3"),
+          col("tb") === col("e3.a") && col("tc") === col("e3.b"),
+          "left_semi")
+      val triPerV = tri
+        .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).cast("long").as("tri"))
+      val deg = e.select(col("a").as("node"))
+        .unionByName(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).cast("long").as("deg"))
+      deg.join(triPerV, Seq("node"), "left")
+        .select(col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+        .withColumn("bucket",
+          expr("cast(length(conv(deg, 10, 2)) - 1 as bigint)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_nodes"),
+          sum(col("tri")).cast("long").as("n_closed"),
+          sum(expr("deg * (deg - 1) div 2")).cast("long").as("n_wedges"))
+        .withColumn("closure_permille",
+          when(col("n_wedges") > 0,
+            expr("(1000 * n_closed) div n_wedges"))
+            .otherwise(lit(null).cast("long")))
+        .orderBy(col("bucket"))
+    }),
+
     // HUB report — the "which nodes to cap" companion to
     // g_degree_dist: the top-10 co-purchase vertices by degree with
     // each hub's share of Σdeg², i.e. its share of the wedge-join
@@ -1055,6 +1136,33 @@ object OlapQueries {
         |    AND q.p_retailprice <= p.p_retailprice
         |    AND (q.p_size < p.p_size OR q.p_retailprice < p.p_retailprice))
         |ORDER BY p_size, p_retailprice, p_partkey""".stripMargin,
+    "fi_rule_stability" ->
+      """WITH f AS (SELECT l_orderkey AS bk, l_partkey AS it, o_orderdate
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |ba AS (SELECT DISTINCT bk, it FROM f
+        |  WHERE o_orderdate < DATE '1998-05-01'),
+        |bb AS (SELECT DISTINCT bk, it FROM f
+        |  WHERE o_orderdate >= DATE '1998-05-01'),
+        |pa AS (SELECT a.it AS item_a, c.it AS item_b FROM ba a
+        |  JOIN ba c ON a.bk = c.bk AND a.it < c.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |pb AS (SELECT a.it AS item_a, c.it AS item_b FROM bb a
+        |  JOIN bb c ON a.bk = c.bk AND a.it < c.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |fo AS (SELECT coalesce(pa.item_a, pb.item_a) AS item_a,
+        |  CASE WHEN pa.item_a IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+        |  CASE WHEN pb.item_a IS NOT NULL THEN 1 ELSE 0 END AS in_b
+        |  FROM pa FULL OUTER JOIN pb
+        |    ON pa.item_a = pb.item_a AND pa.item_b = pb.item_b),
+        |a AS (SELECT CAST(sum(in_a) AS BIGINT) AS n_early,
+        |  CAST(sum(in_b) AS BIGINT) AS n_late,
+        |  CAST(sum(in_a * in_b) AS BIGINT) AS n_common FROM fo)
+        |SELECT n_early, n_late, n_common,
+        |  CASE WHEN n_early + n_late - n_common > 0
+        |    THEN (1000 * n_common) // (n_early + n_late - n_common)
+        |    ELSE 0 END AS jaccard_permille
+        |FROM a""".stripMargin,
     "fi_pairs" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
         |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
@@ -1767,6 +1875,32 @@ object OlapQueries {
         |  CAST(count(*) AS BIGINT) AS n_nodes,
         |  min(deg) AS min_deg, max(deg) AS max_deg
         |FROM dg GROUP BY 1 ORDER BY 1""".stripMargin,
+    "g_closure_by_degree" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |pr AS (SELECT a.it AS ia, c.it AS ib, count(*) AS s
+        |  FROM b a JOIN b c ON a.bk = c.bk AND a.it < c.it GROUP BY 1, 2),
+        |e AS (SELECT ia AS a, ib AS b FROM pr WHERE s >= 2),
+        |tr AS (SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  WHERE EXISTS (SELECT 1 FROM e e3
+        |    WHERE e3.a = e1.b AND e3.b = e2.b)),
+        |tv AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+        |  SELECT ta AS node FROM tr UNION ALL SELECT tb FROM tr
+        |  UNION ALL SELECT tc FROM tr) GROUP BY 1),
+        |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |  SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |j AS (SELECT dg.deg, coalesce(tv.tri, 0) AS tri
+        |  FROM dg LEFT JOIN tv USING (node))
+        |SELECT CAST(length(printf('%b', deg)) - 1 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(tri) AS BIGINT) AS n_closed,
+        |  CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
+        |  CASE WHEN sum(deg * (deg - 1) // 2) > 0
+        |    THEN (1000 * CAST(sum(tri) AS BIGINT))
+        |      // CAST(sum(deg * (deg - 1) // 2) AS BIGINT)
+        |    ELSE NULL END AS closure_permille
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "g_hub_report" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
         |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),

@@ -1435,6 +1435,113 @@ object TextQueries {
           min(col("c")).as("min_count"), max(col("c")).as("max_count"))
         .orderBy(col("bucket"))),
 
+    // LSH BAND sweep — price the bands×rows knob before a 100 TB
+    // near-dup run: for three splits of the SAME 12-slot signature
+    // (12×1 high-recall, the production 6×2, 3×4 high-precision),
+    // the number of multi-occupant buckets and the exact pair bill
+    // Σ n(n−1)/2 the banded self-join would verify. The signature
+    // table is computed ONCE (localCheckpoint) and each config adds
+    // only a narrow explode + count — no candidate join ever runs, so
+    // the sweep costs a fraction of one real LSH pass. More bands ⇒
+    // more collisions ⇒ the pair bill can only grow, and the 6×2 row
+    // is the exact cost t_neardup_pairs pays.
+    "t_lsh_band_sweep" -> ((s, d) => {
+      val base = docs(s, d)
+        .select(col("doc_id"),
+          TextFunctions.minhashFromShingles(
+            TextFunctions.shingles(col("text"), 3), 12).as("sig"))
+        .localCheckpoint()
+      Seq((12, 1), (6, 2), (3, 4)).map { case (b, r) =>
+        base
+          .select(explode(TextFunctions.lshBands(col("sig"), b, r))
+            .as("band"))
+          .groupBy(col("band")).agg(count(lit(1)).cast("long").as("n"))
+          .agg(
+            sum(when(col("n") >= 2, 1L).otherwise(0L)).cast("long")
+              .as("n_buckets_multi"),
+            sum(expr("n * (n - 1) div 2")).cast("long").as("pair_bill"))
+          .select(lit(b.toLong).as("bands"),
+            lit(r.toLong).as("rows_per_band"),
+            col("n_buckets_multi"), col("pair_bill"))
+      }.reduce(_ unionByName _).orderBy(desc(("bands")))
+    }),
+
+    // Jaccard-THRESHOLD sweep — the third knob of the near-dup stack
+    // (after bands×rows and the temperature/gap sweeps): how many
+    // verified pairs survive at 0.5 / 0.7 / 0.9, from ONE candidate
+    // generation + ONE exact-Jaccard verification (threshold 0 keeps
+    // every candidate; the sweep is three conditional sums over the
+    // same jac column — not three LSH runs). The 0.5 row is exactly
+    // t_neardup_pairs' population; kept share is an integer permille.
+    // Same float-literal compare discipline as the shipped 0.5 gate —
+    // both engines divide the same ints and compare the same literal.
+    "t_jaccard_threshold_sweep" -> ((s, d) => {
+      val pairs = Dedup.nearDupPairs(docs(s, d), "doc_id", "text",
+        threshold = 0.0)
+      pairs.agg(count(lit(1)).cast("long").as("n_candidates"),
+          sum(when(col("jac") >= 0.5, 1L).otherwise(0L)).cast("long")
+            .as("k50"),
+          sum(when(col("jac") >= 0.7, 1L).otherwise(0L)).cast("long")
+            .as("k70"),
+          sum(when(col("jac") >= 0.9, 1L).otherwise(0L)).cast("long")
+            .as("k90"))
+        .select(explode(array(
+          struct(lit(50L).as("threshold_pct"), col("k50").as("n_kept"),
+            col("n_candidates")),
+          struct(lit(70L).as("threshold_pct"), col("k70").as("n_kept"),
+            col("n_candidates")),
+          struct(lit(90L).as("threshold_pct"), col("k90").as("n_kept"),
+            col("n_candidates")))).as("r"))
+        .select(col("r.threshold_pct").as("threshold_pct"),
+          col("r.n_kept").as("n_kept"),
+          col("r.n_candidates").as("n_candidates"),
+          when(col("r.n_candidates") > 0,
+            expr("(1000 * r.n_kept) div r.n_candidates"))
+            .otherwise(lit(0L)).as("kept_permille"))
+        .orderBy(col("threshold_pct"))
+    }),
+
+    // Quality-score CALIBRATION — is the trained classifier score
+    // predictive of an INDEPENDENT signal? Per global score quintile
+    // (exact rank via the distributed prefix-sum, never a
+    // single-partition window over the corpus): exact-dup share and
+    // chars/doc. A well-calibrated score shows dup share falling as
+    // the quintile improves — the table a curation funnel reads before
+    // trusting the score as a gate. Dup membership rides an md5 key
+    // (the wide text never shuffles twice); every ratio is an integer
+    // permille / integer division.
+    "t_quality_calibration" -> ((s, d) => {
+      val ws = filter(TextFunctions.tokens(col("text")),
+        w => length(w) > 0)
+      val scored = docs(s, d).select(col("doc_id"),
+          md5(lower(trim(col("text")))).as("h"), col("n_chars"),
+          (lit(-800L) * size(ws).cast("long") +
+            lit(3000L) * size(filter(ws,
+              w => w === "the" || w === "a")).cast("long") +
+            lit(60L) * col("n_chars") +
+            lit(600L) * size(array_distinct(ws)).cast("long"))
+            .as("score"))
+        .localCheckpoint() // read for the rank pass AND the dup join
+      val dup = scored.groupBy(col("h"))
+        .agg(count(lit(1)).cast("long").as("n_copies"))
+      val tot = scored.agg(count(lit(1)).cast("long").as("n_total"))
+      graft.operators.TrainingMix.withRunningTotal(
+          scored, Seq.empty, Seq(col("score").desc, col("doc_id")),
+          lit(1L), "rnk")
+        .crossJoin(broadcast(tot))
+        .withColumn("quintile", expr("((rnk - 1) * 5) div n_total"))
+        .join(dup, Seq("h"))
+        .groupBy(col("quintile"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("n_copies") >= 2L, 1L).otherwise(0L)).cast("long")
+            .as("n_dup_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .select(col("quintile"), col("n_docs"), col("n_dup_docs"),
+          expr("(1000 * n_dup_docs) div n_docs").as("dup_permille"),
+          expr("sum_chars div n_docs").as("chars_per_doc"))
+        .orderBy(col("quintile"))
+    }),
+
     // Multimodal frame sampling: payloads fan out to every-2nd 32-byte
     // frame; count per doc proves the generator arithmetic.
     "mm_frame_sample" -> ((s, d) =>
@@ -1811,15 +1918,15 @@ object TextQueries {
     s"""list_distinct(list_transform(range(1, greatest(len(ws)-2,1)+1),
        | i -> array_to_string(ws[i:i+2],' ')))""".stripMargin
 
-  /** Shared CTE chain producing near-dup candidate pairs with exact
-    * Jaccard (`j`) over a source relation: shingles → 12-slot MinHash
-    * (Kirsch–Mitzenmacher double hashing, one md5 per shingle, slot i =
-    * min (h1 + i·h2) mod 2^30 — digit-for-digit the Spark construction:
-    * h1/h2 are the hex halves at positions 1-12 / 13-24, most-significant
-    * first, summed exactly below 2^53 so the DOUBLE powers are lossless)
-    * → 6 bands → bucket join.
+  /** CTE chain through the 12-slot MinHash signature (`sig`) over a
+    * source relation: shingles → 12-slot MinHash (Kirsch–Mitzenmacher
+    * double hashing, one md5 per shingle, slot i = min (h1 + i·h2) mod
+    * 2^30 — digit-for-digit the Spark construction: h1/h2 are the hex
+    * halves at positions 1-12 / 13-24, most-significant first, summed
+    * exactly below 2^53 so the DOUBLE powers are lossless). Shared by
+    * the banded-pair chain below and the band-sweep pricing query.
     */
-  private[queries] def minhashBandCtes(src: String): String =
+  private[queries] def minhashSigCtes(src: String): String =
     s"""w AS (SELECT doc_id, $wsSql AS ws FROM $src),
        |shs AS (SELECT doc_id, $sh3Sql AS sh FROM w),
        |hx AS (SELECT doc_id, md5(s) AS h
@@ -1834,7 +1941,13 @@ object TextQueries {
        |  FROM hx),
        |sl AS (SELECT doc_id, t.i, min((h1 + t.i*h2) % 1073741824) AS v
        |  FROM hp, generate_series(0,11) t(i) GROUP BY 1,2),
-       |sig AS (SELECT doc_id, list(v ORDER BY i) AS sg FROM sl GROUP BY 1),
+       |sig AS (SELECT doc_id, list(v ORDER BY i) AS sg FROM sl GROUP BY 1)""".stripMargin
+
+  /** Signature CTEs extended with the production 6-band × 2-slot
+    * banding (`bands`) — the near-dup candidate generator's split.
+    */
+  private[queries] def minhashBandCtes(src: String): String =
+    s"""${minhashSigCtes(src)},
        |bands AS (SELECT doc_id, unnest(list_transform(range(0,6),
        |  j -> concat(j, '|', sg[2*j+1], '|', sg[2*j+2]))) AS bv FROM sig)""".stripMargin
 
@@ -2796,6 +2909,76 @@ object TextQueries {
          |  CAST(sum(c) AS BIGINT) AS n_occurrences,
          |  min(c) AS min_count, max(c) AS max_count
          |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t_lsh_band_sweep" -> {
+      def cfg(b: Int, r: Int) =
+        s"""b$b AS (SELECT doc_id, unnest(list_transform(range(0,$b),
+           |  j -> concat(j, '|',
+           |    array_to_string(sg[j*$r+1:(j+1)*$r], '|')))) AS bv
+           |  FROM sig),
+           |g$b AS (SELECT bv, CAST(count(*) AS BIGINT) AS n
+           |  FROM b$b GROUP BY 1),
+           |a$b AS (SELECT
+           |  CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_buckets_multi,
+           |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pair_bill
+           |  FROM g$b)""".stripMargin
+      s"""WITH ${minhashSigCtes("documents")},
+         |${cfg(12, 1)},
+         |${cfg(6, 2)},
+         |${cfg(3, 4)}
+         |SELECT CAST(12 AS BIGINT) AS bands, CAST(1 AS BIGINT)
+         |  AS rows_per_band, n_buckets_multi, pair_bill FROM a12
+         |UNION ALL SELECT 6, 2, n_buckets_multi, pair_bill FROM a6
+         |UNION ALL SELECT 3, 4, n_buckets_multi, pair_bill FROM a3
+         |ORDER BY bands DESC""".stripMargin
+    },
+    "t_jaccard_threshold_sweep" ->
+      s"""WITH ${neardupPairCtesFrom("documents")},
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+         |  CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS k50,
+         |  CAST(sum(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS k70,
+         |  CAST(sum(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS k90 FROM j)
+         |SELECT CAST(50 AS BIGINT) AS threshold_pct, k50 AS n_kept,
+         |  n_candidates, CASE WHEN n_candidates > 0
+         |    THEN (1000 * k50) // n_candidates ELSE 0 END
+         |    AS kept_permille FROM a
+         |UNION ALL SELECT 70, k70, n_candidates, CASE WHEN
+         |  n_candidates > 0 THEN (1000 * k70) // n_candidates ELSE 0 END
+         |  FROM a
+         |UNION ALL SELECT 90, k90, n_candidates, CASE WHEN
+         |  n_candidates > 0 THEN (1000 * k90) // n_candidates ELSE 0 END
+         |  FROM a
+         |ORDER BY threshold_pct""".stripMargin,
+    "t_quality_calibration" ->
+      s"""WITH w AS (SELECT doc_id, n_chars,
+         |  list_filter($wsSql, x -> length(x) > 0) AS ws,
+         |  md5(lower(trim(text))) AS h FROM documents),
+         |f AS (SELECT doc_id, n_chars, h,
+         |  -800*len(ws)
+         |    + 3000*len(list_filter(ws, x -> x='the' OR x='a'))
+         |    + 60*n_chars + 600*len(list_distinct(ws)) AS score
+         |  FROM w),
+         |d AS (SELECT h, CAST(count(*) AS BIGINT) AS n_copies
+         |  FROM f GROUP BY 1),
+         |r AS (SELECT f.*,
+         |  row_number() OVER (ORDER BY score DESC, doc_id) AS rnk,
+         |  count(*) OVER () AS n_total FROM f),
+         |q AS (SELECT ((rnk - 1) * 5) // n_total AS quintile,
+         |  n_chars, h FROM r),
+         |j AS (SELECT q.quintile, q.n_chars, d.n_copies
+         |  FROM q JOIN d USING (h))
+         |SELECT CAST(quintile AS BIGINT) AS quintile,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup_docs,
+         |  (1000 * CAST(sum(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END)
+         |    AS BIGINT)) // CAST(count(*) AS BIGINT) AS dup_permille,
+         |  CAST(sum(n_chars) AS BIGINT) // CAST(count(*) AS BIGINT)
+         |    AS chars_per_doc
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm_png_roundtrip" ->
       """SELECT doc_id, CAST(8 + doc_id%16 AS INT) AS w,
         |CAST(8 + doc_id%8 AS INT) AS h,

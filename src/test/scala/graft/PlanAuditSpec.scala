@@ -723,6 +723,65 @@ class PlanAuditSpec extends AnyFunSuite {
       s"freq spectrum reads pruned document columns:\n$p")
   }
 
+  test("band sweep never runs a candidate join; dwell stays one window") {
+    // The sweep's contract: price three band configs WITHOUT the
+    // banded self-join — only explodes + counts over the checkpointed
+    // signature table.
+    val bs = plan("t_lsh_band_sweep")
+    assert(!bs.contains("Join"), s"band sweep grew a candidate join:\n$bs")
+    assert(!bs.contains("lang") && !bs.contains("source"),
+      s"band sweep reads pruned document columns:\n$bs")
+    val dw = plan("ev_dwell_time")
+    assert(!dw.contains("CartesianProduct") &&
+      !dw.contains("BroadcastNestedLoopJoin"),
+      s"dwell time degraded to a product join:\n$dw")
+    assert(dw.contains("Window"), s"dwell lost its lead window:\n$dw")
+    assert(!dw.contains("props"), s"dwell reads pruned event columns:\n$dw")
+  }
+
+  test("closure census keeps equi/semi joins and explode fan-out of 3") {
+    val p = plan("g_closure_by_degree")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"closure census degraded to a product join:\n$p")
+    assert(p.contains("LeftSemi"), s"close check lost its semi join:\n$p")
+  }
+
+  test("error budget windows only the day aggregate; calibration is " +
+    "prefix-sum ranked") {
+    // budget: the unbounded running sum must sit ABOVE the day-grain
+    // aggregate (≤31 rows), so the plan is Window-over-Aggregate with
+    // no data-sized join.
+    val eb = plan("ev_error_budget")
+    assert(!eb.contains("Join"), s"error budget grew a join:\n$eb")
+    assert(eb.contains("Window"), s"error budget lost its window:\n$eb")
+    // calibration: the global rank must come from the distributed
+    // prefix sum (range partition + pid-local window + broadcast
+    // offsets) — a Window with an empty partitionBy over the CORPUS
+    // would be the single-partition funnel the operator exists to
+    // avoid. The broadcast offset join is the witness.
+    val qc = plan("t_quality_calibration")
+    assert(qc.contains("BroadcastHashJoin"),
+      s"calibration lost its broadcast offset join:\n$qc")
+    assert(qc.contains("Window"), s"calibration lost the local window:\n$qc")
+  }
+
+  test("threshold sweep pays one LSH pass; rule halves join equi") {
+    // sweep: candidate generation + verification appear ONCE — the
+    // three thresholds are conditional sums, so the banded self-join
+    // count must match the single-run t_neardup_pairs shape.
+    val ts = plan("t_jaccard_threshold_sweep")
+    assert(!ts.contains("CartesianProduct") &&
+      !ts.contains("BroadcastNestedLoopJoin"),
+      s"threshold sweep degraded to a product join:\n$ts")
+    val rs = plan("fi_rule_stability")
+    assert(!rs.contains("CartesianProduct") &&
+      !rs.contains("BroadcastNestedLoopJoin"),
+      s"rule stability degraded to a product join:\n$rs")
+    assert(rs.contains("FullOuter"),
+      s"rule stability lost its full-outer overlap join:\n$rs")
+  }
+
   test("p-chart and growth accounting stay on aggregate-sized state") {
     // p-chart: one day aggregate + broadcast totals, no data-sized join.
     val pc = plan("ev_error_pchart")

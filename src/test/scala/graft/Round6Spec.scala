@@ -1420,6 +1420,119 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  // ---- batch 42: band sweep / dwell time / closure ---------------------
+
+  test("LSH band sweep: pair bill grows with bands; 6x2 covers candidates") {
+    val rows = q("t_lsh_band_sweep")
+      .select($"bands", $"rows_per_band", $"n_buckets_multi", $"pair_bill")
+      .as[(Long, Long, Long, Long)].collect().sortBy(-_._1)
+    assert(rows.map(r => (r._1, r._2)).toSeq ==
+      Seq((12L, 1L), (6L, 2L), (3L, 4L)))
+    // shorter band keys collide more: recall (and cost) is monotone
+    assert(rows(0)._4 >= rows(1)._4 && rows(1)._4 >= rows(2)._4,
+      "pair bill must be nonincreasing as band keys lengthen")
+    // the production 6x2 bill upper-bounds its DISTINCT candidate pairs
+    val cands = graft.operators.Dedup.minhashCandidates(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      .count()
+    assert(rows(1)._4 >= cands,
+      s"6x2 bill ${rows(1)._4} < distinct candidates $cands")
+  }
+
+  test("dwell time: per-type p50 <= p90, all inside the session bound") {
+    val rows = q("ev_dwell_time")
+      .select($"event_type", $"pct", $"value")
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._3 > 0 && r._3 < 30L * 60L * 1000000L),
+      "dwell must sit inside (0, 30min)")
+    val byType = rows.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.map(r => r._2 -> r._3).toMap
+    }
+    for ((t, m) <- byType)
+      assert(m(50L) <= m(90L), s"$t: p50 ${m(50L)} > p90 ${m(90L)}")
+  }
+
+  test("closure by degree: wedges bound triangles; corners sum to 3T") {
+    val rows = q("g_closure_by_degree")
+      .select($"bucket", $"n_nodes", $"n_closed", $"n_wedges")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.forall(r => r._3 <= r._4),
+      "closed wedges can never exceed the wedge bill")
+    val totalNodes = q("g_degree_dist")
+      .agg(sum($"n_nodes")).as[Long].head()
+    assert(rows.map(_._2).sum == totalNodes,
+      "closure buckets must tile the vertex set")
+    val triangles = q("g_triangles")
+      .select($"n_triangles").as[Long].head()
+    assert(rows.map(_._3).sum == 3 * triangles,
+      "per-vertex triangle credits must sum to 3 x census")
+  }
+
+  // ---- batch 43: error budget / score calibration ----------------------
+
+  test("error budget: running sums reconcile; flag matches cross-mult") {
+    val rows = q("ev_error_budget")
+      .select($"day", $"n_events", $"n_errors", $"cum_events",
+        $"cum_errors", $"burn_permille", $"over_budget")
+      .as[(java.sql.Date, Long, Long, Long, Long, Long, Boolean)]
+      .collect()
+    var (ce, cr) = (0L, 0L)
+    for (r <- rows) {
+      ce += r._2; cr += r._3
+      assert(r._4 == ce && r._5 == cr,
+        s"${r._1}: cumulative drifted from prefix sum")
+      assert(r._6 == 5000L * cr / ce)
+      assert(r._7 == (5L * cr > ce))
+    }
+    val (te, tr) = (spark.read.parquet(s"$dir/events.parquet")
+      .where($"ts".isNotNull).count(),
+      spark.read.parquet(s"$dir/events.parquet")
+        .where($"ts".isNotNull && $"event_type" === "error").count())
+    assert(ce == te && cr == tr, "last row must cover the whole month")
+  }
+
+  test("quality calibration: quintiles tile the corpus near-evenly") {
+    val rows = q("t_quality_calibration")
+      .select($"quintile", $"n_docs", $"n_dup_docs", $"dup_permille",
+        $"chars_per_doc")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_._2).sum == total, "quintiles must tile the corpus")
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1,
+      "exact global rank must yield near-equal quintiles")
+    assert(rows.forall(r => r._3 <= r._2 && r._5 > 0))
+    assert(rows.forall(r => r._4 == 1000 * r._3 / r._2))
+  }
+
+  // ---- batch 44: threshold sweep / rule stability ----------------------
+
+  test("jaccard threshold sweep: kept pairs shrink as the bar rises") {
+    val rows = q("t_jaccard_threshold_sweep")
+      .select($"threshold_pct", $"n_kept", $"n_candidates",
+        $"kept_permille")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(50L, 70L, 90L))
+    assert(rows.map(_._3).distinct.size == 1,
+      "candidate population must be threshold-independent")
+    assert(rows(0)._2 >= rows(1)._2 && rows(1)._2 >= rows(2)._2,
+      "a higher bar can only keep FEWER pairs")
+    // the 0.5 row must be exactly the shipped near-dup pair count
+    val shipped = q("t_neardup_pairs").count()
+    assert(rows(0)._2 == shipped,
+      s"sweep 0.5 row ${rows(0)._2} != t_neardup_pairs $shipped")
+  }
+
+  test("rule stability: overlap bounded by both halves") {
+    val r = q("fi_rule_stability")
+      .select($"n_early", $"n_late", $"n_common", $"jaccard_permille")
+      .as[(Long, Long, Long, Long)].head()
+    assert(r._1 > 0 && r._2 > 0, "both halves must mine SOME rules")
+    assert(r._3 <= math.min(r._1, r._2))
+    assert(r._4 == 1000 * r._3 / (r._1 + r._2 - r._3))
+  }
+
   // ---- determinism sweep ----------------------------------------------
 
   test("new gates are bit-deterministic across runs") {
