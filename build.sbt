@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output passes through VERBATIM instead of being re-logged
+// line-by-line with sbt's `[info]`/`[error]` prefixes: the bench driver
+// parses the final stdout JSON line, and the prefix made it unparseable
+// for five rounds (BENCH_r0{2..6} `parsed: null` — VERDICT r6 item 4).
+// (plain `outputStrategy` so the setting reaches `runMain`'s forkOptions
+// too, which does not delegate through `run /`.)
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

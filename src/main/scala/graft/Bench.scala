@@ -403,10 +403,12 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     // Optional args: restrict to the named queries (local plan iteration
-    // on one slow query without paying the whole headline set). The
-    // driver passes none.
+    // on one slow query without paying the whole headline set). Any
+    // REGISTERED query is allowed here — e.g. the correctness-only
+    // fixtures when measuring a scaling probe for SCALE.md — but the
+    // driver passes none, so the headline set alone is what it measures.
     val only = if (args.isEmpty) headline
-               else headline.filter(args.toSet)
+               else args.toSeq.distinct.filter(SparkEntry.queries.contains)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val smallDir =
       sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")

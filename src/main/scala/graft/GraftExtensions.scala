@@ -34,6 +34,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       NativeFunctions.kmvIdentifier,
       NativeFunctions.kmvInfo,
       NativeFunctions.kmvBuilder))
+    ext.injectFunction((
+      NativeFunctions.centroidCellIdentifier,
+      NativeFunctions.centroidCellInfo,
+      NativeFunctions.centroidCellBuilder))
+    ext.injectFunction((
+      NativeFunctions.centroidProbeIdentifier,
+      NativeFunctions.centroidProbeInfo,
+      NativeFunctions.centroidProbeBuilder))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

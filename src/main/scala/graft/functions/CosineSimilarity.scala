@@ -131,6 +131,44 @@ object NativeFunctions {
     }
   }
 
+  /** Extract a literal `array<array<double>>` (from `typedlit`) as the
+    * centroid matrix for the argmax expressions — the KmvMinK literal-k
+    * pattern: the matrix is plan metadata, parsed once at build time.
+    */
+  private def matrixFromLiteral(e: Expression): Seq[Seq[Double]] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        ad: org.apache.spark.sql.catalyst.util.ArrayData,
+        ArrayType(ArrayType(DoubleType, _), _)) =>
+      (0 until ad.numElements())
+        .map(i => ad.getArray(i).toDoubleArray().toSeq)
+    case other => throw new IllegalArgumentException(
+      s"expected a literal array<array<double>> centroid matrix, got $other")
+  }
+
+  val centroidCellIdentifier: FunctionIdentifier =
+    FunctionIdentifier("centroid_cell")
+
+  val centroidCellInfo: ExpressionInfo =
+    new ExpressionInfo(classOf[CentroidCell].getName, "centroid_cell")
+
+  val centroidCellBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2, "centroid_cell takes exactly 2 arguments")
+    CentroidCell(exprs.head, matrixFromLiteral(exprs(1)))
+  }
+
+  val centroidProbeIdentifier: FunctionIdentifier =
+    FunctionIdentifier("centroid_probe_cells")
+
+  val centroidProbeInfo: ExpressionInfo =
+    new ExpressionInfo(classOf[CentroidProbeCells].getName,
+      "centroid_probe_cells")
+
+  val centroidProbeBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2,
+      "centroid_probe_cells takes exactly 2 arguments")
+    CentroidProbeCells(exprs.head, matrixFromLiteral(exprs(1)))
+  }
+
   /** Register the native expressions in the session's function registry
     * (idempotent). After this they are usable from both the Column API
     * ([[cosineSim]], [[hammingDist]], [[kmvMinK]]) and SQL text. Sessions
@@ -144,6 +182,10 @@ object NativeFunctions {
       hammingIdentifier, hammingInfo, hammingBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       kmvIdentifier, kmvInfo, kmvBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      centroidCellIdentifier, centroidCellInfo, centroidCellBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      centroidProbeIdentifier, centroidProbeInfo, centroidProbeBuilder)
   }
 
   /** Column-API form of the KMV min-k aggregate; requires [[register]]
@@ -158,4 +200,14 @@ object NativeFunctions {
   /** Column-API form; requires [[register]] on the owning session first. */
   def hammingDist(a: Column, b: Column): Column =
     call_function("hamming_dist", a, b)
+
+  /** Column-API form; requires [[register]] on the owning session first. */
+  def centroidCell(vec: Column, cents: Array[Array[Double]]): Column =
+    call_function("centroid_cell", vec,
+      org.apache.spark.sql.functions.typedlit(cents.map(_.toSeq).toSeq))
+
+  /** Column-API form; requires [[register]] on the owning session first. */
+  def centroidProbeCells(vec: Column, cents: Array[Array[Double]]): Column =
+    call_function("centroid_probe_cells", vec,
+      org.apache.spark.sql.functions.typedlit(cents.map(_.toSeq).toSeq))
 }

@@ -26,20 +26,20 @@ import org.apache.spark.sql.functions._
   */
 object Itemsets {
 
-  /** Frequent pairs WITHOUT the lift column — the set-shaped output for
-    * callers that only consume the pair keys (stability overlap,
-    * candidate feeds). Skips the basket-total aggregate and its 1-row
-    * broadcast join entirely, so the plan is prune → self-join →
-    * count, nothing else.
-    *
-    * @return (item_a, item_b, support, n_a, n_b) with item_a < item_b.
+  /** The distinct (basket, item) relation, staged once: support counts
+    * baskets, not line repeats, and every downstream pass (per-item
+    * counts, the basket total, the pair self-join) re-reads it — left
+    * lazy each would re-run the full upstream scan+shuffle.
     */
-  def frequentPairsRaw(baskets: DataFrame, basketCol: String,
-                       itemCol: String, minSupport: Long): DataFrame = {
-    val b = baskets.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+  private def basketRelation(baskets: DataFrame, basketCol: String,
+                             itemCol: String): DataFrame =
+    baskets.select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .where(col("bk").isNotNull && col("it").isNotNull)
       .distinct()
       .localCheckpoint()
+
+  /** Prune → self-join → count over a staged basket relation `b`. */
+  private def pairsFrom(b: DataFrame, minSupport: Long): DataFrame = {
     val frequent = b.groupBy(col("it"))
       .agg(count(lit(1)).as("n_item"))
       .where(col("n_item") >= minSupport)
@@ -55,22 +55,36 @@ object Itemsets {
         col("n_a"), col("n_b"))
   }
 
+  /** Frequent pairs WITHOUT the lift column — the set-shaped output for
+    * callers that only consume the pair keys (stability overlap,
+    * candidate feeds, the graph queries). Skips the basket-total
+    * aggregate and its 1-row broadcast join entirely, so the plan is
+    * prune → self-join → count, nothing else.
+    *
+    * @return (item_a, item_b, support, n_a, n_b) with item_a < item_b.
+    */
+  def frequentPairsRaw(baskets: DataFrame, basketCol: String,
+                       itemCol: String, minSupport: Long): DataFrame =
+    pairsFrom(basketRelation(baskets, basketCol, itemCol), minSupport)
+
   /** Frequent co-occurring pairs with support ≥ `minSupport`.
     *
     * @return (item_a, item_b, support, n_a, n_b, lift) with
     *         item_a < item_b, one row per frequent pair.
+    *
+    * The lift total and the pair join read the SAME staged basket
+    * relation — one materialization per call (an r6 refactor computed
+    * the relation twice, once un-staged for the total: ADVICE r6).
     */
   def frequentPairs(baskets: DataFrame, basketCol: String, itemCol: String,
                     minSupport: Long): DataFrame = {
-    // Distinct (basket, item): support counts baskets, not line repeats.
-    val b = baskets.select(col(basketCol).as("bk"), col(itemCol).as("it"))
-      .where(col("bk").isNotNull && col("it").isNotNull)
-      .distinct()
+    val b = basketRelation(baskets, basketCol, itemCol)
     // Broadcast-scalar basket total (for lift) — no single-partition
     // window, same pattern as the dashboard share-of-total queries.
+    // `b` is already distinct on (bk, it), so the distinct-basket count
+    // is a plain count over the bk projection's distinct.
     val total = b.agg(countDistinct(col("bk")).as("_n_baskets"))
-    val pairs = frequentPairsRaw(baskets, basketCol, itemCol, minSupport)
-    pairs.crossJoin(broadcast(total))
+    pairsFrom(b, minSupport).crossJoin(broadcast(total))
       .select(col("item_a"), col("item_b"), col("support"),
         col("n_a"), col("n_b"),
         (col("support") * col("_n_baskets")).cast("double")

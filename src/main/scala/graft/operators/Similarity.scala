@@ -140,18 +140,19 @@ object Similarity {
     lshPlanes(dim, k, seed)
 
   /** IVF cell id: index of the centroid with the highest dot product
-    * (ties → lowest index — the same first-match CASE chain the oracle
-    * runs). Per-row projection over literal centroids: computing the cell
-    * never shuffles, exactly like [[projectionBucket]].
+    * (ties → lowest index — the same first-match rule the oracle's
+    * row_number replay uses). Per-row projection over literal centroids:
+    * computing the cell never shuffles, exactly like [[projectionBucket]].
+    *
+    * Native codegen expression ([[graft.functions.CentroidCell]]) since
+    * r7: the declarative greatest/CASE-over-HOF form evaluated every
+    * dot product ~3× through interpreted lambdas and made assignment the
+    * entire cost of the trained-quantizer family (VERDICT r6). Same
+    * arithmetic (sequential double fold, float widened per element), so
+    * results are bit-identical.
     */
-  def centroidCell(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val v = vec.cast("array<double>")
-    val scores = centroids.map(c => dot(v, array(c.map(lit).toIndexedSeq: _*)))
-    val mx = greatest(scores.toIndexedSeq: _*)
-    scores.zipWithIndex.foldRight(lit(centroids.length - 1): Column) {
-      case ((s, i), els) => when(s === mx, lit(i)).otherwise(els)
-    }
-  }
+  def centroidCell(vec: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.NativeFunctions.centroidCell(vec, centroids)
 
   /** IVF multi-probe cell set: the query's nearest centroid cell plus the
     * runner-up — the recall knob on the Voronoi path, mirroring what
@@ -161,26 +162,8 @@ object Similarity {
     * stored corpus. Per-row projection over literal centroids, like
     * [[centroidCell]].
     */
-  def ivfProbeCells(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val v = vec.cast("array<double>")
-    val scores = centroids.map(c => dot(v, array(c.map(lit).toIndexedSeq: _*)))
-    val mx = greatest(scores.toIndexedSeq: _*)
-    val first = scores.zipWithIndex
-      .foldRight(lit(centroids.length - 1): Column) {
-        case ((s, i), els) => when(s === mx, lit(i)).otherwise(els)
-      }
-    // Mask the winner's score and argmax again: the first index achieving
-    // the second-best score — never the winner itself.
-    val masked = scores.zipWithIndex.map { case (s, i) =>
-      when(lit(i) === first, lit(Double.MinValue)).otherwise(s)
-    }
-    val mx2 = greatest(masked.toIndexedSeq: _*)
-    val second = masked.zipWithIndex
-      .foldRight(lit(centroids.length - 1): Column) {
-        case ((s, i), els) => when(s === mx2, lit(i)).otherwise(els)
-      }
-    array(first, second)
-  }
+  def ivfProbeCells(vec: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.NativeFunctions.centroidProbeCells(vec, centroids)
 
   /** Embedding-cosine near-duplicate pairs: all (a, b) with
     * cosine ≥ threshold, compared only WITHIN a blocking column (cluster

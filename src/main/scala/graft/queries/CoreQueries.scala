@@ -579,10 +579,16 @@ object CoreQueries {
     // md5-prefix-sum construction, surfaced as the digit string both
     // engines hash identically.
     "dq_fingerprint_daily" -> ((s, d) => {
+      // NULL handling explicit and identical on both sides: concat_ws
+      // silently SKIPS null columns while the oracle's || propagates
+      // NULL — a latent divergence on any nullable source (ADVICE r6).
+      // Each column coalesces to a sentinel before concatenation.
+      def part(c: org.apache.spark.sql.Column) =
+        coalesce(c.cast("string"), lit("NUL"))
       t(s, d, "orders")
         .select(col("o_orderdate").cast("date").as("day"),
-          concat_ws("|", col("o_orderkey"), col("o_custkey"),
-            col("o_orderstatus")).as("_r"))
+          concat_ws("|", part(col("o_orderkey")), part(col("o_custkey")),
+            part(col("o_orderstatus"))).as("_r"))
         .groupBy(col("day"))
         .agg(count(lit(1)).as("n_rows"),
           sum(conv(substring(md5(col("_r")), 1, 12), 16, 10)
@@ -1262,8 +1268,10 @@ object CoreQueries {
     "dq_fingerprint_daily" ->
       """SELECT CAST(o_orderdate AS DATE) AS day,
         |  count(*) AS n_rows,
-        |  CAST(sum(CAST('0x' || substr(md5(o_orderkey || '|' ||
-        |    o_custkey || '|' || o_orderstatus), 1, 12) AS BIGINT))
+        |  CAST(sum(CAST('0x' || substr(md5(
+        |    coalesce(CAST(o_orderkey AS VARCHAR), 'NUL') || '|' ||
+        |    coalesce(CAST(o_custkey AS VARCHAR), 'NUL') || '|' ||
+        |    coalesce(o_orderstatus, 'NUL')), 1, 12) AS BIGINT))
         |    AS VARCHAR) AS fingerprint
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "dq_domain_conformance" ->

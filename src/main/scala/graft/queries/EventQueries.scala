@@ -1196,9 +1196,14 @@ object EventQueries {
     // 0, and lag-7 must mean seven CALENDAR days, not seven observed
     // rows); both windows then run over the ~|days| daily aggregate,
     // never over facts. Scored only on days with a full 7-day history.
+    // The model contract is NON-NEGATIVE revenue, enforced by filter on
+    // both engines: the ma7 floor division is Spark `div` (truncates
+    // toward zero) vs DuckDB `//` (floors) — identical on non-negative
+    // sums, divergent on a refund-valued purchase day (ADVICE r6).
     "ev_forecast_backtest" -> ((s, d) => {
       val daily = ev(s, d)
-        .where(col("ts").isNotNull && col("event_type") === "purchase")
+        .where(col("ts").isNotNull && col("event_type") === "purchase" &&
+          col("value") >= 0)
         .groupBy(col("ts").cast("date").as("day"))
         .agg(sum((col("value").cast("decimal(12,2)") * 100)
           .cast("long")).as("cents"))
@@ -2275,7 +2280,8 @@ object EventQueries {
     "ev_forecast_backtest" ->
       """WITH p AS (SELECT CAST(ts AS DATE) AS day,
         |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
-        |  FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'),
+        |  FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'
+        |    AND value >= 0),
         |dly AS (SELECT day, CAST(sum(cents) AS BIGINT) AS cents
         |  FROM p GROUP BY 1),
         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM dly),

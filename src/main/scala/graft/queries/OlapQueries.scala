@@ -620,7 +620,7 @@ object OlapQueries {
     // vertices, never to the whole graph). Reach = distinct 2-hop
     // neighborhood excluding the hub itself.
     "g_two_hop_reach" -> ((s, d) => {
-      val fp = graft.operators.Itemsets.frequentPairs(
+      val fp = graft.operators.Itemsets.frequentPairsRaw(
           t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
         .select(col("item_a"), col("item_b"))
       val e2 = fp.select(col("item_a").as("src"), col("item_b").as("dst"))
@@ -658,7 +658,7 @@ object OlapQueries {
     // is STAGED once and feeds label prop, the degree table, and the
     // internal-edge count, so the basket self-join runs one time.
     "g_modularity" -> ((s, d) => {
-      val fp = graft.operators.Itemsets.frequentPairs(
+      val fp = graft.operators.Itemsets.frequentPairsRaw(
           t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
         .select(col("item_a"), col("item_b"))
         .localCheckpoint()
@@ -1021,7 +1021,7 @@ object OlapQueries {
     // triangle joins are the census's equi-joins (left_semi close
     // check, no product); everything after is aggregate-sized.
     "g_closure_by_degree" -> ((s, d) => {
-      val e = graft.operators.Itemsets.frequentPairs(
+      val e = graft.operators.Itemsets.frequentPairsRaw(
           t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
         .select(col("item_a").as("a"), col("item_b").as("b"))
         .localCheckpoint()

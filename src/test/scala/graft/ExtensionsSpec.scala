@@ -76,4 +76,45 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(sql === 1L)
   }
+
+  test("centroid_cell/centroid_probe_cells: argmax, lowest-index ties, " +
+    "and agreement between codegen and a Scala reference") {
+    NativeFunctions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(5L)
+    val cents = Array.fill(4)(Array.fill(8)(rnd.nextGaussian()))
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq))
+    val df = vecs.toDF("id", "vec")
+    val got = df.select(col("id"),
+        NativeFunctions.centroidCell(col("vec"), cents).as("cell"),
+        NativeFunctions.centroidProbeCells(col("vec"), cents).as("probe"))
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1)
+    // Reference: sequential double fold, strict-> argmax, mask-and-rerun.
+    def scores(v: Seq[Float]) = cents.map { c =>
+      var acc = 0.0; var i = 0
+      while (i < 8) { acc += v(i).toDouble * c(i); i += 1 }; acc
+    }
+    def amax(s: Array[Double]) = s.indices.reduceLeft((a, b) =>
+      if (s(b) > s(a)) b else a)
+    vecs.foreach { case (id, v) =>
+      val s = scores(v)
+      val first = amax(s)
+      s(first) = Double.MinValue
+      val second = amax(s)
+      val (_, cell, probe) = got(id.toInt)
+      assert(cell == first && probe == Seq(first, second),
+        s"id=$id: got ($cell, $probe), want ($first, [$first,$second])")
+    }
+    // Exact tie: duplicated centroid -> the LOWEST index must win, and
+    // the runner-up is the OTHER copy of the tied centroid.
+    val tied = Array(Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0))
+    val one = Seq((1L, Seq(1.0f, 0.0f))).toDF("id", "vec")
+      .select(NativeFunctions.centroidCell(col("vec"), tied).as("cell"),
+        NativeFunctions.centroidProbeCells(col("vec"), tied).as("probe"))
+      .head()
+    assert(one.getInt(0) == 0 && one.getSeq[Int](1) == Seq(0, 1))
+  }
 }

@@ -782,6 +782,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"rule stability lost its full-outer overlap join:\n$rs")
   }
 
+  test("trained-quantizer assignment is the native centroid_cell — no " +
+    "interpreted HOF hot loop") {
+    // The r6 regression class (VERDICT r6 items 1-2): per-row IVF cell
+    // assignment through interpreted `aggregate(zip_with(vec, <64
+    // literals>))` trees, duplicated inside a greatest/CASE argmax,
+    // made two 8-row diagnostics cost ~40 s each. The assignment must
+    // come from the native codegen expression; these two plans have NO
+    // other higher-order function, so any aggregate(zip_with showing
+    // up again is the regression.
+    for (q <- Seq("sim_cell_balance", "sim_diverse_sample")) {
+      val p = plan(q)
+      assert(p.contains("centroid_cell"),
+        s"$q lost the native assignment expression:\n$p")
+      assert(!p.contains("zip_with") && !p.contains("aggregate("),
+        s"$q reintroduced an interpreted HOF hot loop:\n$p")
+    }
+    // The multi-probe variant must ride the same native path.
+    val probe = plan("sim_topk_ivf_trained_probe")
+    assert(probe.contains("centroid_"),
+      s"trained probe lost the native assignment expression:\n$probe")
+  }
+
   test("p-chart and growth accounting stay on aggregate-sized state") {
     // p-chart: one day aggregate + broadcast totals, no data-sized join.
     val pc = plan("ev_error_pchart")
