@@ -804,6 +804,33 @@ class PlanAuditSpec extends AnyFunSuite {
       s"trained probe lost the native assignment expression:\n$probe")
   }
 
+  test("the most expensive headline plans carry no interpreted-HOF " +
+    "hot loop (aggregate-over-zip_with per corpus row)") {
+    // The r6 verdict's mechanical tripwire, generalized: the bench's
+    // top-cost queries (every pin ≥ ~4 s) must not evaluate an
+    // `aggregate(zip_with(...))` lambda pair per data row — the
+    // nested-lambda form runs OUTSIDE whole-stage codegen (PLANS.md
+    // "nested-lambda codegen cliff"; 598 s winnowing, 42 s k-means
+    // assignment) — nor fall back to a product join. Queries whose
+    // per-row HOFs are bounded by construction (broadcast query sets,
+    // bucket joins) are not in this list; if one ever grows into the
+    // top tier with a HOF, this test forces the documented-precedent
+    // conversation.
+    val topCost = Seq("t_setsim_prefix", "t_setsim_incremental",
+      "t_winnow_pairs", "t_winnow_fp", "t_training_pipeline",
+      "pipeline_warehouse_counts", "t_curation_funnel", "t_dup_spans",
+      "s17_zorder_box", "t_ccnet_by_lang", "t_dedup_savings",
+      "t_neardup_profile", "t_lsh_band_sweep",
+      "t_jaccard_threshold_sweep")
+    for (q <- topCost) {
+      val p = plan(q)
+      assert(!p.contains("aggregate(zip_with"),
+        s"$q grew an interpreted aggregate-over-zip_with hot loop:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q degraded to a cartesian product:\n$p")
+    }
+  }
+
   test("p-chart and growth accounting stay on aggregate-sized state") {
     // p-chart: one day aggregate + broadcast totals, no data-sized join.
     val pc = plan("ev_error_pchart")
