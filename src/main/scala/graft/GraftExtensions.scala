@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       NativeFunctions.centroidProbeIdentifier,
       NativeFunctions.centroidProbeInfo,
       NativeFunctions.centroidProbeBuilder))
+    ext.injectFunction((
+      NativeFunctions.projectionBitsIdentifier,
+      NativeFunctions.projectionBitsInfo,
+      NativeFunctions.projectionBitsBuilder))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -90,17 +90,16 @@ abstract class CentroidArgmaxBase extends UnaryExpression {
     bi
   }
 
-  /** Shared codegen prologue: scores array + first argmax. Returns
-    * (code, scoresVar, bestIdxVar).
+  /** Shared codegen prologue: the per-centroid score array. Returns
+    * (code, scoresVar).
     */
-  protected def genScores(ctx: CodegenContext, a: String): (String, String, String) = {
+  protected def genScores(ctx: CodegenContext, a: String): (String, String) = {
     val flatRef = ctx.addReferenceObj("cents", flat, "double[]")
     val s = ctx.freshName("s")
     val n = ctx.freshName("n")
     val c = ctx.freshName("c")
     val i = ctx.freshName("i")
     val acc = ctx.freshName("acc")
-    val bi = ctx.freshName("bi")
     val getter = if (elemIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
     val code =
       s"""
@@ -113,12 +112,24 @@ abstract class CentroidArgmaxBase extends UnaryExpression {
          |  }
          |  $s[$c] = $acc;
          |}
+       """.stripMargin
+    (code, s)
+  }
+
+  /** Codegen argmax over `s` into a fresh int var (strict `>`, lowest
+    * index on ties). Returns (code, idxVar).
+    */
+  protected def genArgmax(ctx: CodegenContext, s: String): (String, String) = {
+    val bi = ctx.freshName("bi")
+    val c = ctx.freshName("c")
+    val code =
+      s"""
          |int $bi = 0;
          |for (int $c = 1; $c < $k; $c++) {
          |  if ($s[$c] > $s[$bi]) { $bi = $c; }
          |}
        """.stripMargin
-    (code, s, bi)
+    (code, bi)
   }
 }
 
@@ -134,9 +145,11 @@ case class CentroidCell(child: Expression, cents: Seq[Seq[Double]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val (code, _, bi) = genScores(ctx, a)
+      val (scode, s) = genScores(ctx, a)
+      val (acode, bi) = genArgmax(ctx, s)
       s"""
-         |$code
+         |$scode
+         |$acode
          |${ev.value} = $bi;
        """.stripMargin
     })
@@ -165,21 +178,62 @@ case class CentroidProbeCells(child: Expression, cents: Seq[Seq[Double]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val (code, s, bi) = genScores(ctx, a)
-      val si = ctx.freshName("si")
-      val c = ctx.freshName("c")
+      val (scode, s) = genScores(ctx, a)
+      val (acode, bi) = genArgmax(ctx, s)
+      val (a2code, si) = genArgmax(ctx, s)
       s"""
-         |$code
+         |$scode
+         |$acode
          |$s[$bi] = -Double.MAX_VALUE;
-         |int $si = 0;
-         |for (int $c = 1; $c < $k; $c++) {
-         |  if ($s[$c] > $s[$si]) { $si = $c; }
-         |}
+         |$a2code
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
          |  new Object[]{Integer.valueOf($bi), Integer.valueOf($si)});
        """.stripMargin
     })
 
   override protected def withNewChildInternal(newChild: Expression): CentroidProbeCells =
+    copy(child = newChild)
+}
+
+/** `projection_bits(vec, planes)`: the sign-bit random-projection LSH
+  * bucket as a '0'/'1' string — bit i is whether dot(vec, plane_i) ≥ 0.
+  * Same native rationale as [[CentroidCell]]: the declarative form paid
+  * one interpreted `aggregate(zip_with(vec, <dim literals>))` per plane
+  * per row; here the planes ride as one flat double[] and each dot folds
+  * once inside whole-stage codegen. Bit-identical to the declarative
+  * `when(dot >= 0, "1").otherwise("0")` chain (NaN compares false →
+  * '0' in both).
+  */
+case class ProjectionBits(child: Expression, cents: Seq[Seq[Double]])
+  extends CentroidArgmaxBase {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "projection_bits"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = scores(input.asInstanceOf[ArrayData])
+    val bits = new Array[Char](k)
+    var c = 0
+    while (c < k) { bits(c) = if (s(c) >= 0.0) '1' else '0'; c += 1 }
+    org.apache.spark.unsafe.types.UTF8String.fromString(new String(bits))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val (scode, s) = genScores(ctx, a)
+      val bits = ctx.freshName("bits")
+      val c = ctx.freshName("c")
+      s"""
+         |$scode
+         |char[] $bits = new char[$k];
+         |for (int $c = 0; $c < $k; $c++) {
+         |  $bits[$c] = ($s[$c] >= 0.0) ? '1' : '0';
+         |}
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  new String($bits));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ProjectionBits =
     copy(child = newChild)
 }

@@ -169,6 +169,17 @@ object NativeFunctions {
     CentroidProbeCells(exprs.head, matrixFromLiteral(exprs(1)))
   }
 
+  val projectionBitsIdentifier: FunctionIdentifier =
+    FunctionIdentifier("projection_bits")
+
+  val projectionBitsInfo: ExpressionInfo =
+    new ExpressionInfo(classOf[ProjectionBits].getName, "projection_bits")
+
+  val projectionBitsBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2, "projection_bits takes exactly 2 arguments")
+    ProjectionBits(exprs.head, matrixFromLiteral(exprs(1)))
+  }
+
   /** Register the native expressions in the session's function registry
     * (idempotent). After this they are usable from both the Column API
     * ([[cosineSim]], [[hammingDist]], [[kmvMinK]]) and SQL text. Sessions
@@ -186,6 +197,8 @@ object NativeFunctions {
       centroidCellIdentifier, centroidCellInfo, centroidCellBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       centroidProbeIdentifier, centroidProbeInfo, centroidProbeBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      projectionBitsIdentifier, projectionBitsInfo, projectionBitsBuilder)
   }
 
   /** Column-API form of the KMV min-k aggregate; requires [[register]]
@@ -210,4 +223,9 @@ object NativeFunctions {
   def centroidProbeCells(vec: Column, cents: Array[Array[Double]]): Column =
     call_function("centroid_probe_cells", vec,
       org.apache.spark.sql.functions.typedlit(cents.map(_.toSeq).toSeq))
+
+  /** Column-API form; requires [[register]] on the owning session first. */
+  def projectionBits(vec: Column, planes: Array[Array[Double]]): Column =
+    call_function("projection_bits", vec,
+      org.apache.spark.sql.functions.typedlit(planes.map(_.toSeq).toSeq))
 }

@@ -121,14 +121,8 @@ object Similarity {
     * `nBits` bits, expected bucket width is N / 2^nBits: the knob that
     * bounds Σ|bucket|² for [[partitionedTopK]] / [[cosineNearDupPairs]].
     */
-  def projectionBucket(vec: Column, planes: Array[Array[Double]]): Column = {
-    val v = vec.cast("array<double>")
-    val bits = planes.map { p =>
-      val plane = array(p.map(lit): _*)
-      when(dot(v, plane) >= 0, lit("1")).otherwise(lit("0"))
-    }
-    concat(bits.toIndexedSeq: _*)
-  }
+  def projectionBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    graft.functions.NativeFunctions.projectionBits(vec, planes)
 
   /** Deterministic IVF "coarse quantizer" centroids: seeded gaussian
     * vectors (same spec-fixed generator as [[lshPlanes]]). A production
