@@ -117,4 +117,72 @@ class ExtensionsSpec extends AnyFunSuite {
       .head()
     assert(one.getInt(0) == 0 && one.getSeq[Int](1) == Seq(0, 1))
   }
+
+  test("native argmax/probe/bits match the declarative HOF forms " +
+    "bit-for-bit across shapes, exact ties, and zero vectors") {
+    NativeFunctions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    // The pre-native declarative forms, reconstructed verbatim: the
+    // native expressions' contract is bit-identity with THESE trees
+    // (which the DuckDB oracles replay), not merely "close".
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def declCell(vec: Column, cents: Array[Array[Double]]): Column = {
+      val v = vec.cast("array<double>")
+      val scores = cents.map(c => dotD(v, array(c.map(lit).toIndexedSeq: _*)))
+      val mx = greatest(scores.toIndexedSeq: _*)
+      scores.zipWithIndex.foldRight(lit(cents.length - 1): Column) {
+        case ((sc, i), els) => when(sc === mx, lit(i)).otherwise(els)
+      }
+    }
+    def declProbe(vec: Column, cents: Array[Array[Double]]): Column = {
+      val v = vec.cast("array<double>")
+      val scores = cents.map(c => dotD(v, array(c.map(lit).toIndexedSeq: _*)))
+      val mx = greatest(scores.toIndexedSeq: _*)
+      val first = scores.zipWithIndex
+        .foldRight(lit(cents.length - 1): Column) {
+          case ((sc, i), els) => when(sc === mx, lit(i)).otherwise(els)
+        }
+      val masked = scores.zipWithIndex.map { case (sc, i) =>
+        when(lit(i) === first, lit(Double.MinValue)).otherwise(sc)
+      }
+      val mx2 = greatest(masked.toIndexedSeq: _*)
+      val second = masked.zipWithIndex
+        .foldRight(lit(cents.length - 1): Column) {
+          case ((sc, i), els) => when(sc === mx2, lit(i)).otherwise(els)
+        }
+      array(first, second)
+    }
+    def declBits(vec: Column, planes: Array[Array[Double]]): Column = {
+      val v = vec.cast("array<double>")
+      concat(planes.map { pl =>
+        when(dotD(v, array(pl.map(lit).toIndexedSeq: _*)) >= 0,
+          lit("1")).otherwise(lit("0"))
+      }.toIndexedSeq: _*)
+    }
+    for (((dim, k), seed) <- Seq((3, 2), (8, 5), (16, 8)).zipWithIndex) {
+      val rnd = new scala.util.Random(100L + seed)
+      val base = Array.fill(k)(Array.fill(dim)(rnd.nextGaussian()))
+      // Duplicate the first centroid at the END: every vector ties
+      // exactly between indices 0 and k, exercising both tie paths
+      // (first = 0, runner-up = the duplicate).
+      val cents = base :+ base(0).clone()
+      val vecs = (0 until 40).map(i =>
+        (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)) :+
+        (99L, Seq.fill(dim)(0.0f)) // zero vector: all scores tie at 0.0
+      val bad = vecs.toDF("id", "vec").select(
+          NativeFunctions.centroidCell(col("vec"), cents).as("nc"),
+          declCell(col("vec"), cents).as("dc"),
+          NativeFunctions.centroidProbeCells(col("vec"), cents).as("np"),
+          declProbe(col("vec"), cents).as("dp"),
+          NativeFunctions.projectionBits(col("vec"), cents).as("nb"),
+          declBits(col("vec"), cents).as("db"))
+        .where(col("nc") =!= col("dc") or col("np") =!= col("dp") or
+          col("nb") =!= col("db"))
+        .count()
+      assert(bad == 0L, s"dim=$dim k=$k: native != declarative on $bad rows")
+    }
+  }
 }
