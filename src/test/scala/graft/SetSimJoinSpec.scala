@@ -87,6 +87,29 @@ class SetSimJoinSpec extends AnyFunSuite {
     assert((1L to 5L).forall(i => out.contains((i, i + 1000))))
   }
 
+  test("positional filter stays lossless at tight thresholds (9/10, 7/10)") {
+    // Near-identical docs off a shared template: high-Jaccard pairs that
+    // must survive the positional prune, plus boundary cases where the
+    // overlap upper bound exactly equals α.
+    val rnd = new scala.util.Random(97)
+    val base = (1 to 12).map(i => s"b$i")
+    val docs = (1L to 60L).map { i =>
+      val drop = rnd.nextInt(3)         // remove 0-2 template tokens
+      val extra = rnd.nextInt(3)        // add 0-2 private tokens
+      val ws = rnd.shuffle(base).drop(drop) ++
+        (1 to extra).map(e => s"u${i}_$e")
+      (i, ws.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for ((tN, tD) <- Seq((9, 10), (7, 10), (4, 5))) {
+      val out = SetSimJoin.prefixJaccardPairs(df, "doc_id", "text", tN, tD)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(out === brute(docs, tN, tD), s"threshold $tN/$tD")
+    }
+    // The corpus must contain pairs at 9/10 for the test to bite.
+    assert(brute(docs, 9, 10).nonEmpty)
+  }
+
   test("tighter threshold is a strict subset on the same corpus") {
     val rnd = new scala.util.Random(29)
     val vocab = (1 to 25).map(i => s"v$i")
