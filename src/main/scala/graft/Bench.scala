@@ -258,7 +258,14 @@ object Bench {
     "ev_error_budget", "t_quality_calibration",
     // Round-6 forty-fourth-batch first-ships: the Jaccard-threshold
     // sweep and association-rule temporal stability.
-    "t_jaccard_threshold_sweep", "fi_rule_stability")
+    "t_jaccard_threshold_sweep", "fi_rule_stability",
+    // Round-7 first-ships (no pins until this round's full-set run):
+    // XML and binaryFile source round-trips, the Spark-4 VARIANT
+    // extraction path, and the binary-quantization two-tier ANN
+    // (sign-code Hamming funnel + exact rerank) with its recall
+    // calibration.
+    "s25_xml_roundtrip", "s26_binaryfile_scan", "ev_variant_props",
+    "sim_topk_bq", "sim_recall_bq")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

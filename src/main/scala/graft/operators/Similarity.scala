@@ -254,6 +254,72 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Identity "hyperplanes" for 1-bit-per-dimension binary quantization:
+    * plane i is the i-th basis vector, so [[projectionBucket]]'s sign-bit
+    * code over them is exactly the per-dimension sign bits of the vector —
+    * the BQ code — computed by the SAME native codegen expression the LSH
+    * bucket uses (one fused pass, no per-dim interpreted lambdas).
+    */
+  def signBitPlanes(dim: Int): Array[Array[Double]] =
+    Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+
+  /** BINARY-QUANTIZATION two-tier top-k: tier 1 ranks the corpus by
+    * Hamming distance between 1-bit-per-dimension sign codes (the 32×
+    * memory-compressed representation a production vector store keeps
+    * resident — for 64-dim floats, 64 bits vs 256 bytes); tier 2 fetches
+    * ONLY the `cTop` Hamming survivors' float vectors and re-ranks them
+    * by exact cosine. The plan mirrors the deployment: the code tier
+    * scans codes + ids alone (vectors never enter the scored scan or the
+    * per-query window), then the candidate id list — Q·cTop rows, small
+    * by construction — broadcasts back against the corpus for the vector
+    * fetch, so full vectors are read for candidates only. Sign-bit
+    * Hamming approximates angular distance (the [[projectionBucket]]
+    * hyperplane argument, with one plane per axis), so recall at
+    * cTop ≫ k is high while the scan cost per row drops to a 64-bit
+    * code compare ([[graft.functions.HammingDistance]], codegen'd).
+    *
+    * `ham` rides along in the output (the code-tier distance of each
+    * survivor); ranking ties break on candidate id at both tiers, and
+    * `cos` is rounded to 6 decimals BEFORE ranking, as everywhere.
+    */
+  def binaryQuantTopK(candidates: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, dim: Int,
+                      cTop: Int, k: Int): DataFrame = {
+    val planes = signBitPlanes(dim)
+    def codeOf(v: Column): Column = projectionBucket(v, planes)
+    val qc = queries.select(col(idCol).as("q_id"),
+      codeOf(col(vecCol)).as("q_code"))
+    val cc = candidates.select(col(idCol).as("n_id"),
+      codeOf(col(vecCol)).as("n_code"))
+    val ham = cc.crossJoin(broadcast(qc))
+      .where(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        graft.functions.NativeFunctions
+          .hammingDist(col("q_code"), col("n_code")).as("ham"))
+    val wH = Window.partitionBy(col("q_id"))
+      .orderBy(col("ham"), col("n_id"))
+    val cand = ham.withColumn("crank", row_number().over(wH))
+      .where(col("crank") <= cTop)
+      .select(col("q_id"), col("n_id"), col("ham"))
+    // Vector fetch for candidates only: norms staged per row, as in
+    // [[partitionedTopK]].
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+    val c = candidates.select(col(idCol).as("n_id"),
+      col(vecCol).cast("array<double>").as("n_vec"))
+      .withColumn("n_norm", norm(col("n_vec")))
+    val rer = c.join(broadcast(cand), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("n_id"), col("ham"),
+        round(dot(col("q_vec"), col("n_vec")) /
+          (col("q_norm") * col("n_norm")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    rer.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** TRAINED IVF coarse quantizer: Lloyd k-means over the embedding
     * column, [[ivfCentroids]]-seeded. Each iteration is one distributed
     * aggregate — assign every vector to its nearest centroid (max dot,

@@ -30,6 +30,27 @@ object EventQueries {
         .select(col("event_id"), col("k_val"))
         .orderBy(col("event_id"))),
 
+    // Spark 4 VARIANT path over the same JSON props: parse ONCE into the
+    // binary variant encoding (parse_json), then typed extraction
+    // (variant_get). Unlike the per-call string parse of
+    // get_json_object, a variant column is parsed at ingest and every
+    // downstream extraction is a cheap typed read — the
+    // semi-structured-at-scale posture (at 100 TB you land props as a
+    // variant column in parquet and never re-parse the JSON text). The
+    // oracle replays the extraction with DuckDB's JSON functions over
+    // the raw text — a hash match proves the variant encode/extract
+    // pair preserves the values exactly.
+    "ev_variant_props" -> ((s, d) => {
+      val v = parse_json(col("props"))
+      ev(s, d)
+        .select(col("event_type"),
+          variant_get(v, "$.k", "bigint").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+        .orderBy(col("event_type"))
+    }),
+
     // Weekly cohort retention (single user-keyed shuffle).
     "ev_retention" -> ((s, d) =>
       EventPipeline.cohortRetention(ev(s, d))
@@ -1791,6 +1812,13 @@ object EventQueries {
     "ev_json_prop" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events ORDER BY 1""".stripMargin,
+    "ev_variant_props" ->
+      """WITH p AS (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS k_sum,
+        |  min(k) AS k_min, max(k) AS k_max
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_retention" ->
       """WITH a AS (SELECT DISTINCT user_id,
         |  CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),

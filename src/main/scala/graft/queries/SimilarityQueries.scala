@@ -984,6 +984,39 @@ object SimilarityQueries {
         .groupBy(col("q_id"))
         .agg((sum(coalesce(col("hit"), lit(0L))) / lit(5)).as("recall"))
         .orderBy(col("q_id"))
+    }),
+
+    // BINARY-QUANTIZATION two-tier ANN: 1-bit-per-dim sign codes (the
+    // 32×-compressed memory tier a production vector store keeps
+    // resident) ranked by native Hamming distance, then the cTop=50
+    // survivors — and ONLY them — fetch their float vectors for the
+    // exact-cosine rerank. Both native expressions (projection_bits
+    // over identity planes, hamming_dist) run in whole-stage codegen;
+    // the oracle replays codes, Hamming ranking, and rerank from raw
+    // parquet.
+    "sim_topk_bq" -> ((s, d) => {
+      val v = emb(s, d)
+      Similarity.binaryQuantTopK(v, v.where(col("vec_id") < 5),
+          "vec_id", "embedding", dim = 64, cTop = 50, k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // BQ recall calibration: per query, how many of the float-cosine
+    // brute top-10 the code-tier funnel (Hamming top-50 → cosine
+    // rerank top-10) retains — what 32× memory compression costs,
+    // the sim_recall_pq question for the binary tier.
+    "sim_recall_bq" -> ((s, d) => {
+      val v = emb(s, d)
+      val q = v.where(col("vec_id") < 5)
+      val brute = Similarity.bruteForceTopK(v, q, "vec_id", "embedding",
+          k = 10).select(col("q_id"), col("n_id"))
+      val bq = Similarity.binaryQuantTopK(v, q, "vec_id", "embedding",
+          dim = 64, cTop = 50, k = 10)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      brute.join(bq, Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+        .orderBy(col("q_id"))
     })
   )
 
@@ -994,6 +1027,23 @@ object SimilarityQueries {
 
   /** 8 IVF centroids, seed pinned for the same oracle-replay reason. */
   private val centroids = Similarity.ivfCentroids(dim = 64, k = 8, seed = 7L)
+
+  /** SQL recomputation of the 1-bit-per-dimension binary-quantization
+    * code over `e`: identity planes make [[bucketSql]]'s hyperplane dot
+    * degenerate to the component itself, so the code is the per-dim sign
+    * bits under the same ≥0→'1' convention (IEEE: −0.0 ≥ 0 on both
+    * engines, and summing the 63 exact 0.0 products cannot change e[i]).
+    */
+  private val bqCodeSql =
+    """array_to_string(list_transform(generate_series(1,64),
+      | i -> CASE WHEN e[i] >= 0 THEN '1' ELSE '0' END), '')""".stripMargin
+
+  /** SQL Hamming distance between `q_code`/`n_code` bit-strings — the
+    * per-position compare the native hamming_dist expression fuses.
+    */
+  private val hamSql =
+    """len(list_filter(generate_series(1,64),
+      | i -> substr(q_code,i,1) <> substr(n_code,i,1)))""".stripMargin
 
   /** SQL recomputation of the sign-bit bucket over `e`, with the SAME
     * hyperplane constants as the Spark plan (Double.toString round-trips
@@ -1687,6 +1737,43 @@ object SimilarityQueries {
          |  FROM ls) WHERE rank<=5)
          |SELECT brute.q_id, CAST(count(lsh.n_id) AS DOUBLE)/5 AS recall
          |FROM brute LEFT JOIN lsh ON brute.q_id=lsh.q_id AND brute.n_id=lsh.n_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sim_topk_bq" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id, e, $bqCodeSql AS code FROM v),
+         |q AS (SELECT vec_id AS q_id, e AS q_vec, code AS q_code FROM b WHERE vec_id<5),
+         |c AS (SELECT vec_id AS n_id, e AS n_vec, code AS n_code FROM b),
+         |h AS (SELECT q_id, n_id, q_vec, n_vec, $hamSql AS ham
+         |  FROM c, q WHERE n_id<>q_id),
+         |t AS (SELECT q_id, n_id, q_vec, n_vec, ham,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY ham, n_id) AS crank
+         |  FROM h),
+         |r AS (SELECT q_id, n_id, CAST(ham AS BIGINT) AS ham, $cosSql AS cos
+         |  FROM t WHERE crank<=50),
+         |f AS (SELECT q_id, n_id, ham, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM r)
+         |SELECT q_id, n_id, ham, cos, rank FROM f WHERE rank<=5
+         |ORDER BY q_id, rank""".stripMargin,
+    "sim_recall_bq" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id, e, $bqCodeSql AS code FROM v),
+         |q AS (SELECT vec_id AS q_id, e AS q_vec, code AS q_code FROM b WHERE vec_id<5),
+         |c AS (SELECT vec_id AS n_id, e AS n_vec, code AS n_code FROM b),
+         |bs AS (SELECT q_id, n_id, q_code, n_code, $cosSql AS cos
+         |  FROM c, q WHERE n_id<>q_id),
+         |brute AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM bs) WHERE rank<=10),
+         |t0 AS (SELECT q_id, n_id, cos, $hamSql AS ham FROM bs),
+         |t AS (SELECT q_id, n_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY ham, n_id) AS crank
+         |  FROM t0),
+         |bq AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM t WHERE crank<=50) WHERE rank<=10)
+         |SELECT brute.q_id, CAST(count(bq.n_id) AS BIGINT) AS n_overlap
+         |FROM brute LEFT JOIN bq ON brute.q_id=bq.q_id AND brute.n_id=bq.n_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_topk_ivf_centroid" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

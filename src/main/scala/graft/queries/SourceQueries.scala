@@ -349,6 +349,58 @@ object SourceQueries {
         .orderBy(col("k"))
     }),
 
+    // S25 (ext): XML write → read round-trip — the third row-oriented
+    // interchange format, via Spark 4's BUILT-IN xml source (no external
+    // package). The 1995 orders slice round-trips longs, strings, a
+    // double, and a DATE column (o_orderdate lands as a date: XML
+    // serializes timestamps at millisecond grain, so sub-millisecond
+    // precision is the one thing this format cannot round-trip — readers
+    // that need it belong on a columnar format anyway). The oracle
+    // recomputes the slice from the raw table; a hash match proves the
+    // XML encode/escape/parse pair is lossless for every carried type.
+    "s25_xml_roundtrip" -> ((s, d) => {
+      val out = s"$scratch/xml_orders"
+      val slice = t(s, d, "orders")
+        .where(year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate").cast("date")
+            .as("o_orderdate"))
+      Tables.writeXml(slice, out, rowTag = "order")
+      Tables.readXml(s, out, rowTag = "order", StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_custkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType),
+          StructField("o_orderdate", DateType))))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // S26 (ext): whole-file binary ingestion — one row per staged asset
+    // file via the built-in `binaryFile` source (the landing shape for
+    // crawled pages / images / audio, where each object IS a file). The
+    // first 200 documents are staged as one UTF-8 .txt each (executors
+    // write their partitions in parallel), then read back as (path,
+    // length, content); the result keys each file by the id parsed from
+    // its name and fingerprints the bytes. The oracle recomputes byte
+    // length and md5 from the documents table, so a hash match proves
+    // the file bytes are exactly the column bytes — ingestion is
+    // lossless and complete (all 200 files, no dupes).
+    "s26_binaryfile_scan" -> ((s, d) => {
+      val dir = s"$scratch/binfiles_docs"
+      Tables.stageDocFiles(
+        t(s, d, "documents").where(col("doc_id") < 200),
+        "doc_id", "text", dir)
+      Tables.readBinaryFiles(s, dir)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.txt$", 1)
+            .cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // S10: batched JDBC append into an embedded Derby database
     // (batchsize=1000 like the reference's executemany batching,
     // merge_to_dw.py:25, 191), then read back over JDBC. On a cluster the
@@ -449,6 +501,15 @@ object SourceQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s10_jdbc_batch" ->
       "SELECT * FROM region ORDER BY r_regionkey",
+    "s25_xml_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |CAST(o_orderdate AS DATE) AS o_orderdate
+        |FROM orders WHERE year(o_orderdate)=1995
+        |ORDER BY o_orderkey""".stripMargin,
+    "s26_binaryfile_scan" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |md5(text) AS content_md5
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     "s21_dsv2_source" ->
       """SELECT i AS id, md5(CAST(i AS VARCHAR)) AS text
         |FROM range(0, 2000) t(i) ORDER BY id""".stripMargin,

@@ -185,6 +185,55 @@ object Tables {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** XML write/read — the third row-oriented interchange format (built
+    * into Spark 4's sql module; no external package). Row-based like
+    * CSV/JSONL, so a 100 TB landing of XML exports scans with full file
+    * parallelism; the schema is PINNED on read for the same
+    * inference-cost/type-drift reasons as [[readJsonl]].
+    */
+  def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
+    df.write.mode("overwrite").option("rowTag", rowTag)
+      .format("xml").save(path)
+
+  def readXml(spark: SparkSession, path: String, rowTag: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("rowTag", rowTag)
+      .format("xml").load(path)
+
+  /** Stage one file per row — the raw-asset landing shape (crawled
+    * pages, images, audio) the `binaryFile` source ingests. Executors
+    * write their partitions' files in parallel (per-partition imperative
+    * IO is exactly what mapPartitions/foreachPartition is for); the
+    * target dir is deleted first so re-runs can't accumulate stale
+    * files. Bound the row count upstream: one file per row is the
+    * many-small-files anti-pattern unless the assets genuinely arrive
+    * as files (which is the case this source exists for).
+    */
+  def stageDocFiles(df: DataFrame, idCol: String, textCol: String,
+                    dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.mkdirs(p)
+    df.select(org.apache.spark.sql.functions.col(idCol).cast("long"),
+        org.apache.spark.sql.functions.col(textCol).cast("string"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"doc_${r.getLong(0)}.txt"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+  }
+
+  /** `binaryFile` scan: one row per staged file with (path, length,
+    * content) — Spark's built-in whole-file source for opaque assets.
+    * The format is read-only by design; pair it with [[stageDocFiles]]
+    * (or any upstream landing job) for fixtures.
+    */
+  def readBinaryFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+
   /** Hive-style partitioned write: one directory per distinct value of
     * `partCols` (e.g. `yr=1995/`). At 100 TB this is THE first-line scan
     * reducer: a reader filtering on a partition column never opens the
