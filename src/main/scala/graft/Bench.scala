@@ -265,7 +265,10 @@ object Bench {
     // (sign-code Hamming funnel + exact rerank) with its recall
     // calibration.
     "s25_xml_roundtrip", "s26_binaryfile_scan", "ev_variant_props",
-    "sim_topk_bq", "sim_recall_bq")
+    "sim_topk_bq", "sim_recall_bq",
+    // The IVF×BQ composition (cell prune → code funnel → exact rerank)
+    // and its compounded-recall calibration.
+    "sim_topk_ivf_bq", "sim_recall_ivf_bq")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

@@ -301,8 +301,19 @@ object Similarity {
     val cand = ham.withColumn("crank", row_number().over(wH))
       .where(col("crank") <= cTop)
       .select(col("q_id"), col("n_id"), col("ham"))
-    // Vector fetch for candidates only: norms staged per row, as in
-    // [[partitionedTopK]].
+    bqExactRerank(candidates, queries, idCol, vecCol, cand, k)
+  }
+
+  /** Tier-2 exact-cosine rerank shared by the binary-quantization
+    * funnels: fetch float vectors for the tier-1 survivors in `cand`
+    * (q_id, n_id, ham) ONLY — the candidate list broadcasts back against
+    * the corpus, so full vectors are read for candidates alone — then
+    * rank by exact cosine (rounded to 6 decimals BEFORE ranking, ties on
+    * candidate id). Norms staged per row, as in [[partitionedTopK]].
+    */
+  private def bqExactRerank(candidates: DataFrame, queries: DataFrame,
+                            idCol: String, vecCol: String,
+                            cand: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"),
       col(vecCol).cast("array<double>").as("q_vec"))
       .withColumn("q_norm", norm(col("q_vec")))
@@ -318,6 +329,43 @@ object Similarity {
       .orderBy(col("cos").desc, col("n_id"))
     rer.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
+  }
+
+  /** IVF × BINARY-QUANTIZATION composed two-tier top-k — the production
+    * ANN recipe at 100 TB: the coarse quantizer prunes FIRST (each
+    * corpus row lives in its nearest-centroid cell; the query probes its
+    * own cell plus the runner-up, [[ivfProbeCells]]), then tier 1 ranks
+    * ONLY the probed cells' rows by native Hamming over 1-bit/dim sign
+    * codes, and tier 2 fetches float vectors for the `cTop` survivors
+    * alone. Composition multiplies the savings: the cell equi-join cuts
+    * the scanned fraction to ~(probes/k_cells) of the corpus, and within
+    * the probed cells the scan touches the 32×-compressed codes, not the
+    * vectors. Each (query, candidate) pair arises at most once — cells
+    * partition the corpus and a query's probe cells are distinct — so no
+    * dedup precedes the tier-1 window (the [[multiProbeTopK]] argument).
+    */
+  def ivfBinaryQuantTopK(candidates: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String,
+                         cents: Array[Array[Double]], dim: Int,
+                         cTop: Int, k: Int): DataFrame = {
+    val planes = signBitPlanes(dim)
+    val qc = queries.select(col(idCol).as("q_id"),
+      projectionBucket(col(vecCol), planes).as("q_code"),
+      explode(ivfProbeCells(col(vecCol), cents)).as("cell"))
+    val cc = candidates.select(col(idCol).as("n_id"),
+      projectionBucket(col(vecCol), planes).as("n_code"),
+      centroidCell(col(vecCol), cents).as("cell"))
+    val ham = cc.join(broadcast(qc), Seq("cell"))
+      .where(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        graft.functions.NativeFunctions
+          .hammingDist(col("q_code"), col("n_code")).as("ham"))
+    val wH = Window.partitionBy(col("q_id"))
+      .orderBy(col("ham"), col("n_id"))
+    val cand = ham.withColumn("crank", row_number().over(wH))
+      .where(col("crank") <= cTop)
+      .select(col("q_id"), col("n_id"), col("ham"))
+    bqExactRerank(candidates, queries, idCol, vecCol, cand, k)
   }
 
   /** TRAINED IVF coarse quantizer: Lloyd k-means over the embedding

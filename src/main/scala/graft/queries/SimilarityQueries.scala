@@ -1017,6 +1017,38 @@ object SimilarityQueries {
         .groupBy(col("q_id"))
         .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
         .orderBy(col("q_id"))
+    }),
+
+    // IVF × BQ composed two-tier ANN — the full production path: the
+    // Voronoi cell equi-join prunes first (query probes its cell + the
+    // runner-up), the probed cells' rows rank by native Hamming over
+    // sign codes, and only the cTop=50 survivors fetch float vectors
+    // for the exact-cosine rerank. The oracle replays cells, probe
+    // list, codes, Hamming funnel, and rerank from raw parquet.
+    "sim_topk_ivf_bq" -> ((s, d) => {
+      val v = emb(s, d)
+      Similarity.ivfBinaryQuantTopK(v, v.where(col("vec_id") < 5),
+          "vec_id", "embedding", centroids, dim = 64, cTop = 50, k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Composed-funnel recall: per query, how many of the float-cosine
+    // brute top-10 survive BOTH pruning stages (2-of-8 cell probe,
+    // then Hamming top-50 → cosine rerank top-10) — the compounded
+    // recall cost of the full IVF×BQ path, next to sim_recall_ivf
+    // (cell prune alone) and sim_recall_bq (code funnel alone).
+    "sim_recall_ivf_bq" -> ((s, d) => {
+      val v = emb(s, d)
+      val q = v.where(col("vec_id") < 5)
+      val brute = Similarity.bruteForceTopK(v, q, "vec_id", "embedding",
+          k = 10).select(col("q_id"), col("n_id"))
+      val bq = Similarity.ivfBinaryQuantTopK(v, q, "vec_id", "embedding",
+          centroids, dim = 64, cTop = 50, k = 10)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      brute.join(bq, Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+        .orderBy(col("q_id"))
     })
   )
 
@@ -1774,6 +1806,53 @@ object SimilarityQueries {
          |  FROM t WHERE crank<=50) WHERE rank<=10)
          |SELECT brute.q_id, CAST(count(bq.n_id) AS BIGINT) AS n_overlap
          |FROM brute LEFT JOIN bq ON brute.q_id=bq.q_id AND brute.n_id=bq.n_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sim_topk_ivf_bq" ->
+      s"""WITH $ivfProbeCtes,
+         |b AS (SELECT vec_id, e, cell1, msc, $bqCodeSql AS code FROM a2),
+         |q AS (SELECT vec_id AS q_id, e AS q_vec, code AS q_code,
+         |  unnest([cell1, list_position(msc, list_max(msc))-1]) AS cell
+         |  FROM b WHERE vec_id<5),
+         |c AS (SELECT vec_id AS n_id, e AS n_vec, code AS n_code,
+         |  cell1 AS cell FROM b),
+         |h AS (SELECT q_id, n_id, q_vec, n_vec, $hamSql AS ham
+         |  FROM c JOIN q USING (cell) WHERE n_id<>q_id),
+         |t AS (SELECT q_id, n_id, q_vec, n_vec, ham,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY ham, n_id) AS crank
+         |  FROM h),
+         |r AS (SELECT q_id, n_id, CAST(ham AS BIGINT) AS ham, $cosSql AS cos
+         |  FROM t WHERE crank<=50),
+         |f AS (SELECT q_id, n_id, ham, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM r)
+         |SELECT q_id, n_id, ham, cos, rank FROM f WHERE rank<=5
+         |ORDER BY q_id, rank""".stripMargin,
+    "sim_recall_ivf_bq" ->
+      s"""WITH $ivfProbeCtes,
+         |b AS (SELECT vec_id, e, cell1, msc, $bqCodeSql AS code FROM a2),
+         |q AS (SELECT vec_id AS q_id, e AS q_vec, code AS q_code,
+         |  cell1, msc FROM b WHERE vec_id<5),
+         |bs AS (SELECT q_id, n_id, $cosSql AS cos FROM
+         |  (SELECT vec_id AS n_id, e AS n_vec FROM b) c, q WHERE n_id<>q_id),
+         |brute AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM bs) WHERE rank<=10),
+         |qp AS (SELECT q_id, q_code,
+         |  unnest([cell1, list_position(msc, list_max(msc))-1]) AS cell FROM q),
+         |c2 AS (SELECT vec_id AS n_id, code AS n_code, cell1 AS cell FROM b),
+         |h AS (SELECT q_id, n_id, $hamSql AS ham
+         |  FROM c2 JOIN qp USING (cell) WHERE n_id<>q_id),
+         |t AS (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY ham, n_id) AS crank
+         |  FROM h),
+         |rr AS (SELECT bs.q_id, bs.n_id, bs.cos FROM bs
+         |  JOIN t ON t.q_id=bs.q_id AND t.n_id=bs.n_id AND t.crank<=50),
+         |bqr AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |  FROM rr) WHERE rank<=10)
+         |SELECT brute.q_id, CAST(count(bqr.n_id) AS BIGINT) AS n_overlap
+         |FROM brute LEFT JOIN bqr
+         |  ON brute.q_id=bqr.q_id AND brute.n_id=bqr.n_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_topk_ivf_centroid" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -68,4 +68,45 @@ class BinaryQuantSpec extends AnyFunSuite {
       codes(qi).zip(codes(ni)).count { case (a, b) => a != b } == ham
     })
   }
+
+  test("IVF×BQ with 2 centroids probed 2-wide equals the plain BQ funnel") {
+    // With k_cells = 2 and a 2-cell probe, every query sees the whole
+    // corpus — the composed path must reproduce binaryQuantTopK exactly
+    // (same funnel, same rerank, pair-uniqueness intact).
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" < 3)
+    val cents = Similarity.ivfCentroids(dim = 8, k = 2, seed = 5L)
+    val plain = Similarity.binaryQuantTopK(df, q, "vec_id", "embedding",
+        dim = 8, cTop = 10, k = 5)
+      .select($"q_id", $"n_id", $"ham", $"cos", $"rank")
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    val composed = Similarity.ivfBinaryQuantTopK(df, q, "vec_id",
+        "embedding", cents, dim = 8, cTop = 10, k = 5)
+      .select($"q_id", $"n_id", $"ham", $"cos", $"rank")
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    assert(composed === plain)
+  }
+
+  test("IVF×BQ candidates stay within the probed cells") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" < 3)
+    val cents = Similarity.ivfCentroids(dim = 8, k = 4, seed = 5L)
+    val cellOf = df.select($"vec_id",
+        Similarity.centroidCell($"embedding", cents).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    val probesOf = q.select($"vec_id",
+        Similarity.ivfProbeCells($"embedding", cents).as("cells"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val out = Similarity.ivfBinaryQuantTopK(df, q, "vec_id", "embedding",
+        cents, dim = 8, cTop = 10, k = 5)
+      .select($"q_id", $"n_id", $"rank")
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (qi, ni, _) =>
+      qi != ni && probesOf(qi).contains(cellOf(ni))
+    })
+    // Probe cells are distinct, so no (q, n) pair can double up.
+    assert(probesOf.values.forall(cs => cs.distinct.length == cs.length))
+    assert(out.groupBy(r => (r._1, r._2)).values.forall(_.length == 1))
+  }
 }
