@@ -831,6 +831,32 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("binary-quant funnels code-rank natively; no cartesian degrade") {
+    // The BQ tier-1 scan must rank by the native projection_bits +
+    // hamming_dist pair (both codegen'd) — a rewrite through
+    // interpreted per-bit lambdas would put a HOF on the per-corpus-row
+    // path, the r6 regression class. The tier-2 rerank's HOF dot is
+    // bounded by construction (Q·cTop broadcast candidates), so only
+    // the tier-1 shape is pinned here. sim_topk_bq's corpus×queries
+    // code compare is a deliberate broadcast loop join (5 query rows);
+    // the composed variant must instead prune through the hash
+    // equi-join on the native cell assignment, with no cartesian
+    // anywhere.
+    for (q <- Seq("sim_topk_bq", "sim_topk_ivf_bq")) {
+      val p = plan(q)
+      assert(p.contains("projection_bits"),
+        s"$q lost the native sign-code expression:\n$p")
+      assert(p.contains("hamming_dist"),
+        s"$q lost the native Hamming ranking:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q degraded to a cartesian product:\n$p")
+    }
+    val composed = plan("sim_topk_ivf_bq")
+    assert(composed.contains("centroid_cell") &&
+      composed.contains("centroid_probe_cells"),
+      s"composed funnel lost the native cell prune:\n$composed")
+  }
+
   test("p-chart and growth accounting stay on aggregate-sized state") {
     // p-chart: one day aggregate + broadcast totals, no data-sized join.
     val pc = plan("ev_error_pchart")
