@@ -433,7 +433,20 @@ object Bench {
     "t_freq_spectrum" -> 0.23, "t_lsh_band_sweep" -> 3.75,
     "ev_dwell_time" -> 0.76, "g_closure_by_degree" -> 1.97,
     "ev_error_budget" -> 0.22, "t_quality_calibration" -> 0.72,
-    "t_jaccard_threshold_sweep" -> 3.80, "fi_rule_stability" -> 2.29)
+    "t_jaccard_threshold_sweep" -> 3.80, "fi_rule_stability" -> 2.29,
+    // Round-7 first-ship pins (XML/binaryFile sources, VARIANT
+    // extraction, the binary-quantization ANN funnels), from the
+    // round's SECOND full-set run — 196 queries, 350.6 s, 196/196
+    // measured, zero failures, zero regressions (BASELINE.md "Round 7,
+    // second sweep"). That run landed in a degraded-host window (the
+    // 189 previously-pinned queries aggregated 1.23x their pins, with
+    // nine DISJOINT-from-the-prior-run median-only suspects, all
+    // retry-cleared — host noise, not plan drift), so these pins carry
+    // that window's safety margin rather than best-case medians.
+    "s25_xml_roundtrip" -> 0.80, "s26_binaryfile_scan" -> 0.26,
+    "ev_variant_props" -> 0.50, "sim_topk_bq" -> 0.66,
+    "sim_recall_bq" -> 1.01, "sim_topk_ivf_bq" -> 0.64,
+    "sim_recall_ivf_bq" -> 1.01)
 
   def main(args: Array[String]): Unit = {
     // Optional args: restrict to the named queries (local plan iteration
