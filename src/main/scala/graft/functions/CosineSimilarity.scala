@@ -115,6 +115,19 @@ object NativeFunctions {
     HammingDistance(exprs.head, exprs(1))
   }
 
+  val sortedIntersectIdentifier: FunctionIdentifier =
+    FunctionIdentifier("sorted_intersect_size")
+
+  val sortedIntersectInfo: ExpressionInfo =
+    new ExpressionInfo(classOf[SortedIntersectSize].getName,
+      "sorted_intersect_size")
+
+  val sortedIntersectBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2,
+      "sorted_intersect_size takes exactly 2 arguments")
+    SortedIntersectSize(exprs.head, exprs(1))
+  }
+
   val kmvIdentifier: FunctionIdentifier = FunctionIdentifier("kmv_mink")
 
   val kmvInfo: ExpressionInfo =
@@ -192,6 +205,8 @@ object NativeFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       hammingIdentifier, hammingInfo, hammingBuilder)
     spark.sessionState.functionRegistry.registerFunction(
+      sortedIntersectIdentifier, sortedIntersectInfo, sortedIntersectBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
       kmvIdentifier, kmvInfo, kmvBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       centroidCellIdentifier, centroidCellInfo, centroidCellBuilder)
@@ -213,6 +228,12 @@ object NativeFunctions {
   /** Column-API form; requires [[register]] on the owning session first. */
   def hammingDist(a: Column, b: Column): Column =
     call_function("hamming_dist", a, b)
+
+  /** Column-API form; requires [[register]] on the owning session first.
+    * Both arrays must be sorted ascending (see [[SortedIntersectSize]]).
+    */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    call_function("sorted_intersect_size", a, b)
 
   /** Column-API form; requires [[register]] on the owning session first. */
   def centroidCell(vec: Column, cents: Array[Array[Double]]): Column =

@@ -34,6 +34,18 @@ object TextFunctions {
         i => array_join(slice(ws, i, lit(n)), " ")))
   }
 
+  /** [[shingles]] sorted ascending — the build-side form for operators
+    * whose verify step counts pairwise overlap with the allocation-free
+    * [[SortedIntersectSize]] merge. Sorting costs n·log n once per DOC;
+    * the merge it enables runs once per candidate PAIR (orders of
+    * magnitude more rows), so the sort is the cheap side of the trade.
+    * Same element SET as [[shingles]] — minhash/explode consumers are
+    * order-independent, so the two forms are interchangeable everywhere
+    * the array itself isn't the output.
+    */
+  def sortedShingles(text: Column, n: Int): Column =
+    sort_array(shingles(text, n))
+
   /** Ratio of stopword tokens to all tokens (quality-scoring feature).
     * Exact integer ratio — deterministic across engines.
     */

@@ -43,11 +43,16 @@ object Dedup {
     * 100 TB this is the signature staging table written to the lake.
     */
   private def minhashBase(df: DataFrame, idCol: String, textCol: String,
-                          k: Int, shingleN: Int): DataFrame =
-    df.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+                          k: Int, shingleN: Int): DataFrame = {
+    // Shingles staged SORTED: the minhash transform is order-independent
+    // and every downstream consumer is [[jaccard]]'s sorted-merge kernel.
+    graft.functions.NativeFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+        sortedShingles(col(textCol), shingleN).as("sh"))
       .select(col(idCol), col("sh"),
         minhashFromShingles(col("sh"), k).as("sig"))
       .localCheckpoint()
+  }
 
   private def candidatesFromBase(base: DataFrame, idCol: String,
                                  numBands: Int, r: Int): DataFrame = {
@@ -98,10 +103,18 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity between two shingle-set columns,
     * via |A∩B| / (|A|+|B|-|A∩B|) — a ratio of exact integers.
+    *
+    * CONTRACT: both arrays sorted ascending (the [[TextFunctions
+    * .sortedShingles]] build form — every in-repo producer). |A∩B| is
+    * the native [[graft.functions.SortedIntersectSize]] merge: zero
+    * allocation per pair, vs the built-in `array_intersect`'s hash set
+    * plus materialized result array that `size` immediately discards.
+    * The verify joins evaluate this once per candidate pair — the hot
+    * row count of the whole near-dup funnel.
     */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+    val inter = graft.functions.NativeFunctions.sortedIntersectSize(a, b)
+    inter.cast("double") / (size(a) + size(b) - inter)
   }
 
   /** Near-duplicate pairs: LSH candidates verified by exact shingle
@@ -128,8 +141,9 @@ object Dedup {
   def blockedJaccard(df: DataFrame, idCol: String, textCol: String,
                      blockCols: Seq[String], threshold: Double,
                      shingleN: Int = 3): DataFrame = {
+    graft.functions.NativeFunctions.register(df.sparkSession)
     val sh = df.select((blockCols.map(col) :+ col(idCol) :+
-      shingles(col(textCol), shingleN).as("sh")): _*)
+      sortedShingles(col(textCol), shingleN).as("sh")): _*)
     sh.as("a").join(sh.as("b"),
         blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
           .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol"))
@@ -202,12 +216,14 @@ object Dedup {
                          blockCols: Seq[String], pct: Int,
                          shingleN: Int = 3): DataFrame = {
     require(pct > 0 && pct <= 100, s"pct must be in (0,100]: $pct")
+    graft.functions.NativeFunctions.register(df.sparkSession)
     val sh = df.select((blockCols.map(col) :+ col(idCol) :+
-      shingles(col(textCol), shingleN).as("sh")): _*)
+      sortedShingles(col(textCol), shingleN).as("sh")): _*)
     sh.as("a").join(sh.as("b"),
         blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
           .reduce(_ && _) && col(s"a.$idCol") =!= col(s"b.$idCol"))
-      .withColumn("_i", size(array_intersect(col("a.sh"), col("b.sh"))))
+      .withColumn("_i", graft.functions.NativeFunctions
+        .sortedIntersectSize(col("a.sh"), col("b.sh")))
       .where(col("_i") * 100 >= lit(pct) * size(col("a.sh")))
       .select(col(s"a.$idCol").as("id_in"), col(s"b.$idCol").as("id_out"),
         (col("_i").cast("double") / size(col("a.sh"))).as("containment"))

@@ -222,13 +222,14 @@ object TextQueries {
         .where(col("n_shared") >= 2)
         .select(col("id_in"), col("id_out"))
       val sh = dd.select(col("doc_id"),
-        TextFunctions.shingles(col("text"), 3).as("sh"))
+        TextFunctions.sortedShingles(col("text"), 3).as("sh"))
       cand
         .join(sh.withColumnsRenamed(
           Map("doc_id" -> "id_in", "sh" -> "sh_a")), "id_in")
         .join(sh.withColumnsRenamed(
           Map("doc_id" -> "id_out", "sh" -> "sh_b")), "id_out")
-        .withColumn("_i", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("_i", graft.functions.NativeFunctions
+          .sortedIntersectSize(col("sh_a"), col("sh_b")))
         .where(col("_i") * 100 >= lit(50) * size(col("sh_a")))
         .select(col("id_in"), col("id_out"),
           (col("_i").cast("double") / size(col("sh_a")))
@@ -263,13 +264,14 @@ object TextQueries {
         .where(col("n_shared") >= 2)
         .select(col("id_in"), col("id_out"))
       val sh = dv.select(col("doc_id"),
-        TextFunctions.shingles(col("text"), 3).as("sh"))
+        TextFunctions.sortedShingles(col("text"), 3).as("sh"))
       cand
         .join(sh.withColumnsRenamed(
           Map("doc_id" -> "id_in", "sh" -> "sh_a")), "id_in")
         .join(sh.withColumnsRenamed(
           Map("doc_id" -> "id_out", "sh" -> "sh_b")), "id_out")
-        .withColumn("_i", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("_i", graft.functions.NativeFunctions
+          .sortedIntersectSize(col("sh_a"), col("sh_b")))
         .where(col("_i") * 100 >= lit(50) * size(col("sh_a")))
         .select(col("id_in"), col("id_out"),
           (col("_i").cast("double") / size(col("sh_a")))

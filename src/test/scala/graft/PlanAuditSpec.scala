@@ -857,6 +857,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"composed funnel lost the native cell prune:\n$composed")
   }
 
+  test("set-overlap verify steps run the native sorted-merge kernel") {
+    // Every exact-overlap verify (PPJoin Jaccard, shingle Jaccard,
+    // winnow containment) must count |A∩B| with sorted_intersect_size —
+    // the zero-allocation merge over doc-side-sorted arrays — not the
+    // built-in array_intersect, whose per-pair hash set + materialized
+    // result array is pure garbage pressure on the funnel's hottest
+    // row count (candidate pairs ≫ docs).
+    for (q <- Seq("t_setsim_prefix", "t_setsim_incremental",
+        "t_neardup_pairs", "t_containment_scaled")) {
+      val p = plan(q)
+      assert(p.contains("sorted_intersect_size"),
+        s"$q lost the native overlap kernel:\n$p")
+      assert(!p.contains("array_intersect"),
+        s"$q re-grew an array_intersect verify:\n$p")
+    }
+  }
+
   test("p-chart and growth accounting stay on aggregate-sized state") {
     // p-chart: one day aggregate + broadcast totals, no data-sized join.
     val pc = plan("ev_error_pchart")
