@@ -34,5 +34,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (r7 verdict item 5): the 8g default left 32-task
+  // shuffles squeezed while the 128 GiB sandbox sat idle — the other
+  // plausible contributor to the r7 driver run's staged-write
+  // slowdowns. The bench JSON records the heap it actually ran with.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

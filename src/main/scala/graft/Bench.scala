@@ -24,6 +24,16 @@ package graft
   *    factor (default sf0.01, ~10× less data) — a numeric tripwire for
   *    superlinear plans: ratios far above the data ratio mean a plan
   *    stopped scaling linearly.
+  *
+  * Delivery posture (round 8): the run is on a wall-clock budget
+  * (SPARK_GRAFT_BENCH_BUDGET, default 45 min) and emits its verdict line
+  * + BENCH.json after EVERY phase (timed / gated / final), so a driver
+  * timeout kill costs detail, never the verdict; a `host` preamble
+  * (shm free, load, free mem, heap, tmpdir) makes cross-environment
+  * drift self-diagnosing; and the /dev/shm scratch redirect is
+  * capacity-gated (≥8 GiB usable, SPARK_GRAFT_TMPFS=0 opt-out) so a
+  * container with a default 64 MiB shm never spills into a starving
+  * tmpfs.
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -268,7 +278,12 @@ object Bench {
     "sim_topk_bq", "sim_recall_bq",
     // The IVF×BQ composition (cell prune → code funnel → exact rerank)
     // and its compounded-recall calibration.
-    "sim_topk_ivf_bq", "sim_recall_ivf_bq")
+    "sim_topk_ivf_bq", "sim_recall_ivf_bq",
+    // Round-8 first-ships (no pins until this round's full-set run):
+    // the persisted-code-table BQ funnel (the serving-node path — codes
+    // read from the lake, corpus never re-encoded per query) and the
+    // streaming face of the VARIANT extraction.
+    "sim_topk_bq_persist", "ev_variant_stream")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the
@@ -449,6 +464,16 @@ object Bench {
     "sim_recall_ivf_bq" -> 1.01)
 
   def main(args: Array[String]): Unit = {
+    val wallStart = System.nanoTime()
+    def elapsedWall: Double = (System.nanoTime() - wallStart) / 1e9
+    // Wall-clock budget (r7 verdict item 1b): the driver's capture window
+    // killed six consecutive rounds' runs at rc=124 before the verdict
+    // line printed. When the budget is exceeded mid-run the schedule
+    // degrades (reps cut, scaling sweep skipped) instead of the verdict
+    // being lost — the gate math (median+min vs 2× pin) survives fewer
+    // reps; a missing verdict survives nothing.
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "2700").toDouble
     // Optional args: restrict to the named queries (local plan iteration
     // on one slow query without paying the whole headline set). Any
     // REGISTERED query is allowed here — e.g. the correctness-only
@@ -468,11 +493,35 @@ object Bench {
     // the confound the r6 verdict asked to remove. Must happen BEFORE
     // the session is created (Spark snapshots java.io.tmpdir for its
     // local dirs); correctness runs (graft.Verify) keep the default.
-    val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) {
-      val scratch = new java.io.File(shm, "graft-bench-tmp")
+    // CAPACITY-GATED (r7 verdict item 2): a container with the default
+    // 64 MiB shm would have every shuffle spill shoved into a starving
+    // tmpfs — the suspected cause of the r7 driver run's staged-write
+    // slowdowns. Redirect only when /dev/shm reports ≥8 GiB usable, and
+    // honor SPARK_GRAFT_TMPFS=0 as an explicit opt-out; the chosen
+    // tmpdir is recorded in the bench JSON either way.
+    val shmFree: Long =
+      try java.nio.file.Files
+        .getFileStore(java.nio.file.Paths.get("/dev/shm")).getUsableSpace
+      catch { case _: Throwable => -1L }
+    val tmpfsWanted = !sys.env.get("SPARK_GRAFT_TMPFS").contains("0")
+    if (tmpfsWanted && shmFree >= (8L << 30)) {
+      val scratch = new java.io.File("/dev/shm", "graft-bench-tmp")
       scratch.mkdirs()
       sys.props("java.io.tmpdir") = scratch.getAbsolutePath
+    }
+    // Host-health preamble (r7 verdict item 1c): three rounds of
+    // BASELINE.md adjudicated host-window drift by hand; these fields
+    // make a cross-environment discrepancy self-diagnosing from the
+    // JSON alone.
+    val hostJson = {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      val freeMem: Long = os match {
+        case b: com.sun.management.OperatingSystemMXBean => b.getFreeMemorySize
+        case _ => -1L
+      }
+      def gb(x: Long): String =
+        if (x < 0) "null" else f"${x / 1073741824.0}%.1f"
+      s"""{"shm_free_gb":${gb(shmFree)},"procs":${Runtime.getRuntime.availableProcessors},"load_avg":${f"${os.getSystemLoadAverage}%.2f"},"free_mem_gb":${gb(freeMem)},"heap_gb":${gb(Runtime.getRuntime.maxMemory)},"tmpdir":"${sys.props("java.io.tmpdir")}","budget_sec":${budgetSec.toInt}}"""
     }
     val spark = GraftSession.local(cpus, "graft-bench")
 
@@ -528,42 +577,81 @@ object Bench {
     Thread.sleep(3000)
     spark.range(10000000L).selectExpr("sum(id * 2)").collect()
 
-    // Median of 3 timed repetitions per query: single runs at this scale
-    // carry ±30% scheduler/GC noise, which would drown real plan
-    // regressions between rounds. Any failed run poisons the median to
-    // None — a broken query must never report as a fast success. The MIN
-    // of the 3 is kept alongside: interference (GC storms, host
-    // contention) can inflate the median by hitting 2 of 3 runs, but it
-    // cannot inflate the min as long as ANY run was clean — while a real
-    // plan regression inflates every run including the min. The
-    // regression gate below requires BOTH to breach (r4's 16 phantom
-    // flags, r6's 10× ev_asof_tolerance: median-only artifacts that
-    // re-measured at pin; same code, adjacent-query blocks).
+    // Timed repetitions per query: median-of-3 for queries pinned ≥0.5 s
+    // (single runs at this scale carry ±30% scheduler/GC noise, which
+    // would drown real plan regressions), upper-of-2 for the ~half of the
+    // set pinned under 0.5 s — those medians are noise-dominated anyway,
+    // the upper observation is the CONSERVATIVE median estimate, and the
+    // min+retry gate absorbs the extra suspects (r7 verdict item 4: the
+    // full set must fit the driver's budget). Unpinned first-ships keep 3
+    // reps — their median becomes next round's pin. Once the wall budget
+    // is exceeded, reps degrade to 1 (sub-1 s pins) / 2 (the rest): the
+    // verdict must print before the driver's timeout, whatever the host.
+    // Any failed run poisons the result to None — a broken query must
+    // never report as a fast success. The MIN of the reps is kept
+    // alongside: interference (GC storms, host contention) can inflate
+    // the median by hitting 2 of 3 runs, but it cannot inflate the min as
+    // long as ANY run was clean — while a real plan regression inflates
+    // every run including the min. The regression gate below requires
+    // BOTH to breach (r4's 16 phantom flags, r6's 10× ev_asof_tolerance:
+    // median-only artifacts that re-measured at pin).
+    def repsFor(name: String): Int = {
+      val pin = baselineMedians.get(name)
+      if (elapsedWall > budgetSec) { if (pin.exists(_ < 1.0)) 1 else 2 }
+      else if (pin.exists(_ < 0.5)) 2
+      else 3
+    }
     val timed: Seq[(String, Option[Seq[Double]])] = only.map { name =>
-      val times = (1 to 3).map(_ => timeOne(name, sfDir))
+      val times = (1 to repsFor(name)).map(_ => timeOne(name, sfDir))
       name -> (if (times.exists(_.isEmpty)) None
                else Some(times.flatten.sorted))
     }
     val results: Seq[(String, Option[Double])] =
-      timed.map { case (n, t) => n -> t.map(_.apply(1)) }
+      timed.map { case (n, t) => n -> t.map(s => s(s.size / 2)) }
     val mins: Map[String, Double] =
       timed.collect { case (n, Some(t)) => n -> t.head }.toMap
 
-    // Scaling probe: one warmed run per query at the smaller SF; report
-    // elapsed ratio big/small. The data ratio is ~10×; a query whose time
-    // ratio runs FAR above it has a superlinear plan.
-    val scaling: Seq[(String, Option[Double])] =
-      if (smallDir == sfDir) Seq.empty
-      else {
-        only.foreach { name =>
-          try materialize(name, smallDir) catch { case _: Throwable => () }
-        }
-        only.map { name =>
-          val small = timeOne(name, smallDir)
-          val big = results.toMap.apply(name)
-          name -> (for (s <- small; b <- big if s > 0) yield b / s)
-        }
+    def jnum(v: Option[Double]): String =
+      v.map(d => f"$d%.3f").getOrElse("null")
+    def jmap(kvs: Seq[(String, Option[Double])]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
+        .mkString("{", ",", "}")
+
+    val total = results.flatMap(_._2).sum
+    // A query that threw is NOT a regression-map no-show: it's listed by
+    // name, so an empty regressions map can never be mistaken for a
+    // fully-measured clean run (r5 reported `regressions: {}` while 10
+    // pinned queries were null — ADVICE r5). `value` sums only measured
+    // queries; `measured` says how many that is, out of `of`.
+    val failed = results.collect { case (n, None) => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    // The verdict is emitted after EVERY phase — timed, gated (post-
+    // retry), final (post-scaling) — not once at the end: six consecutive
+    // driver rounds died at rc=124 with `parsed: null` because the single
+    // print sat behind retries + the scaling sweep + the file write. A
+    // timeout kill now costs detail, never the verdict; the driver's
+    // tail-parse takes the LAST compact line, and `phase` says how far
+    // the run got. stdout stays one COMPACT line per phase — no per-query
+    // map (the r3-r5 drivers' tail capture choked on it); full detail
+    // (queries + mins + scaling maps) goes to the BENCH.json file.
+    def emit(phase: String, regressions: Seq[(String, Double)],
+             suspects: Seq[(String, Double)],
+             scaling: Seq[(String, Option[Double])]): Unit = {
+      val regs = jmap(regressions.map { case (k, v) => k -> Option(v) })
+      val susp = jmap(suspects.map { case (k, v) => k -> Option(v) })
+      val shared = s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","phase":"$phase","elapsed_wall_sec":${f"$elapsedWall%.1f"},"measured":${results.count(_._2.nonEmpty)},"of":${results.size},"failed":$failed,"regressions":$regs,"suspect":$susp,"host":$hostJson,"sf":"$sfDir""""
+      val full =
+        s"""{$shared,"queries":${jmap(results)},"mins":${jmap(mins.toSeq.map { case (k, v) => k -> Option(v) })},"scaling":${jmap(scaling)}}"""
+      try {
+        val w = new java.io.PrintWriter(outFile, "UTF-8")
+        try w.println(full) finally w.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
       }
+      println(s"{$shared}")
+      System.out.flush()
+    }
 
     // Regression = median AND min both over 2× pin (plan drift hits every
     // run). Median-only breaches are reported as `suspect` — visible, but
@@ -574,56 +662,56 @@ object Bench {
           t > 2 * b && mins.get(name).exists(_ > 2 * b)) =>
         name -> t / baselineMedians(name)
     }
-    // Re-adjudication: a flagged query gets three FRESH runs here at the
-    // end of the session — minutes away from whatever transient inflated
-    // its original block (this round saw four full runs each inflate a
-    // DIFFERENT adjacent block 2-10×, every one re-measuring at pin).
-    // The flag stands only if the best observation across BOTH passes
-    // still breaches 2× — a real plan regression cannot produce a single
-    // clean run, while a transient cannot survive six spread-out ones.
-    // Demoted flags land in `suspect`, not silence.
-    val (regressions, demoted) = flagged.partition { case (name, _) =>
-      val b = baselineMedians(name)
-      val retry = (1 to 3).flatMap(_ => timeOne(name, sfDir))
-      (mins.get(name).toSeq ++ retry).min > 2 * b
-    }
-    val suspects = results.collect {
+    val medianOnly = results.collect {
       case (name, Some(t))
         if baselineMedians.get(name).exists(b =>
           t > 2 * b && mins.get(name).exists(_ <= 2 * b)) =>
         name -> t / baselineMedians(name)
-    } ++ demoted
-
-    def jnum(v: Option[Double]): String =
-      v.map(d => f"$d%.3f").getOrElse("null")
-    def jmap(kvs: Seq[(String, Option[Double])]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
-        .mkString("{", ",", "}")
-
-    val total = results.flatMap(_._2).sum
-    val regs = jmap(regressions.map { case (k, v) => k -> Option(v) })
-    val susp = jmap(suspects.map { case (k, v) => k -> Option(v) })
-    // A query that threw is NOT a regression-map no-show: it's listed by
-    // name, so an empty regressions map can never be mistaken for a
-    // fully-measured clean run (r5 reported `regressions: {}` while 10
-    // pinned queries were null — ADVICE r5). `value` sums only measured
-    // queries; `measured` says how many that is, out of `of`.
-    val failed = results.collect { case (n, None) => "\"" + n + "\"" }
-      .mkString("[", ",", "]")
-    // stdout stays one COMPACT line — no per-query map at all. The r3-r5
-    // drivers captured only the tail of stdout and `parsed` came back
-    // null four rounds running once the queries map outgrew the capture.
-    // Full detail (queries + scaling maps) goes to the BENCH.json file.
-    val core = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","measured":${results.count(_._2.nonEmpty)},"of":${results.size},"failed":$failed,"regressions":$regs,"suspect":$susp,"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","measured":${results.count(_._2.nonEmpty)},"of":${results.size},"failed":$failed,"queries":${jmap(results)},"mins":${jmap(mins.toSeq.map { case (k, v) => k -> Option(v) })},"regressions":$regs,"suspect":$susp,"scaling":${jmap(scaling)},"sf":"$sfDir"}"""
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    try {
-      val w = new java.io.PrintWriter(outFile, "UTF-8")
-      try w.println(full) finally w.close()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
-    println(core)
+    // Phase 1 verdict: pre-retry. `regressions` here may still be demoted
+    // by the retry pass below — a kill between here and the "gated" line
+    // leaves a conservative verdict, not a missing one.
+    emit("timed", flagged, medianOnly, Seq.empty)
+
+    // Re-adjudication: a flagged query gets fresh runs here at the end of
+    // the session — minutes away from whatever transient inflated its
+    // original block (r6 saw four full runs each inflate a DIFFERENT
+    // adjacent block 2-10×, every one re-measuring at pin). The flag
+    // stands only if the best observation across BOTH passes still
+    // breaches 2× — a real plan regression cannot produce a single clean
+    // run, while a transient cannot survive spread-out ones. Demoted
+    // flags land in `suspect`, not silence. Over budget, one fresh run
+    // decides (a single clean observation is all a demotion needs).
+    val (regressions, demoted) = flagged.partition { case (name, _) =>
+      val b = baselineMedians(name)
+      val retryReps = if (elapsedWall > budgetSec) 1 else 3
+      val retry = (1 to retryReps).flatMap(_ => timeOne(name, sfDir))
+      (mins.get(name).toSeq ++ retry).min > 2 * b
+    }
+    val suspects = medianOnly ++ demoted
+    // Phase 2 verdict: the regression gate is now final.
+    emit("gated", regressions, suspects, Seq.empty)
+
+    // Scaling probe: one timed run per query at the smaller SF; report
+    // elapsed ratio big/small. The data ratio is ~10×; a query whose time
+    // ratio runs FAR above it has a superlinear plan. This pass is its
+    // own warm-up (r7 verdict item 4: the old untimed smallDir sweep
+    // doubled the probe's cost): JIT/codegen are hot from the sfDir
+    // phases, so the only first-touch cost is the sf0.01 parquet footers
+    // — noise that UNDERSTATES the ratio slightly, fine for a tripwire.
+    // Skipped entirely once the wall budget is spent: the probe is
+    // diagnostic, the gate above is the verdict.
+    val scaling: Seq[(String, Option[Double])] =
+      if (smallDir == sfDir || elapsedWall > budgetSec) Seq.empty
+      else {
+        val big = results.toMap
+        only.map { name =>
+          val small = timeOne(name, smallDir)
+          name -> (for (s <- small; b <- big(name) if s > 0) yield b / s)
+        }
+      }
+    // Phase 3 verdict: complete.
+    emit("final", regressions, suspects, scaling)
     spark.stop()
   }
 }

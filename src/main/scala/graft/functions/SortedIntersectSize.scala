@@ -24,11 +24,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Contract: both arrays sorted ascending in UTF8String binary order
   * (`sort_array`'s default). Duplicates are allowed and counted ONCE
-  * (set semantics, matching `array_intersect`); null elements sort
-  * first under `sort_array` and never match. Null ARRAY input → null
-  * (standard BinaryExpression null propagation). Unsorted input is NOT
-  * detected — callers own the ordering (all in-repo callers sort at
-  * the doc-side projection).
+  * (set semantics — matches `size(array_intersect(a, b))` on NULL-FREE
+  * arrays). Null elements sort first under `sort_array` and are
+  * SKIPPED here, which diverges from `array_intersect` (Spark counts a
+  * null present in BOTH arrays as a common element — ADVICE r7): no
+  * in-repo producer emits null elements, so don't rely on equivalence
+  * if one ever does. Null ARRAY input → null (standard
+  * BinaryExpression null propagation). Unsorted input is NOT detected —
+  * callers own the ordering (all in-repo callers sort at the doc-side
+  * projection).
   *
   * Rung two of the extension ladder (compose built-ins → custom
   * Expression → custom plan), same as [[CosineSimilarity]] and

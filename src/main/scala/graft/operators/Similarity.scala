@@ -286,11 +286,28 @@ object Similarity {
                       idCol: String, vecCol: String, dim: Int,
                       cTop: Int, k: Int): DataFrame = {
     val planes = signBitPlanes(dim)
-    def codeOf(v: Column): Column = projectionBucket(v, planes)
-    val qc = queries.select(col(idCol).as("q_id"),
-      codeOf(col(vecCol)).as("q_code"))
     val cc = candidates.select(col(idCol).as("n_id"),
-      codeOf(col(vecCol)).as("n_code"))
+      projectionBucket(col(vecCol), planes).as("n_code"))
+    binaryQuantTopKFromCodes(candidates, cc, queries, idCol, vecCol, dim,
+      cTop, k)
+  }
+
+  /** [[binaryQuantTopK]] with the corpus code table supplied instead of
+    * recomputed — the PERSISTED-INDEX query path: `codes` (n_id, n_code)
+    * is the 1-bit/dim tier a serving node keeps resident (typically a
+    * parquet lake artifact built once by an indexing job), so a query
+    * encodes only ITS OWN vectors and never re-scans the corpus floats
+    * until the tier-2 fetch. Must return exactly what the inline form
+    * returns over the same corpus — the two share their oracle.
+    */
+  def binaryQuantTopKFromCodes(candidates: DataFrame, codes: DataFrame,
+                               queries: DataFrame, idCol: String,
+                               vecCol: String, dim: Int,
+                               cTop: Int, k: Int): DataFrame = {
+    val planes = signBitPlanes(dim)
+    val qc = queries.select(col(idCol).as("q_id"),
+      projectionBucket(col(vecCol), planes).as("q_code"))
+    val cc = codes.select(col("n_id"), col("n_code"))
     val ham = cc.crossJoin(broadcast(qc))
       .where(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),

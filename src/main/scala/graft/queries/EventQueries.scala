@@ -51,6 +51,15 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Batch face of the streaming VARIANT rollup
+    // (EventPipeline.variantHourlyAgg; StreamingSpec proves stream ≡
+    // batch): parse-once variant extraction aggregated per tumbling
+    // event-time hour — the incremental landing job that makes the
+    // semi-structured column typed-queryable as data arrives.
+    "ev_variant_stream" -> ((s, d) =>
+      EventPipeline.variantHourlyAgg(ev(s, d))
+        .orderBy(col("ws"), col("event_type"))),
+
     // Weekly cohort retention (single user-keyed shuffle).
     "ev_retention" -> ((s, d) =>
       EventPipeline.cohortRetention(ev(s, d))
@@ -1819,6 +1828,12 @@ object EventQueries {
         |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS k_sum,
         |  min(k) AS k_min, max(k) AS k_max
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_variant_stream" ->
+      """WITH p AS (SELECT date_trunc('hour', ts) AS ws, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT ws, event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS k_sum
+        |FROM p GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "ev_retention" ->
       """WITH a AS (SELECT DISTINCT user_id,
         |  CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),

@@ -1049,6 +1049,31 @@ object SimilarityQueries {
         .groupBy(col("q_id"))
         .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
         .orderBy(col("q_id"))
+    }),
+
+    // Index PERSISTENCE for the binary-quantization tier — build once,
+    // query many (the sim_topk_ivf_persist posture applied to the code
+    // table): the 1-bit/dim sign codes land as a parquet lake artifact;
+    // the query path reads the CODE TABLE (ids + codes, the 32×-
+    // compressed resident tier a serving node holds) and encodes only
+    // its own query vectors — the corpus floats are never re-scanned
+    // until the tier-2 candidate fetch. Result must be identical to the
+    // inline sim_topk_bq, so the two share the oracle replay.
+    "sim_topk_bq_persist" -> ((s, d) => {
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_bq_idx_${d.hashCode}"
+      val v = emb(s, d)
+      val planes = Similarity.signBitPlanes(64)
+      // Index build (one-time): the resident code tier.
+      v.select(col("vec_id").as("n_id"),
+          Similarity.projectionBucket(col("embedding"), planes)
+            .as("n_code"))
+        .write.mode("overwrite").parquet(idx)
+      // Query path: corpus codes come from the index; only the Q query
+      // vectors encode.
+      Similarity.binaryQuantTopKFromCodes(v, s.read.parquet(idx),
+          v.where(col("vec_id") < 5), "vec_id", "embedding",
+          dim = 64, cTop = 50, k = 5)
+        .orderBy(col("q_id"), col("rank"))
     })
   )
 
@@ -1065,6 +1090,12 @@ object SimilarityQueries {
     * degenerate to the component itself, so the code is the per-dim sign
     * bits under the same ≥0→'1' convention (IEEE: −0.0 ≥ 0 on both
     * engines, and summing the 63 exact 0.0 products cannot change e[i]).
+    * Known NaN divergence (ADVICE r7): DuckDB's total order makes
+    * `NaN >= 0` TRUE so a NaN component would encode '1' here, while the
+    * native ProjectionBits encodes '0' (Java NaN comparisons are false).
+    * The embeddings fixture is NaN-free (generated finite doubles); if
+    * NaN ever enters the embedding column, expect a hash mismatch HERE
+    * before suspecting the funnel.
     */
   private val bqCodeSql =
     """array_to_string(list_transform(generate_series(1,64),
@@ -1076,6 +1107,27 @@ object SimilarityQueries {
   private val hamSql =
     """len(list_filter(generate_series(1,64),
       | i -> substr(q_code,i,1) <> substr(n_code,i,1)))""".stripMargin
+
+  /** Shared replay for the binary-quantization top-k (inline and
+    * persisted-code-table — the two must agree exactly).
+    */
+  private lazy val bqTopkSql =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, $bqCodeSql AS code FROM v),
+       |q AS (SELECT vec_id AS q_id, e AS q_vec, code AS q_code FROM b WHERE vec_id<5),
+       |c AS (SELECT vec_id AS n_id, e AS n_vec, code AS n_code FROM b),
+       |h AS (SELECT q_id, n_id, q_vec, n_vec, $hamSql AS ham
+       |  FROM c, q WHERE n_id<>q_id),
+       |t AS (SELECT q_id, n_id, q_vec, n_vec, ham,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY ham, n_id) AS crank
+       |  FROM h),
+       |r AS (SELECT q_id, n_id, CAST(ham AS BIGINT) AS ham, $cosSql AS cos
+       |  FROM t WHERE crank<=50),
+       |f AS (SELECT q_id, n_id, ham, cos,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM r)
+       |SELECT q_id, n_id, ham, cos, rank FROM f WHERE rank<=5
+       |ORDER BY q_id, rank""".stripMargin
 
   /** SQL recomputation of the sign-bit bucket over `e`, with the SAME
     * hyperplane constants as the Spark plan (Double.toString round-trips
@@ -1770,23 +1822,10 @@ object SimilarityQueries {
          |SELECT brute.q_id, CAST(count(lsh.n_id) AS DOUBLE)/5 AS recall
          |FROM brute LEFT JOIN lsh ON brute.q_id=lsh.q_id AND brute.n_id=lsh.n_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "sim_topk_bq" ->
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |b AS (SELECT vec_id, e, $bqCodeSql AS code FROM v),
-         |q AS (SELECT vec_id AS q_id, e AS q_vec, code AS q_code FROM b WHERE vec_id<5),
-         |c AS (SELECT vec_id AS n_id, e AS n_vec, code AS n_code FROM b),
-         |h AS (SELECT q_id, n_id, q_vec, n_vec, $hamSql AS ham
-         |  FROM c, q WHERE n_id<>q_id),
-         |t AS (SELECT q_id, n_id, q_vec, n_vec, ham,
-         |  row_number() OVER (PARTITION BY q_id ORDER BY ham, n_id) AS crank
-         |  FROM h),
-         |r AS (SELECT q_id, n_id, CAST(ham AS BIGINT) AS ham, $cosSql AS cos
-         |  FROM t WHERE crank<=50),
-         |f AS (SELECT q_id, n_id, ham, cos,
-         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
-         |  FROM r)
-         |SELECT q_id, n_id, ham, cos, rank FROM f WHERE rank<=5
-         |ORDER BY q_id, rank""".stripMargin,
+    "sim_topk_bq" -> bqTopkSql,
+    // The persisted-code-table path must return EXACTLY the inline
+    // result — same oracle.
+    "sim_topk_bq_persist" -> bqTopkSql,
     "sim_recall_bq" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |b AS (SELECT vec_id, e, $bqCodeSql AS code FROM v),

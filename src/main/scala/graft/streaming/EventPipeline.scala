@@ -242,6 +242,28 @@ object EventPipeline {
     events.withColumn(out,
       get_json_object(col("props"), s"$$.$field").cast("long"))
 
+  /** Hourly VARIANT-typed property rollup — the streaming face of the
+    * parse-at-ingest posture (the windowed form of the batch
+    * `ev_variant_props`): props parse ONCE into the binary variant
+    * encoding (`parse_json`), every downstream extraction is a cheap
+    * typed read (`variant_get`), and the aggregation is a tumbling
+    * event-time window, so the SAME definition runs over
+    * [[readEventStream]] with watermark-bounded state (append output as
+    * the watermark passes each window) — at 100 TB/day this is the
+    * landing job that turns raw JSON text into queryable typed columns
+    * incrementally instead of re-parsing strings per query.
+    */
+  def variantHourlyAgg(events: DataFrame): DataFrame = {
+    val v = parse_json(col("props"))
+    events
+      .select(col("ts"), col("event_type"),
+        variant_get(v, "$.k", "bigint").as("k"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("k_sum"))
+  }
+
   /** Streaming source over an events directory (parquet files appearing
     * over time), watermarked for state cleanup.
     */

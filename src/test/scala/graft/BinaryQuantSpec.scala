@@ -48,6 +48,30 @@ class BinaryQuantSpec extends AnyFunSuite {
     assert(bq === brute)
   }
 
+  test("persisted code table reproduces the inline funnel exactly") {
+    // The serving-node path: codes staged once (here a parquet round-trip
+    // through the test scratch, as the registered sim_topk_bq_persist
+    // query does), then queried — must equal the inline form bit-for-bit.
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" < 3)
+    val planes = Similarity.signBitPlanes(8)
+    val idx = java.nio.file.Files
+      .createTempDirectory("bq_codes").toString
+    df.select($"vec_id".as("n_id"),
+        Similarity.projectionBucket($"embedding", planes).as("n_code"))
+      .write.mode("overwrite").parquet(idx)
+    val inline = Similarity.binaryQuantTopK(df, q, "vec_id", "embedding",
+        dim = 8, cTop = 10, k = 5)
+      .select($"q_id", $"n_id", $"ham", $"cos", $"rank")
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    val persisted = Similarity.binaryQuantTopKFromCodes(df,
+        spark.read.parquet(idx), q, "vec_id", "embedding",
+        dim = 8, cTop = 10, k = 5)
+      .select($"q_id", $"n_id", $"ham", $"cos", $"rank")
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    assert(persisted === inline)
+  }
+
   test("funnel bounds hold and ham is consistent with the codes") {
     val df = vecs.toDF("vec_id", "embedding")
     val q = df.where($"vec_id" < 3)

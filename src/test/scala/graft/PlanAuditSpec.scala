@@ -842,7 +842,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // the composed variant must instead prune through the hash
     // equi-join on the native cell assignment, with no cartesian
     // anywhere.
-    for (q <- Seq("sim_topk_bq", "sim_topk_ivf_bq")) {
+    for (q <- Seq("sim_topk_bq", "sim_topk_ivf_bq", "sim_topk_bq_persist")) {
       val p = plan(q)
       assert(p.contains("projection_bits"),
         s"$q lost the native sign-code expression:\n$p")
@@ -855,6 +855,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(composed.contains("centroid_cell") &&
       composed.contains("centroid_probe_cells"),
       s"composed funnel lost the native cell prune:\n$composed")
+    // The persisted variant's tier-1 corpus codes must come from the
+    // staged parquet index — a plan that re-encodes the corpus per query
+    // defeats the build-once/query-many point.
+    val persisted = plan("sim_topk_bq_persist")
+    assert(persisted.contains("graft_bq_idx"),
+      s"persisted funnel does not scan the staged code table:\n$persisted")
   }
 
   test("set-overlap verify steps run the native sorted-merge kernel") {

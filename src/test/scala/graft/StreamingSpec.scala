@@ -41,6 +41,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("variantHourlyAgg over a real stream matches the batch run") {
+    val input = MemoryStream[Ev](spark)
+    val q = EventPipeline.variantHourlyAgg(input.toDF())
+      .writeStream.format("memory").queryName("variant_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      val streamed = spark.table("variant_out")
+        .select($"ws", $"event_type", $"n", $"k_sum")
+        .as[(Timestamp, String, Long, Long)].collect().toSet
+      val batch = EventPipeline.variantHourlyAgg(events.toDF())
+        .as[(Timestamp, String, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      // hour 0 has clicks k=1,2; hour 1 has click k=4 and view k=3;
+      // hour 3 has click k=5 — the variant extraction must type them
+      // as bigints and the window must bucket by event-time hour.
+      assert(batch == Set(
+        (t(0), "click", 2L, 3L),
+        (t(60), "click", 1L, 4L),
+        (t(60), "view", 1L, 3L),
+        (t(180), "click", 1L, 5L)))
+    } finally q.stop()
+  }
+
   test("sessionStats: 30-minute gap splits sessions per user") {
     // user 1: events at 5,10 (one session) and 70 (new) -> 2 sessions
     // user 2: events at 75 and 200 (gap 125min) -> 2 sessions
