@@ -461,7 +461,14 @@ object Bench {
     "s25_xml_roundtrip" -> 0.80, "s26_binaryfile_scan" -> 0.26,
     "ev_variant_props" -> 0.50, "sim_topk_bq" -> 0.66,
     "sim_recall_bq" -> 1.01, "sim_topk_ivf_bq" -> 0.64,
-    "sim_recall_ivf_bq" -> 1.01)
+    "sim_recall_ivf_bq" -> 1.01,
+    // Round-8 first-ship pins (persisted BQ code table, streaming
+    // VARIANT face), from the round's SECOND full-set run — 198
+    // queries, 343.8 s, 198/198 measured, zero failures, zero
+    // regressions, five disjoint retry-class suspects (BASELINE.md
+    // "Round 8"). Both windows that day ran ~1.2× of pins, so these
+    // carry that margin like the r7 first-ship pins.
+    "sim_topk_bq_persist" -> 0.74, "ev_variant_stream" -> 0.55)
 
   def main(args: Array[String]): Unit = {
     val wallStart = System.nanoTime()
