@@ -9,11 +9,13 @@ package graft
   * column is computed and serialized on the executors, so expression-heavy
   * projections are really timed. A bare `.count()` would let Catalyst prune
   * all columns and bench the scan alone (round-1 VERDICT "What's wrong").
-  * An untimed warm-up pass over the whole headline set amortizes
-  * JVM/codegen/classloading and parquet footer reads for EVERY input table,
-  * so per-query numbers measure the plan, not first-touch JIT noise (with a
-  * d9-only warm-up, the first query to touch lineitem absorbed ~4 s of
-  * one-time cost that its plan didn't own).
+  * An untimed warm-up amortizes JVM/codegen/classloading (a small-SF pass
+  * over the whole headline set), parquet footer + page-cache reads for
+  * EVERY input table (one noop scan per sfDir table), and the per-JVM
+  * staged codebooks, so per-query numbers measure the plan, not
+  * first-touch JIT noise (with a d9-only warm-up, the first query to
+  * touch lineitem absorbed ~4 s of one-time cost that its plan didn't
+  * own).
   *
   * Three verdict-driven gates ride along in the JSON line:
   *  - a query whose ANY timed run failed reports `null` (a broken query
@@ -562,10 +564,40 @@ object Bench {
       }
     }
 
-    // Warm-up (untimed): JIT + codegen + parquet footer reads for all tables.
+    // Warm-up (untimed), in three cheap parts instead of a full sfDir
+    // pass (which was ~4-6 min of the old ~30-min full-set wall — r7
+    // verdict item 4):
+    //  1. materialize every query at the SMALL scale factor: generated
+    //     codegen classes are plan-shape-specific but data-size-
+    //     independent, so this warms JIT/codegen/classloading for every
+    //     plan at ~1/10 the data — and doubles as the warm-up the
+    //     scaling probe's later smallDir pass relies on;
+    //  2. one noop-materialized scan per sfDir TABLE, so parquet footers
+    //     and the OS page cache for the big inputs are warm before any
+    //     timed run — the round-1 lesson (the first query to touch
+    //     lineitem absorbed ~4 s of one-time cost its plan didn't own)
+    //     addressed at the table level, where that cost actually lives;
+    //  3. the two queries that stage per-(JVM, sf-dir) codebooks
+    //     (trained k-means cells, PQ quantizers) run once at sfDir so no
+    //     timed first rep pays a one-time training.
+    // AQE can still pick different physical shapes at sf0.1 than sf0.01
+    // (broadcast/sort-merge switches), so a residual first-touch JIT may
+    // land on a query's first timed rep — median-of-3 absorbs it.
     only.foreach { name =>
-      try materialize(name, sfDir) catch { case _: Throwable => () }
+      try materialize(name, if (smallDir != sfDir) smallDir else sfDir)
+      catch { case _: Throwable => () }
     }
+    Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        try spark.read.parquet(f.getAbsolutePath)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    Seq("sim_cell_balance", "sim_topk_pq").filter(only.contains)
+      .foreach { name =>
+        try materialize(name, sfDir) catch { case _: Throwable => () }
+      }
 
     // Settle phase (r4 advice, r4-vs-r5 evidence): the warm-up pass just
     // queued ~60 queries' worth of shuffle files, broadcasts, and
