@@ -31,12 +31,35 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap: 16g default (r7 verdict item 5: the 8g default squeezed 32-task
+// shuffles while the 128 GiB sandbox sat idle), CLAMPED to the 16g the
+// BASELINE.md pins were measured at (r8 verdict item 2): the r8 driver
+// ran at 89g and a controlled A/B showed that alone drags the
+// staged-write family 1.2-1.7× (pipeline_clean 2.48→4.19 s) — a silent
+// config divergence eating the 2× gate's headroom. A larger
+// SPARK_DRIVER_MEM now clamps down to the pin heap; SPARK_GRAFT_HEAP
+// overrides explicitly (and whoever sets it owns re-pinning at it). The
+// bench JSON records the heap it actually ran with (host.heap_gb).
+val pinHeap = "16g"
+val forkHeap: String = {
+  def mib(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val n = t.takeWhile(_.isDigit) match { case "" => 16384L case d => d.toLong }
+    t.lastOption match {
+      case Some('g') => n * 1024
+      case Some('m') => n
+      case Some('k') => math.max(1L, n / 1024)
+      case Some(c) if c.isDigit => n / (1024 * 1024) // raw bytes
+      case _ => n * 1024
+    }
+  }
+  sys.env.get("SPARK_GRAFT_HEAP").getOrElse {
+    val req = sys.env.getOrElse("SPARK_DRIVER_MEM", pinHeap)
+    if (mib(req) > mib(pinHeap)) pinHeap else req
+  }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default (r7 verdict item 5): the 8g default left 32-task
-  // shuffles squeezed while the 128 GiB sandbox sat idle — the other
-  // plausible contributor to the r7 driver run's staged-write
-  // slowdowns. The bench JSON records the heap it actually ran with.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx$forkHeap",
 )

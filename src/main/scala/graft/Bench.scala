@@ -285,7 +285,11 @@ object Bench {
     // the persisted-code-table BQ funnel (the serving-node path — codes
     // read from the lake, corpus never re-encoded per query) and the
     // streaming face of the VARIANT extraction.
-    "sim_topk_bq_persist", "ev_variant_stream")
+    "sim_topk_bq_persist", "ev_variant_stream",
+    // Round-9 first-ship (no pin until this round's full-set run): the
+    // persisted COMPOSED IVF×BQ index — both pruning tiers read from
+    // one staged (id, cell, code) lake artifact.
+    "sim_topk_ivf_bq_persist")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the
@@ -551,13 +555,31 @@ object Bench {
       * Explicitly unpersisting every lingering RDD makes each timed run
       * self-contained; every query rebuilds its DataFrame fresh, so no
       * live lineage can reference the dropped blocks.
+      *
+      * Returns (wall, processCpu) seconds (r8 verdict item 3): in local
+      * mode the executors share this JVM, so a healthy rep's CPU runs at
+      * roughly wall × effective parallelism, while a host-contention rep
+      * shows minutes of wall over seconds of CPU — r8's 278 s t_decontam
+      * carried ~5 s of CPU when re-run, an adjudication that took a
+      * manual sandbox session; the JSON now carries the proof itself.
       */
-    def timeOne(name: String, dir: String): Option[Double] = {
+    val osBean =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def processCpuSec: Double = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        b.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+    def timeOne(name: String, dir: String): Option[(Double, Double)] = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = true))
+      val c0 = processCpuSec
       val t0 = System.nanoTime()
-      try { materialize(name, dir); Some((System.nanoTime() - t0) / 1e9) }
+      try {
+        materialize(name, dir)
+        Some(((System.nanoTime() - t0) / 1e9, processCpuSec - c0))
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         None
@@ -618,80 +640,115 @@ object Bench {
 
     // Timed repetitions per query: up to 3 (single runs at this scale
     // carry ±30% scheduler/GC noise, which would drown real plan
-    // regressions), with an ADAPTIVE early stop — when both of the first
-    // two reps sit at or under 1.5× the query's pin, the verdict is
-    // already decided (neither a regression nor a suspect is possible at
-    // ≤1.5×; the recorded upper-of-2 is a mildly conservative median
-    // estimate) and the third rep is skipped. This is where the full-set
-    // wall time actually shrinks (r7 verdict item 4): the heavies save a
-    // whole 5-12 s rep each when clean. A FIXED 2-rep schedule for small
-    // pins was tried first and measured statistically broken — on a
-    // mildly slow window (3-rep queries at 1.17× pins) the upper-of-2
-    // small queries read 2.30× and manufactured 53 false suspects, for a
-    // wall saving of ~30 s. Unpinned first-ships always take all 3 reps
-    // (their median becomes next round's pin). Once the wall budget is
-    // exceeded, reps degrade to 1 (sub-1 s pins) / 2 (the rest): the
-    // verdict must print before the driver's timeout, whatever the host.
+    // regressions), run as INTERLEAVED FULL-SET PASSES (r8 verdict
+    // item 1): pass 1 times rep 1 of every query, pass 2 rep 2, pass 3
+    // rep 3 — so one query's observations land a whole pass (~7-8 min)
+    // apart instead of back-to-back. The min+retry gate's core assumption
+    // ("interference cannot inflate the min as long as ANY run was
+    // clean") failed in r8's driver window precisely because all 3
+    // adjacent reps sat inside one minutes-long contaminated stretch (7
+    // queries breached at MIN level, every one demoted by the end-of-run
+    // retry); with reps a pass apart, any transient shorter than a pass
+    // can inflate at most ONE rep — it can move neither the min nor the
+    // median — and the retry pass goes back to being a backstop, not the
+    // verdict.
+    //
+    // Per-query schedules inside the passes:
+    //  - adaptive early stop (r8): when both of the first two reps sit at
+    //    or under 1.5× the pin, the verdict is decided and rep 3 is
+    //    skipped. (A FIXED 2-rep schedule was tried in r8 and measured
+    //    statistically broken — 53 false suspects on a slow window.)
+    //  - budget-pressure rep-3 skip (r8 verdict item 5): when pass 1
+    //    alone used >50% of the wall budget, rep 3 is also skipped for
+    //    any pinned query whose 2-rep MIN is within the 2× gate — such a
+    //    query cannot flag regardless of rep 3, and the saved pass keeps
+    //    the scaling probe inside the budget on a slow window.
+    //  - once the budget is EXCEEDED, reps degrade to 1 (sub-1 s pins) /
+    //    2 (other pinned): the verdict must print before the driver's
+    //    timeout. A 2-rep median records the MEAN of the two, not the
+    //    upper (ADVICE r8: upper-of-2 is the bias that manufactured the
+    //    false-suspect experiment's flags).
+    //  - UNPINNED first-ships always take all 3 reps, budget or not
+    //    (ADVICE r8): their median becomes next round's pin and must
+    //    never be sourced from a degraded schedule.
     // Any failed run poisons the result to None — a broken query must
     // never report as a fast success. The MIN of the reps is kept
-    // alongside: interference (GC storms, host contention) can inflate
-    // the median by hitting 2 of 3 runs, but it cannot inflate the min as
-    // long as ANY run was clean — while a real plan regression inflates
-    // every run including the min. The regression gate below requires
-    // BOTH to breach (r4's 16 phantom flags, r6's 10× ev_asof_tolerance:
+    // alongside: the regression gate requires BOTH median and min to
+    // breach (r4's 16 phantom flags, r6's 10× ev_asof_tolerance:
     // median-only artifacts that re-measured at pin).
-    val timed: Seq[(String, Option[Seq[Double]])] = only.map { name =>
-      val pin = baselineMedians.get(name)
-      val maxReps =
-        if (elapsedWall > budgetSec) { if (pin.exists(_ < 1.0)) 1 else 2 }
-        else 3
-      val times = scala.collection.mutable.ArrayBuffer.empty[Option[Double]]
-      var done = false
-      while (!done && times.size < maxReps) {
-        times += timeOne(name, sfDir)
-        done = times.exists(_.isEmpty) ||
-          (times.size == 2 && pin.exists(p => times.flatten.max <= 1.5 * p))
-      }
-      name -> (if (times.exists(_.isEmpty)) None
-               else Some(times.flatten.sorted.toSeq))
+    val repWalls = scala.collection.mutable.LinkedHashMap(
+      only.map(_ -> Vector.empty[Double]): _*)
+    val repCpus = scala.collection.mutable.LinkedHashMap(
+      only.map(_ -> Vector.empty[Double]): _*)
+    val failedQ = scala.collection.mutable.LinkedHashSet.empty[String]
+
+    /** Median estimate of a rep list: mean for 2 reps (an upper-of-2
+      * "median" is biased high by construction — ADVICE r8), the true
+      * middle element otherwise.
+      */
+    def medianOf(t: Seq[Double]): Double = {
+      val s = t.sorted
+      if (s.size == 2) (s(0) + s(1)) / 2 else s(s.size / 2)
     }
-    val results: Seq[(String, Option[Double])] =
-      timed.map { case (n, t) => n -> t.map(s => s(s.size / 2)) }
-    val mins: Map[String, Double] =
-      timed.collect { case (n, Some(t)) => n -> t.head }.toMap
+    def results: Seq[(String, Option[Double])] = only.map { n =>
+      val w = repWalls(n)
+      n -> (if (failedQ(n) || w.isEmpty) None else Some(medianOf(w)))
+    }
+    def mins: Map[String, Double] = only.iterator
+      .filter(n => !failedQ(n) && repWalls(n).nonEmpty)
+      .map(n => n -> repWalls(n).min).toMap
+    /** CPU seconds of a query's SLOWEST rep — the one a suspect verdict
+      * hangs on. Wall ≫ cpu there is the host-contention signature.
+      */
+    def worstRepCpu(n: String): Option[Double] = {
+      val w = repWalls(n); val c = repCpus(n)
+      if (w.isEmpty || c.size < w.size) None
+      else Some(c(w.indexOf(w.max)))
+    }
 
     def jnum(v: Option[Double]): String =
       v.map(d => f"$d%.3f").getOrElse("null")
     def jmap(kvs: Seq[(String, Option[Double])]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
         .mkString("{", ",", "}")
+    def jarrmap(kvs: Seq[(String, Seq[Double])]): String =
+      kvs.map { case (k, v) =>
+        "\"" + k + "\":" + v.map(d => f"$d%.3f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
 
-    val total = results.flatMap(_._2).sum
     // A query that threw is NOT a regression-map no-show: it's listed by
     // name, so an empty regressions map can never be mistaken for a
     // fully-measured clean run (r5 reported `regressions: {}` while 10
     // pinned queries were null — ADVICE r5). `value` sums only measured
     // queries; `measured` says how many that is, out of `of`.
-    val failed = results.collect { case (n, None) => "\"" + n + "\"" }
-      .mkString("[", ",", "]")
+    def failedJson: String =
+      failedQ.map("\"" + _ + "\"").mkString("[", ",", "]")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    // The verdict is emitted after EVERY phase — timed, gated (post-
-    // retry), final (post-scaling) — not once at the end: six consecutive
-    // driver rounds died at rc=124 with `parsed: null` because the single
-    // print sat behind retries + the scaling sweep + the file write. A
-    // timeout kill now costs detail, never the verdict; the driver's
-    // tail-parse takes the LAST compact line, and `phase` says how far
-    // the run got. stdout stays one COMPACT line per phase — no per-query
-    // map (the r3-r5 drivers' tail capture choked on it); full detail
-    // (queries + mins + scaling maps) goes to the BENCH.json file.
+    // The verdict is emitted after EVERY phase — timing (periodic,
+    // partial), timed, gated (post-retry), final (post-scaling) — not
+    // once at the end: six consecutive driver rounds died at rc=124 with
+    // `parsed: null` because the single print sat behind retries + the
+    // scaling sweep + the file write. A timeout kill now costs detail,
+    // never the verdict; the driver's tail-parse takes the LAST compact
+    // line, and `phase` says how far the run got. stdout stays one
+    // COMPACT line per phase — no per-query map (the r3-r5 drivers' tail
+    // capture choked on it); full detail (queries + per-rep walls and
+    // CPU seconds + mins + scaling maps) goes to the BENCH.json file.
+    // Flagged/suspect entries carry `cpu` in the compact line too: the
+    // CPU seconds of the slowest rep, so a 278 s-wall/5 s-CPU contention
+    // rep self-diagnoses from the verdict line alone (r8 item 3).
     def emit(phase: String, regressions: Seq[(String, Double)],
              suspects: Seq[(String, Double)],
              scaling: Seq[(String, Option[Double])]): Unit = {
+      val res = results
+      val total = res.flatMap(_._2).sum
       val regs = jmap(regressions.map { case (k, v) => k -> Option(v) })
       val susp = jmap(suspects.map { case (k, v) => k -> Option(v) })
-      val shared = s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","phase":"$phase","elapsed_wall_sec":${f"$elapsedWall%.1f"},"measured":${results.count(_._2.nonEmpty)},"of":${results.size},"failed":$failed,"regressions":$regs,"suspect":$susp,"host":$hostJson,"sf":"$sfDir""""
+      val cpu = jmap((regressions ++ suspects).map(_._1).distinct
+        .map(n => n -> worstRepCpu(n)))
+      val shared = s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","phase":"$phase","elapsed_wall_sec":${f"$elapsedWall%.1f"},"measured":${res.count(_._2.nonEmpty)},"of":${res.size},"failed":$failedJson,"regressions":$regs,"suspect":$susp,"cpu":$cpu,"host":$hostJson,"sf":"$sfDir""""
       val full =
-        s"""{$shared,"queries":${jmap(results)},"mins":${jmap(mins.toSeq.map { case (k, v) => k -> Option(v) })},"scaling":${jmap(scaling)}}"""
+        s"""{$shared,"queries":${jmap(res)},"mins":${jmap(mins.toSeq.map { case (k, v) => k -> Option(v) })},"reps":${jarrmap(only.map(n => n -> repWalls(n)))},"cpu_s":${jarrmap(only.map(n => n -> repCpus(n)))},"scaling":${jmap(scaling)}}"""
       try {
         val w = new java.io.PrintWriter(outFile, "UTF-8")
         try w.println(full) finally w.close()
@@ -701,22 +758,67 @@ object Bench {
       println(s"{$shared}")
       System.out.flush()
     }
+    /** Current flagged (median AND min over 2× pin) / median-only
+      * breaches from whatever reps exist so far — the same rule the gate
+      * applies, evaluated on partial data for the periodic `timing`
+      * lines (ADVICE r8: the old posture emitted nothing if the driver
+      * died inside the timed loop, the bulk of the wall). A single-rep
+      * "flag" in a timing line is conservative by construction (median =
+      * min = that rep); later passes and the retry demote transients.
+      */
+    def breaches: (Seq[(String, Double)], Seq[(String, Double)]) = {
+      val m = mins
+      val fl = results.collect {
+        case (name, Some(t))
+          if baselineMedians.get(name).exists(b =>
+            t > 2 * b && m.get(name).exists(_ > 2 * b)) =>
+          name -> t / baselineMedians(name)
+      }
+      val mo = results.collect {
+        case (name, Some(t))
+          if baselineMedians.get(name).exists(b =>
+            t > 2 * b && m.get(name).exists(_ <= 2 * b)) =>
+          name -> t / baselineMedians(name)
+      }
+      (fl, mo)
+    }
+
+    // The interleaved passes themselves. Pass 1 wall is the yardstick for
+    // the rep-3 budget-pressure skip; a `timing` verdict line lands every
+    // 30 timed runs so a kill mid-loop still leaves a parseable verdict.
+    var runsDone = 0
+    var pass1Wall = 0.0
+    for (pass <- 1 to 3) {
+      for (name <- only if !failedQ(name) && repWalls(name).size < pass) {
+        val pin = baselineMedians.get(name)
+        val walls = repWalls(name)
+        val earlyStop = pass == 3 &&
+          pin.exists(p => walls.nonEmpty && walls.max <= 1.5 * p)
+        val gateDecided = pass == 3 && pass1Wall > 0.5 * budgetSec &&
+          pin.exists(p => walls.nonEmpty && walls.min <= 2 * p)
+        val overBudget = elapsedWall > budgetSec && pin.exists(p =>
+          if (p < 1.0) walls.size >= 1 else walls.size >= 2)
+        if (!(earlyStop || gateDecided || overBudget)) {
+          timeOne(name, sfDir) match {
+            case Some((w, c)) =>
+              repWalls(name) = walls :+ w
+              repCpus(name) = repCpus(name) :+ c
+            case None => failedQ += name
+          }
+          runsDone += 1
+          if (runsDone % 30 == 0) {
+            val (fl, mo) = breaches
+            emit("timing", fl, mo, Seq.empty)
+          }
+        }
+      }
+      if (pass == 1) pass1Wall = elapsedWall
+    }
 
     // Regression = median AND min both over 2× pin (plan drift hits every
     // run). Median-only breaches are reported as `suspect` — visible, but
     // not a gate failure unless they reproduce.
-    val flagged = results.collect {
-      case (name, Some(t))
-        if baselineMedians.get(name).exists(b =>
-          t > 2 * b && mins.get(name).exists(_ > 2 * b)) =>
-        name -> t / baselineMedians(name)
-    }
-    val medianOnly = results.collect {
-      case (name, Some(t))
-        if baselineMedians.get(name).exists(b =>
-          t > 2 * b && mins.get(name).exists(_ <= 2 * b)) =>
-        name -> t / baselineMedians(name)
-    }
+    val (flagged, medianOnly) = breaches
     // Phase 1 verdict: pre-retry. `regressions` here may still be demoted
     // by the retry pass below — a kill between here and the "gated" line
     // leaves a conservative verdict, not a missing one.
@@ -728,17 +830,28 @@ object Bench {
     // adjacent block 2-10×, every one re-measuring at pin). The flag
     // stands only if the best observation across BOTH passes still
     // breaches 2× — a real plan regression cannot produce a single clean
-    // run, while a transient cannot survive spread-out ones. Demoted
-    // flags land in `suspect`, not silence. Over budget, one fresh run
-    // decides (a single clean observation is all a demotion needs).
+    // run, while a transient cannot survive spread-out ones. With the
+    // interleaved passes this is a BACKSTOP for contamination windows
+    // longer than a whole pass, not the verdict's first line of defense.
+    // Demoted flags land in `suspect`, not silence. Over budget, one
+    // fresh run decides (a single clean observation is all a demotion
+    // needs).
+    val minsAtGate = mins
     val (regressions, demoted) = flagged.partition { case (name, _) =>
       val b = baselineMedians(name)
       val retryReps = if (elapsedWall > budgetSec) 1 else 3
       val retry = (1 to retryReps).flatMap(_ => timeOne(name, sfDir))
-      (mins.get(name).toSeq ++ retry).min > 2 * b
+      retry.foreach { case (w, c) =>
+        repWalls(name) = repWalls(name) :+ w
+        repCpus(name) = repCpus(name) :+ c
+      }
+      (minsAtGate.get(name).toSeq ++ retry.map(_._1)).min > 2 * b
     }
     val suspects = medianOnly ++ demoted
-    // Phase 2 verdict: the regression gate is now final.
+    // Phase 2 verdict: the regression gate is now final. (Retry reps were
+    // appended to the per-rep arrays for the JSON's cpu/wall detail, so
+    // `queries` medians from here on may shift slightly toward the retry
+    // observations — the gate above already closed on minsAtGate.)
     emit("gated", regressions, suspects, Seq.empty)
 
     // Scaling probe: one timed run per query at the smaller SF; report
@@ -750,14 +863,12 @@ object Bench {
     // — noise that UNDERSTATES the ratio slightly, fine for a tripwire.
     // Skipped entirely once the wall budget is spent: the probe is
     // diagnostic, the gate above is the verdict.
+    val bigMedians = results.toMap
     val scaling: Seq[(String, Option[Double])] =
       if (smallDir == sfDir || elapsedWall > budgetSec) Seq.empty
-      else {
-        val big = results.toMap
-        only.map { name =>
-          val small = timeOne(name, smallDir)
-          name -> (for (s <- small; b <- big(name) if s > 0) yield b / s)
-        }
+      else only.map { name =>
+        val small = timeOne(name, smallDir).map(_._1)
+        name -> (for (s <- small; b <- bigMedians(name) if s > 0) yield b / s)
       }
     // Phase 3 verdict: complete.
     emit("final", regressions, suspects, scaling)

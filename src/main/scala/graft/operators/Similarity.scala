@@ -366,12 +366,35 @@ object Similarity {
                          cents: Array[Array[Double]], dim: Int,
                          cTop: Int, k: Int): DataFrame = {
     val planes = signBitPlanes(dim)
+    val cc = candidates.select(col(idCol).as("n_id"),
+      centroidCell(col(vecCol), cents).as("cell"),
+      projectionBucket(col(vecCol), planes).as("n_code"))
+    ivfBinaryQuantTopKFromIndex(candidates, cc, queries, idCol, vecCol,
+      cents, dim, cTop, k)
+  }
+
+  /** [[ivfBinaryQuantTopK]] with BOTH pruning tiers supplied as one
+    * prebuilt index table instead of recomputed — the PERSISTED composed
+    * index: `index` (n_id, cell, n_code) carries the coarse-quantizer
+    * cell AND the 1-bit/dim sign code per corpus row (one lake artifact,
+    * built once by an indexing job), so the query path encodes and
+    * cell-assigns only ITS OWN vectors, equi-joins the probe cells
+    * against the index, Hamming-ranks inside them, and touches corpus
+    * floats only at the tier-2 candidate fetch. Must return exactly what
+    * the inline form returns over the same corpus — the two share their
+    * oracle (the sim_topk_ivf_persist / sim_topk_bq_persist contract,
+    * applied to the composition).
+    */
+  def ivfBinaryQuantTopKFromIndex(candidates: DataFrame, index: DataFrame,
+                                  queries: DataFrame, idCol: String,
+                                  vecCol: String,
+                                  cents: Array[Array[Double]], dim: Int,
+                                  cTop: Int, k: Int): DataFrame = {
+    val planes = signBitPlanes(dim)
     val qc = queries.select(col(idCol).as("q_id"),
       projectionBucket(col(vecCol), planes).as("q_code"),
       explode(ivfProbeCells(col(vecCol), cents)).as("cell"))
-    val cc = candidates.select(col(idCol).as("n_id"),
-      projectionBucket(col(vecCol), planes).as("n_code"),
-      centroidCell(col(vecCol), cents).as("cell"))
+    val cc = index.select(col("n_id"), col("n_code"), col("cell"))
     val ham = cc.join(broadcast(qc), Seq("cell"))
       .where(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),

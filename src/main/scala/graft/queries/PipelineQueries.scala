@@ -179,7 +179,7 @@ object PipelineQueries {
     // pipeline stages.
     "pipeline_warehouse_counts" -> ((s, d) => {
       val mg = Tables.stage(merged(s, d),
-        s"${sys.props("java.io.tmpdir")}/graft_stage_merged_${d.hashCode}")
+        Tables.scratchDir("graft_stage_merged", d))
       val tables = Pipelines.buildWarehouse(mg)
       tables.toSeq.sortBy(_._1).map { case (name, df) =>
         df.agg(count(lit(1)).as("n_rows"))

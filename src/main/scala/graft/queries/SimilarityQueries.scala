@@ -56,6 +56,14 @@ object SimilarityQueries {
       Pq.codebooks(emb(s, d), "embedding", dim = 64, m = PqM, k = PqK,
         iters = PqIters, seed = PqSeed))
 
+  /** Staging dir for a persisted-index lake artifact: collision-free
+    * path-keyed naming + pid isolation + shutdown cleanup via
+    * [[Tables.scratchDir]] (ADVICE r8 — the previous `d.hashCode` key
+    * could collide and left index tables littering /tmp).
+    */
+  private def stagedIndexDir(tag: String, d: String): String =
+    Tables.scratchDir(s"graft_${tag}_idx", d)
+
   /** nDCG discount weights floor(1e6/log2(i+1)) for ranks 1..10, pinned
     * as integer micro-units so no engine evaluates a logarithm
     * (dq_benford's shared-literal discipline), and their prefix sums
@@ -268,8 +276,7 @@ object SimilarityQueries {
     // a serving node reads. Shares the train-inline oracle: persisted
     // and inline answers must agree exactly.
     "sim_topk_ivfpq_persist" -> ((s, d) => {
-      val idx =
-        s"${sys.props("java.io.tmpdir")}/graft_ivfpq_idx_${d.hashCode}"
+      val idx = stagedIndexDir("ivfpq", d)
       val v0 = emb(s, d)
       val cells = trainedCells(s, d)
       val cbs = pqCodebooks(s, d)
@@ -893,7 +900,7 @@ object SimilarityQueries {
     // corpus. Result must be identical to the train-inline path, so the
     // two queries share the oracle replay.
     "sim_topk_ivf_persist" -> ((s, d) => {
-      val idx = s"${sys.props("java.io.tmpdir")}/graft_ivf_idx_${d.hashCode}"
+      val idx = stagedIndexDir("ivf", d)
       val v0 = emb(s, d)
       val trained = trainedCells(s, d)
       // Index build (one-time): assignments + centroid table.
@@ -1060,7 +1067,7 @@ object SimilarityQueries {
     // until the tier-2 candidate fetch. Result must be identical to the
     // inline sim_topk_bq, so the two share the oracle replay.
     "sim_topk_bq_persist" -> ((s, d) => {
-      val idx = s"${sys.props("java.io.tmpdir")}/graft_bq_idx_${d.hashCode}"
+      val idx = stagedIndexDir("bq", d)
       val v = emb(s, d)
       val planes = Similarity.signBitPlanes(64)
       // Index build (one-time): the resident code tier.
@@ -1072,6 +1079,44 @@ object SimilarityQueries {
       // vectors encode.
       Similarity.binaryQuantTopKFromCodes(v, s.read.parquet(idx),
           v.where(col("vec_id") < 5), "vec_id", "embedding",
+          dim = 64, cTop = 50, k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Persisted COMPOSED index — both pruning tiers as ONE lake artifact
+    // (r8 verdict item 6, completing the sim_topk_ivf_persist /
+    // sim_topk_bq_persist pair): the indexing job writes (n_id, cell,
+    // n_code) — each corpus row's coarse-quantizer cell AND its
+    // 1-bit/dim sign code — plus the tiny centroid table; the query path
+    // reloads the centroids (8 rows), cell-assigns and encodes only its
+    // OWN vectors, and runs the cell-prune → Hamming funnel entirely
+    // over the index table. Corpus floats are touched only at the
+    // tier-2 rerank fetch — on a serving fleet the index table is the
+    // resident tier (~33 bits/row vs 256 float bytes) and this query IS
+    // the steady-state read path. Result must be identical to the
+    // inline sim_topk_ivf_bq, so the two share the oracle replay.
+    "sim_topk_ivf_bq_persist" -> ((s, d) => {
+      val idx = stagedIndexDir("ivfbq", d)
+      val v = emb(s, d)
+      val planes = Similarity.signBitPlanes(64)
+      // Index build (one-time): both tiers in one table + centroids.
+      v.select(col("vec_id").as("n_id"),
+          Similarity.centroidCell(col("embedding"), centroids).as("cell"),
+          Similarity.projectionBucket(col("embedding"), planes)
+            .as("n_code"))
+        .write.mode("overwrite").parquet(s"$idx/assign")
+      import s.implicits._
+      centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "centroid")
+        .write.mode("overwrite").parquet(s"$idx/cells")
+      // Query path: centroids reload from the index (8 rows); the
+      // corpus side is the index table alone.
+      val rCells = s.read.parquet(s"$idx/cells")
+        .orderBy(col("cell")).collect()
+        .map(_.getSeq[Double](1).toArray)
+      Similarity.ivfBinaryQuantTopKFromIndex(v,
+          s.read.parquet(s"$idx/assign"),
+          v.where(col("vec_id") < 5), "vec_id", "embedding", rCells,
           dim = 64, cTop = 50, k = 5)
         .orderBy(col("q_id"), col("rank"))
     })
@@ -1118,6 +1163,31 @@ object SimilarityQueries {
        |c AS (SELECT vec_id AS n_id, e AS n_vec, code AS n_code FROM b),
        |h AS (SELECT q_id, n_id, q_vec, n_vec, $hamSql AS ham
        |  FROM c, q WHERE n_id<>q_id),
+       |t AS (SELECT q_id, n_id, q_vec, n_vec, ham,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY ham, n_id) AS crank
+       |  FROM h),
+       |r AS (SELECT q_id, n_id, CAST(ham AS BIGINT) AS ham, $cosSql AS cos
+       |  FROM t WHERE crank<=50),
+       |f AS (SELECT q_id, n_id, ham, cos,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM r)
+       |SELECT q_id, n_id, ham, cos, rank FROM f WHERE rank<=5
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** Shared replay for the composed IVF×BQ top-k (inline and
+    * persisted-index — the two must agree exactly): cells + probe list,
+    * codes, Hamming funnel inside the probed cells, exact-cosine rerank.
+    */
+  private lazy val ivfBqTopkSql =
+    s"""WITH $ivfProbeCtes,
+       |b AS (SELECT vec_id, e, cell1, msc, $bqCodeSql AS code FROM a2),
+       |q AS (SELECT vec_id AS q_id, e AS q_vec, code AS q_code,
+       |  unnest([cell1, list_position(msc, list_max(msc))-1]) AS cell
+       |  FROM b WHERE vec_id<5),
+       |c AS (SELECT vec_id AS n_id, e AS n_vec, code AS n_code,
+       |  cell1 AS cell FROM b),
+       |h AS (SELECT q_id, n_id, q_vec, n_vec, $hamSql AS ham
+       |  FROM c JOIN q USING (cell) WHERE n_id<>q_id),
        |t AS (SELECT q_id, n_id, q_vec, n_vec, ham,
        |  row_number() OVER (PARTITION BY q_id ORDER BY ham, n_id) AS crank
        |  FROM h),
@@ -1846,26 +1916,9 @@ object SimilarityQueries {
          |SELECT brute.q_id, CAST(count(bq.n_id) AS BIGINT) AS n_overlap
          |FROM brute LEFT JOIN bq ON brute.q_id=bq.q_id AND brute.n_id=bq.n_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "sim_topk_ivf_bq" ->
-      s"""WITH $ivfProbeCtes,
-         |b AS (SELECT vec_id, e, cell1, msc, $bqCodeSql AS code FROM a2),
-         |q AS (SELECT vec_id AS q_id, e AS q_vec, code AS q_code,
-         |  unnest([cell1, list_position(msc, list_max(msc))-1]) AS cell
-         |  FROM b WHERE vec_id<5),
-         |c AS (SELECT vec_id AS n_id, e AS n_vec, code AS n_code,
-         |  cell1 AS cell FROM b),
-         |h AS (SELECT q_id, n_id, q_vec, n_vec, $hamSql AS ham
-         |  FROM c JOIN q USING (cell) WHERE n_id<>q_id),
-         |t AS (SELECT q_id, n_id, q_vec, n_vec, ham,
-         |  row_number() OVER (PARTITION BY q_id ORDER BY ham, n_id) AS crank
-         |  FROM h),
-         |r AS (SELECT q_id, n_id, CAST(ham AS BIGINT) AS ham, $cosSql AS cos
-         |  FROM t WHERE crank<=50),
-         |f AS (SELECT q_id, n_id, ham, cos,
-         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
-         |  FROM r)
-         |SELECT q_id, n_id, ham, cos, rank FROM f WHERE rank<=5
-         |ORDER BY q_id, rank""".stripMargin,
+    "sim_topk_ivf_bq" -> ivfBqTopkSql,
+    // Persisted composed index ≡ inline composition, bit for bit.
+    "sim_topk_ivf_bq_persist" -> ivfBqTopkSql,
     "sim_recall_ivf_bq" ->
       s"""WITH $ivfProbeCtes,
          |b AS (SELECT vec_id, e, cell1, msc, $bqCodeSql AS code FROM a2),

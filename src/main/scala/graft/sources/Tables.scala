@@ -387,6 +387,37 @@ object Tables {
     df.sparkSession.read.parquet(path)
   }
 
+  /** Scratch dir under java.io.tmpdir for a staged per-data-dir artifact
+    * (persisted ANN indexes, the warehouse merge stage). The FULL
+    * data-dir path is encoded (sanitized) into the name — the previous
+    * `d.hashCode` key could collide across data dirs, and two concurrent
+    * JVMs sharing a tmpdir would silently overwrite each other's builds
+    * (ADVICE r8) — plus the pid, which isolates concurrent runs while
+    * staying stable across calls within one process (a bench rep
+    * overwrites its own previous build, never another run's). A one-time
+    * shutdown hook deletes every staged tree, so correctness runs stop
+    * accumulating artifacts in /tmp.
+    */
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val scratchHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      scratchDirs.forEach(p => rm(new java.io.File(p)))
+    }))
+  def scratchDir(prefix: String, d: String): String = {
+    val safe = new java.io.File(d).getCanonicalPath
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val f = new java.io.File(sys.props("java.io.tmpdir"),
+      s"${prefix}_p${ProcessHandle.current().pid()}_$safe")
+    scratchHook
+    scratchDirs.add(f.getAbsolutePath)
+    f.getAbsolutePath
+  }
+
   /** Drop a managed table AND its warehouse files. The in-memory catalog
     * is session-scoped but warehouse files persist: a table created by a
     * previous session is invisible to DROP TABLE yet still blocks CREATE

@@ -842,7 +842,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // the composed variant must instead prune through the hash
     // equi-join on the native cell assignment, with no cartesian
     // anywhere.
-    for (q <- Seq("sim_topk_bq", "sim_topk_ivf_bq", "sim_topk_bq_persist")) {
+    for (q <- Seq("sim_topk_bq", "sim_topk_ivf_bq", "sim_topk_bq_persist",
+        "sim_topk_ivf_bq_persist")) {
       val p = plan(q)
       assert(p.contains("projection_bits"),
         s"$q lost the native sign-code expression:\n$p")
@@ -861,6 +862,15 @@ class PlanAuditSpec extends AnyFunSuite {
     val persisted = plan("sim_topk_bq_persist")
     assert(persisted.contains("graft_bq_idx"),
       s"persisted funnel does not scan the staged code table:\n$persisted")
+    // The composed persisted variant reads BOTH pruning tiers (cell +
+    // code) from the ONE staged index table; only the query side may
+    // cell-assign and encode — a plan that re-derives corpus cells or
+    // codes per query defeats the build-once/query-many point.
+    val cp = plan("sim_topk_ivf_bq_persist")
+    assert(cp.contains("graft_ivfbq_idx"),
+      s"composed persisted funnel does not scan the staged index:\n$cp")
+    assert(cp.contains("centroid_probe_cells"),
+      s"composed persisted funnel lost the query-side probe list:\n$cp")
   }
 
   test("set-overlap verify steps run the native sorted-merge kernel") {
