@@ -30,6 +30,18 @@ object GraftSession {
     // shuffle. Pinned on (its size gates keep it scoped to big scans);
     // PlanAuditSpec asserts the injection fires.
     .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // Codegen class cache sized for a query-SERVER workload, not a
+    // single-query shell: the default 100-entry LRU holds ~5-15 plans'
+    // generated classes, so any process cycling through more plans than
+    // that (the 199-query bench, a BI endpoint, a pipeline scheduler)
+    // recompiles every whole-stage class on every re-run — a flat
+    // ~0.2-1.5 s Janino tax per execution that reads as 2-4× on
+    // sub-second queries (measured in r9 when the bench moved to
+    // interleaved passes: ev_seasonal_hour steady-state 0.52 s vs its
+    // 0.25 pin, all of it driver-side compile). 10k entries covers the
+    // full registered surface with room; static conf, so it must be set
+    // at session build.
+    .config("spark.sql.codegen.cache.maxEntries", "10000")
 
   /** Local-mode session: a single JVM with N executor threads, shuffle
     * partitions = core count (at cluster scale set ≈ 2–3× total cores and
