@@ -42,20 +42,35 @@ val jdk17AddOpens = Seq(
 // bench JSON records the heap it actually ran with (host.heap_gb).
 val pinHeap = "16g"
 val forkHeap: String = {
-  def mib(s: String): Long = {
-    val t = s.trim.toLowerCase
-    val n = t.takeWhile(_.isDigit) match { case "" => 16384L case d => d.toLong }
-    t.lastOption match {
-      case Some('g') => n * 1024
-      case Some('m') => n
-      case Some('k') => math.max(1L, n / 1024)
-      case Some(c) if c.isDigit => n / (1024 * 1024) // raw bytes
-      case _ => n * 1024
-    }
+  // Strict ^[0-9]+[gmk]?$ (after trim/lowercase, ≤12 digits): anything
+  // else — "16gb", "1t", empty — used to be guessed at via a GiB
+  // catch-all, and a suffix-less raw-byte string passed through to
+  // -Xmx verbatim, so a malformed SPARK_DRIVER_MEM could fail JVM
+  // startup instead of falling back to the pin heap (ADVICE r9). Now a
+  // value that doesn't parse falls back to pinHeap with a log line.
+  val HeapPat = "^([0-9]{1,12})([gmk]?)$".r
+  def mib(s: String): Option[Long] = s.trim.toLowerCase match {
+    case HeapPat(n, u) =>
+      val v = n.toLong
+      Some(u match {
+        case "g" => v * 1024
+        case "m" => v
+        case "k" => math.max(1L, v / 1024)
+        case _   => math.max(1L, v / (1024 * 1024)) // suffix-less = raw bytes (JVM -Xmx semantics)
+      })
+    case _ => None
   }
+  val pinMib = mib(pinHeap).get
   sys.env.get("SPARK_GRAFT_HEAP").getOrElse {
-    val req = sys.env.getOrElse("SPARK_DRIVER_MEM", pinHeap)
-    if (mib(req) > mib(pinHeap)) pinHeap else req
+    sys.env.get("SPARK_DRIVER_MEM") match {
+      case None => pinHeap
+      case Some(req) => mib(req) match {
+        case Some(m) => if (m > pinMib) pinHeap else req.trim.toLowerCase
+        case None =>
+          println(s"[build] malformed SPARK_DRIVER_MEM '$req' — falling back to pin heap $pinHeap")
+          pinHeap
+      }
+    }
   }
 }
 javaOptions ++= jdk17AddOpens ++ Seq(

@@ -286,9 +286,9 @@ object Bench {
     // read from the lake, corpus never re-encoded per query) and the
     // streaming face of the VARIANT extraction.
     "sim_topk_bq_persist", "ev_variant_stream",
-    // Round-9 first-ship (no pin until this round's full-set run): the
-    // persisted COMPOSED IVF×BQ index — both pruning tiers read from
-    // one staged (id, cell, code) lake artifact.
+    // Round-9 first-ship (pinned round 10 from the driver's r9 run):
+    // the persisted COMPOSED IVF×BQ index — both pruning tiers read
+    // from one staged (id, cell, code) lake artifact.
     "sim_topk_ivf_bq_persist")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
@@ -474,7 +474,15 @@ object Bench {
     // regressions, five disjoint retry-class suspects (BASELINE.md
     // "Round 8"). Both windows that day ran ~1.2× of pins, so these
     // carry that margin like the r7 first-ship pins.
-    "sim_topk_bq_persist" -> 0.74, "ev_variant_stream" -> 0.55)
+    "sim_topk_bq_persist" -> 0.74, "ev_variant_stream" -> 0.55,
+    // Round-9 first-ship pin (persisted composed IVF×BQ index), from
+    // the DRIVER's round-9 full-set run — 199 queries, 275.1 s,
+    // 199/199 measured, zero failures, zero regressions, zero suspects,
+    // aggregate 0.955× of pins, heap clamped to the 16 GB pin config
+    // (BENCH_r09.json; BASELINE.md "Round 9"). Reps 0.965/0.679/0.682 →
+    // median 0.68 — the cleanest window in project history, so this pin
+    // carries no slow-day margin.
+    "sim_topk_ivf_bq_persist" -> 0.68)
 
   def main(args: Array[String]): Unit = {
     val wallStart = System.nanoTime()
@@ -565,10 +573,17 @@ object Bench {
       */
     val osBean =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    def processCpuSec: Double = osBean match {
+    /** None when the platform bean isn't com.sun.management or reports
+      * getProcessCpuTime unsupported (-1): a 0.0 delta there would read
+      * as the wall≫cpu host-contention signature and could mask a real
+      * regression as contention (ADVICE r9). Unsupported reps land as
+      * NaN in the rep array and print as JSON null.
+      */
+    def processCpuSec: Option[Double] = osBean match {
       case b: com.sun.management.OperatingSystemMXBean =>
-        b.getProcessCpuTime / 1e9
-      case _ => -1.0
+        val t = b.getProcessCpuTime
+        if (t < 0) None else Some(t / 1e9)
+      case _ => None
     }
     def timeOne(name: String, dir: String): Option[(Double, Double)] = {
       spark.catalog.clearCache()
@@ -578,7 +593,9 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         materialize(name, dir)
-        Some(((System.nanoTime() - t0) / 1e9, processCpuSec - c0))
+        val cpu = (for (a <- c0; b <- processCpuSec) yield b - a)
+          .getOrElse(Double.NaN)
+        Some(((System.nanoTime() - t0) / 1e9, cpu))
       }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -703,17 +720,18 @@ object Bench {
     def worstRepCpu(n: String): Option[Double] = {
       val w = repWalls(n); val c = repCpus(n)
       if (w.isEmpty || c.size < w.size) None
-      else Some(c(w.indexOf(w.max)))
+      else Some(c(w.indexOf(w.max))).filterNot(_.isNaN)
     }
 
     def jnum(v: Option[Double]): String =
-      v.map(d => f"$d%.3f").getOrElse("null")
+      v.filterNot(_.isNaN).map(d => f"$d%.3f").getOrElse("null")
     def jmap(kvs: Seq[(String, Option[Double])]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
         .mkString("{", ",", "}")
     def jarrmap(kvs: Seq[(String, Seq[Double])]): String =
       kvs.map { case (k, v) =>
-        "\"" + k + "\":" + v.map(d => f"$d%.3f").mkString("[", ",", "]")
+        "\"" + k + "\":" +
+          v.map(d => jnum(Some(d))).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
 
     // A query that threw is NOT a regression-map no-show: it's listed by
@@ -783,19 +801,27 @@ object Bench {
       (fl, mo)
     }
 
-    // The interleaved passes themselves. Pass 1 wall is the yardstick for
-    // the rep-3 budget-pressure skip; a `timing` verdict line lands every
-    // 30 timed runs so a kill mid-loop still leaves a parseable verdict.
+    // The interleaved passes themselves. Pass 1 wall (the pass ALONE —
+    // session build, warm-up, and settle are excluded, ADVICE r9) is the
+    // yardstick for the rep-3 budget-pressure skip; a `timing` verdict
+    // line lands every 30 timed runs so a kill mid-loop still leaves a
+    // parseable verdict.
     var runsDone = 0
     var pass1Wall = 0.0
+    val preLoopWall = elapsedWall
     for (pass <- 1 to 3) {
       for (name <- only if !failedQ(name) && repWalls(name).size < pass) {
         val pin = baselineMedians.get(name)
         val walls = repWalls(name)
         val earlyStop = pass == 3 &&
           pin.exists(p => walls.nonEmpty && walls.max <= 1.5 * p)
+        // Budget-pressure rep-3 skip: only when the 2-rep MAX is also
+        // inside the gate — then the mean-of-2 median can't breach 2×
+        // either, so the skip can neither flag nor manufacture a
+        // median-only suspect (ADVICE r9: a (1.9×, 2.2×) pair skipped at
+        // min-only yielded a 2.05× suspect rep 3 would have cleared).
         val gateDecided = pass == 3 && pass1Wall > 0.5 * budgetSec &&
-          pin.exists(p => walls.nonEmpty && walls.min <= 2 * p)
+          pin.exists(p => walls.nonEmpty && walls.max <= 2 * p)
         val overBudget = elapsedWall > budgetSec && pin.exists(p =>
           if (p < 1.0) walls.size >= 1 else walls.size >= 2)
         if (!(earlyStop || gateDecided || overBudget)) {
@@ -812,7 +838,7 @@ object Bench {
           }
         }
       }
-      if (pass == 1) pass1Wall = elapsedWall
+      if (pass == 1) pass1Wall = elapsedWall - preLoopWall
     }
 
     // Regression = median AND min both over 2× pin (plan drift hits every
