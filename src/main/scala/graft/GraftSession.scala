@@ -60,6 +60,19 @@ object GraftSession {
     // unconditional for every GraftSession.local caller.
     graft.functions.NativeFunctions.register(spark)
     spark.sparkContext.setLogLevel("WARN")
+    // The engine's bounded post-aggregate rank/share windows (top-k /
+    // pct-of-total over ≤ hundreds of pre-aggregated rows — audited in
+    // SCALE.md) intentionally run unpartitioned, and each emits a
+    // `WindowExec: No Partition Defined` WARN. Across a 199-query run
+    // that is hundreds of lines of noise in exactly the stdout/stderr
+    // channel the bench's compact verdict line must survive (VERDICT r9
+    // item 6), so the window-exec logger is raised to ERROR for graft
+    // sessions. Scoped to the physical window package only — every
+    // other Spark WARN still prints.
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () } // non-log4j2 binding: keep the WARNs
     spark
   }
 }

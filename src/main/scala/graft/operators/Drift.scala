@@ -80,6 +80,40 @@ object Drift {
           ./(lit(2L) * col("_ta") * col("_tb")).as("tvd"))
   }
 
+  /** Per-category two-sample χ² contributions from ALREADY-AGGREGATED
+    * (cat, n) count tables — WHICH category drove the shift, the
+    * attribution sheet beside [[totalVariationFromCounts]]'s single
+    * score. The χ² term collapses algebraically to D_i²/(A·B·c_i) with
+    * D_i = B·a_i − A·b_i and c_i = a_i + b_i — all exact integers, one
+    * double division per category and NO global float sum (Σ over
+    * categories is the caller's reduction; a cross-engine float sum
+    * over an unordered aggregate would not be bit-stable, so the
+    * engine refuses to take it). Shared by the batch gate
+    * (`dq_drift_chisq`) and the streamed face
+    * ([[graft.streaming.DriftStream.chisqAgainstReference]]) — count
+    * tables are additive, so the streamed counts feed the identical
+    * kernel.
+    */
+  def chisqFromCounts(a: DataFrame, b: DataFrame): DataFrame = {
+    val ca = a.select(col("cat"), col("n").cast("long").as("n_a"))
+    val cb = b.select(col("cat"), col("n").cast("long").as("n_b"))
+    val j = ca.join(cb, Seq("cat"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val tot = j.agg(sum(col("n_a")).cast("long").as("ta"),
+      sum(col("n_b")).cast("long").as("tb"))
+    val d38 = "decimal(38,0)"
+    j.crossJoin(broadcast(tot))
+      .select(col("cat"), col("n_a"), col("n_b"),
+        ((col("tb") * col("n_a") - col("ta") * col("n_b"))
+          .cast(d38) *
+         (col("tb") * col("n_a") - col("ta") * col("n_b"))
+          .cast(d38)).cast("double")
+          .divide(((col("ta") * col("tb")).cast(d38) *
+            (col("n_a") + col("n_b")).cast(d38)).cast("double"))
+          .as("contrib"))
+      .orderBy(col("cat"))
+  }
+
   /** Numeric drift: bucket both sides with the SAME pinned integer
     * histogram grid, then categorical TVD over bucket ids.
     */

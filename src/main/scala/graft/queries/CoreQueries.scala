@@ -19,15 +19,12 @@ object CoreQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Benford first-digit expectations log10(1+1/d), pinned to 6 dp as
-    * STRING literals so Spark's `lit(...toDouble)` and the oracle's
-    * `CAST(... AS DOUBLE)` parse the identical constant — no engine
-    * evaluates a log.
+  /** Benford first-digit expectations — the pinned 6-dp literals live in
+    * [[graft.operators.Benford]] since round 10, shared with the streamed
+    * face so the two can never drift.
     */
-  private val BenfordExpected: Seq[(String, String)] = Seq(
-    "1" -> "0.30103", "2" -> "0.176091", "3" -> "0.124939",
-    "4" -> "0.09691", "5" -> "0.079181", "6" -> "0.066947",
-    "7" -> "0.057992", "8" -> "0.051153", "9" -> "0.045757")
+  private val BenfordExpected: Seq[(String, String)] =
+    graft.operators.Benford.expected
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Flagship wide aggregation (A3/A4/A6 composite; TPC-H Q1 shape).
@@ -810,28 +807,10 @@ object CoreQueries {
     // logarithm). Counts are exact ints; share and deviation are one
     // division + one subtraction each. One aggregate pass + a 9-row
     // broadcast.
-    "dq_benford" -> ((s, d) => {
-      val digit = substring(
-        col("o_totalprice").cast("decimal(12,2)").cast("string"), 1, 1)
-      val counts = t(s, d, "orders")
-        .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
-      val expDf = BenfordExpected
-        .foldLeft(Option.empty[DataFrame]) { case (acc, (dd, p)) =>
-          val row = counts.sparkSession.range(1)
-            .select(lit(dd).as("digit"),
-              lit(p.toDouble).as("expected"))
-          Some(acc.fold(row)(_ unionByName row))
-        }.get
-      counts
-        .crossJoin(broadcast(counts.agg(sum(col("n")).as("_tot"))))
-        .join(broadcast(expDf), "digit")
-        .select(col("digit"), col("n"),
-          (col("n").cast("double") / col("_tot")).as("share"),
-          col("expected"),
-          abs((col("n").cast("double") / col("_tot")) - col("expected"))
-            .as("deviation"))
-        .orderBy(col("digit"))
-    }),
+    "dq_benford" -> ((s, d) =>
+      graft.operators.Benford.reportFromCounts(
+        graft.operators.Benford.firstDigitCounts(
+          t(s, d, "orders"), "o_totalprice"))),
 
     // DQ (ext): k-anonymity audit — the re-identification gate beside
     // the PII scrub: group the table by its quasi-identifier tuple and

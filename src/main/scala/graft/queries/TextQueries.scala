@@ -895,27 +895,13 @@ object TextQueries {
     // engine float sum over an unordered aggregate would not be
     // bit-stable, so the engine refuses to take it).
     "dq_drift_chisq" -> ((s, d) => {
-      val ca = docs(s, d).where(col("doc_id") % 2 === 0)
-        .groupBy(col("lang").as("cat")).agg(count(lit(1)).as("n_a"))
-      val cb = docs(s, d).where(col("doc_id") % 2 === 1)
-        .groupBy(col("lang").as("cat2")).agg(count(lit(1)).as("n_b"))
-      val j = ca.join(cb, col("cat") === col("cat2"), "full_outer")
-        .select(coalesce(col("cat"), col("cat2")).as("cat"),
-          coalesce(col("n_a"), lit(0L)).as("n_a"),
-          coalesce(col("n_b"), lit(0L)).as("n_b"))
-      val tot = j.agg(sum(col("n_a")).cast("long").as("ta"),
-        sum(col("n_b")).cast("long").as("tb"))
-      val d38 = "decimal(38,0)"
-      j.crossJoin(broadcast(tot))
-        .select(col("cat"), col("n_a"), col("n_b"),
-          ((col("tb") * col("n_a") - col("ta") * col("n_b"))
-            .cast(d38) *
-           (col("tb") * col("n_a") - col("ta") * col("n_b"))
-            .cast(d38)).cast("double")
-            .divide(((col("ta") * col("tb")).cast(d38) *
-              (col("n_a") + col("n_b")).cast(d38)).cast("double"))
-            .as("contrib"))
-        .orderBy(col("cat"))
+      def counts(par: Int) = docs(s, d).where(col("doc_id") % 2 === par)
+        .groupBy(col("lang").as("cat")).agg(count(lit(1)).as("n"))
+      // Kernel shared with the streamed face (operators/Drift.scala
+      // `chisqFromCounts`) since round 10 — identical expression
+      // structure to the original inline form, hash-invariant under
+      // the oracle.
+      Drift.chisqFromCounts(counts(0), counts(1))
     }),
 
     // Numeric drift through the shared pinned histogram grid: n_chars

@@ -79,4 +79,33 @@ object CmsStream {
       least((0 until depth).map(s => coalesce(col(s"_c$s"), lit(0L))): _*)
         .as("est_cnt"))
   }
+
+  /** AGMS join-size estimate from TWO maintained grids — the streamed
+    * twin of [[Sketches.cmsJoinSize]]'s sketch half (round 10): |a ⋈ b|
+    * ≈ min over the `depth` seed rows of the per-seed bucket inner
+    * product Σ_bucket c_a·c_b, an upper bound by construction
+    * (collisions only add non-negative cross terms). Because CM is a
+    * linear sketch, each maintained grid equals the one-shot batch grid
+    * of its whole stream (cell-wise sum over partials), so the streamed
+    * estimate equals the batch `est_size` EXACTLY on any batching of
+    * either side — machine-asserted in CmsStreamSpec. The planner's
+    * pre-join skew read (output 10⁶ or 10¹²? pre-salt?) answered from
+    * two state tables, with neither stream re-read: the inner product
+    * touches depth×width counters, never rows.
+    *
+    * A seed with NO overlapping buckets has inner product 0 — it
+    * produces no row from the equi-join, so the estimate falls to 0
+    * whenever fewer than `depth` seed rows survive (same contract as
+    * the batch face). Output: one row (est_size).
+    */
+  def joinSizeEstimate(spark: SparkSession, statePathA: String,
+                       statePathB: String, depth: Int): DataFrame = {
+    val ga = currentGrid(spark, statePathA)
+    val gb = currentGrid(spark, statePathB)
+    ga.join(gb.withColumnRenamed("c", "c_b"), Seq("s", "bucket"))
+      .groupBy(col("s")).agg(sum(col("c") * col("c_b")).as("p"))
+      .agg(min(col("p")).as("_mp"), count(lit(1)).as("_ns"))
+      .select(when(col("_ns") < depth, lit(0L)).otherwise(col("_mp"))
+        .as("est_size"))
+  }
 }

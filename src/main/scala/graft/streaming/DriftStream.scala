@@ -75,4 +75,59 @@ object DriftStream {
                           reference: DataFrame): DataFrame =
     Drift.totalVariationFromCounts(
       currentHistogram(spark, statePath), reference)
+
+  // ── Categorical face (round 10): the streamed twin of the
+  // `dq_drift_chisq` batch gate. Same per-batch-partial exactly-once
+  // recipe as the numeric histogram above, but over a categorical
+  // column's raw values, and the read face is the per-category χ²
+  // attribution kernel shared with the batch query
+  // (Drift.chisqFromCounts) — streamed ≡ batch category-for-category
+  // on any batching (machine-asserted in DriftStreamSpec).
+
+  /** Start-ready writer maintaining per-category counts of `catCol`. */
+  def categoryWriter(events: DataFrame, statePath: String,
+                     checkpoint: String, catCol: String)
+  : DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCategoryBatch(batch, batchId, statePath, catCol)
+      }
+
+  /** One micro-batch: THIS batch's category counts to its own
+    * directory — replay overwrites, never accumulates.
+    */
+  def applyCategoryBatch(batch: DataFrame, batchId: Long,
+                         statePath: String, catCol: String): Unit = {
+    if (batch.isEmpty) return
+    batch.where(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("cat"))
+      .agg(count(lit(1)).as("n"))
+      .write.mode("overwrite")
+      .parquet(s"$statePath/batch=$batchId")
+    ()
+  }
+
+  /** The maintained category counts: per-category totals over all
+    * partials.
+    */
+  def currentCategories(spark: SparkSession, statePath: String): DataFrame = {
+    val p = new Path(statePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      return spark.emptyDataFrame
+        .select(lit("").as("cat"), lit(0L).as("n")).limit(0)
+    spark.read.parquet(statePath)
+      .groupBy(col("cat")).agg(sum(col("n")).cast("long").as("n"))
+  }
+
+  /** Per-category χ² drift attribution of the maintained counts against
+    * a reference (cat, n) distribution — [[Drift.chisqFromCounts]], the
+    * identical kernel the `dq_drift_chisq` batch gate runs; alarm on
+    * the categories whose `contrib` dominates.
+    */
+  def chisqAgainstReference(spark: SparkSession, statePath: String,
+                            reference: DataFrame): DataFrame =
+    Drift.chisqFromCounts(currentCategories(spark, statePath), reference)
 }

@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.BenfordStream
+import graft.operators.Benford
+
+/** Streamed Benford first-digit maintenance: the streamed report must
+  * equal the batch `dq_benford` kernel digit-for-digit on any batching
+  * (digit counts are additive), and replay must be idempotent via the
+  * per-batch partial directories.
+  */
+class BenfordStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(min: Int): Timestamp = new Timestamp(min * 60000L)
+
+  // Amounts spread over several orders of magnitude so every first
+  // digit occurs (value carries the audited amount).
+  private def evs(amounts: Seq[Double]): Seq[Ev] =
+    amounts.zipWithIndex.map { case (a, i) =>
+      Ev(i.toLong, t(i % 50), i.toLong % 7, "order", a, "{}")
+    }
+  private val amounts: Seq[Double] =
+    (1 to 400).map(i => ((i * 37) % 900 + 100) * math.pow(10, i % 3) / 7.0)
+
+  test("streamed report equals the batch Benford kernel on any batching") {
+    val dir = s"${sys.props("java.io.tmpdir")}/benford_${System.nanoTime()}"
+    val input = MemoryStream[Ev](spark)
+    val q = BenfordStream.digitWriter(input.toDF(), s"$dir/state",
+      s"$dir/chk", "value").start()
+    try {
+      input.addData(evs(amounts.take(130)))
+      q.processAllAvailable()
+      input.addData(evs(amounts.slice(130, 290)))
+      q.processAllAvailable()
+      input.addData(evs(amounts.drop(290)))
+      q.processAllAvailable()
+      val streamed = BenfordStream.report(spark, s"$dir/state")
+        .as[(String, Long, Double, Double, Double)].collect().toSeq
+      val oneShot = Benford.reportFromCounts(
+          Benford.firstDigitCounts(amounts.toDF("value"), "value"))
+        .as[(String, Long, Double, Double, Double)].collect().toSeq
+      assert(streamed === oneShot)
+      assert(streamed.map(_._2).sum === 400L)
+      // Every digit's expected share is the pinned literal.
+      val exp = Benford.expected.toMap
+      streamed.foreach { case (d, _, _, e, _) =>
+        assert(e === exp(d).toDouble)
+      }
+    } finally q.stop()
+  }
+
+  test("replaying a batch id leaves the counts unchanged; new id adds") {
+    val dir = s"${sys.props("java.io.tmpdir")}/benford_rp_${System.nanoTime()}"
+    val batch = evs(amounts.take(90)).toDF()
+    BenfordStream.applyBatch(batch, 5L, s"$dir/state", "value")
+    val first = BenfordStream.currentCounts(spark, s"$dir/state")
+      .as[(String, Long)].collect().toMap
+    BenfordStream.applyBatch(batch, 5L, s"$dir/state", "value")
+    val second = BenfordStream.currentCounts(spark, s"$dir/state")
+      .as[(String, Long)].collect().toMap
+    assert(first === second)
+    BenfordStream.applyBatch(batch, 6L, s"$dir/state", "value")
+    val third = BenfordStream.currentCounts(spark, s"$dir/state")
+      .as[(String, Long)].collect().toMap
+    assert(third.values.sum === 2 * first.values.sum)
+  }
+}

@@ -66,6 +66,34 @@ class CmsStreamSpec extends AnyFunSuite {
     assert(third === 2 * first)
   }
 
+  test("join-size estimate from two streamed grids equals the batch face") {
+    val dir = s"${sys.props("java.io.tmpdir")}/cms_js_${System.nanoTime()}"
+    val usersA = (1L to 300L).map(u => u % 23)
+    val usersB = (1L to 200L).map(u => (u * 3) % 31)
+    // Side A maintained in two batches, side B in three — the linear-
+    // sketch claim is that ANY batching sums to the one-shot grid, so
+    // the estimate must match the batch `cmsJoinSize` exactly.
+    CmsStream.applyBatch(evs(usersA.take(120)).toDF(), 0L,
+      s"$dir/a", "user_id", 3, 2)
+    CmsStream.applyBatch(evs(usersA.drop(120)).toDF(), 1L,
+      s"$dir/a", "user_id", 3, 2)
+    CmsStream.applyBatch(evs(usersB.take(70)).toDF(), 0L,
+      s"$dir/b", "user_id", 3, 2)
+    CmsStream.applyBatch(evs(usersB.slice(70, 150)).toDF(), 1L,
+      s"$dir/b", "user_id", 3, 2)
+    CmsStream.applyBatch(evs(usersB.drop(150)).toDF(), 2L,
+      s"$dir/b", "user_id", 3, 2)
+    val streamed = CmsStream.joinSizeEstimate(spark, s"$dir/a", s"$dir/b",
+        depth = 3).as[Long].head()
+    val batchRow = Sketches.cmsJoinSize(
+        usersA.toDF("user_id"), "user_id",
+        usersB.toDF("user_id"), "user_id", depth = 3, prefixLen = 2)
+      .as[(Long, Long, Long)].head()
+    assert(streamed === batchRow._2) // est_size
+    // AGMS upper-bound contract against the exact join size.
+    assert(streamed >= batchRow._1)
+  }
+
   test("absent keys estimate to zero via the left-join probe") {
     val dir = s"${sys.props("java.io.tmpdir")}/cms_ab_${System.nanoTime()}"
     CmsStream.applyBatch(evs(Seq(1L, 1L, 2L)).toDF(), 0L,

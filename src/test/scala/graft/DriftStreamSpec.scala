@@ -62,6 +62,43 @@ class DriftStreamSpec extends AnyFunSuite {
     assert(third.values.sum === 2 * first.values.sum)
   }
 
+  test("categorical χ² attribution from streamed counts matches the batch kernel") {
+    val dir = s"${sys.props("java.io.tmpdir")}/drift_x2_${System.nanoTime()}"
+    // Categorical stream (event_type carries the category) maintained in
+    // two batches vs a skewed reference distribution.
+    def cat(i: Long): String = Seq("en", "de", "fr", "es")((i % 4).toInt)
+    def catEvs(is: Seq[Long]): Seq[Ev] = is.map(i =>
+      Ev(i, t((i % 50).toInt), i, cat(i), 0.0, "{}"))
+    val now = (1L to 240L)
+    DriftStream.applyCategoryBatch(catEvs(now.take(100)).toDF(), 0L,
+      s"$dir/state", "event_type")
+    DriftStream.applyCategoryBatch(catEvs(now.drop(100)).toDF(), 1L,
+      s"$dir/state", "event_type")
+    val ref = (1L to 300L).map(i => cat(i * i)).toDF("c")
+      .groupBy($"c".as("cat")).agg(count(lit(1)).as("n"))
+    val streamed = DriftStream
+      .chisqAgainstReference(spark, s"$dir/state", ref)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val oneShot = Drift.chisqFromCounts(
+        now.map(cat).toDF("c").groupBy($"c".as("cat"))
+          .agg(count(lit(1)).as("n")), ref)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(streamed === oneShot)
+    // n_a totals are the stream's row count; contribs are finite, ≥ 0.
+    assert(streamed.map(_._2).sum === 240L)
+    streamed.foreach { case (_, _, _, c) =>
+      assert(c >= 0.0 && !c.isNaN && !c.isInfinite)
+    }
+    // Replaying a category batch id leaves the counts unchanged.
+    val before = DriftStream.currentCategories(spark, s"$dir/state")
+      .as[(String, Long)].collect().toMap
+    DriftStream.applyCategoryBatch(catEvs(now.drop(100)).toDF(), 1L,
+      s"$dir/state", "event_type")
+    val after = DriftStream.currentCategories(spark, s"$dir/state")
+      .as[(String, Long)].collect().toMap
+    assert(before === after)
+  }
+
   test("drift verdict against a reference matches the batch TVD gate") {
     val dir = s"${sys.props("java.io.tmpdir")}/drift_tvd_${System.nanoTime()}"
     val now = (1L to 300L).map(v => v % 200)       // shifted low

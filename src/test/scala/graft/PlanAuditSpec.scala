@@ -430,6 +430,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("codegen class cache is sized for a query-server workload") {
+    // GraftSession raises spark.sql.codegen.cache.maxEntries to 10000:
+    // the 100-entry default recompiles whole-stage classes on every
+    // re-run once a process cycles through more plans than the LRU
+    // holds — a ~0.2-1.5 s Janino tax per execution that read as 2-4×
+    // on sub-second queries in the r9 interleaved bench (SCALE.md
+    // "Codegen cache"). Static conf: it only applies at session build,
+    // so a refactor that drops it from GraftSession.tuned would
+    // silently reintroduce the cliff — this assertion pins it.
+    assert(spark.conf.get("spark.sql.codegen.cache.maxEntries") == "10000")
+  }
+
   test("diverse containment stays candidate-joined, never corpus-pairwise") {
     // The only nested-loop join allowed is the 1-row corpus-count
     // broadcast that parameterizes the fixture; the candidate pass must
