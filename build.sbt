@@ -64,10 +64,13 @@ val forkHeap: String = {
   sys.env.get("SPARK_GRAFT_HEAP").getOrElse {
     sys.env.get("SPARK_DRIVER_MEM") match {
       case None => pinHeap
-      case Some(req) => mib(req) match {
+      // < 512 MiB can't run a 32-thread Spark driver — '0g', '512k', or
+      // a raw-byte '16' is a typo for a real heap, and passing it to
+      // -Xmx fails JVM startup (the other malformed-value failure mode).
+      case Some(req) => mib(req).filter(_ >= 512) match {
         case Some(m) => if (m > pinMib) pinHeap else req.trim.toLowerCase
         case None =>
-          println(s"[build] malformed SPARK_DRIVER_MEM '$req' — falling back to pin heap $pinHeap")
+          println(s"[build] malformed or sub-512MiB SPARK_DRIVER_MEM '$req' — falling back to pin heap $pinHeap")
           pinHeap
       }
     }

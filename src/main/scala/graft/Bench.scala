@@ -675,11 +675,12 @@ object Bench {
     //    or under 1.5× the pin, the verdict is decided and rep 3 is
     //    skipped. (A FIXED 2-rep schedule was tried in r8 and measured
     //    statistically broken — 53 false suspects on a slow window.)
-    //  - budget-pressure rep-3 skip (r8 verdict item 5): when pass 1
-    //    alone used >50% of the wall budget, rep 3 is also skipped for
-    //    any pinned query whose 2-rep MIN is within the 2× gate — such a
-    //    query cannot flag regardless of rep 3, and the saved pass keeps
-    //    the scaling probe inside the budget on a slow window.
+    //  - budget-pressure rep-3 skip (r8 verdict item 5, tightened per
+    //    ADVICE r9): when pass 1 alone used >50% of the wall budget,
+    //    rep 3 is also skipped for any pinned query whose 2-rep MAX is
+    //    within the 2× gate — such a query can neither flag nor leave a
+    //    median-only suspect regardless of rep 3, and the saved pass
+    //    keeps the scaling probe inside the budget on a slow window.
     //  - once the budget is EXCEEDED, reps degrade to 1 (sub-1 s pins) /
     //    2 (other pinned): the verdict must print before the driver's
     //    timeout. A 2-rep median records the MEAN of the two, not the

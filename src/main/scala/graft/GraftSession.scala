@@ -66,11 +66,13 @@ object GraftSession {
     // `WindowExec: No Partition Defined` WARN. Across a 199-query run
     // that is hundreds of lines of noise in exactly the stdout/stderr
     // channel the bench's compact verdict line must survive (VERDICT r9
-    // item 6), so the window-exec logger is raised to ERROR for graft
-    // sessions. Scoped to the physical window package only — every
-    // other Spark WARN still prints.
+    // item 6), so that logger is raised to ERROR for graft sessions.
+    // Scoped to the ONE concrete class that logs the message (Spark's
+    // Logging trait names loggers by runtime class, so the WindowExecBase
+    // warn surfaces as WindowExec) — the rest of the window package and
+    // every spill/memory diagnostic elsewhere still WARNs.
     try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window",
+      "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
     catch { case _: Throwable => () } // non-log4j2 binding: keep the WARNs
     spark

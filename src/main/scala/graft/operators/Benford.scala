@@ -28,13 +28,22 @@ object Benford {
     "7" -> "0.057992", "8" -> "0.051153", "9" -> "0.045757")
 
   /** First-digit counts of `valCol` rendered as decimal(12,2) — the
-    * additive (digit, n) table both faces maintain.
+    * additive (digit, n) table both faces maintain. Only digits 1-9
+    * are counted: a null cast (decimal overflow, non-numeric), a
+    * negative sign, or a leading 0 (value < 1) is OUTSIDE the Benford
+    * domain, and counting such rows in the total while the join with
+    * the 9-row expectation table drops their digit group would
+    * silently deflate every share — a false fabricated-data alarm on
+    * clean data. Excluded from numerator AND denominator (the oracle
+    * applies the identical predicate).
     */
-  def firstDigitCounts(df: DataFrame, valCol: String): DataFrame =
-    df.groupBy(
-        substring(col(valCol).cast("decimal(12,2)").cast("string"), 1, 1)
-          .as("digit"))
+  def firstDigitCounts(df: DataFrame, valCol: String): DataFrame = {
+    val digit =
+      substring(col(valCol).cast("decimal(12,2)").cast("string"), 1, 1)
+    df.where(digit.between("1", "9"))
+      .groupBy(digit.as("digit"))
       .agg(count(lit(1)).as("n"))
+  }
 
   /** The audit report from an ALREADY-AGGREGATED (digit, n) table —
     * (digit, n, share, expected, deviation) ordered by digit. Identical

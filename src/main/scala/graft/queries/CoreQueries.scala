@@ -1236,7 +1236,10 @@ object CoreQueries {
         .mkString(", ")
       s"""WITH c AS (SELECT substr(CAST(CAST(o_totalprice AS
          |    DECIMAL(12,2)) AS VARCHAR), 1, 1) AS digit,
-         |  count(*) AS n FROM orders GROUP BY 1),
+         |  count(*) AS n FROM orders
+         |  WHERE substr(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+         |    AS VARCHAR), 1, 1) BETWEEN '1' AND '9'
+         |  GROUP BY 1),
          |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
          |e AS (SELECT * FROM (VALUES $vals) v(digit, expected))
          |SELECT c.digit, c.n, CAST(c.n AS DOUBLE)/tot AS share,

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
@@ -53,15 +52,10 @@ object BenfordStream {
   }
 
   /** The maintained count table: per-digit totals over all partials. */
-  def currentCounts(spark: SparkSession, statePath: String): DataFrame = {
-    val p = new Path(statePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      return spark.emptyDataFrame
-        .select(lit("").as("digit"), lit(0L).as("n")).limit(0)
-    spark.read.parquet(statePath)
-      .groupBy(col("digit")).agg(sum(col("n")).cast("long").as("n"))
-  }
+  def currentCounts(spark: SparkSession, statePath: String): DataFrame =
+    PartialState.summed(spark, statePath, Seq("digit"), "n",
+      spark.emptyDataFrame
+        .select(lit("").as("digit"), lit(0L).as("n")).limit(0))
 
   /** The full audit report (digit, n, share, expected, deviation) from
     * the CURRENT state alone — the batch kernel over streamed counts.

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
@@ -47,17 +46,11 @@ object CmsStream {
   }
 
   /** The maintained grid: cell-wise sum over all batch partials. */
-  def currentGrid(spark: SparkSession, statePath: String): DataFrame = {
-    val p = new Path(statePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      return spark.emptyDataFrame
+  def currentGrid(spark: SparkSession, statePath: String): DataFrame =
+    PartialState.summed(spark, statePath, Seq("s", "bucket"), "c",
+      spark.emptyDataFrame
         .select(lit(0).as("s"), lit("").as("bucket"), lit(0L).as("c"))
-        .limit(0)
-    spark.read.parquet(statePath)
-      .groupBy(col("s"), col("bucket"))
-      .agg(sum(col("c")).cast("long").as("c"))
-  }
+        .limit(0))
 
   /** Frequency estimates for a probe set of keys from the maintained
     * grid: min over depth rows of the key's bucket counter (the CM
@@ -95,17 +88,33 @@ object CmsStream {
     *
     * A seed with NO overlapping buckets has inner product 0 — it
     * produces no row from the equi-join, so the estimate falls to 0
-    * whenever fewer than `depth` seed rows survive (same contract as
-    * the batch face). Output: one row (est_size).
+    * whenever fewer seed rows survive than the grids' depth. The
+    * geometry (depth, prefix width) is DERIVED FROM STATE, never
+    * trusted from the caller, and the two grids must agree: grids
+    * maintained with different depth/prefixLen never align on
+    * (s, bucket), and without the check the inner join would return a
+    * silent 0 — the wrong answer to the planner's skew question.
+    * Output: one row (est_size).
     */
   def joinSizeEstimate(spark: SparkSession, statePathA: String,
-                       statePathB: String, depth: Int): DataFrame = {
-    val ga = currentGrid(spark, statePathA)
-    val gb = currentGrid(spark, statePathB)
+                       statePathB: String): DataFrame = {
+    val ga = currentGrid(spark, statePathA).localCheckpoint()
+    val gb = currentGrid(spark, statePathB).localCheckpoint()
+    def geometry(g: DataFrame): (Long, Int) = {
+      val r = g.agg(countDistinct(col("s")).as("d"),
+        max(length(col("bucket"))).as("w")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0 else r.getInt(1))
+    }
+    val (da, wa) = geometry(ga)
+    val (db, wb) = geometry(gb)
+    require(da == db && wa == wb,
+      s"grid geometry mismatch between $statePathA and $statePathB: " +
+        s"depth $da vs $db, prefix width $wa vs $wb — the estimate " +
+        "would be silently wrong")
     ga.join(gb.withColumnRenamed("c", "c_b"), Seq("s", "bucket"))
       .groupBy(col("s")).agg(sum(col("c") * col("c_b")).as("p"))
       .agg(min(col("p")).as("_mp"), count(lit(1)).as("_ns"))
-      .select(when(col("_ns") < depth, lit(0L)).otherwise(col("_mp"))
-        .as("est_size"))
+      .select(when(col("_ns") < lit(math.max(da, 1L)), lit(0L))
+        .otherwise(col("_mp")).as("est_size"))
   }
 }

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
@@ -57,15 +56,10 @@ object DriftStream {
   }
 
   /** The maintained histogram: per-bucket totals over all partials. */
-  def currentHistogram(spark: SparkSession, statePath: String): DataFrame = {
-    val p = new Path(statePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      return spark.emptyDataFrame
-        .select(lit(0L).as("cat"), lit(0L).as("n")).limit(0)
-    spark.read.parquet(statePath)
-      .groupBy(col("cat")).agg(sum(col("n")).cast("long").as("n"))
-  }
+  def currentHistogram(spark: SparkSession, statePath: String): DataFrame =
+    PartialState.summed(spark, statePath, Seq("cat"), "n",
+      spark.emptyDataFrame
+        .select(lit(0L).as("cat"), lit(0L).as("n")).limit(0))
 
   /** One-row drift verdict of the maintained histogram against a
     * reference (cat, n) distribution — [[Drift.totalVariationFromCounts]]
@@ -112,15 +106,10 @@ object DriftStream {
   /** The maintained category counts: per-category totals over all
     * partials.
     */
-  def currentCategories(spark: SparkSession, statePath: String): DataFrame = {
-    val p = new Path(statePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      return spark.emptyDataFrame
-        .select(lit("").as("cat"), lit(0L).as("n")).limit(0)
-    spark.read.parquet(statePath)
-      .groupBy(col("cat")).agg(sum(col("n")).cast("long").as("n"))
-  }
+  def currentCategories(spark: SparkSession, statePath: String): DataFrame =
+    PartialState.summed(spark, statePath, Seq("cat"), "n",
+      spark.emptyDataFrame
+        .select(lit("").as("cat"), lit(0L).as("n")).limit(0))
 
   /** Per-category χ² drift attribution of the maintained counts against
     * a reference (cat, n) distribution — [[Drift.chisqFromCounts]], the

@@ -83,8 +83,8 @@ class CmsStreamSpec extends AnyFunSuite {
       s"$dir/b", "user_id", 3, 2)
     CmsStream.applyBatch(evs(usersB.drop(150)).toDF(), 2L,
       s"$dir/b", "user_id", 3, 2)
-    val streamed = CmsStream.joinSizeEstimate(spark, s"$dir/a", s"$dir/b",
-        depth = 3).as[Long].head()
+    val streamed = CmsStream.joinSizeEstimate(spark, s"$dir/a", s"$dir/b")
+      .as[Long].head()
     val batchRow = Sketches.cmsJoinSize(
         usersA.toDF("user_id"), "user_id",
         usersB.toDF("user_id"), "user_id", depth = 3, prefixLen = 2)
@@ -92,6 +92,12 @@ class CmsStreamSpec extends AnyFunSuite {
     assert(streamed === batchRow._2) // est_size
     // AGMS upper-bound contract against the exact join size.
     assert(streamed >= batchRow._1)
+    // Grids maintained with different geometry must FAIL, not return a
+    // silently-wrong estimate (the (s, bucket) join would miss).
+    CmsStream.applyBatch(evs(usersB).toDF(), 0L, s"$dir/c", "user_id", 3, 3)
+    intercept[IllegalArgumentException] {
+      CmsStream.joinSizeEstimate(spark, s"$dir/a", s"$dir/c")
+    }
   }
 
   test("absent keys estimate to zero via the left-join probe") {
