@@ -28,18 +28,21 @@ object Benford {
     "7" -> "0.057992", "8" -> "0.051153", "9" -> "0.045757")
 
   /** First-digit counts of `valCol` rendered as decimal(12,2) — the
-    * additive (digit, n) table both faces maintain. Only digits 1-9
-    * are counted: a null cast (decimal overflow, non-numeric), a
-    * negative sign, or a leading 0 (value < 1) is OUTSIDE the Benford
-    * domain, and counting such rows in the total while the join with
-    * the 9-row expectation table drops their digit group would
-    * silently deflate every share — a false fabricated-data alarm on
-    * clean data. Excluded from numerator AND denominator (the oracle
-    * applies the identical predicate).
+    * additive (digit, n) table both faces maintain. The render is a
+    * TRY_CAST: under Spark 4's default ANSI mode a plain cast THROWS
+    * on decimal overflow (≥ 10^10), which would kill a whole streamed
+    * micro-batch over one outlier amount; try_cast turns it into a
+    * null, and only digits 1-9 are counted — a null render, a negative
+    * sign, or a leading 0 (value < 1) is OUTSIDE the Benford domain,
+    * and counting such rows in the total while the join with the 9-row
+    * expectation table drops their digit group would silently deflate
+    * every share — a false fabricated-data alarm on clean data.
+    * Excluded from numerator AND denominator (the oracle applies the
+    * identical predicate).
     */
   def firstDigitCounts(df: DataFrame, valCol: String): DataFrame = {
-    val digit =
-      substring(col(valCol).cast("decimal(12,2)").cast("string"), 1, 1)
+    val digit = substring(
+      expr(s"try_cast(`$valCol` AS DECIMAL(12,2))").cast("string"), 1, 1)
     df.where(digit.between("1", "9"))
       .groupBy(digit.as("digit"))
       .agg(count(lit(1)).as("n"))

@@ -1234,10 +1234,10 @@ object CoreQueries {
       val vals = BenfordExpected
         .map { case (dd, p) => s"('$dd', CAST($p AS DOUBLE))" }
         .mkString(", ")
-      s"""WITH c AS (SELECT substr(CAST(CAST(o_totalprice AS
+      s"""WITH c AS (SELECT substr(CAST(TRY_CAST(o_totalprice AS
          |    DECIMAL(12,2)) AS VARCHAR), 1, 1) AS digit,
          |  count(*) AS n FROM orders
-         |  WHERE substr(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+         |  WHERE substr(CAST(TRY_CAST(o_totalprice AS DECIMAL(12,2))
          |    AS VARCHAR), 1, 1) BETWEEN '1' AND '9'
          |  GROUP BY 1),
          |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),

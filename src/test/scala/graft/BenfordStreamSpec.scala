@@ -53,6 +53,28 @@ class BenfordStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("out-of-domain values are excluded from numerator AND denominator") {
+    // Negative amounts, values < 1 (leading digit 0), decimal(12,2)
+    // overflows (≥ 10^10), and nulls are all outside the Benford
+    // domain. Counting them in the total while the expectation join
+    // drops their digit group would deflate every share — the silent
+    // false-alarm mode the domain filter closes.
+    val inDomain = Seq(123.45, 234.5, 345.0, 456.7, 567.8, 678.9, 789.0,
+      891.2, 912.3)
+    val outOfDomain = Seq(-512.0, 0.37, 0.0, 2.0e10)
+    val rep = Benford.reportFromCounts(
+        Benford.firstDigitCounts(
+          (inDomain ++ outOfDomain).toDF("value"), "value"))
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(rep.map(_._2).sum === inDomain.size.toLong)
+    // With exactly one value per digit 1-9, every share is 1/9 —
+    // i.e. the out-of-domain rows did not inflate the denominator.
+    rep.foreach { case (_, n, share, _, _) =>
+      assert(n === 1L)
+      assert(math.abs(share - 1.0 / 9) < 1e-12)
+    }
+  }
+
   test("replaying a batch id leaves the counts unchanged; new id adds") {
     val dir = s"${sys.props("java.io.tmpdir")}/benford_rp_${System.nanoTime()}"
     val batch = evs(amounts.take(90)).toDF()
