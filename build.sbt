@@ -61,7 +61,19 @@ val forkHeap: String = {
     case _ => None
   }
   val pinMib = mib(pinHeap).get
-  sys.env.get("SPARK_GRAFT_HEAP").getOrElse {
+  // SPARK_GRAFT_HEAP is the explicit override (exempt from the pin
+  // clamp — whoever sets it owns re-pinning at it) but it gets the SAME
+  // parse/floor validation as SPARK_DRIVER_MEM (ADVICE r10): a
+  // malformed value flowing verbatim to -Xmx reproduces the exact
+  // JVM-startup failure the validation exists to close.
+  sys.env.get("SPARK_GRAFT_HEAP").map { h =>
+    mib(h).filter(_ >= 512) match {
+      case Some(_) => h.trim.toLowerCase
+      case None =>
+        println(s"[build] malformed or sub-512MiB SPARK_GRAFT_HEAP '$h' — falling back to pin heap $pinHeap")
+        pinHeap
+    }
+  }.getOrElse {
     sys.env.get("SPARK_DRIVER_MEM") match {
       case None => pinHeap
       // < 512 MiB can't run a 32-thread Spark driver — '0g', '512k', or

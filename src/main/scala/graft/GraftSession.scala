@@ -66,14 +66,34 @@ object GraftSession {
     // `WindowExec: No Partition Defined` WARN. Across a 199-query run
     // that is hundreds of lines of noise in exactly the stdout/stderr
     // channel the bench's compact verdict line must survive (VERDICT r9
-    // item 6), so that logger is raised to ERROR for graft sessions.
-    // Scoped to the ONE concrete class that logs the message (Spark's
-    // Logging trait names loggers by runtime class, so the WindowExecBase
-    // warn surfaces as WindowExec) — the rest of the window package and
-    // every spill/memory diagnostic elsewhere still WARNs.
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window.WindowExec",
-      org.apache.logging.log4j.Level.ERROR)
+    // item 6). Filtered by MESSAGE, not by level (ADVICE r10): a
+    // RegexFilter on the one known-benign text is attached to the
+    // WindowExec logger config, so any OTHER WindowExec warning — a
+    // behavior-change notice in a newer Spark, a spill diagnostic —
+    // still reaches every library user. Scoped to the ONE concrete
+    // class that logs the message (Spark's Logging trait names loggers
+    // by runtime class, so the WindowExecBase warn surfaces as
+    // WindowExec).
+    try {
+      import org.apache.logging.log4j.{Level, LogManager}
+      import org.apache.logging.log4j.core.Filter.Result
+      import org.apache.logging.log4j.core.LoggerContext
+      import org.apache.logging.log4j.core.config.LoggerConfig
+      import org.apache.logging.log4j.core.filter.RegexFilter
+      val name = "org.apache.spark.sql.execution.window.WindowExec"
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val conf = ctx.getConfiguration
+      if (conf.getLoggerConfig(name).getName != name) {
+        // additive=true: everything except the filtered message still
+        // flows to the root appenders at the inherited level.
+        val lc = new LoggerConfig(name, Level.WARN, true)
+        lc.addFilter(RegexFilter.createFilter(
+          ".*No Partition Defined for Window operation.*", null,
+          java.lang.Boolean.FALSE, Result.DENY, Result.NEUTRAL))
+        conf.addLogger(name, lc)
+        ctx.updateLoggers()
+      }
+    }
     catch { case _: Throwable => () } // non-log4j2 binding: keep the WARNs
     spark
   }

@@ -96,11 +96,20 @@ object Sketches {
     // A seed with NO overlapping buckets has inner product 0 — it just
     // produces no row from the equi-join, so the min must fall to 0
     // whenever fewer than `depth` seed rows survive.
+    // The per-seed inner product multiplies LongType counters; under
+    // ANSI mode two buckets near ~3e9 rows each overflow the long
+    // multiply and kill the query (ADVICE r10). Route the product/sum
+    // through decimal(38,0) — the same posture as Drift.chisqFromCounts
+    // — and cast the final one-row estimate back to the long the oracle
+    // compares (an estimate beyond long range means a >9e18-row join;
+    // the exact side would have overflowed first).
     val est = ga.join(gb.withColumnRenamed("c", "c_b"), Seq("s", "bucket"))
-      .groupBy(col("s")).agg(sum(col("c") * col("c_b")).as("p"))
+      .groupBy(col("s")).agg(
+        sum(col("c").cast("decimal(38,0)") * col("c_b").cast("decimal(38,0)"))
+          .as("p"))
       .agg(min(col("p")).as("_mp"), count(lit(1)).as("_ns"))
-      .select(when(col("_ns") < depth, lit(0L)).otherwise(col("_mp"))
-        .as("est_size"))
+      .select(when(col("_ns") < depth, lit(0L))
+        .otherwise(col("_mp")).cast("long").as("est_size"))
     val fa = a.select(col(aKey).cast("string").as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("f_a"))
     val fb = b.select(col(bKey).cast("string").as("k"))

@@ -19,9 +19,11 @@ import graft.operators.Sketches
   * no matter the batching. Estimates keep the CM contract: est ≥
   * exact always, over-estimate bounded by grid collisions.
   *
-  * State: |batches| × depth×width tiny parquet partials (compact by
-  * rewriting the summed grid as one partial); per batch one grouped
-  * aggregate over the batch only.
+  * State: |batches| × depth×width tiny parquet partials until
+  * [[compact]] folds them into a single `batch=compacted-<hwm>`
+  * directory (call it every N-th batch — unbounded directory growth
+  * is a file-listing scale-killer on an always-on stream); per batch
+  * one grouped aggregate over the batch only.
   */
 object CmsStream {
 
@@ -51,6 +53,15 @@ object CmsStream {
       spark.emptyDataFrame
         .select(lit(0).as("s"), lit("").as("bucket"), lit(0L).as("c"))
         .limit(0))
+
+  /** Fold all grid partials into one compacted directory — the summed
+    * grid is itself a valid partial (CM linearity), so the fold is
+    * read-equivalent before/after and replay of folded batches is
+    * ignored structurally ([[PartialState.compact]]). Returns the
+    * folded high-water batch id.
+    */
+  def compact(spark: SparkSession, statePath: String): Long =
+    PartialState.compact(spark, statePath, Seq("s", "bucket"), "c")
 
   /** Frequency estimates for a probe set of keys from the maintained
     * grid: min over depth rows of the key's bucket counter (the CM
@@ -107,14 +118,28 @@ object CmsStream {
     }
     val (da, wa) = geometry(ga)
     val (db, wb) = geometry(gb)
+    // An empty grid is NOT a geometry (ADVICE r10): a stream that has
+    // produced no state yet reads as depth 0, and requiring 0 == 3
+    // reported a misleading "geometry mismatch" against a populated
+    // peer. No data on either side means no joinable rows — answer the
+    // planner's question with the legitimate estimate, 0 (the same
+    // answer the both-empty path already gave).
+    if (da == 0 || db == 0)
+      return spark.range(1).select(lit(0L).as("est_size"))
     require(da == db && wa == wb,
       s"grid geometry mismatch between $statePathA and $statePathB: " +
         s"depth $da vs $db, prefix width $wa vs $wb — the estimate " +
         "would be silently wrong")
+    // decimal(38,0) product/sum for the same ANSI-overflow reason as the
+    // batch twin Sketches.cmsJoinSize (and Drift.chisqFromCounts); the
+    // final cast back to long keeps the streamed face's schema identical
+    // to the batch est_size the spec equates it with.
     ga.join(gb.withColumnRenamed("c", "c_b"), Seq("s", "bucket"))
-      .groupBy(col("s")).agg(sum(col("c") * col("c_b")).as("p"))
+      .groupBy(col("s")).agg(
+        sum(col("c").cast("decimal(38,0)") * col("c_b").cast("decimal(38,0)"))
+          .as("p"))
       .agg(min(col("p")).as("_mp"), count(lit(1)).as("_ns"))
-      .select(when(col("_ns") < lit(math.max(da, 1L)), lit(0L))
-        .otherwise(col("_mp")).as("est_size"))
+      .select(when(col("_ns") < lit(da), lit(0L))
+        .otherwise(col("_mp")).cast("long").as("est_size"))
   }
 }

@@ -98,6 +98,52 @@ class CmsStreamSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       CmsStream.joinSizeEstimate(spark, s"$dir/a", s"$dir/c")
     }
+    // A not-yet-started stream (no state) is NOT a geometry mismatch:
+    // probing a populated grid against an empty path answers the
+    // planner's question with the legitimate no-data estimate, 0.
+    val vsEmpty = CmsStream.joinSizeEstimate(spark, s"$dir/a",
+      s"$dir/never-started")
+    assert(vsEmpty.columns.toSeq === Seq("est_size"))
+    assert(vsEmpty.as[Long].head() === 0L)
+  }
+
+  test("compaction: grid and estimates unchanged, folded replay ignored") {
+    val dir = s"${sys.props("java.io.tmpdir")}/cms_cp_${System.nanoTime()}"
+    val st = s"$dir/state"
+    def dirs: Seq[String] = new java.io.File(st).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq.sorted
+    def grid: Set[(Int, String, Long)] = CmsStream.currentGrid(spark, st)
+      .as[(Int, String, Long)].collect().toSet
+    val users = (1L to 300L).map(u => u % 23)
+    CmsStream.applyBatch(evs(users.take(120)).toDF(), 0L, st, "user_id", 3, 2)
+    CmsStream.applyBatch(evs(users.drop(120)).toDF(), 1L, st, "user_id", 3, 2)
+    val before = grid
+    assert(CmsStream.compact(spark, st) === 1L)
+    // CM linearity: the folded grid IS the grid — cell-for-cell — and
+    // the per-micro-batch directory growth is gone.
+    assert(grid === before)
+    assert(dirs === Seq("batch=compacted-1"))
+    // The AGMS join-size read over compacted state still equals the
+    // batch face (self-join here), so downstream contracts survive
+    // compaction.
+    val selfEst = CmsStream.joinSizeEstimate(spark, st, st).as[Long].head()
+    val batchSelf = Sketches.cmsJoinSize(
+        users.toDF("user_id"), "user_id",
+        users.toDF("user_id"), "user_id", depth = 3, prefixLen = 2)
+      .as[(Long, Long, Long)].head()
+    assert(selfEst === batchSelf._2)
+    // A recovering stream REPLAYS a folded batch: ignored structurally.
+    CmsStream.applyBatch(evs(users.take(120)).toDF(), 0L, st, "user_id", 3, 2)
+    assert(grid === before)
+    // New batches accumulate; the next compact folds and sweeps.
+    CmsStream.applyBatch(evs(users.take(120)).toDF(), 2L, st, "user_id", 3, 2)
+    val grown = CmsStream.currentGrid(spark, st)
+      .agg(sum($"c")).as[Long].head()
+    assert(grown === 3 * 300L + 120L * 3L) // depth 3 rows per key
+    assert(CmsStream.compact(spark, st) === 2L)
+    assert(dirs === Seq("batch=compacted-2"))
+    assert(CmsStream.currentGrid(spark, st)
+      .agg(sum($"c")).as[Long].head() === grown)
   }
 
   test("absent keys estimate to zero via the left-join probe") {

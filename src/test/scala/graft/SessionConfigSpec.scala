@@ -31,4 +31,33 @@ class SessionConfigSpec extends AnyFunSuite {
     assert(math.abs(one.getDouble(0) - 1.0) < 1e-12)
     assert(one.getLong(1) == 1L)
   }
+
+  test("WindowExec noise is filtered by MESSAGE, not by level") {
+    // ADVICE r10: raising the whole logger to ERROR hid every future
+    // WindowExec warning for every library user. The session now
+    // attaches a RegexFilter on the one known-benign message — assert
+    // the filter DENIES that message and stays NEUTRAL on anything
+    // else, so a genuine WindowExec warning still surfaces.
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.Filter.Result
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.impl.Log4jLogEvent
+    import org.apache.logging.log4j.message.SimpleMessage
+    spark // force session build (and with it the filter install)
+    val name = "org.apache.spark.sql.execution.window.WindowExec"
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val lc = ctx.getConfiguration.getLoggerConfig(name)
+    assert(lc.getName == name, "WindowExec logger config not installed")
+    assert(lc.getLevel == Level.WARN,
+      "logger must stay at WARN — filtering is the filter's job")
+    def ev(msg: String) = Log4jLogEvent.newBuilder()
+      .setLoggerName(name).setLevel(Level.WARN)
+      .setMessage(new SimpleMessage(msg)).build()
+    val f = lc.getFilter
+    assert(f != null, "message filter not attached")
+    assert(f.filter(ev("No Partition Defined for Window operation! " +
+      "Moving all data to a single partition.")) == Result.DENY)
+    assert(f.filter(ev("WindowExec spilled 3 GiB to disk")) ==
+      Result.NEUTRAL)
+  }
 }
