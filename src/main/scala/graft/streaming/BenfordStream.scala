@@ -23,9 +23,11 @@ import graft.operators.Benford
   * (machine-asserted in BenfordStreamSpec).
   *
   * Scale: per batch one grouped aggregate over the batch only, to ≤ 9
-  * rows; state grows one 9-row parquet per batch (compact periodically
-  * by rewriting the summed table as a single batch partial). The read
-  * face touches only state.
+  * rows; state grows one 9-row parquet per batch until [[compact]]
+  * folds the partials into a single `batch=compacted-<hwm>` directory
+  * (call it every N-th batch — unbounded directory growth is a
+  * file-listing scale-killer on an always-on stream). The read face
+  * touches only state.
   */
 object BenfordStream {
 
@@ -62,4 +64,12 @@ object BenfordStream {
     */
   def report(spark: SparkSession, statePath: String): DataFrame =
     Benford.reportFromCounts(currentCounts(spark, statePath))
+
+  /** Fold all digit-count partials into one compacted directory —
+    * read-equivalent before/after, replay of folded batches ignored
+    * structurally ([[PartialState.compact]]). Returns the folded
+    * high-water batch id.
+    */
+  def compact(spark: SparkSession, statePath: String): Long =
+    PartialState.compact(spark, statePath, Seq("digit"), "n")
 }

@@ -21,8 +21,10 @@ import graft.operators.{Drift, Histogram}
   * batching-invariant in DriftStreamSpec.
   *
   * Scale: per batch one grouped aggregate over the batch only; state
-  * grows one nb-row parquet per batch (compact periodically by
-  * rewriting the summed table as a single batch partial).
+  * grows one nb-row parquet per batch until [[compact]] folds the
+  * partials into a single `batch=compacted-<hwm>` directory (call it
+  * every N-th batch — unbounded directory growth is a file-listing
+  * scale-killer on an always-on stream).
   */
 object DriftStream {
 
@@ -119,4 +121,13 @@ object DriftStream {
   def chisqAgainstReference(spark: SparkSession, statePath: String,
                             reference: DataFrame): DataFrame =
     Drift.chisqFromCounts(currentCategories(spark, statePath), reference)
+
+  /** Fold all (cat, n) partials — numeric-histogram or categorical
+    * state, both share the layout — into one compacted directory:
+    * read-equivalent before/after, replay of folded batches ignored
+    * structurally ([[PartialState.compact]]). Returns the folded
+    * high-water batch id.
+    */
+  def compact(spark: SparkSession, statePath: String): Long =
+    PartialState.compact(spark, statePath, Seq("cat"), "n")
 }

@@ -90,4 +90,36 @@ class BenfordStreamSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(third.values.sum === 2 * first.values.sum)
   }
+
+  test("compaction: report unchanged, folded replay ignored, dirs bounded") {
+    val dir = s"${sys.props("java.io.tmpdir")}/benford_cp_${System.nanoTime()}"
+    val st = s"$dir/state"
+    def dirs: Seq[String] = new java.io.File(st).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq.sorted
+    def rep: Set[(String, Long, Double, Double, Double)] =
+      BenfordStream.report(spark, st)
+        .as[(String, Long, Double, Double, Double)].collect().toSet
+    BenfordStream.applyBatch(evs(amounts.take(130)).toDF(), 0L, st, "value")
+    BenfordStream.applyBatch(evs(amounts.slice(130, 290)).toDF(), 1L, st, "value")
+    BenfordStream.applyBatch(evs(amounts.drop(290)).toDF(), 2L, st, "value")
+    val before = rep
+    assert(BenfordStream.compact(spark, st) === 2L)
+    // Read-equivalent, and the per-micro-batch directory growth is gone.
+    assert(rep === before)
+    assert(dirs === Seq("batch=compacted-2"))
+    // A recovering stream REPLAYS a folded batch: the reader must ignore
+    // it structurally (id ≤ hwm) — no double count.
+    BenfordStream.applyBatch(evs(amounts.take(130)).toDF(), 1L, st, "value")
+    assert(rep === before)
+    // A genuinely new batch still accumulates, and the next compact
+    // folds it AND sweeps the stray replay directory.
+    BenfordStream.applyBatch(evs(amounts.take(130)).toDF(), 3L, st, "value")
+    val grown = BenfordStream.currentCounts(spark, st)
+      .as[(String, Long)].collect().toMap
+    assert(grown.values.sum === 530L)
+    assert(BenfordStream.compact(spark, st) === 3L)
+    assert(dirs === Seq("batch=compacted-3"))
+    assert(BenfordStream.currentCounts(spark, st)
+      .as[(String, Long)].collect().toMap === grown)
+  }
 }

@@ -117,4 +117,45 @@ class DriftStreamSpec extends AnyFunSuite {
     assert(streamedVerdict === batchVerdict)
     assert(streamedVerdict === 1.0) // fully disjoint bucket mass
   }
+
+  test("compaction: χ² report unchanged, folded replay ignored, dirs bounded") {
+    val dir = s"${sys.props("java.io.tmpdir")}/drift_cp_${System.nanoTime()}"
+    val st = s"$dir/state"
+    def dirs: Seq[String] = new java.io.File(st).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq.sorted
+    def cat(i: Long): String = Seq("en", "de", "fr", "es")((i % 4).toInt)
+    def catEvs(is: Seq[Long]): Seq[Ev] = is.map(i =>
+      Ev(i, t((i % 50).toInt), i, cat(i), 0.0, "{}"))
+    val now = (1L to 240L)
+    val ref = (1L to 300L).map(i => cat(i * i)).toDF("c")
+      .groupBy($"c".as("cat")).agg(count(lit(1)).as("n"))
+    def rep: Set[(String, Long, Long, Double)] = DriftStream
+      .chisqAgainstReference(spark, st, ref)
+      .as[(String, Long, Long, Double)].collect().toSet
+    DriftStream.applyCategoryBatch(catEvs(now.take(100)).toDF(), 0L,
+      st, "event_type")
+    DriftStream.applyCategoryBatch(catEvs(now.drop(100)).toDF(), 1L,
+      st, "event_type")
+    val before = rep
+    assert(DriftStream.compact(spark, st) === 1L)
+    // The χ² attribution over compacted state is the same report —
+    // and the per-micro-batch directory growth is gone.
+    assert(rep === before)
+    assert(dirs === Seq("batch=compacted-1"))
+    // A recovering stream REPLAYS a folded batch: ignored structurally.
+    DriftStream.applyCategoryBatch(catEvs(now.take(100)).toDF(), 0L,
+      st, "event_type")
+    assert(rep === before)
+    // New batches accumulate; the next compact folds them and sweeps
+    // the stray replay directory.
+    DriftStream.applyCategoryBatch(catEvs(now.take(100)).toDF(), 2L,
+      st, "event_type")
+    val grown = DriftStream.currentCategories(spark, st)
+      .as[(String, Long)].collect().toMap
+    assert(grown.values.sum === 340L)
+    assert(DriftStream.compact(spark, st) === 2L)
+    assert(dirs === Seq("batch=compacted-2"))
+    assert(DriftStream.currentCategories(spark, st)
+      .as[(String, Long)].collect().toMap === grown)
+  }
 }
