@@ -289,7 +289,13 @@ object Bench {
     // Round-9 first-ship (pinned round 10 from the driver's r9 run):
     // the persisted COMPOSED IVF×BQ index — both pruning tiers read
     // from one staged (id, cell, code) lake artifact.
-    "sim_topk_ivf_bq_persist")
+    "sim_topk_ivf_bq_persist",
+    // Round-11 first-ships (no pins until this round's full-set run):
+    // the three streamed sketch faces registered under the driver's own
+    // oracle gate — per-batch partial replay + the round's
+    // PartialState.compact fold inside each query, report read from
+    // state alone.
+    "dq_benford_stream", "dq_drift_chisq_stream", "t_cms_join_size_stream")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

@@ -812,6 +812,26 @@ object CoreQueries {
         graft.operators.Benford.firstDigitCounts(
           t(s, d, "orders"), "o_totalprice"))),
 
+    // DQ (ext): the STREAMED Benford face under the driver's own gate —
+    // orders replayed as three deterministic micro-batches through
+    // BenfordStream.applyBatch (per-batch partial counts, the
+    // exactly-once recipe), with a PartialState.compact fold between
+    // batches 1 and 2 (so compaction itself sits under the oracle), and
+    // the report read from state alone. Digit counts are additive and
+    // the kernel is shared, so streamed ≡ batch digit-for-digit — the
+    // oracle is dq_benford's VERBATIM.
+    "dq_benford_stream" -> ((s, d) => {
+      val st = Tables.freshScratchDir("benford_stream", d)
+      val o = t(s, d, "orders")
+      (0 to 2).foreach { i =>
+        if (i == 2) { graft.streaming.BenfordStream.compact(s, st); () }
+        graft.streaming.BenfordStream.applyBatch(
+          o.where(pmod(col("o_orderkey"), lit(3)) === i),
+          i.toLong, st, "o_totalprice")
+      }
+      graft.streaming.BenfordStream.report(s, st)
+    }),
+
     // DQ (ext): k-anonymity audit — the re-identification gate beside
     // the PII scrub: group the table by its quasi-identifier tuple and
     // report how many equivalence classes fall below k=5 and how many
@@ -1230,23 +1250,11 @@ object CoreQueries {
          |FROM a JOIN p ON a.col_name = p.col_name AND p.rk = 1
          |ORDER BY a.col_name""".stripMargin
     },
-    "dq_benford" -> {
-      val vals = BenfordExpected
-        .map { case (dd, p) => s"('$dd', CAST($p AS DOUBLE))" }
-        .mkString(", ")
-      s"""WITH c AS (SELECT substr(CAST(TRY_CAST(o_totalprice AS
-         |    DECIMAL(12,2)) AS VARCHAR), 1, 1) AS digit,
-         |  count(*) AS n FROM orders
-         |  WHERE substr(CAST(TRY_CAST(o_totalprice AS DECIMAL(12,2))
-         |    AS VARCHAR), 1, 1) BETWEEN '1' AND '9'
-         |  GROUP BY 1),
-         |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
-         |e AS (SELECT * FROM (VALUES $vals) v(digit, expected))
-         |SELECT c.digit, c.n, CAST(c.n AS DOUBLE)/tot AS share,
-         |  e.expected,
-         |  abs(CAST(c.n AS DOUBLE)/tot - e.expected) AS deviation
-         |FROM c JOIN e USING (digit), tt ORDER BY c.digit""".stripMargin
-    },
+    "dq_benford" -> benfordOracle,
+    // The streamed face reuses the batch oracle VERBATIM: additive digit
+    // counts + the shared report kernel make streamed ≡ batch on any
+    // batching (and on any compaction point).
+    "dq_benford_stream" -> benfordOracle,
     "dq_fingerprint_daily" ->
       """SELECT CAST(o_orderdate AS DATE) AS day,
         |  count(*) AS n_rows,
@@ -1574,4 +1582,22 @@ object CoreQueries {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
   )
+
+  private lazy val benfordOracle: String = {
+    val vals = BenfordExpected
+      .map { case (dd, p) => s"('$dd', CAST($p AS DOUBLE))" }
+      .mkString(", ")
+    s"""WITH c AS (SELECT substr(CAST(TRY_CAST(o_totalprice AS
+       |    DECIMAL(12,2)) AS VARCHAR), 1, 1) AS digit,
+       |  count(*) AS n FROM orders
+       |  WHERE substr(CAST(TRY_CAST(o_totalprice AS DECIMAL(12,2))
+       |    AS VARCHAR), 1, 1) BETWEEN '1' AND '9'
+       |  GROUP BY 1),
+       |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+       |e AS (SELECT * FROM (VALUES $vals) v(digit, expected))
+       |SELECT c.digit, c.n, CAST(c.n AS DOUBLE)/tot AS share,
+       |  e.expected,
+       |  abs(CAST(c.n AS DOUBLE)/tot - e.expected) AS deviation
+       |FROM c JOIN e USING (digit), tt ORDER BY c.digit""".stripMargin
+  }
 }

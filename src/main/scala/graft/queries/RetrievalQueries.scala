@@ -76,6 +76,32 @@ object RetrievalQueries {
         Tables.load(s, d, "part"), "p_partkey",
         depth = CmsDepth, prefixLen = CmsPrefix)),
 
+    // The STREAMED AGMS face under the driver's own gate — both sides'
+    // counter grids maintained by replayed micro-batches (lineitem in
+    // two partkey-parity batches, part in three), each compacted by
+    // PartialState.compact mid-replay (so compaction itself sits under
+    // the oracle), then the join-size read off the two state tables
+    // with neither stream re-read. CM linearity makes the streamed
+    // estimate equal the one-shot batch est_size EXACTLY on any
+    // batching — the oracle is t_cms_join_size's sketch half.
+    "t_cms_join_size_stream" -> ((s, d) => {
+      val st = Tables.freshScratchDir("cms_js_stream", d)
+      val li = Tables.load(s, d, "lineitem")
+      val pt = Tables.load(s, d, "part")
+      graft.streaming.CmsStream.applyBatch(
+        li.where(pmod(col("l_partkey"), lit(2)) === 0), 0L,
+        s"$st/a", "l_partkey", CmsDepth, CmsPrefix)
+      graft.streaming.CmsStream.compact(s, s"$st/a")
+      graft.streaming.CmsStream.applyBatch(
+        li.where(pmod(col("l_partkey"), lit(2)) === 1), 1L,
+        s"$st/a", "l_partkey", CmsDepth, CmsPrefix)
+      (0 to 2).foreach(i => graft.streaming.CmsStream.applyBatch(
+        pt.where(pmod(col("p_partkey"), lit(3)) === i), i.toLong,
+        s"$st/b", "p_partkey", CmsDepth, CmsPrefix))
+      graft.streaming.CmsStream.compact(s, s"$st/b")
+      graft.streaming.CmsStream.joinSizeEstimate(s, s"$st/a", s"$st/b")
+    }),
+
     // Self-join size Σf(k)² of lineitem.l_partkey — the skew statistic a
     // planner reads before picking a join strategy.
     "t_cms_selfjoin_size" -> ((s, d) => {
@@ -327,6 +353,24 @@ object RetrievalQueries {
          |  CAST(est_size AS BIGINT) AS est_size,
          |  CAST(est_size - exact_size AS BIGINT) AS overestimate
          |FROM ex CROSS JOIN est""".stripMargin,
+    // The streamed face's oracle is the SKETCH HALF of t_cms_join_size:
+    // the maintained grids answer est_size only (the exact side would
+    // re-read the streams, which is the thing the sketch exists to
+    // avoid).
+    "t_cms_join_size_stream" ->
+      s"""WITH ka AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+         |kb AS (SELECT CAST(p_partkey AS VARCHAR) AS k FROM part),
+         |ga AS (SELECT s, substr(md5(s || ':' || k), 1, $CmsPrefix) AS b,
+         |  count(*) AS c
+         |  FROM ka, (SELECT unnest(range(0, $CmsDepth)) AS s) GROUP BY 1, 2),
+         |gb AS (SELECT s, substr(md5(s || ':' || k), 1, $CmsPrefix) AS b,
+         |  count(*) AS c
+         |  FROM kb, (SELECT unnest(range(0, $CmsDepth)) AS s) GROUP BY 1, 2),
+         |p AS (SELECT ga.s, sum(ga.c * gb.c) AS p FROM ga
+         |  JOIN gb ON ga.s = gb.s AND ga.b = gb.b GROUP BY 1),
+         |est AS (SELECT CASE WHEN count(*) < $CmsDepth THEN 0
+         |  ELSE min(p) END AS est_size FROM p)
+         |SELECT CAST(est_size AS BIGINT) AS est_size FROM est""".stripMargin,
     "t_cms_selfjoin_size" ->
       s"""WITH ka AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
          |ga AS (SELECT s, substr(md5(s || ':' || k), 1, $CmsPrefix) AS b,

@@ -904,6 +904,28 @@ object TextQueries {
       Drift.chisqFromCounts(counts(0), counts(1))
     }),
 
+    // The STREAMED χ² face under the driver's own gate — the even-id
+    // corpus half maintained as two replayed micro-batches of per-
+    // category partial counts (doc_id%4 = 0 then 2, the exactly-once
+    // recipe), with a PartialState.compact fold between them (so
+    // compaction itself sits under the oracle); the attribution reads
+    // the maintained counts against the batch-computed odd-half
+    // reference through the IDENTICAL shared kernel. Category counts
+    // are additive, so streamed ≡ batch category-for-category — the
+    // oracle is dq_drift_chisq's VERBATIM.
+    "dq_drift_chisq_stream" -> ((s, d) => {
+      val st = Tables.freshScratchDir("chisq_stream", d)
+      val dd = docs(s, d)
+      graft.streaming.DriftStream.applyCategoryBatch(
+        dd.where(col("doc_id") % 4 === 0), 0L, st, "lang")
+      graft.streaming.DriftStream.compact(s, st)
+      graft.streaming.DriftStream.applyCategoryBatch(
+        dd.where(col("doc_id") % 4 === 2), 1L, st, "lang")
+      val ref = dd.where(col("doc_id") % 2 === 1)
+        .groupBy(col("lang").as("cat")).agg(count(lit(1)).as("n"))
+      graft.streaming.DriftStream.chisqAgainstReference(s, st, ref)
+    }),
+
     // Numeric drift through the shared pinned histogram grid: n_chars
     // of the two halves bucketed identically, then categorical TVD.
     "dq_drift_nchars" -> ((s, d) =>
@@ -2770,23 +2792,11 @@ object TextQueries {
         |  coalesce(n, 0) AS n
         |FROM s CROSS JOIN t LEFT JOIN c ON c.bucket = s.bucket
         |ORDER BY 1""".stripMargin,
-    "dq_drift_chisq" ->
-      """WITH a AS (SELECT lang AS cat, count(*) AS n_a FROM documents
-        |  WHERE doc_id % 2 = 0 GROUP BY 1),
-        |b AS (SELECT lang AS cat, count(*) AS n_b FROM documents
-        |  WHERE doc_id % 2 = 1 GROUP BY 1),
-        |j AS (SELECT coalesce(a.cat, b.cat) AS cat,
-        |  CAST(coalesce(a.n_a, 0) AS BIGINT) AS n_a,
-        |  CAST(coalesce(b.n_b, 0) AS BIGINT) AS n_b
-        |  FROM a FULL OUTER JOIN b ON a.cat = b.cat),
-        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
-        |  CAST(sum(n_b) AS BIGINT) AS tb FROM j)
-        |SELECT cat, n_a, n_b,
-        |  CAST(CAST(tb*n_a - ta*n_b AS DECIMAL(38,0)) *
-        |       CAST(tb*n_a - ta*n_b AS DECIMAL(38,0)) AS DOUBLE) /
-        |  CAST(CAST(ta*tb AS DECIMAL(38,0)) *
-        |       CAST(n_a + n_b AS DECIMAL(38,0)) AS DOUBLE) AS contrib
-        |FROM j, t ORDER BY cat""".stripMargin,
+    "dq_drift_chisq" -> chisqOracle,
+    // The streamed face reuses the batch oracle VERBATIM: additive
+    // category counts + the shared kernel make streamed ≡ batch on any
+    // batching (and on any compaction point).
+    "dq_drift_chisq_stream" -> chisqOracle,
     "dq_drift_lang" ->
       """WITH a AS (SELECT lang AS cat FROM documents WHERE doc_id % 2 = 0),
         |b AS (SELECT lang AS cat FROM documents WHERE doc_id % 2 = 1),
@@ -3381,4 +3391,22 @@ object TextQueries {
          |    / CAST(count(*) AS DOUBLE) AS hapax_share
          |FROM wc GROUP BY 1 ORDER BY 1""".stripMargin
   )
+
+  private lazy val chisqOracle: String =
+    """WITH a AS (SELECT lang AS cat, count(*) AS n_a FROM documents
+      |  WHERE doc_id % 2 = 0 GROUP BY 1),
+      |b AS (SELECT lang AS cat, count(*) AS n_b FROM documents
+      |  WHERE doc_id % 2 = 1 GROUP BY 1),
+      |j AS (SELECT coalesce(a.cat, b.cat) AS cat,
+      |  CAST(coalesce(a.n_a, 0) AS BIGINT) AS n_a,
+      |  CAST(coalesce(b.n_b, 0) AS BIGINT) AS n_b
+      |  FROM a FULL OUTER JOIN b ON a.cat = b.cat),
+      |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+      |  CAST(sum(n_b) AS BIGINT) AS tb FROM j)
+      |SELECT cat, n_a, n_b,
+      |  CAST(CAST(tb*n_a - ta*n_b AS DECIMAL(38,0)) *
+      |       CAST(tb*n_a - ta*n_b AS DECIMAL(38,0)) AS DOUBLE) /
+      |  CAST(CAST(ta*tb AS DECIMAL(38,0)) *
+      |       CAST(n_a + n_b AS DECIMAL(38,0)) AS DOUBLE) AS contrib
+      |FROM j, t ORDER BY cat""".stripMargin
 }

@@ -398,15 +398,15 @@ object Tables {
     * shutdown hook deletes every staged tree, so correctness runs stop
     * accumulating artifacts in /tmp.
     */
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(); ()
+  }
   private val scratchDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private lazy val scratchHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      scratchDirs.forEach(p => rm(new java.io.File(p)))
+      scratchDirs.forEach(p => rmTree(new java.io.File(p)))
     }))
   def scratchDir(prefix: String, d: String): String = {
     val safe = new java.io.File(d).getCanonicalPath
@@ -418,6 +418,17 @@ object Tables {
     f.getAbsolutePath
   }
 
+  /** A scratch dir cleared NOW — for the stream-replay queries that
+    * rebuild per-batch state from empty on every execution, so a bench
+    * rep always times the canonical fresh sequence rather than an
+    * incremental top-up of the previous rep's state.
+    */
+  def freshScratchDir(prefix: String, d: String): String = {
+    val p = scratchDir(prefix, d)
+    rmTree(new java.io.File(p))
+    p
+  }
+
   /** Drop a managed table AND its warehouse files. The in-memory catalog
     * is session-scoped but warehouse files persist: a table created by a
     * previous session is invisible to DROP TABLE yet still blocks CREATE
@@ -426,11 +437,7 @@ object Tables {
   def dropManaged(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
-    def del(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(del)
-      f.delete(); ()
-    }
-    del(new java.io.File(wh, table.toLowerCase))
+    rmTree(new java.io.File(wh, table.toLowerCase))
   }
 
   /** Bucketed managed-table write: pre-shuffles data into `nBuckets` by
