@@ -488,7 +488,15 @@ object Bench {
     // (BENCH_r09.json; BASELINE.md "Round 9"). Reps 0.965/0.679/0.682 →
     // median 0.68 — the cleanest window in project history, so this pin
     // carries no slow-day margin.
-    "sim_topk_ivf_bq_persist" -> 0.68)
+    "sim_topk_ivf_bq_persist" -> 0.68,
+    // Round-11 first-ship pins (the three streamed sketch faces, each
+    // replaying its source as micro-batch partials with a mid-replay
+    // PartialState.compact fold), from the round's first full-set run —
+    // 202 queries, 275.2 s, 202/202 measured, zero failures, zero
+    // regressions, ZERO suspects, load_avg 0.88, aggregate under pins
+    // (BASELINE.md "Round 11"). A pristine window: no slow-day margin.
+    "dq_benford_stream" -> 1.39, "dq_drift_chisq_stream" -> 0.87,
+    "t_cms_join_size_stream" -> 3.14)
 
   def main(args: Array[String]): Unit = {
     val wallStart = System.nanoTime()
