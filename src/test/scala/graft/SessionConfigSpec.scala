@@ -59,5 +59,19 @@ class SessionConfigSpec extends AnyFunSuite {
       "Moving all data to a single partition.")) == Result.DENY)
     assert(f.filter(ev("WindowExec spilled 3 GiB to disk")) ==
       Result.NEUTRAL)
+    // The end-of-query unpersist advisory (502 copies per bench run) is
+    // denied on the RDD classes that emit it; other RDD warnings pass.
+    Seq("org.apache.spark.rdd.MapPartitionsRDD",
+        "org.apache.spark.rdd.ShuffledRDD").foreach { n =>
+      val rc = ctx.getConfiguration.getLoggerConfig(n)
+      assert(rc.getName == n, s"$n logger config not installed")
+      val rf = rc.getFilter
+      assert(rf != null)
+      assert(rf.filter(ev("RDD 33287 was locally checkpointed, its " +
+        "lineage has been truncated and cannot be recomputed after " +
+        "unpersisting")) == Result.DENY)
+      assert(rf.filter(ev("Evicting cached RDD 12 from memory")) ==
+        Result.NEUTRAL)
+    }
   }
 }
