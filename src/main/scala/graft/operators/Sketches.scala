@@ -92,24 +92,7 @@ object Sketches {
                   depth: Int = 3, prefixLen: Int = 2): DataFrame = {
     val ga = cmsGrid(a, aKey, depth, prefixLen)
     val gb = cmsGrid(b, bKey, depth, prefixLen)
-    // Per-seed inner product over the (tiny) grids, then min-of-seeds.
-    // A seed with NO overlapping buckets has inner product 0 — it just
-    // produces no row from the equi-join, so the min must fall to 0
-    // whenever fewer than `depth` seed rows survive.
-    // The per-seed inner product multiplies LongType counters; under
-    // ANSI mode two buckets near ~3e9 rows each overflow the long
-    // multiply and kill the query (ADVICE r10). Route the product/sum
-    // through decimal(38,0) — the same posture as Drift.chisqFromCounts
-    // — and cast the final one-row estimate back to the long the oracle
-    // compares (an estimate beyond long range means a >9e18-row join;
-    // the exact side would have overflowed first).
-    val est = ga.join(gb.withColumnRenamed("c", "c_b"), Seq("s", "bucket"))
-      .groupBy(col("s")).agg(
-        sum(col("c").cast("decimal(38,0)") * col("c_b").cast("decimal(38,0)"))
-          .as("p"))
-      .agg(min(col("p")).as("_mp"), count(lit(1)).as("_ns"))
-      .select(when(col("_ns") < depth, lit(0L))
-        .otherwise(col("_mp")).cast("long").as("est_size"))
+    val est = agmsEstimate(ga, gb, depth)
     val fa = a.select(col(aKey).cast("string").as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("f_a"))
     val fb = b.select(col(bKey).cast("string").as("k"))
@@ -120,6 +103,32 @@ object Sketches {
       .select(col("exact_size"), col("est_size"),
         (col("est_size") - col("exact_size")).as("overestimate"))
   }
+
+  /** The AGMS estimate from two ALREADY-BUILT counter grids — the ONE
+    * definition of the read path, shared by the batch face above and
+    * the streamed face ([[graft.streaming.CmsStream.joinSizeEstimate]])
+    * so the two can never drift on the arithmetic the specs equate.
+    *
+    * Per-seed inner product over the (tiny) grids, then min-of-seeds.
+    * A seed with NO overlapping buckets has inner product 0 — it just
+    * produces no row from the equi-join, so the min must fall to 0
+    * whenever fewer than `depth` seed rows survive. The inner product
+    * multiplies LongType counters; under ANSI mode two buckets near
+    * ~3e9 rows each overflow the long multiply and kill the query
+    * (ADVICE r10), so product/sum ride decimal(38,0) — the same
+    * posture as Drift.chisqFromCounts — and the final one-row estimate
+    * casts back to the long the oracle compares (an estimate beyond
+    * long range means a >9e18-row join; the exact side would have
+    * overflowed first). Output: one row (est_size).
+    */
+  def agmsEstimate(ga: DataFrame, gb: DataFrame, depth: Long): DataFrame =
+    ga.join(gb.withColumnRenamed("c", "c_b"), Seq("s", "bucket"))
+      .groupBy(col("s")).agg(
+        sum(col("c").cast("decimal(38,0)") * col("c_b").cast("decimal(38,0)"))
+          .as("p"))
+      .agg(min(col("p")).as("_mp"), count(lit(1)).as("_ns"))
+      .select(when(col("_ns") < depth, lit(0L))
+        .otherwise(col("_mp")).cast("long").as("est_size"))
 
   /** Membership-pruned incremental exact dedup: keep the batch rows whose
     * content hash is absent from the corpus, consulting a tiny hash-prefix

@@ -130,16 +130,9 @@ object CmsStream {
       s"grid geometry mismatch between $statePathA and $statePathB: " +
         s"depth $da vs $db, prefix width $wa vs $wb — the estimate " +
         "would be silently wrong")
-    // decimal(38,0) product/sum for the same ANSI-overflow reason as the
-    // batch twin Sketches.cmsJoinSize (and Drift.chisqFromCounts); the
-    // final cast back to long keeps the streamed face's schema identical
-    // to the batch est_size the spec equates it with.
-    ga.join(gb.withColumnRenamed("c", "c_b"), Seq("s", "bucket"))
-      .groupBy(col("s")).agg(
-        sum(col("c").cast("decimal(38,0)") * col("c_b").cast("decimal(38,0)"))
-          .as("p"))
-      .agg(min(col("p")).as("_mp"), count(lit(1)).as("_ns"))
-      .select(when(col("_ns") < lit(da), lit(0L))
-        .otherwise(col("_mp")).cast("long").as("est_size"))
+    // The read arithmetic is the SHARED kernel (one definition of the
+    // decimal(38,0) inner product + min-of-seeds), so the streamed face
+    // cannot drift from the batch est_size the spec equates it with.
+    Sketches.agmsEstimate(ga, gb, da)
   }
 }

@@ -22,17 +22,27 @@ import org.apache.spark.sql.functions._
   * live partial into a single `batch=compacted-<hwm>` directory, where
   * `hwm` is the highest numeric batch id folded in.
   *
+  * A compacted directory COUNTS only once its commit marker
+  * (`statePath/.commit-<hwm>`, a zero-byte file) exists. Publication
+  * is therefore write-the-fold THEN create-the-marker: creating one
+  * file is atomic on every FileSystem including object stores, where
+  * a directory "rename" is copy+delete and a crash mid-copy would
+  * otherwise leave a half-written directory that READS as the newest
+  * generation. A torn fold without its marker is invisible and simply
+  * overwritten by the retry.
+  *
   * Correctness is structural, enforced by the READER ([[summed]]),
-  * which selects exactly: the compacted partial with the highest hwm
-  * (if any) plus the numeric partials with id > hwm. Everything else —
-  * numeric partials the compaction already folded, older compacted
-  * partials, and a pre-compaction batch a recovering stream REPLAYS
-  * after its counts were folded — is invisible to every read, so
-  * replay cannot double-count and deleting folded directories is pure
-  * garbage collection that correctness never waits on. Every crash
-  * window is safe: before the rename the staging directory is
-  * invisible (not `batch=`-prefixed); after it the folded partials are
-  * ignored; a failed GC is retried by the next compact.
+  * which selects exactly: the COMMITTED compacted partial with the
+  * highest hwm (if any) plus the numeric partials with id > hwm.
+  * Everything else — numeric partials the compaction already folded,
+  * older compacted generations, an uncommitted (torn) fold, and a
+  * pre-compaction batch a recovering stream REPLAYS after its counts
+  * were folded — is invisible to every read, so replay cannot
+  * double-count and deleting folded directories is pure garbage
+  * collection that correctness never waits on. Every crash window is
+  * safe: before the marker the fold directory is ignored; after it the
+  * folded partials are ignored; a failed GC is retried by the next
+  * compact.
   *
   * Call [[compact]] from the stream's own maintenance point (e.g.
   * every N-th `foreachBatch`) or any quiesced moment — it must not
@@ -58,30 +68,39 @@ private[streaming] object PartialState {
 
   private val Prefix = "batch="
   private val CompactedPrefix = "batch=compacted-"
+  private val MarkerPrefix = ".commit-"
 
   private def fsOf(spark: SparkSession, statePath: String): (FileSystem, Path) = {
     val p = new Path(statePath)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** All `batch=` child directories of the state root (one listing —
-    * the only listing any read performs).
+  /** One listing of the state root — the only listing any read
+    * performs: (batch directories, committed hwm marker values).
     */
-  private def batchDirs(fs: FileSystem, root: Path): Seq[Path] =
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(_.isDirectory).map(_.getPath)
-      .filter(_.getName.startsWith(Prefix))
+  private def listing(fs: FileSystem, root: Path): (Seq[Path], Set[Long]) =
+    if (!fs.exists(root)) (Seq.empty, Set.empty)
+    else {
+      val entries = fs.listStatus(root).toSeq
+      val dirs = entries.filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith(Prefix))
+      val committed = entries.filter(!_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith(MarkerPrefix))
+        .flatMap(_.stripPrefix(MarkerPrefix).toLongOption).toSet
+      (dirs, committed)
+    }
 
   /** The reader's selection: (high-water mark, directories whose counts
-    * are live) — the newest compacted partial plus numeric partials
-    * above its hwm. hwm is -1 when nothing was ever compacted.
+    * are live) — the newest COMMITTED compacted partial plus numeric
+    * partials above its hwm. hwm is -1 when nothing was ever compacted
+    * (or no fold has its marker yet).
     */
-  private def select(dirs: Seq[Path]): (Long, Seq[Path]) = {
+  private def select(dirs: Seq[Path], committed: Set[Long]): (Long, Seq[Path]) = {
     val compacted = dirs.flatMap { p =>
       val n = p.getName
       if (n.startsWith(CompactedPrefix))
-        n.stripPrefix(CompactedPrefix).toLongOption.map(h => (h, p))
+        n.stripPrefix(CompactedPrefix).toLongOption
+          .filter(committed).map(h => (h, p))
       else None
     }
     val hwm = if (compacted.isEmpty) -1L else compacted.map(_._1).max
@@ -95,64 +114,66 @@ private[streaming] object PartialState {
   def summed(spark: SparkSession, statePath: String, keyCols: Seq[String],
              cntCol: String, empty: => DataFrame): DataFrame = {
     val (fs, root) = fsOf(spark, statePath)
-    val (_, dirs) = select(batchDirs(fs, root))
-    if (dirs.isEmpty) empty
-    else spark.read.parquet(dirs.map(_.toString): _*)
+    val (dirs, committed) = listing(fs, root)
+    val (_, live) = select(dirs, committed)
+    if (live.isEmpty) empty
+    else spark.read.parquet(live.map(_.toString): _*)
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col(cntCol)).cast("long").as(cntCol))
   }
 
   /** Fold every live partial into one `batch=compacted-<hwm>` directory
-    * and GC the rest. Idempotent (a re-run with no new batches only
-    * retries GC) and read-equivalent at every step: [[summed]] returns
-    * the identical table before, during, and after. Returns the new
-    * high-water mark (-1 when no state exists).
+    * (published by its atomic commit marker) and GC the rest.
+    * Idempotent (a re-run with no new batches only retries GC) and
+    * read-equivalent at every step: [[summed]] returns the identical
+    * table before, during, and after. Returns the new high-water mark
+    * (-1 when no state exists).
     */
   def compact(spark: SparkSession, statePath: String, keyCols: Seq[String],
               cntCol: String): Long = {
     val (fs, root) = fsOf(spark, statePath)
-    val all = batchDirs(fs, root)
-    if (all.isEmpty) return -1L
-    val (oldHwm, live) = select(all)
+    val (dirs, committed) = listing(fs, root)
+    if (dirs.isEmpty) return -1L
+    val (oldHwm, live) = select(dirs, committed)
     val liveIds = live.flatMap(_.getName.stripPrefix(Prefix).toLongOption)
     val newHwm = (oldHwm +: liveIds).max
     val target = new Path(root, s"$CompactedPrefix$newHwm")
     if (liveIds.nonEmpty) {
-      // Stage OUTSIDE the batch= namespace (invisible to the reader and
-      // to select), then a single directory rename publishes the folded
-      // partial; the just-folded sources become unselected in the same
-      // instant. coalesce(1): these are ≤ thousands of rows by design
-      // (9 digits / nb buckets / depth×width counters).
-      val staging = new Path(root, s".compact-staging-$newHwm")
+      // Write the fold directly (mode overwrite also clears a torn
+      // previous attempt — uncommitted, so never read), THEN publish it
+      // with one atomic file create. coalesce(1): these are ≤ thousands
+      // of rows by design (9 digits / nb buckets / depth×width
+      // counters).
       spark.read.parquet(live.map(_.toString): _*)
         .groupBy(keyCols.map(col): _*)
         .agg(sum(col(cntCol)).cast("long").as(cntCol))
         .coalesce(1)
-        .write.mode("overwrite").parquet(staging.toString)
-      fs.delete(target, true) // only exists if a prior compact crashed mid-GC
-      require(fs.rename(staging, target),
-        s"compact: rename $staging -> $target failed")
+        .write.mode("overwrite").parquet(target.toString)
+      fs.create(new Path(root, s"$MarkerPrefix$newHwm"), true).close()
     }
-    // GC: every directory listed at entry whose counts the compacted
-    // partial covers — numeric partials ≤ newHwm and older compacted
-    // partials. Unparseable names are left alone (never read, never
-    // deleted). Failures here are retried by the next compact; the
-    // reader stopped selecting these the instant target existed.
-    all.filter { p =>
+    // GC: every directory listed at entry whose counts the committed
+    // fold covers — numeric partials ≤ newHwm and older compacted
+    // generations (with their markers; dir first, so a crash in
+    // between leaves only an orphan marker, swept below). Unparseable
+    // names are left alone (never read, never deleted). Failures here
+    // are retried by the next compact; the reader stopped selecting
+    // these the instant the marker existed.
+    dirs.filter { p =>
       val n = p.getName
       n != target.getName && (
         n.stripPrefix(CompactedPrefix).toLongOption.exists(_ < newHwm) ||
         (!n.startsWith(CompactedPrefix) &&
           n.stripPrefix(Prefix).toLongOption.exists(_ <= newHwm)))
-    }.foreach(fs.delete(_, true))
-    // Staging directories from a compact that crashed pre-rename are
-    // invisible to reads but worth sweeping.
-    if (fs.exists(root)) fs.listStatus(root).toSeq
-      .filter(_.isDirectory).map(_.getPath)
-      .filter { p =>
-        p.getName.startsWith(".compact-staging-") &&
-          p.getName != s".compact-staging-$newHwm" }
-      .foreach(fs.delete(_, true))
+    }.foreach { p =>
+      fs.delete(p, true)
+      p.getName.stripPrefix(CompactedPrefix).toLongOption.foreach(h =>
+        fs.delete(new Path(root, s"$MarkerPrefix$h"), false))
+    }
+    // Orphan markers (a GC that crashed between dir and marker, or a
+    // marker whose generation was superseded) are invisible to reads
+    // but worth sweeping.
+    (committed - newHwm).filter(_ < newHwm).foreach(h =>
+      fs.delete(new Path(root, s"$MarkerPrefix$h"), false))
     newHwm
   }
 }
