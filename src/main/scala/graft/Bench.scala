@@ -295,7 +295,12 @@ object Bench {
     // oracle gate — per-batch partial replay + the round's
     // PartialState.compact fold inside each query, report read from
     // state alone.
-    "dq_benford_stream", "dq_drift_chisq_stream", "t_cms_join_size_stream")
+    "dq_benford_stream", "dq_drift_chisq_stream", "t_cms_join_size_stream",
+    // Round-11 second-wave first-ships (no pins until this round's
+    // full-set run): the k-anonymity and corpus dup-rate families'
+    // streamed faces (same per-batch-partial + mid-replay-compact shape
+    // as the first three) and the dup-rate batch twin.
+    "t_dup_rate", "t_dup_rate_stream", "dq_k_anonymity_stream")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

@@ -26,6 +26,34 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(count(lit(1)).as("dup_cnt"), min(col(idCol)).as("keeper"))
 
+  /** Content-hash multiplicities WITHOUT the keeper pick: one
+    * (h, n) row per distinct md5(text) — the additive table the
+    * dup-rate monitor maintains. Shared by the batch `t_dup_rate` gate
+    * and the streamed face ([[graft.streaming.DupRateStream]]) so the
+    * two can never drift; hash counts are plain additive integers,
+    * sum-mergeable across batches/partitions/days by construction.
+    */
+  def contentHashCounts(df: DataFrame, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(count(lit(1)).as("n"))
+
+  /** The corpus-freshness report from an ALREADY-AGGREGATED (h, n)
+    * table — one row: total docs, distinct contents, exact-duplicate
+    * docs (Σ(n−1)), and the duplicate share. Counts are exact longs;
+    * the rate is ONE IEEE division of exact integers, sequenced
+    * identically in the oracle. The state this reads is
+    * distinct-content-sized — the exact face; the fixed-size path at
+    * extreme scale is the bloom prune ([[graft.operators.Sketches.bloomPrunedNewRows]]),
+    * which answers membership, not multiplicity.
+    */
+  def dupRateFromCounts(counts: DataFrame): DataFrame =
+    counts.agg(
+      sum(col("n")).cast("long").as("n_docs"),
+      count(lit(1)).cast("long").as("n_distinct"),
+      sum(col("n") - lit(1L)).cast("long").as("dup_docs"),
+      (sum(col("n") - lit(1L)).cast("double") /
+        sum(col("n")).cast("double")).as("dup_rate"))
+
   /** Exact dedup: keep the minimum-id row per content hash. Implemented
     * as a window-free two-phase aggregate + semi-join so the wide payload
     * is shuffled once at most.

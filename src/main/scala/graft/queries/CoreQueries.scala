@@ -836,17 +836,32 @@ object CoreQueries {
     // the PII scrub: group the table by its quasi-identifier tuple and
     // report how many equivalence classes fall below k=5 and how many
     // rows they expose. One grouped count + one tiny aggregate over the
-    // |groups| rows; the release decision (suppress/generalize) reads
-    // this report.
-    "dq_k_anonymity" -> ((s, d) => {
-      val g = t(s, d, "customer")
-        .groupBy(col("c_mktsegment"), col("c_nationkey"))
-        .agg(count(lit(1)).as("n"))
-      g.agg(count(lit(1)).as("n_groups"),
-        sum(when(col("n") < 5, 1L).otherwise(0L)).as("groups_below_k"),
-        sum(when(col("n") < 5, col("n")).otherwise(lit(0L)))
-          .cast("long").as("rows_at_risk"),
-        min(col("n")).as("min_group_size"))
+    // |groups| rows (the Anonymity kernel, shared with the streamed
+    // face); the release decision (suppress/generalize) reads this
+    // report.
+    "dq_k_anonymity" -> ((s, d) =>
+      graft.operators.Anonymity.reportFromCounts(
+        graft.operators.Anonymity.qiCounts(
+          t(s, d, "customer"), Seq("c_mktsegment", "c_nationkey")))),
+
+    // DQ (ext): the STREAMED k-anonymity face under the driver's own
+    // gate — customer replayed as three deterministic micro-batches
+    // through KAnonStream.applyBatch (per-batch class-size partials,
+    // the exactly-once recipe), with a PartialState.compact fold
+    // between batches 1 and 2, and the exposure report read from state
+    // alone. Class sizes are additive and the kernel is shared, so
+    // streamed ≡ batch — the oracle is dq_k_anonymity's VERBATIM.
+    "dq_k_anonymity_stream" -> ((s, d) => {
+      val st = Tables.freshScratchDir("kanon_stream", d)
+      val keys = Seq("c_mktsegment", "c_nationkey")
+      val c = t(s, d, "customer")
+      (0 to 2).foreach { i =>
+        if (i == 2) { graft.streaming.KAnonStream.compact(s, st, keys); () }
+        graft.streaming.KAnonStream.applyBatch(
+          c.where(pmod(col("c_custkey"), lit(3)) === i),
+          i.toLong, st, keys)
+      }
+      graft.streaming.KAnonStream.report(s, st, keys)
     }),
 
     // DQ (ext): k-anonymity GENERALIZATION ladder — the decision input
@@ -1378,14 +1393,11 @@ object CoreQueries {
         |SELECT rule, CAST(violations AS BIGINT) AS violations,
         |  violations = 0 AS pass
         |FROM r ORDER BY rule""".stripMargin,
-    "dq_k_anonymity" ->
-      """WITH g AS (SELECT c_mktsegment, c_nationkey, count(*) AS n
-        |  FROM customer GROUP BY 1, 2)
-        |SELECT count(*) AS n_groups,
-        |count(*) FILTER (WHERE n < 5) AS groups_below_k,
-        |CAST(coalesce(sum(n) FILTER (WHERE n < 5), 0) AS BIGINT)
-        |  AS rows_at_risk,
-        |min(n) AS min_group_size FROM g""".stripMargin,
+    "dq_k_anonymity" -> kAnonOracle,
+    // The streamed face reuses the batch oracle VERBATIM: additive
+    // class sizes + the shared report kernel make streamed ≡ batch on
+    // any batching (and on any compaction point).
+    "dq_k_anonymity_stream" -> kAnonOracle,
     "dq_anon_ladder" -> {
       def rung(lvl: Int, keys: String) =
         s"""SELECT CAST($lvl AS BIGINT) AS level,
@@ -1582,6 +1594,15 @@ object CoreQueries {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
   )
+
+  private lazy val kAnonOracle: String =
+    """WITH g AS (SELECT c_mktsegment, c_nationkey, count(*) AS n
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT count(*) AS n_groups,
+      |count(*) FILTER (WHERE n < 5) AS groups_below_k,
+      |CAST(coalesce(sum(n) FILTER (WHERE n < 5), 0) AS BIGINT)
+      |  AS rows_at_risk,
+      |min(n) AS min_group_size FROM g""".stripMargin
 
   private lazy val benfordOracle: String = {
     val vals = BenfordExpected

@@ -58,6 +58,36 @@ object TextQueries {
       Dedup.exactDedup(docs(s, d), "doc_id", "text")
         .select(col("doc_id")).orderBy(col("doc_id"))),
 
+    // Corpus dup-rate report — the one-row freshness line an ingest run
+    // reports up (docs / distinct contents / duplicate docs / duplicate
+    // share): the Dedup.dupRateFromCounts kernel over the content-hash
+    // multiplicity table, shared verbatim with the streamed monitor so
+    // batch and stream can never drift. One hash-partitioned grouped
+    // count + one scalar aggregate; the rate is one IEEE division of
+    // exact integers.
+    "t_dup_rate" -> ((s, d) =>
+      Dedup.dupRateFromCounts(
+        Dedup.contentHashCounts(docs(s, d), "text"))),
+
+    // The STREAMED dup-rate face under the driver's own gate —
+    // documents replayed as three deterministic micro-batches through
+    // DupRateStream.applyBatch (per-batch partial hash counts, the
+    // exactly-once recipe), with a PartialState.compact fold between
+    // batches 1 and 2, and the report read from state alone. Hash
+    // counts are additive and the kernel is shared, so streamed ≡
+    // batch — the oracle is t_dup_rate's VERBATIM.
+    "t_dup_rate_stream" -> ((s, d) => {
+      val st = Tables.freshScratchDir("duprate_stream", d)
+      val docsDf = docs(s, d)
+      (0 to 2).foreach { i =>
+        if (i == 2) { graft.streaming.DupRateStream.compact(s, st); () }
+        graft.streaming.DupRateStream.applyBatch(
+          docsDf.where(pmod(col("doc_id"), lit(3)) === i),
+          i.toLong, st, "text")
+      }
+      graft.streaming.DupRateStream.report(s, st)
+    }),
+
     // Token/quality statistics — all per-row projections.
     "t_text_stats" -> ((s, d) =>
       docs(s, d).select(
@@ -2095,6 +2125,15 @@ object TextQueries {
        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
        |FROM zcv GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  private lazy val dupRateOracle: String =
+    """WITH g AS (SELECT md5(text) AS h, count(*) AS n
+      |  FROM documents GROUP BY 1)
+      |SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_distinct,
+      |  CAST(sum(n - 1) AS BIGINT) AS dup_docs,
+      |  CAST(sum(n - 1) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS dup_rate
+      |FROM g""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "t_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS dup_cnt, min(doc_id) AS keeper
@@ -2102,6 +2141,11 @@ object TextQueries {
     "t_dedup_kept" ->
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
         |ORDER BY 1""".stripMargin,
+    "t_dup_rate" -> dupRateOracle,
+    // The streamed face reuses the batch oracle VERBATIM: additive hash
+    // counts + the shared report kernel make streamed ≡ batch on any
+    // batching (and on any compaction point).
+    "t_dup_rate_stream" -> dupRateOracle,
     "t_text_stats" ->
       s"""WITH w AS (SELECT doc_id, text, $wsSql AS ws FROM documents)
          |SELECT doc_id,

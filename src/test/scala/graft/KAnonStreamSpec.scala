@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.KAnonStream
+import graft.operators.Anonymity
+
+/** Streamed k-anonymity maintenance: the streamed exposure report must
+  * equal the batch `dq_k_anonymity` kernel on any batching (class sizes
+  * are additive), and replay must be idempotent via the per-batch
+  * partial directories.
+  */
+class KAnonStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val keys = Seq("event_type", "user_id")
+
+  private def t(min: Int): Timestamp = new Timestamp(min * 60000L)
+
+  // A QI tuple (event_type, user_id) with deliberately skewed class
+  // sizes: some classes far above k=5, some singletons below it.
+  private def evs(n: Int): Seq[Ev] =
+    (0 until n).map { i =>
+      val typ = if (i % 11 == 0) s"rare_$i" else s"t${i % 3}"
+      Ev(i.toLong, t(i % 50), (i % 7).toLong, typ, i.toDouble, "{}")
+    }
+  private val all = evs(400)
+
+  private type Rep = (Long, Long, Long, Long)
+
+  test("streamed report equals the batch kernel on any batching") {
+    val dir = s"${sys.props("java.io.tmpdir")}/kanon_${System.nanoTime()}"
+    val input = MemoryStream[Ev](spark)
+    val q = KAnonStream.qiWriter(input.toDF(), s"$dir/state",
+      s"$dir/chk", keys).start()
+    try {
+      input.addData(all.take(130))
+      q.processAllAvailable()
+      input.addData(all.slice(130, 290))
+      q.processAllAvailable()
+      input.addData(all.drop(290))
+      q.processAllAvailable()
+      val streamed = KAnonStream.report(spark, s"$dir/state", keys)
+        .as[Rep].collect().toSeq
+      val oneShot = Anonymity.reportFromCounts(
+          Anonymity.qiCounts(all.toDF(), keys))
+        .as[Rep].collect().toSeq
+      assert(streamed === oneShot)
+      // The fixture plants both exposed singletons and safe classes.
+      val (nGroups, below, atRisk, minSize) = streamed.head
+      assert(below > 0 && below < nGroups)
+      assert(atRisk > 0 && minSize === 1L)
+    } finally q.stop()
+  }
+
+  test("replaying a batch id leaves the counts unchanged; new id adds") {
+    val dir = s"${sys.props("java.io.tmpdir")}/kanon_rp_${System.nanoTime()}"
+    val batch = all.take(90).toDF()
+    KAnonStream.applyBatch(batch, 5L, s"$dir/state", keys)
+    val first = KAnonStream.currentCounts(spark, s"$dir/state", keys)
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, n) => ((a, b), n) }.toMap
+    KAnonStream.applyBatch(batch, 5L, s"$dir/state", keys)
+    val second = KAnonStream.currentCounts(spark, s"$dir/state", keys)
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, n) => ((a, b), n) }.toMap
+    assert(first === second)
+    KAnonStream.applyBatch(batch, 6L, s"$dir/state", keys)
+    val third = KAnonStream.currentCounts(spark, s"$dir/state", keys)
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, n) => ((a, b), n) }.toMap
+    assert(third.values.sum === 2 * first.values.sum)
+  }
+
+  test("compaction: report unchanged, folded replay ignored, dirs bounded") {
+    val dir = s"${sys.props("java.io.tmpdir")}/kanon_cp_${System.nanoTime()}"
+    val st = s"$dir/state"
+    def dirs: Seq[String] = new java.io.File(st).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq.sorted
+    def rep: Seq[Rep] =
+      KAnonStream.report(spark, st, keys).as[Rep].collect().toSeq
+    KAnonStream.applyBatch(all.take(130).toDF(), 0L, st, keys)
+    KAnonStream.applyBatch(all.slice(130, 290).toDF(), 1L, st, keys)
+    KAnonStream.applyBatch(all.drop(290).toDF(), 2L, st, keys)
+    val before = rep
+    assert(KAnonStream.compact(spark, st, keys) === 2L)
+    // Read-equivalent, and the per-micro-batch directory growth is gone.
+    assert(rep === before)
+    assert(dirs === Seq("batch=compacted-2"))
+    // A recovering stream REPLAYS a folded batch: the reader must ignore
+    // it structurally (id ≤ hwm) — no double count.
+    KAnonStream.applyBatch(all.take(130).toDF(), 1L, st, keys)
+    assert(rep === before)
+    // A genuinely new batch still accumulates, and the next compact
+    // folds it AND sweeps the stray replay directory.
+    KAnonStream.applyBatch(all.take(130).toDF(), 3L, st, keys)
+    val grown = KAnonStream.currentCounts(spark, st, keys)
+      .agg(org.apache.spark.sql.functions.sum("n")).as[Long].head()
+    assert(grown === 530L)
+    assert(KAnonStream.compact(spark, st, keys) === 3L)
+    assert(dirs === Seq("batch=compacted-3"))
+  }
+}
