@@ -349,7 +349,14 @@ object Bench {
     // sim_topk_pq at 15.7 s, under its 17.9 pin, settling the r5 drift
     // question (host noise, not plan drift).
     "t_winnow_pairs" -> 10.15, "t_keywords" -> 0.61,
-    "t_quality_gopher" -> 0.69, "dq_benford" -> 0.44,
+    // dq_benford refreshed 0.44 -> 0.70 in round 11 (stale-SLOW rule):
+    // the pin predates the round-10 try_cast + 1-9 domain-filter
+    // hardening, whose added filter work is plan-inherent (adjudicated
+    // in BASELINE.md), and three consecutive clean windows read
+    // 1.49x/1.73x/1.60x — the two-clean-window refresh rule fired.
+    // New value = the round's fourth full-set-run median (reps
+    // 0.829/0.703/0.584).
+    "t_quality_gopher" -> 0.69, "dq_benford" -> 0.70,
     "ev_asof_tolerance" -> 0.42, "sim_mmr_rerank" -> 0.48,
     "olap_running_distinct" -> 0.18, "dq_completeness" -> 0.46,
     "t_tokens_regex" -> 0.63,
@@ -501,7 +508,15 @@ object Bench {
     // regressions, ZERO suspects, load_avg 0.88, aggregate under pins
     // (BASELINE.md "Round 11"). A pristine window: no slow-day margin.
     "dq_benford_stream" -> 1.39, "dq_drift_chisq_stream" -> 0.87,
-    "t_cms_join_size_stream" -> 3.14)
+    "t_cms_join_size_stream" -> 3.14,
+    // Round-11 second-wave first-ship pins (streamed k-anonymity and
+    // corpus dup-rate faces + the dup-rate batch twin), from the
+    // round's fourth full-set run — 205 queries, 310.6 s, 205/205
+    // measured, zero failures, zero regressions, one median-only
+    // suspect (pipeline_clean, min 0.97x = window noise), load_avg
+    // 1.23, aggregate 1.05x of pins (BASELINE.md "Round 11").
+    "t_dup_rate" -> 0.16, "t_dup_rate_stream" -> 1.02,
+    "dq_k_anonymity_stream" -> 1.00)
 
   def main(args: Array[String]): Unit = {
     val wallStart = System.nanoTime()
