@@ -27,7 +27,12 @@ import graft.operators.Anonymity
   * injective per column type, so the class partition — and therefore
   * every count the report aggregates — is unchanged, while the state
   * schema stays fixed for any key arity/type mix (one reader recipe,
-  * no per-face schema plumbing).
+  * no per-face schema plumbing). Caveat: for FLOATING-POINT keys the
+  * render is finer than Spark's groupBy equality (which normalizes
+  * -0.0 to 0.0 and NaNs to one NaN before grouping) — but raw float
+  * equality is not a sane quasi-identifier anyway; band or round such
+  * columns first (the dq_anon_ladder rungs show the construction),
+  * which also makes the class partition meaningful.
   *
   * Scale: per batch one grouped count over the batch only, to
   * |classes-in-batch| rows; state grows one tiny parquet per batch
