@@ -300,7 +300,11 @@ object Bench {
     // full-set run): the k-anonymity and corpus dup-rate families'
     // streamed faces (same per-batch-partial + mid-replay-compact shape
     // as the first three) and the dup-rate batch twin.
-    "t_dup_rate", "t_dup_rate_stream", "dq_k_anonymity_stream")
+    "t_dup_rate", "t_dup_rate_stream", "dq_k_anonymity_stream",
+    // The maintained-Bloom membership probe (fixed-size twin of the
+    // dup-rate monitor): two-batch replay + mid-replay compact + a
+    // state-only probe of the held-out third.
+    "t_dedup_bloom_stream")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

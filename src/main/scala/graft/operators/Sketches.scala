@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Fixed-size frequency/membership sketches — the approximate structures a
@@ -157,6 +157,25 @@ object Sketches {
         h === col("_h"), "left_anti")
       .select(col(idCol))
     definite.unionByName(candidates)
+  }
+
+  /** The k=2 Bloom bit positions of a text value on an `mBits`-slot
+    * bitmap — two independent hash functions carved from disjoint
+    * md5 hex windows (chars 1-6 and 7-12; 24 bits each, far above any
+    * sane mBits), reduced mod mBits. `conv(hex, 16, 10)` here is
+    * bit-identical to the oracle's `CAST('0x' || substr(...) AS
+    * BIGINT)` (the dq_fingerprint_daily pattern), so both engines
+    * derive the SAME positions and a membership verdict can sit under
+    * the DuckDB oracle. Shared by the streamed maintained-bloom face
+    * ([[graft.streaming.BloomStream]]); the batch prune above uses the
+    * coarser one-hash prefix bitmap.
+    */
+  def bloomBitPositions(textCol: Column, mBits: Int): Column = {
+    require(mBits > 0 && mBits <= (1 << 24), s"mBits out of range: $mBits")
+    val h = md5(textCol)
+    array(
+      conv(substring(h, 1, 6), 16, 10).cast("long") % mBits,
+      conv(substring(h, 7, 6), 16, 10).cast("long") % mBits)
   }
 
   /** KMV (k-minimum-values, the "theta sketch" family) pairwise distinct

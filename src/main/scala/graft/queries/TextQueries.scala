@@ -88,6 +88,31 @@ object TextQueries {
       graft.streaming.DupRateStream.report(s, st)
     }),
 
+    // The STREAMED maintained-Bloom membership face — the FIXED-SIZE
+    // twin of the dup-rate monitor (state bounded by the pinned 4096
+    // bits forever): documents with doc_id % 3 ∈ {0,1} replayed as two
+    // micro-batches of bit-hit counts (the exactly-once partial
+    // recipe), a PartialState.compact fold between them, then the
+    // remaining third PROBED against state alone — (doc_id,
+    // bloom_positive), positive iff both md5-derived bit positions are
+    // set. The hash arithmetic is the dq_fingerprint_daily hex-cast
+    // pattern, bit-identical in DuckDB, so the oracle replays the
+    // bitmap and every verdict exactly — false positives included.
+    "t_dedup_bloom_stream" -> ((s, d) => {
+      val st = Tables.freshScratchDir("bloom_stream", d)
+      val docsDf = docs(s, d)
+      (0 to 1).foreach { i =>
+        if (i == 1) { graft.streaming.BloomStream.compact(s, st); () }
+        graft.streaming.BloomStream.applyBatch(
+          docsDf.where(pmod(col("doc_id"), lit(3)) === i),
+          i.toLong, st, "text")
+      }
+      graft.streaming.BloomStream.probe(s, st,
+          docsDf.where(pmod(col("doc_id"), lit(3)) === 2),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Token/quality statistics — all per-row projections.
     "t_text_stats" -> ((s, d) =>
       docs(s, d).select(
@@ -2141,6 +2166,22 @@ object TextQueries {
     "t_dedup_kept" ->
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
         |ORDER BY 1""".stripMargin,
+    "t_dedup_bloom_stream" ->
+      """WITH seen AS (SELECT text FROM documents WHERE doc_id % 3 IN (0, 1)),
+        |bits AS (SELECT DISTINCT b FROM (
+        |  SELECT CAST('0x' || substr(md5(text), 1, 6) AS BIGINT) % 4096
+        |    AS b FROM seen
+        |  UNION ALL
+        |  SELECT CAST('0x' || substr(md5(text), 7, 6) AS BIGINT) % 4096
+        |    FROM seen) u),
+        |p AS (SELECT doc_id,
+        |  CAST('0x' || substr(md5(text), 1, 6) AS BIGINT) % 4096 AS b1,
+        |  CAST('0x' || substr(md5(text), 7, 6) AS BIGINT) % 4096 AS b2
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id,
+        |  b1 IN (SELECT b FROM bits) AND b2 IN (SELECT b FROM bits)
+        |    AS bloom_positive
+        |FROM p ORDER BY doc_id""".stripMargin,
     "t_dup_rate" -> dupRateOracle,
     // The streamed face reuses the batch oracle VERBATIM: additive hash
     // counts + the shared report kernel make streamed ≡ batch on any
