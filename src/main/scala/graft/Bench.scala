@@ -520,7 +520,12 @@ object Bench {
     // suspect (pipeline_clean, min 0.97x = window noise), load_avg
     // 1.23, aggregate 1.05x of pins (BASELINE.md "Round 11").
     "t_dup_rate" -> 0.16, "t_dup_rate_stream" -> 1.02,
-    "dq_k_anonymity_stream" -> 1.00)
+    "dq_k_anonymity_stream" -> 1.00,
+    // Round-11 maintained-Bloom first-ship pin, from the round's sixth
+    // full-set run — 206 queries, 251.0 s, 206/206, zero failures,
+    // zero regressions, ZERO suspects, aggregate 0.846x of pins,
+    // load_avg 2.06 (BASELINE.md "Round 11").
+    "t_dedup_bloom_stream" -> 0.77)
 
   def main(args: Array[String]): Unit = {
     val wallStart = System.nanoTime()
