@@ -29,12 +29,18 @@ object Anonymity {
     * one row: (n_groups, groups_below_k, rows_at_risk, min_group_size).
     * Identical expression structure to the original inline
     * `dq_k_anonymity` so the refactor is hash-invariant under the
-    * oracle.
+    * oracle. The two risk sums coalesce to 0 so a ZERO-GROUP input —
+    * reachable through the streamed face's report-before-first-batch —
+    * reads as "0 classes exposed", matching the oracle's `count(*)
+    * FILTER` / `coalesce(sum ...)` exactly rather than returning nulls
+    * a downstream `> 0` gate would silently swallow; min_group_size
+    * stays NULL there ("no groups") in both engines.
     */
   def reportFromCounts(counts: DataFrame, k: Int = 5): DataFrame =
     counts.agg(count(lit(1)).as("n_groups"),
-      sum(when(col("n") < k, 1L).otherwise(0L)).as("groups_below_k"),
-      sum(when(col("n") < k, col("n")).otherwise(lit(0L)))
-        .cast("long").as("rows_at_risk"),
+      coalesce(sum(when(col("n") < k, 1L).otherwise(0L)), lit(0L))
+        .as("groups_below_k"),
+      coalesce(sum(when(col("n") < k, col("n")).otherwise(lit(0L))),
+        lit(0L)).cast("long").as("rows_at_risk"),
       min(col("n")).as("min_group_size"))
 }

@@ -48,9 +48,14 @@ object Dedup {
     */
   def dupRateFromCounts(counts: DataFrame): DataFrame =
     counts.agg(
-      sum(col("n")).cast("long").as("n_docs"),
+      // Integer columns coalesce to 0 so a ZERO-ROW input (the streamed
+      // face's report-before-first-batch) reads as an explicit empty
+      // corpus, mirrored in the oracle; dup_rate stays NULL there (0/0
+      // has no answer) in both engines.
+      coalesce(sum(col("n")), lit(0L)).cast("long").as("n_docs"),
       count(lit(1)).cast("long").as("n_distinct"),
-      sum(col("n") - lit(1L)).cast("long").as("dup_docs"),
+      coalesce(sum(col("n") - lit(1L)), lit(0L)).cast("long")
+        .as("dup_docs"),
       (sum(col("n") - lit(1L)).cast("double") /
         sum(col("n")).cast("double")).as("dup_rate"))
 

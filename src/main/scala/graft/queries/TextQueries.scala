@@ -2153,9 +2153,9 @@ object TextQueries {
   private lazy val dupRateOracle: String =
     """WITH g AS (SELECT md5(text) AS h, count(*) AS n
       |  FROM documents GROUP BY 1)
-      |SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+      |SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_docs,
       |  CAST(count(*) AS BIGINT) AS n_distinct,
-      |  CAST(sum(n - 1) AS BIGINT) AS dup_docs,
+      |  CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS dup_docs,
       |  CAST(sum(n - 1) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS dup_rate
       |FROM g""".stripMargin
 
@@ -2167,7 +2167,8 @@ object TextQueries {
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
         |ORDER BY 1""".stripMargin,
     "t_dedup_bloom_stream" ->
-      """WITH seen AS (SELECT text FROM documents WHERE doc_id % 3 IN (0, 1)),
+      """WITH seen AS (SELECT text FROM documents
+        |  WHERE doc_id % 3 IN (0, 1) AND text IS NOT NULL),
         |bits AS (SELECT DISTINCT b FROM (
         |  SELECT CAST('0x' || substr(md5(text), 1, 6) AS BIGINT) % 4096
         |    AS b FROM seen
@@ -2177,7 +2178,7 @@ object TextQueries {
         |p AS (SELECT doc_id,
         |  CAST('0x' || substr(md5(text), 1, 6) AS BIGINT) % 4096 AS b1,
         |  CAST('0x' || substr(md5(text), 7, 6) AS BIGINT) % 4096 AS b2
-        |  FROM documents WHERE doc_id % 3 = 2)
+        |  FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL)
         |SELECT doc_id,
         |  b1 IN (SELECT b FROM bits) AND b2 IN (SELECT b FROM bits)
         |    AS bloom_positive

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
@@ -48,6 +49,35 @@ object BloomStream {
   private def bitsOf(textCol: Column, mBits: Int): Column =
     Sketches.bloomBitPositions(textCol, mBits)
 
+  /** The bitmap width is part of the state's identity: positions
+    * recorded mod 64 probed mod 4096 would silently read as false
+    * negatives (both sides carry independent `mBits` defaults). The
+    * first write stamps a zero-byte `.mbits-<m>` marker beside the
+    * partials; every writer and reader thereafter must agree with it
+    * LOUDLY (the CmsStream grid-geometry contract, for the dimension
+    * the bit rows themselves cannot reveal).
+    */
+  private def checkWidth(spark: SparkSession, statePath: String,
+                         mBits: Int, stamp: Boolean): Unit = {
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val recorded =
+      if (!fs.exists(root)) None
+      else fs.listStatus(root).iterator.map(_.getPath.getName)
+        .filter(_.startsWith(".mbits-"))
+        .flatMap(_.stripPrefix(".mbits-").toIntOption)
+        .nextOption()
+    recorded match {
+      case Some(m) =>
+        require(m == mBits, s"bloom bitmap width mismatch: state at " +
+          s"$statePath was written with mBits=$m, caller passed $mBits")
+      case None if stamp =>
+        fs.mkdirs(root)
+        fs.create(new Path(root, s".mbits-$mBits"), true).close()
+      case None => // no state yet: nothing to validate against
+    }
+  }
+
   /** Start-ready writer maintaining the bit-hit counts of `textCol`. */
   def bitWriter(events: DataFrame, statePath: String, checkpoint: String,
                 textCol: String, mBits: Int = DefaultBits)
@@ -66,7 +96,12 @@ object BloomStream {
   def applyBatch(batch: DataFrame, batchId: Long, statePath: String,
                  textCol: String, mBits: Int = DefaultBits): Unit = {
     if (batch.isEmpty) return
-    batch.select(explode(bitsOf(col(textCol), mBits)).as("bit"))
+    checkWidth(batch.sparkSession, statePath, mBits, stamp = true)
+    // Null content is outside the monitor's domain on BOTH faces (a
+    // null md5 would ride as a never-matchable null bit): filtered
+    // here and in [[probe]], mirrored by the oracle's predicate.
+    batch.where(col(textCol).isNotNull)
+      .select(explode(bitsOf(col(textCol), mBits)).as("bit"))
       .groupBy(col("bit"))
       .agg(count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
@@ -91,18 +126,26 @@ object BloomStream {
   def probe(spark: SparkSession, statePath: String, probeDf: DataFrame,
             idCol: String, textCol: String,
             mBits: Int = DefaultBits): DataFrame = {
+    checkWidth(spark, statePath, mBits, stamp = false)
     // Materialized so the verdict cannot be torn by a concurrent
     // compact's GC between listing and action (PartialState contract).
     val set = currentBits(spark, statePath)
       .withColumn("_set", lit(1)).localCheckpoint()
     probeDf
+      .where(col(textCol).isNotNull)
       .select(col(idCol), explode(bitsOf(col(textCol), mBits)).as("bit"))
+      // DISTINCT candidate positions per id: positive iff EVERY one is
+      // set. This keeps the zero-false-negative contract through the
+      // inputs a dedup monitor actually sees — duplicate probe rows
+      // for one id (2×2 exploded rows would defeat a fixed `== 2`
+      // match count) and the h1 == h2 self-collision (one distinct
+      // position, so the required count is 1, not 2). Duplicate ids
+      // with DIFFERENT texts conservatively AND their verdicts.
+      .distinct()
       .join(broadcast(set), Seq("bit"), "left")
       .groupBy(col(idCol))
-      // count() skips nulls: 2 ⇔ both positions matched (a row whose
-      // two hashes collide explodes to two identical bits and still
-      // contributes 2 — correct, the one position IS set).
-      .agg((count(col("_set")) === 2).as("bloom_positive"))
+      // count() skips nulls: all candidate positions matched.
+      .agg((count(col("_set")) === count(lit(1))).as("bloom_positive"))
   }
 
   /** Fold all bit-count partials into one compacted directory —

@@ -91,6 +91,34 @@ class BloomStreamSpec extends AnyFunSuite {
     assert(first.keySet.subsetOf(grown.keySet))
   }
 
+  test("duplicate probe rows, null text, and width mismatch are all handled") {
+    val st = s"${sys.props("java.io.tmpdir")}/bloom_ct_${System.nanoTime()}/state"
+    BloomStream.applyBatch(mkDocs(0 until 50).toDF(), 0L, st, "text")
+    // Duplicate probe rows for one id (2x2 exploded positions) must not
+    // defeat the all-positions-matched test: doc 7 was seen → positive.
+    val dup = (mkDocs(7 to 7) ++ mkDocs(7 to 7)).toDF()
+    assert(verdicts(st, mkDocs(7 to 7)) === Map(7L -> true))
+    assert(BloomStream.probe(spark, st, dup, "doc_id", "text")
+      .as[(Long, Boolean)].collect().toSeq === Seq((7L, true)))
+    // Null content is outside the monitor's domain: excluded from the
+    // verdict set rather than riding as a never-matchable null bit.
+    val withNull = mkDocs(8 to 8) :+ Doc(99L, null, "en", "crawl", t(0))
+    val v = BloomStream.probe(spark, st, withNull.toDF(), "doc_id", "text")
+      .as[(Long, Boolean)].collect().toMap
+    assert(v === Map(8L -> true))
+    // Width mismatch is LOUD on both faces — positions recorded mod
+    // 4096 must never be probed (or extended) mod 64 silently.
+    val e = intercept[IllegalArgumentException] {
+      BloomStream.probe(spark, st, mkDocs(0 until 5).toDF(),
+        "doc_id", "text", mBits = 64)
+    }
+    assert(e.getMessage.contains("width mismatch"))
+    intercept[IllegalArgumentException] {
+      BloomStream.applyBatch(mkDocs(0 until 5).toDF(), 1L, st,
+        "text", mBits = 64)
+    }
+  }
+
   test("compaction: verdicts unchanged, folded replay ignored, dirs bounded") {
     val st = s"${sys.props("java.io.tmpdir")}/bloom_cp_${System.nanoTime()}/state"
     def dirs: Seq[String] = new java.io.File(st).listFiles()

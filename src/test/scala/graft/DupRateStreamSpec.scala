@@ -54,6 +54,15 @@ class DupRateStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("report before any batch is the explicit empty-corpus row") {
+    val st = s"${sys.props("java.io.tmpdir")}/duprate_e_${System.nanoTime()}/state"
+    val r = DupRateStream.report(spark, st).collect()(0)
+    assert(r.getLong(0) === 0L) // n_docs
+    assert(r.getLong(1) === 0L) // n_distinct
+    assert(r.getLong(2) === 0L) // dup_docs
+    assert(r.isNullAt(3))       // dup_rate: 0/0 has no answer
+  }
+
   test("replaying a batch id leaves the counts unchanged; new id adds") {
     val dir = s"${sys.props("java.io.tmpdir")}/duprate_rp_${System.nanoTime()}"
     val batch = all.take(90).toDF()

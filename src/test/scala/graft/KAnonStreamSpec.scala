@@ -55,6 +55,15 @@ class KAnonStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("report before any batch is the explicit zero-exposure row") {
+    val st = s"${sys.props("java.io.tmpdir")}/kanon_e_${System.nanoTime()}/state"
+    val r = KAnonStream.report(spark, st, keys).collect()(0)
+    assert(r.getLong(0) === 0L) // n_groups
+    assert(r.getLong(1) === 0L) // groups_below_k — 0, not a null a
+    assert(r.getLong(2) === 0L) // rows_at_risk     downstream gate eats
+    assert(r.isNullAt(3))       // min_group_size: "no groups"
+  }
+
   test("replaying a batch id leaves the counts unchanged; new id adds") {
     val dir = s"${sys.props("java.io.tmpdir")}/kanon_rp_${System.nanoTime()}"
     val batch = all.take(90).toDF()
