@@ -304,7 +304,13 @@ object Bench {
     // The maintained-Bloom membership probe (fixed-size twin of the
     // dup-rate monitor): two-batch replay + mid-replay compact + a
     // state-only probe of the held-out third.
-    "t_dedup_bloom_stream")
+    "t_dedup_bloom_stream",
+    // Round-11 third-wave first-ships: the last three streamed faces
+    // without registered oracle queries — maintained-TVD drift (shared
+    // kernel, verbatim batch oracle), KMV pairwise-from-state (oracle =
+    // the batch oracle's sketch half), and the HLL distinct-count face
+    // (a8_hll_merge-style boolean contract gates, union-merged state).
+    "dq_drift_lang_stream", "t_kmv_overlap_stream", "a8_hll_stream")
 
   /** Round-4 exit per-query medians — ALL pinned from ONE full-set
     * run (sf0.1, local[32], median-of-3, every headline query in the

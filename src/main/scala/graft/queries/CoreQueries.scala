@@ -383,6 +383,39 @@ object CoreQueries {
           <= col("exact").cast("double") * 0.05).as("within_5pct"))
     }),
 
+    // The STREAMED HLL face under the driver's own gate — orders
+    // replayed as three deterministic micro-batches through
+    // SketchStream.applyBatch (register-wise max union: idempotent
+    // algebra, the write-then-swap recipe), per-status distinct-buyer
+    // estimates read from the sketch table alone. The maintained state
+    // is a UNION-merged sketch, so per the a8_hll_merge contract the
+    // estimates are gated (not equated) against the direct one-shot
+    // sketch at merge resolution (2%) and against the exact distinct
+    // count (5%) — the same boolean-contract oracle style.
+    "a8_hll_stream" -> ((s, d) => {
+      val st = Tables.freshScratchDir("hll_stream", d) + "/state"
+      val o = t(s, d, "orders")
+      (0 to 2).foreach { i =>
+        graft.streaming.SketchStream.applyBatch(
+          o.where(pmod(col("o_orderkey"), lit(3)) === i),
+          st, "o_orderstatus", "o_custkey")
+      }
+      val streamed =
+        graft.streaming.SketchStream.estimates(s, st, "o_orderstatus")
+      val oneShot = o.groupBy(col("o_orderstatus"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey")))
+            .as("est_whole"),
+          countDistinct(col("o_custkey")).as("exact"))
+      streamed.join(oneShot, Seq("o_orderstatus"))
+        .select(col("o_orderstatus"),
+          (abs(col("n_distinct") - col("est_whole")).cast("double")
+            <= col("est_whole").cast("double") * 0.02)
+            .as("merge_near_whole"),
+          (abs(col("n_distinct") - col("exact")).cast("double")
+            <= col("exact").cast("double") * 0.05).as("within_5pct"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // A10 at-scale path: approximate percentiles (Greenwald–Khanna via
     // `approx_percentile`, pinned accuracy 10000 ⇒ ε = 1e-4) gated
     // against the exact `percentile` — same contract style as
@@ -1219,6 +1252,14 @@ object CoreQueries {
     "a8_hll_merge" ->
       """SELECT CAST(1 AS BOOLEAN) AS merge_near_whole,
         |CAST(1 AS BOOLEAN) AS within_5pct""".stripMargin,
+    // Contract-style oracle (the a8_hll_merge pattern): one all-true
+    // gate row per order status — DataSketches registers aren't DuckDB-
+    // replayable, so the oracle pins the CONTRACT, not the registers.
+    "a8_hll_stream" ->
+      """SELECT DISTINCT o_orderstatus,
+        |  CAST(1 AS BOOLEAN) AS merge_near_whole,
+        |  CAST(1 AS BOOLEAN) AS within_5pct
+        |FROM orders ORDER BY o_orderstatus""".stripMargin,
     "a8_hll_bound" ->
       """SELECT CAST(1 AS BOOLEAN) AS ok_l_orderkey,
         |CAST(1 AS BOOLEAN) AS ok_l_partkey,

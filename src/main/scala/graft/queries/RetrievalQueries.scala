@@ -52,6 +52,27 @@ object RetrievalQueries {
           Tables.load(s, d, "events"), "event_type", "user_id", k = 64)
         .orderBy(col("ga"), col("gb"))),
 
+    // The STREAMED KMV face under the driver's own gate — events
+    // replayed as three deterministic micro-batches through
+    // KmvStream.applyBatch (min-k re-minimization: idempotent algebra,
+    // the write-then-swap recipe, no partial directories needed), then
+    // pairwise Jaccard answered FROM STATE alone. The streamed sketch
+    // equals the one-shot sketch HASH-FOR-HASH on any batching
+    // (KmvStreamSpec), so the estimates land on the batch oracle's
+    // sketch half exactly — the exact-truth columns are the one thing
+    // state cannot answer, which is the point of keeping it.
+    "t_kmv_overlap_stream" -> ((s, d) => {
+      val st = Tables.freshScratchDir("kmv_stream", d) + "/state"
+      val ev = Tables.load(s, d, "events")
+      (0 to 2).foreach { i =>
+        graft.streaming.KmvStream.applyBatch(
+          ev.where(pmod(col("event_id"), lit(3)) === i),
+          st, "event_type", "user_id", k = 64)
+      }
+      graft.streaming.KmvStream.pairwiseEstimates(s, st, k = 64)
+        .orderBy(col("ga"), col("gb"))
+    }),
+
     // Inverted-index build (long-form postings, DF band [2, 50] — the
     // stop-term cap discipline) + conjunctive retrieval THROUGH it.
     "t_inverted_index" -> ((s, d) =>
@@ -255,6 +276,36 @@ object RetrievalQueries {
          |    AS rrf
          |FROM f ORDER BY rrf DESC, doc_id""".stripMargin,
 
+    // The streamed face's oracle is the batch oracle's SKETCH HALF
+    // (same CTEs, minus the exact-truth columns state cannot answer):
+    // min-k idempotence makes streamed state ≡ the one-shot sketch
+    // hash-for-hash on any batching.
+    "t_kmv_overlap_stream" ->
+      """WITH dv AS (SELECT DISTINCT event_type AS g,
+        |  CAST(user_id AS VARCHAR) AS v FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |hv AS (SELECT g, md5(v) AS h FROM dv),
+        |sk AS (SELECT g, h FROM (SELECT g, h, row_number() OVER
+        |    (PARTITION BY g ORDER BY h) AS rn FROM hv) WHERE rn <= 64),
+        |pairs AS (SELECT a.g AS ga, b.g AS gb
+        |  FROM (SELECT DISTINCT g FROM sk) a
+        |  JOIN (SELECT DISTINCT g FROM sk) b ON a.g < b.g),
+        |u0 AS (SELECT DISTINCT ga, gb, h FROM (
+        |  SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.g = p.ga
+        |  UNION ALL
+        |  SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.g = p.gb)),
+        |u AS (SELECT ga, gb, h FROM (SELECT ga, gb, h, row_number() OVER
+        |    (PARTITION BY ga, gb ORDER BY h) AS rn FROM u0)
+        |  WHERE rn <= 64)
+        |SELECT u.ga, u.gb,
+        |  CAST(sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS m,
+        |  count(*) AS k_used,
+        |  CAST(sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS jaccard_est
+        |FROM u LEFT JOIN sk sa ON sa.g = u.ga AND sa.h = u.h
+        |LEFT JOIN sk sb ON sb.g = u.gb AND sb.h = u.h
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t_kmv_overlap" ->
       """WITH dv AS (SELECT DISTINCT event_type AS g,
         |  CAST(user_id AS VARCHAR) AS v FROM events

@@ -981,6 +981,27 @@ object TextQueries {
       graft.streaming.DriftStream.chisqAgainstReference(s, st, ref)
     }),
 
+    // The STREAMED TVD face under the driver's own gate — same
+    // maintained even-half state as dq_drift_chisq_stream (two replayed
+    // category-count micro-batches with a mid-replay compact), read
+    // against the batch-computed odd-half reference through the shared
+    // Drift.totalVariationFromCounts kernel — the single drift score
+    // beside the streamed χ² attribution. Counts additive, kernel
+    // shared, so streamed ≡ batch — the oracle is dq_drift_lang's
+    // VERBATIM.
+    "dq_drift_lang_stream" -> ((s, d) => {
+      val st = Tables.freshScratchDir("tvd_stream", d)
+      val dd = docs(s, d)
+      graft.streaming.DriftStream.applyCategoryBatch(
+        dd.where(col("doc_id") % 4 === 0), 0L, st, "lang")
+      graft.streaming.DriftStream.compact(s, st)
+      graft.streaming.DriftStream.applyCategoryBatch(
+        dd.where(col("doc_id") % 4 === 2), 1L, st, "lang")
+      val ref = dd.where(col("doc_id") % 2 === 1)
+        .groupBy(col("lang").as("cat")).agg(count(lit(1)).as("n"))
+      graft.streaming.DriftStream.tvdAgainstReference(s, st, ref)
+    }),
+
     // Numeric drift through the shared pinned histogram grid: n_chars
     // of the two halves bucketed identically, then categorical TVD.
     "dq_drift_nchars" -> ((s, d) =>
@@ -2150,6 +2171,22 @@ object TextQueries {
        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
        |FROM zcv GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  private lazy val driftLangOracle: String =
+    """WITH a AS (SELECT lang AS cat FROM documents WHERE doc_id % 2 = 0),
+      |b AS (SELECT lang AS cat FROM documents WHERE doc_id % 2 = 1),
+      |ca AS (SELECT cat, count(*) AS n_a FROM a GROUP BY 1),
+      |cb AS (SELECT cat, count(*) AS n_b FROM b GROUP BY 1),
+      |j AS (SELECT coalesce(ca.n_a, 0) AS n_a, coalesce(cb.n_b, 0) AS n_b
+      |  FROM ca FULL OUTER JOIN cb ON ca.cat = cb.cat),
+      |t AS (SELECT (SELECT count(*) FROM a) AS ta,
+      |             (SELECT count(*) FROM b) AS tb)
+      |SELECT ta AS n_a, tb AS n_b,
+      |  count(*) AS n_categories,
+      |  CAST(sum(CASE WHEN abs(j.n_a*tb - j.n_b*ta) > 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_diverged,
+      |  CAST(sum(abs(j.n_a*tb - j.n_b*ta)) AS DOUBLE)/(2*ta*tb) AS tvd
+      |FROM j CROSS JOIN t GROUP BY ta, tb""".stripMargin
+
   private lazy val dupRateOracle: String =
     """WITH g AS (SELECT md5(text) AS h, count(*) AS n
       |  FROM documents GROUP BY 1)
@@ -2883,21 +2920,11 @@ object TextQueries {
     // category counts + the shared kernel make streamed ≡ batch on any
     // batching (and on any compaction point).
     "dq_drift_chisq_stream" -> chisqOracle,
-    "dq_drift_lang" ->
-      """WITH a AS (SELECT lang AS cat FROM documents WHERE doc_id % 2 = 0),
-        |b AS (SELECT lang AS cat FROM documents WHERE doc_id % 2 = 1),
-        |ca AS (SELECT cat, count(*) AS n_a FROM a GROUP BY 1),
-        |cb AS (SELECT cat, count(*) AS n_b FROM b GROUP BY 1),
-        |j AS (SELECT coalesce(ca.n_a, 0) AS n_a, coalesce(cb.n_b, 0) AS n_b
-        |  FROM ca FULL OUTER JOIN cb ON ca.cat = cb.cat),
-        |t AS (SELECT (SELECT count(*) FROM a) AS ta,
-        |             (SELECT count(*) FROM b) AS tb)
-        |SELECT ta AS n_a, tb AS n_b,
-        |  count(*) AS n_categories,
-        |  CAST(sum(CASE WHEN abs(j.n_a*tb - j.n_b*ta) > 0 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_diverged,
-        |  CAST(sum(abs(j.n_a*tb - j.n_b*ta)) AS DOUBLE)/(2*ta*tb) AS tvd
-        |FROM j CROSS JOIN t GROUP BY ta, tb""".stripMargin,
+    // The streamed face reuses the batch oracle VERBATIM: additive
+    // category counts + the shared TVD kernel make streamed ≡ batch on
+    // any batching (and on any compaction point).
+    "dq_drift_lang_stream" -> driftLangOracle,
+    "dq_drift_lang" -> driftLangOracle,
     "dq_drift_nchars" ->
       """WITH a AS (SELECT least(15, (greatest(n_chars, 0) * 16) // 4096)
         |    AS cat FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
