@@ -531,7 +531,14 @@ object Bench {
     // full-set run — 206 queries, 251.0 s, 206/206, zero failures,
     // zero regressions, ZERO suspects, aggregate 0.846x of pins,
     // load_avg 2.06 (BASELINE.md "Round 11").
-    "t_dedup_bloom_stream" -> 0.77)
+    "t_dedup_bloom_stream" -> 0.77,
+    // Round-11 third-wave first-ship pins (the last three streamed
+    // faces brought under the oracle gate), from the round's eighth
+    // full-set run — 209 queries, 262.1 s, 209/209, zero failures,
+    // zero regressions, ZERO suspects, aggregate 0.872x of pins,
+    // load_avg 0.32 (BASELINE.md "Round 11").
+    "dq_drift_lang_stream" -> 0.82, "t_kmv_overlap_stream" -> 1.23,
+    "a8_hll_stream" -> 1.34)
 
   def main(args: Array[String]): Unit = {
     val wallStart = System.nanoTime()
