@@ -65,8 +65,11 @@ object RetrievalQueries {
       val st = Tables.freshScratchDir("kmv_stream", d) + "/state"
       val ev = Tables.load(s, d, "events")
       (0 to 2).foreach { i =>
+        // coalesce: the split must PARTITION the table — a null
+        // event_id would otherwise match no batch and silently drop
+        // its (type, user) pair from the streamed sketch.
         graft.streaming.KmvStream.applyBatch(
-          ev.where(pmod(col("event_id"), lit(3)) === i),
+          ev.where(pmod(coalesce(col("event_id"), lit(0L)), lit(3)) === i),
           st, "event_type", "user_id", k = 64)
       }
       graft.streaming.KmvStream.pairwiseEstimates(s, st, k = 64)

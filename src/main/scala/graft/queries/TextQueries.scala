@@ -976,7 +976,9 @@ object TextQueries {
       graft.streaming.DriftStream.compact(s, st)
       graft.streaming.DriftStream.applyCategoryBatch(
         dd.where(col("doc_id") % 4 === 2), 1L, st, "lang")
-      val ref = dd.where(col("doc_id") % 2 === 1)
+      // Null symmetry with the null-excluding categorical state — the
+      // oracle's halves carry the identical predicate.
+      val ref = dd.where(col("doc_id") % 2 === 1 && col("lang").isNotNull)
         .groupBy(col("lang").as("cat")).agg(count(lit(1)).as("n"))
       graft.streaming.DriftStream.chisqAgainstReference(s, st, ref)
     }),
@@ -997,9 +999,13 @@ object TextQueries {
       graft.streaming.DriftStream.compact(s, st)
       graft.streaming.DriftStream.applyCategoryBatch(
         dd.where(col("doc_id") % 4 === 2), 1L, st, "lang")
-      val ref = dd.where(col("doc_id") % 2 === 1)
+      // The categorical state excludes NULL categories by design
+      // (DriftStream.applyCategoryBatch), so the reference carries the
+      // IDENTICAL predicate — and the oracle both its halves — keeping
+      // engine ≡ oracle on a null-bearing corpus too.
+      val ref = dd.where(col("doc_id") % 2 === 1 && col("lang").isNotNull)
         .groupBy(col("lang").as("cat")).agg(count(lit(1)).as("n"))
-      graft.streaming.DriftStream.tvdAgainstReference(s, st, ref)
+      graft.streaming.DriftStream.tvdCategoriesAgainstReference(s, st, ref)
     }),
 
     // Numeric drift through the shared pinned histogram grid: n_chars
@@ -2171,6 +2177,11 @@ object TextQueries {
        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
        |FROM zcv GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  private lazy val driftLangStreamOracle: String =
+    driftLangOracle
+      .replace("WHERE doc_id % 2 = 0", "WHERE doc_id % 2 = 0 AND lang IS NOT NULL")
+      .replace("WHERE doc_id % 2 = 1", "WHERE doc_id % 2 = 1 AND lang IS NOT NULL")
+
   private lazy val driftLangOracle: String =
     """WITH a AS (SELECT lang AS cat FROM documents WHERE doc_id % 2 = 0),
       |b AS (SELECT lang AS cat FROM documents WHERE doc_id % 2 = 1),
@@ -2919,11 +2930,16 @@ object TextQueries {
     // The streamed face reuses the batch oracle VERBATIM: additive
     // category counts + the shared kernel make streamed ≡ batch on any
     // batching (and on any compaction point).
-    "dq_drift_chisq_stream" -> chisqOracle,
-    // The streamed face reuses the batch oracle VERBATIM: additive
-    // category counts + the shared TVD kernel make streamed ≡ batch on
-    // any batching (and on any compaction point).
-    "dq_drift_lang_stream" -> driftLangOracle,
+    // Restricted to the NON-NULL category domain on both halves — the
+    // categorical state excludes nulls by design and the registered
+    // reference mirrors it; coincides with the batch oracle on the
+    // null-free synthetic corpus.
+    "dq_drift_chisq_stream" -> chisqStreamOracle,
+    // The streamed face's oracle is the batch oracle restricted to the
+    // NON-NULL category domain on both halves — the categorical state
+    // excludes nulls by design, and the registered reference mirrors
+    // it; on the (null-free) synthetic corpus the two coincide.
+    "dq_drift_lang_stream" -> driftLangStreamOracle,
     "dq_drift_lang" -> driftLangOracle,
     "dq_drift_nchars" ->
       """WITH a AS (SELECT least(15, (greatest(n_chars, 0) * 16) // 4096)
@@ -3504,6 +3520,11 @@ object TextQueries {
          |    / CAST(count(*) AS DOUBLE) AS hapax_share
          |FROM wc GROUP BY 1 ORDER BY 1""".stripMargin
   )
+
+  private lazy val chisqStreamOracle: String =
+    chisqOracle
+      .replace("WHERE doc_id % 2 = 0", "WHERE doc_id % 2 = 0 AND lang IS NOT NULL")
+      .replace("WHERE doc_id % 2 = 1", "WHERE doc_id % 2 = 1 AND lang IS NOT NULL")
 
   private lazy val chisqOracle: String =
     """WITH a AS (SELECT lang AS cat, count(*) AS n_a FROM documents

@@ -122,6 +122,20 @@ object DriftStream {
                             reference: DataFrame): DataFrame =
     Drift.chisqFromCounts(currentCategories(spark, statePath), reference)
 
+  /** One-row TVD verdict of the maintained CATEGORICAL counts against a
+    * reference (cat, n) distribution — the single drift score beside
+    * [[chisqAgainstReference]]'s attribution, through the same
+    * [[Drift.totalVariationFromCounts]] kernel. Distinct from the
+    * numeric [[tvdAgainstReference]] only in the empty-state fallback:
+    * this one types `cat` as STRING, so a never-started categorical
+    * stream cannot produce a type-coerced join against a string-keyed
+    * reference.
+    */
+  def tvdCategoriesAgainstReference(spark: SparkSession, statePath: String,
+                                    reference: DataFrame): DataFrame =
+    Drift.totalVariationFromCounts(
+      currentCategories(spark, statePath), reference)
+
   /** Fold all (cat, n) partials — numeric-histogram or categorical
     * state, both share the layout — into one compacted directory:
     * read-equivalent before/after, replay of folded batches ignored
