@@ -57,7 +57,13 @@ object Drift {
   /** TVD from ALREADY-AGGREGATED (cat, n) count tables — the entry
     * point for maintained/streamed histograms where the raw rows are
     * long gone. Same exact-integer cross-multiplication; absent
-    * categories count 0.
+    * categories count 0. The final division is a TRY_DIVIDE: with an
+    * EMPTY side (a never-started stream probed against a reference)
+    * every cross-multiplied term carries the zero total, and under
+    * Spark 4's default ANSI mode a plain `/` would throw
+    * DIVIDE_BY_ZERO and kill the monitoring read — the degenerate
+    * verdict is a NULL tvd (counts still report "0 rows vs the
+    * reference"), identical to `/` on every non-degenerate input.
     */
   def totalVariationFromCounts(a: DataFrame, b: DataFrame): DataFrame = {
     val ca = a.select(col("cat"), col("n").cast("long").as("n_a"))
@@ -76,8 +82,8 @@ object Drift {
         count(lit(1)).as("n_categories"))
       .select(col("_ta").as("n_a"), col("_tb").as("n_b"),
         col("n_categories"), col("n_diverged"),
-        col("_sx").cast("double")
-          ./(lit(2L) * col("_ta") * col("_tb")).as("tvd"))
+        try_divide(col("_sx").cast("double"),
+          (lit(2L) * col("_ta") * col("_tb")).cast("double")).as("tvd"))
   }
 
   /** Per-category two-sample χ² contributions from ALREADY-AGGREGATED

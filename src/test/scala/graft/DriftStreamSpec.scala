@@ -118,6 +118,45 @@ class DriftStreamSpec extends AnyFunSuite {
     assert(streamedVerdict === 1.0) // fully disjoint bucket mass
   }
 
+  test("categorical TVD face: matches batch kernel, string-safe on empty state") {
+    val dir = s"${sys.props("java.io.tmpdir")}/drift_ctvd_${System.nanoTime()}"
+    def cat(i: Long): String = Seq("en", "de", "fr", "es")((i % 4).toInt)
+    def catEvs(is: Seq[Long]): Seq[Ev] = is.map(i =>
+      Ev(i, t((i % 50).toInt), i, cat(i), 0.0, "{}"))
+    val now = (1L to 240L)
+    DriftStream.applyCategoryBatch(catEvs(now.take(100)).toDF(), 0L,
+      s"$dir/state", "event_type")
+    DriftStream.applyCategoryBatch(catEvs(now.drop(100)).toDF(), 1L,
+      s"$dir/state", "event_type")
+    val ref = (1L to 300L).map(i => cat(i * i)).toDF("c")
+      .groupBy($"c".as("cat")).agg(count(lit(1)).as("n"))
+    val streamed = DriftStream
+      .tvdCategoriesAgainstReference(spark, s"$dir/state", ref)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val oneShot = Drift.totalVariationFromCounts(
+        now.map(cat).toDF("c").groupBy($"c".as("cat"))
+          .agg(count(lit(1)).as("n")), ref)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(streamed === oneShot)
+    assert(streamed.head._1 === 240L)
+    // NEVER-STARTED categorical stream: the face's empty-state fallback
+    // must type cat as STRING so the full-outer join against a string
+    // reference is not type-coerced — the reference's categories survive
+    // intact (n_b, n_categories readable as "no data vs a 300-row
+    // reference"); the TVD itself is honestly degenerate there (every
+    // cross-multiplied term carries the zero total → NULL via
+    // try_divide; a plain ANSI `/` would throw DIVIDE_BY_ZERO and kill
+    // the read — the regression this test pins).
+    val empty = DriftStream.tvdCategoriesAgainstReference(spark,
+        s"$dir/never_started", ref)
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(empty._1 === 0L)      // n_a: no stream data
+    assert(empty._2 === 300L)    // n_b: the reference intact, not coerced
+    assert(empty._3 === 2L)      // both reference cats present (squares
+                                 // mod 4 ∈ {0,1} → "en"/"de" only)
+    assert(empty._5.isEmpty)     // degenerate verdict: NULL, not a crash
+  }
+
   test("compaction: χ² report unchanged, folded replay ignored, dirs bounded") {
     val dir = s"${sys.props("java.io.tmpdir")}/drift_cp_${System.nanoTime()}"
     val st = s"$dir/state"
