@@ -83,7 +83,8 @@ object Drift {
       .select(col("_ta").as("n_a"), col("_tb").as("n_b"),
         col("n_categories"), col("n_diverged"),
         try_divide(col("_sx").cast("double"),
-          (lit(2L) * col("_ta") * col("_tb")).cast("double")).as("tvd"))
+          lit(2d) * col("_ta").cast("double") * col("_tb").cast("double"))
+          .as("tvd"))
   }
 
   /** Per-category two-sample χ² contributions from ALREADY-AGGREGATED

@@ -2927,9 +2927,6 @@ object TextQueries {
         |FROM s CROSS JOIN t LEFT JOIN c ON c.bucket = s.bucket
         |ORDER BY 1""".stripMargin,
     "dq_drift_chisq" -> chisqOracle,
-    // The streamed face reuses the batch oracle VERBATIM: additive
-    // category counts + the shared kernel make streamed ≡ batch on any
-    // batching (and on any compaction point).
     // Restricted to the NON-NULL category domain on both halves — the
     // categorical state excludes nulls by design and the registered
     // reference mirrors it; coincides with the batch oracle on the

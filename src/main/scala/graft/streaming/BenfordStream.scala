@@ -31,15 +31,36 @@ import graft.operators.Benford
   */
 object BenfordStream {
 
-  /** Start-ready writer maintaining first-digit counts of `valCol`. */
+  /** Start-ready writer maintaining first-digit counts of `valCol`,
+    * folding its own partials every `compactEvery` batches — bounded
+    * directory growth without caller discipline.
+    */
   def digitWriter(events: DataFrame, statePath: String, checkpoint: String,
-                  valCol: String): DataStreamWriter[Row] =
+                  valCol: String,
+                  compactEvery: Int = PartialState.DefaultCompactEvery)
+  : DataStreamWriter[Row] =
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, statePath, valCol)
+        maintainBatch(batch, batchId, statePath, valCol, compactEvery)
       }
+
+  /** The writer's per-batch maintenance — apply the batch, then fold
+    * the partials on the cadence ([[PartialState.cadenceDue]]). This
+    * IS the `foreachBatch` body, named so the bounded-growth contract
+    * is spec-replayable without a live stream.
+    */
+  def maintainBatch(batch: DataFrame, batchId: Long, statePath: String,
+                    valCol: String,
+                    compactEvery: Int = PartialState.DefaultCompactEvery)
+  : Unit = {
+    applyBatch(batch, batchId, statePath, valCol)
+    if (PartialState.cadenceDue(batchId, compactEvery)) {
+      compact(batch.sparkSession, statePath)
+      ()
+    }
+  }
 
   /** One micro-batch (also the batch/backfill entry point): THIS
     * batch's digit counts to its own directory — replay overwrites,

@@ -61,33 +61,66 @@ object BloomStream {
                          mBits: Int, stamp: Boolean): Unit = {
     val root = new Path(statePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val recorded =
-      if (!fs.exists(root)) None
+    def markers(): List[Int] =
+      if (!fs.exists(root)) Nil
       else fs.listStatus(root).iterator.map(_.getPath.getName)
         .filter(_.startsWith(".mbits-"))
         .flatMap(_.stripPrefix(".mbits-").toIntOption)
-        .nextOption()
-    recorded match {
-      case Some(m) =>
+        .toList.sorted
+    def validate(ms: List[Int]): Unit = ms match {
+      case m :: Nil =>
         require(m == mBits, s"bloom bitmap width mismatch: state at " +
           s"$statePath was written with mBits=$m, caller passed $mBits")
-      case None if stamp =>
-        fs.mkdirs(root)
-        fs.create(new Path(root, s".mbits-$mBits"), true).close()
-      case None => // no state yet: nothing to validate against
+      case Nil => // no state yet: nothing to validate against
+      case many =>
+        // Two concurrent FIRST writers with different widths each
+        // stamped their own marker file — the state mixes widths and
+        // no read of it is trustworthy. Loud, not listing-order luck.
+        throw new IllegalStateException(
+          s"bloom state at $statePath carries ${many.size} width " +
+            s"markers (${many.mkString(", ")}): concurrent first " +
+            "writers disagreed on mBits; the state is mixed-width " +
+            "and must be rebuilt")
     }
+    val seen = markers()
+    if (seen.isEmpty && stamp) {
+      fs.mkdirs(root)
+      // createNewFile is the atomic variant: a same-width racer loses
+      // the create benignly. A DIFFERENT-width racer creates a
+      // different file name, so atomicity alone can't elect a winner —
+      // the post-stamp re-list below is what catches that, loudly.
+      fs.createNewFile(new Path(root, s".mbits-$mBits"))
+      validate(markers())
+    } else validate(seen)
   }
 
   /** Start-ready writer maintaining the bit-hit counts of `textCol`. */
   def bitWriter(events: DataFrame, statePath: String, checkpoint: String,
-                textCol: String, mBits: Int = DefaultBits)
+                textCol: String, mBits: Int = DefaultBits,
+                compactEvery: Int = PartialState.DefaultCompactEvery)
   : DataStreamWriter[Row] =
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, statePath, textCol, mBits)
+        maintainBatch(batch, batchId, statePath, textCol, mBits,
+          compactEvery)
       }
+
+  /** The writer's per-batch maintenance — apply the batch, then fold
+    * the partials on the cadence ([[PartialState.cadenceDue]]). The
+    * `foreachBatch` body, named for spec replay.
+    */
+  def maintainBatch(batch: DataFrame, batchId: Long, statePath: String,
+                    textCol: String, mBits: Int = DefaultBits,
+                    compactEvery: Int = PartialState.DefaultCompactEvery)
+  : Unit = {
+    applyBatch(batch, batchId, statePath, textCol, mBits)
+    if (PartialState.cadenceDue(batchId, compactEvery)) {
+      compact(batch.sparkSession, statePath)
+      ()
+    }
+  }
 
   /** One micro-batch (also the batch/backfill entry point): THIS
     * batch's bit-hit counts to its own directory — replay overwrites,

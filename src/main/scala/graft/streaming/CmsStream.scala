@@ -29,14 +29,31 @@ object CmsStream {
 
   /** Start-ready writer maintaining the counter grid of `keyCol`. */
   def gridWriter(events: DataFrame, statePath: String, checkpoint: String,
-                 keyCol: String, depth: Int, prefixLen: Int)
+                 keyCol: String, depth: Int, prefixLen: Int,
+                 compactEvery: Int = PartialState.DefaultCompactEvery)
   : DataStreamWriter[Row] =
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, statePath, keyCol, depth, prefixLen)
+        maintainBatch(batch, batchId, statePath, keyCol, depth, prefixLen,
+          compactEvery)
       }
+
+  /** The writer's per-batch maintenance — apply the batch, then fold
+    * the partials on the cadence ([[PartialState.cadenceDue]]). The
+    * `foreachBatch` body, named for spec replay.
+    */
+  def maintainBatch(batch: DataFrame, batchId: Long, statePath: String,
+                    keyCol: String, depth: Int, prefixLen: Int,
+                    compactEvery: Int = PartialState.DefaultCompactEvery)
+  : Unit = {
+    applyBatch(batch, batchId, statePath, keyCol, depth, prefixLen)
+    if (PartialState.cadenceDue(batchId, compactEvery)) {
+      compact(batch.sparkSession, statePath)
+      ()
+    }
+  }
 
   /** One micro-batch: THIS batch's grid to its own directory. */
   def applyBatch(batch: DataFrame, batchId: Long, statePath: String,

@@ -33,13 +33,33 @@ object DriftStream {
     */
   def histogramWriter(events: DataFrame, statePath: String,
                       checkpoint: String, valCol: String,
-                      lo: Long, hi: Long, nb: Int): DataStreamWriter[Row] =
+                      lo: Long, hi: Long, nb: Int,
+                      compactEvery: Int = PartialState.DefaultCompactEvery)
+  : DataStreamWriter[Row] =
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, statePath, valCol, lo, hi, nb)
+        maintainBatch(batch, batchId, statePath, valCol, lo, hi, nb,
+          compactEvery)
       }
+
+  /** The numeric writer's per-batch maintenance — apply the batch,
+    * then fold the partials on the cadence
+    * ([[PartialState.cadenceDue]]). This IS the `foreachBatch` body,
+    * named so the bounded-growth contract is spec-replayable without
+    * a live stream.
+    */
+  def maintainBatch(batch: DataFrame, batchId: Long, statePath: String,
+                    valCol: String, lo: Long, hi: Long, nb: Int,
+                    compactEvery: Int = PartialState.DefaultCompactEvery)
+  : Unit = {
+    applyBatch(batch, batchId, statePath, valCol, lo, hi, nb)
+    if (PartialState.cadenceDue(batchId, compactEvery)) {
+      compact(batch.sparkSession, statePath)
+      ()
+    }
+  }
 
   /** One micro-batch (also the batch/backfill entry point): bucket
     * counts for THIS batch only, written to the batch's own directory —
@@ -82,14 +102,31 @@ object DriftStream {
 
   /** Start-ready writer maintaining per-category counts of `catCol`. */
   def categoryWriter(events: DataFrame, statePath: String,
-                     checkpoint: String, catCol: String)
+                     checkpoint: String, catCol: String,
+                     compactEvery: Int = PartialState.DefaultCompactEvery)
   : DataStreamWriter[Row] =
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyCategoryBatch(batch, batchId, statePath, catCol)
+        maintainCategoryBatch(batch, batchId, statePath, catCol,
+          compactEvery)
       }
+
+  /** The categorical writer's per-batch maintenance — apply the
+    * batch, then fold on the cadence. The `foreachBatch` body, named
+    * for spec replay.
+    */
+  def maintainCategoryBatch(batch: DataFrame, batchId: Long,
+                            statePath: String, catCol: String,
+                            compactEvery: Int =
+                              PartialState.DefaultCompactEvery): Unit = {
+    applyCategoryBatch(batch, batchId, statePath, catCol)
+    if (PartialState.cadenceDue(batchId, compactEvery)) {
+      compact(batch.sparkSession, statePath)
+      ()
+    }
+  }
 
   /** One micro-batch: THIS batch's category counts to its own
     * directory — replay overwrites, never accumulates.

@@ -39,13 +39,30 @@ object DupRateStream {
 
   /** Start-ready writer maintaining content-hash counts of `textCol`. */
   def hashWriter(events: DataFrame, statePath: String, checkpoint: String,
-                 textCol: String): DataStreamWriter[Row] =
+                 textCol: String,
+                 compactEvery: Int = PartialState.DefaultCompactEvery)
+  : DataStreamWriter[Row] =
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, statePath, textCol)
+        maintainBatch(batch, batchId, statePath, textCol, compactEvery)
       }
+
+  /** The writer's per-batch maintenance — apply the batch, then fold
+    * the partials on the cadence ([[PartialState.cadenceDue]]). The
+    * `foreachBatch` body, named for spec replay.
+    */
+  def maintainBatch(batch: DataFrame, batchId: Long, statePath: String,
+                    textCol: String,
+                    compactEvery: Int = PartialState.DefaultCompactEvery)
+  : Unit = {
+    applyBatch(batch, batchId, statePath, textCol)
+    if (PartialState.cadenceDue(batchId, compactEvery)) {
+      compact(batch.sparkSession, statePath)
+      ()
+    }
+  }
 
   /** One micro-batch (also the batch/backfill entry point): THIS
     * batch's hash counts to its own directory — replay overwrites,

@@ -27,12 +27,18 @@ import graft.operators.Anonymity
   * injective per column type, so the class partition — and therefore
   * every count the report aggregates — is unchanged, while the state
   * schema stays fixed for any key arity/type mix (one reader recipe,
-  * no per-face schema plumbing). Caveat: for FLOATING-POINT keys the
-  * render is finer than Spark's groupBy equality (which normalizes
-  * -0.0 to 0.0 and NaNs to one NaN before grouping) — but raw float
-  * equality is not a sane quasi-identifier anyway; band or round such
-  * columns first (the dq_anon_ladder rungs show the construction),
-  * which also makes the class partition meaningful.
+  * no per-face schema plumbing). CONTRACT (round 12): the rendered
+  * partition IS the batch kernel's `groupBy` partition for every
+  * column type, floating point included — float/double QIs are
+  * normalized to aggregate equality BEFORE the render (-0.0 → 0.0 via
+  * IEEE `x + 0.0`; every NaN payload → the one canonical NaN), the
+  * same normalization Spark's own NormalizeFloatingNumbers applies to
+  * group keys, so "-0.0" vs "0.0" can never split a class that the
+  * batch gate counts as one (machine-asserted in KAnonStreamSpec's
+  * double-QI case). Raw float equality is still a questionable
+  * quasi-identifier — banding/rounding (the dq_anon_ladder rungs)
+  * remains the recommended modelling — but a fractional QI is now
+  * exact, not caveated.
   *
   * Scale: per batch one grouped count over the batch only, to
   * |classes-in-batch| rows; state grows one tiny parquet per batch
@@ -45,13 +51,30 @@ object KAnonStream {
 
   /** Start-ready writer maintaining class sizes of the `keys` tuple. */
   def qiWriter(events: DataFrame, statePath: String, checkpoint: String,
-               keys: Seq[String]): DataStreamWriter[Row] =
+               keys: Seq[String],
+               compactEvery: Int = PartialState.DefaultCompactEvery)
+  : DataStreamWriter[Row] =
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, statePath, keys)
+        maintainBatch(batch, batchId, statePath, keys, compactEvery)
       }
+
+  /** The writer's per-batch maintenance — apply the batch, then fold
+    * the partials on the cadence ([[PartialState.cadenceDue]]). The
+    * `foreachBatch` body, named for spec replay.
+    */
+  def maintainBatch(batch: DataFrame, batchId: Long, statePath: String,
+                    keys: Seq[String],
+                    compactEvery: Int = PartialState.DefaultCompactEvery)
+  : Unit = {
+    applyBatch(batch, batchId, statePath, keys)
+    if (PartialState.cadenceDue(batchId, compactEvery)) {
+      compact(batch.sparkSession, statePath, keys)
+      ()
+    }
+  }
 
   /** One micro-batch (also the batch/backfill entry point): THIS
     * batch's class sizes to its own directory — replay overwrites,
@@ -61,9 +84,32 @@ object KAnonStream {
                  keys: Seq[String]): Unit = {
     if (batch.isEmpty) return
     Anonymity.qiCounts(
-        batch.select(keys.map(k => col(k).cast("string").as(k)): _*), keys)
+        batch.select(keys.map(k => renderQi(batch, k)): _*), keys)
       .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
     ()
+  }
+
+  /** One QI column as its state-key string. Floating-point columns are
+    * normalized to the exact equality `groupBy` uses BEFORE rendering
+    * — `x + 0.0` is the IEEE -0.0 → 0.0 normalizer, `isnan` routes
+    * every NaN bit pattern to the canonical literal — so the streamed
+    * class partition coincides with the batch kernel's for every
+    * column type. Nulls pass through every branch (isnan(null) is
+    * null → otherwise → null + 0.0 is null), so the null class is
+    * shared too. All other types render injectively as-is.
+    */
+  private def renderQi(batch: DataFrame, k: String)
+  : org.apache.spark.sql.Column = {
+    val c = col(k)
+    batch.schema(k).dataType match {
+      case org.apache.spark.sql.types.DoubleType =>
+        when(isnan(c), lit(Double.NaN)).otherwise(c + lit(0d))
+          .cast("string").as(k)
+      case org.apache.spark.sql.types.FloatType =>
+        when(isnan(c), lit(Float.NaN)).otherwise(c + lit(0f))
+          .cast("string").as(k)
+      case _ => c.cast("string").as(k)
+    }
   }
 
   /** The maintained class-size table: per-tuple totals over all

@@ -44,12 +44,16 @@ import org.apache.spark.sql.functions._
   * folded partials are ignored; a failed GC is retried by the next
   * compact.
   *
-  * Call [[compact]] from the stream's own maintenance point (e.g.
-  * every N-th `foreachBatch`) or any quiesced moment — it must not
-  * race a concurrent overwrite of a partial it is reading, the same
+  * Every face's stream WRITER invokes [[compact]] on its own cadence
+  * (the `compactEvery` knob, default [[DefaultCompactEvery]], via
+  * [[cadenceDue]] inside `foreachBatch` — round 12), so a deployment
+  * cannot forget the fold; an explicit [[compact]] from any quiesced
+  * moment remains valid for maintenance jobs. Either way it must not
+  * race a concurrent overwrite of a partial it is reading — the same
   * single-writer discipline the per-batch overwrite recipe already
-  * requires. A batch id ABOVE the folded high-water mark written
-  * concurrently is never selected for GC and survives untouched.
+  * requires, and which `foreachBatch` provides by construction. A
+  * batch id ABOVE the folded high-water mark written concurrently is
+  * never selected for GC and survives untouched.
   *
   * Read-equivalence is a claim about state CONTENTS: any read STARTED
   * after any step of a compact sums to the same table. An IN-FLIGHT
@@ -65,6 +69,26 @@ import org.apache.spark.sql.functions._
   * windows, exactly like any other lake-table file rewrite.
   */
 private[streaming] object PartialState {
+
+  /** Default writer-driven compaction cadence (micro-batches between
+    * folds): small enough that the live-directory count any read
+    * lists stays O(cadence) — the bound that keeps an always-on
+    * stream's file listing flat forever — and large enough that the
+    * fold (one read+rewrite of ≤ cadence tiny partials) amortizes to
+    * noise against the per-batch write itself.
+    */
+  val DefaultCompactEvery = 64
+
+  /** Writer-cadence predicate: fold after the batch whose id completes
+    * a `compactEvery`-sized stride (ids 63, 127, … at the default) —
+    * anchored at id 0, so the schedule is a pure function of the
+    * checkpoint's batch ids and a restarted stream folds on the same
+    * batches it would have the first time. Non-positive cadence
+    * disables writer-driven folding (explicit-maintenance
+    * deployments).
+    */
+  def cadenceDue(batchId: Long, compactEvery: Int): Boolean =
+    compactEvery > 0 && batchId >= 0 && (batchId + 1) % compactEvery == 0
 
   private val Prefix = "batch="
   private val CompactedPrefix = "batch=compacted-"

@@ -76,7 +76,7 @@ class BloomStreamSpec extends AnyFunSuite {
     // SUMS unchanged, not merely the set-bit membership.
     def counts: Map[Long, Long] =
       spark.read.parquet(new java.io.File(st).listFiles()
-          .filter(_.isDirectory).map(_.getPath): _*)
+          .filter(_.isDirectory).map(_.getPath).toIndexedSeq: _*)
         .groupBy("bit").agg(org.apache.spark.sql.functions.sum("n").as("n"))
         .as[(Long, Long)].collect().toMap
     BloomStream.applyBatch(batch, 5L, st, "text")

@@ -111,4 +111,40 @@ class KAnonStreamSpec extends AnyFunSuite {
     assert(KAnonStream.compact(spark, st, keys) === 3L)
     assert(dirs === Seq("batch=compacted-3"))
   }
+
+  test("double-typed QI agrees with the batch kernel (-0.0, 0.0, NaN)") {
+    // The round-12 contract: float/double QIs are normalized to
+    // groupBy equality BEFORE the string render, so a class the batch
+    // gate counts as ONE can never split across partials. The fixture
+    // plants the two historic splitters — -0.0 vs 0.0 and NaN — in
+    // DIFFERENT batches, where an un-normalized render ("-0.0" ≠
+    // "0.0") would manufacture extra classes.
+    val dir = s"${sys.props("java.io.tmpdir")}/kanon_dq_${System.nanoTime()}"
+    val st = s"$dir/state"
+    val dkeys = Seq("score", "band")
+    val b0 = Seq[(java.lang.Double, String)]((0.0, "a"), (1.25, "a"),
+      (Double.NaN, "b"), (2.5, "b"), (null, "b")).toDF("score", "band")
+    val b1 = Seq[(java.lang.Double, String)]((-0.0, "a"), (1.25, "a"),
+      (Double.NaN, "b"), (-0.0, "a"), (null, "b")).toDF("score", "band")
+    KAnonStream.applyBatch(b0, 0L, st, dkeys)
+    KAnonStream.applyBatch(b1, 1L, st, dkeys)
+    val streamed = KAnonStream.report(spark, st, dkeys, k = 3)
+      .as[Rep].collect().toSeq
+    val oneShot = Anonymity.reportFromCounts(
+        Anonymity.qiCounts(b0.unionAll(b1), dkeys), k = 3)
+      .as[Rep].collect().toSeq
+    assert(streamed === oneShot)
+    // And the partition itself: (0.0, a) spans both batches as ONE
+    // class of 3 (0.0 + two -0.0), NaN is one class of 2, null one
+    // class of 2 — 5 classes total, not the 7 a raw render would make.
+    val counts = KAnonStream.currentCounts(spark, st, dkeys)
+      .as[(String, String, Long)].collect()
+      .map { case (s, b, n) => ((s, b), n) }.toMap
+    assert(counts.size === 5)
+    assert(counts(("0.0", "a")) === 3L)
+    assert(counts(("NaN", "b")) === 2L)
+    assert(counts((null, "b")) === 2L)
+    assert(counts(("1.25", "a")) === 2L)
+    assert(counts(("2.5", "b")) === 1L)
+  }
 }
