@@ -158,9 +158,7 @@ object ScaleUp {
     */
   private def events(spark: SparkSession, n: Long, users: Long)
   : DataFrame = {
-    val id = col("event_id")
     val windowSec = 30L * 24 * 3600
-    val offset = u01(lit("ts"), id) * lit(windowSec.toDouble)
     val types = array(lit("view"), lit("click"), lit("signup"),
       lit("purchase"), lit("error"))
     spark.range(n).select(col("id").as("_seq"))
