@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One-off decade-up test-data extrapolator (round-12 scale probe):
@@ -61,11 +61,17 @@ object ScaleUp {
       .write.mode(SaveMode.Overwrite).parquet(s"$dest/$name.parquet")
 
   /** Replicate a table ×factor, remapping each listed key column by
-    * `k + copy·span` where span is the source keyspace size (keys are
-    * contiguous 0..span-1 in the driver corpus — asserted).
+    * `k + copy·span` where span is the source keyspace size. The
+    * remap is injective iff every key value sits in [0, span), which
+    * is all that is asserted for FOREIGN keys — a valid corpus may
+    * simply never reference some parent key. Only the table's OWN
+    * primary key (`pks`) is additionally asserted contiguous
+    * 0..span-1, the witness that span (= the parent row count) is the
+    * right keyspace size.
     */
   private def replicate(spark: SparkSession, src: String, name: String,
                         factor: Int, keySpans: Map[String, Long],
+                        pks: Set[String] = Set.empty,
                         rewrite: Map[String, Column] = Map.empty)
   : DataFrame = {
     val base = spark.read.parquet(s"$src/$name.parquet")
@@ -74,8 +80,12 @@ object ScaleUp {
         .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaLong,
           org.apache.spark.sql.Encoders.scalaLong)).head()
-      require(lo == 0L && hi == span - 1,
-        s"$name.$k keyspace [$lo,$hi] is not contiguous 0..${span - 1}")
+      if (pks(k))
+        require(lo == 0L && hi == span - 1,
+          s"$name.$k keyspace [$lo,$hi] is not contiguous 0..${span - 1}")
+      else
+        require(lo >= 0L && hi < span,
+          s"$name.$k FK range [$lo,$hi] escapes keyspace [0,$span)")
     }
     val copies = spark.range(factor.toLong).select(col("id").as("_copy"))
     val rep = base.crossJoin(broadcast(copies))
@@ -161,14 +171,16 @@ object ScaleUp {
     val windowSec = 30L * 24 * 3600
     val types = array(lit("view"), lit("click"), lit("signup"),
       lit("purchase"), lit("error"))
-    spark.range(n).select(col("id").as("_seq"))
-      // Uniform arrivals sorted by time = sorted uniforms; assigning
-      // the i-th order statistic to event_id i needs a global sort —
-      // one shuffle at generation time, irrelevant to the probe.
+    // Uniform arrivals sorted by time = sorted uniforms; assigning the
+    // i-th order statistic to event_id i needs a global total order.
+    // orderBy range-partitions the sort (distributed), and
+    // zipWithIndex then hands out the ordinal per partition from
+    // summed offsets — no single-partition Window funnel, so the
+    // assignment stays distributed at any factor. (_t, _seq) is a
+    // total order (_seq unique), so the ids are deterministic and
+    // identical to the former row_number() - 1.
+    val sorted = spark.range(n).select(col("id").as("_seq"))
       .withColumn("_t", u01(lit("ts"), col("_seq")))
-      .withColumn("event_id",
-        (row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("_t"), col("_seq"))) - 1).cast("long"))
       .withColumn("ts", timestamp_seconds(
         lit(java.time.Instant.parse("2024-01-01T00:00:00Z")
           .getEpochSecond) + col("_t") * lit(windowSec.toDouble)))
@@ -182,6 +194,17 @@ object ScaleUp {
       .withColumn("props", concat(lit("{\"k\": "),
         pmod(xxhash64(lit("k"), col("_seq")), lit(100)).cast("string"),
         lit("}")))
+      .orderBy(col("_t"), col("_seq"))
+      .select(col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType, nullable = false)
+        +: sorted.schema.fields)
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        Row.fromSeq(i +: r.toSeq)
+      }, schema)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
   }
@@ -210,25 +233,30 @@ object ScaleUp {
     // Relational: replicate with affine key remap (+ key-derived name
     // rewrites so entity names stay unique per key).
     writeOut(replicate(spark, src, "customer", factor,
-      Map("c_custkey" -> nCust),
+      Map("c_custkey" -> nCust), Set("c_custkey"),
       Map("c_name" -> format_string("Customer#%09d", col("c_custkey")))),
       dest, "customer", 4)
     writeOut(replicate(spark, src, "supplier", factor,
-      Map("s_suppkey" -> nSupp),
+      Map("s_suppkey" -> nSupp), Set("s_suppkey"),
       Map("s_name" -> format_string("Supplier#%09d", col("s_suppkey")))),
       dest, "supplier", 1)
     writeOut(replicate(spark, src, "part", factor,
-      Map("p_partkey" -> nPart)), dest, "part", 4)
+      Map("p_partkey" -> nPart), Set("p_partkey")), dest, "part", 4)
     writeOut(replicate(spark, src, "orders", factor,
-      Map("o_orderkey" -> nOrd, "o_custkey" -> nCust)),
-      dest, "orders", 8)
+      Map("o_orderkey" -> nOrd, "o_custkey" -> nCust),
+      Set("o_orderkey")), dest, "orders", 8)
     writeOut(replicate(spark, src, "lineitem", factor,
       Map("l_orderkey" -> nOrd, "l_partkey" -> nPart,
         "l_suppkey" -> nSupp)), dest, "lineitem", 16)
-    // Generated: same law, ×factor the rows (embeddings follow the
-    // driver's own 0.01→0.1 growth of ×4, not ×10).
+    // Generated: same law, ×factor the rows. Embeddings follow the
+    // driver's own ×4-per-decade growth (sf0.01→sf0.1 grew ×4, not
+    // ×10): multiplier = factor^log10(4), so ×4 at factor 10, ×16 at
+    // 100 — derived from the factor, never hardcoded, so a non-decade
+    // factor still lands on the measured law.
+    val embMult = math.round(
+      math.pow(factor.toDouble, math.log10(4d))).max(1L)
     writeOut(documents(spark, nDoc * factor), dest, "documents", 8)
-    writeOut(embeddings(spark, nEmb * 4), dest, "embeddings", 4)
+    writeOut(embeddings(spark, nEmb * embMult), dest, "embeddings", 4)
     writeOut(events(spark, nEv * factor, nCust * factor / 10),
       dest, "events", 8)
     println(s"""{"scaled": "$src -> $dest", "factor": $factor}""")

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
@@ -49,6 +50,73 @@ import graft.operators.Anonymity
   */
 object KAnonStream {
 
+  /** State-key render format version. v2 (round 12) normalizes
+    * float/double QIs (-0.0 → 0.0, canonical NaN) BEFORE the string
+    * render; v1 rendered them raw, so a pre-v2 state directory can
+    * hold "-0.0" / non-canonical-NaN partials that would silently
+    * SPLIT a class when summed with v2 partials. The format is part of
+    * the state's identity exactly like BloomStream's bitmap width, and
+    * only for float/double QIs is v1 ≠ v2 — so the first write of a
+    * float/double-QI tuple stamps a zero-byte `.qifmt-2` marker beside
+    * the partials, and every later float/double-QI write must find it
+    * or fail LOUDLY (an unstamped non-empty state predates the
+    * normalization and must be rebuilt — or compacted through a
+    * one-off normalizing migration — before resuming). Integer/string
+    * QI tuples render identically under both formats and are exempt.
+    */
+  val QiFormatVersion = 2
+
+  private def hasFloatQi(batch: DataFrame, keys: Seq[String]): Boolean =
+    keys.exists(k => batch.schema(k).dataType match {
+      case org.apache.spark.sql.types.DoubleType
+           | org.apache.spark.sql.types.FloatType => true
+      case _ => false
+    })
+
+  /** Stamp-or-validate the render-format marker (see
+    * [[QiFormatVersion]]). Same discipline as BloomStream.checkWidth:
+    * createNewFile is atomic (a same-version racer loses benignly),
+    * and a marker from a DIFFERENT version — or none, over existing
+    * partials — is a loud failure, never a listing-order guess.
+    */
+  private def checkQiFormat(spark: SparkSession, statePath: String)
+  : Unit = {
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def entries() =
+      if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(root)
+    val es = entries()
+    val versions = es.iterator.map(_.getPath.getName)
+      .filter(_.startsWith(".qifmt-"))
+      .flatMap(_.stripPrefix(".qifmt-").toIntOption).toList.sorted
+    val hasPartials = es.exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("batch="))
+    versions match {
+      case v :: Nil =>
+        require(v == QiFormatVersion,
+          s"k-anonymity state at $statePath renders float QIs with " +
+            s"format v$v, this writer uses v$QiFormatVersion; rebuild " +
+            "the state (or migrate it) before resuming")
+      case Nil if hasPartials =>
+        throw new IllegalStateException(
+          s"k-anonymity state at $statePath holds float/double-QI " +
+            "partials with NO render-format marker: it predates the " +
+            s"v$QiFormatVersion float normalization (-0.0/NaN) and " +
+            "may split classes if summed with new partials; rebuild " +
+            "the state before resuming")
+      case Nil =>
+        fs.mkdirs(root)
+        fs.createNewFile(new Path(root, s".qifmt-$QiFormatVersion"))
+        ()
+      case many =>
+        throw new IllegalStateException(
+          s"k-anonymity state at $statePath carries ${many.size} " +
+            s"format markers (${many.mkString(", ")}); the state is " +
+            "mixed-format and must be rebuilt")
+    }
+  }
+
   /** Start-ready writer maintaining class sizes of the `keys` tuple. */
   def qiWriter(events: DataFrame, statePath: String, checkpoint: String,
                keys: Seq[String],
@@ -83,6 +151,11 @@ object KAnonStream {
   def applyBatch(batch: DataFrame, batchId: Long, statePath: String,
                  keys: Seq[String]): Unit = {
     if (batch.isEmpty) return
+    // The render format only matters where v1 and v2 differ —
+    // float/double QIs; integer/string tuples are format-invariant
+    // and skip the marker entirely.
+    if (hasFloatQi(batch, keys))
+      checkQiFormat(batch.sparkSession, statePath)
     Anonymity.qiCounts(
         batch.select(keys.map(k => renderQi(batch, k)): _*), keys)
       .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")

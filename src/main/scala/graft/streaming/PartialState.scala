@@ -67,6 +67,18 @@ import org.apache.spark.sql.functions._
   * (`localCheckpoint()`/`collect()`, as the probe faces already do);
   * a deployment with external readers runs compact in their quiesced
   * windows, exactly like any other lake-table file rewrite.
+  *
+  * == BEHAVIOR CHANGE (round 12) — writer-driven folding is ON by
+  * default ==
+  *
+  * Before round 12, compaction only ran when a caller invoked
+  * [[compact]] explicitly; now every face's stream writer folds every
+  * [[DefaultCompactEvery]] batches on its own. A deployment whose
+  * EXTERNAL readers relied on controlling compaction timing must pass
+  * `compactEvery <= 0` to the writer (the explicit-maintenance
+  * opt-out: writer-driven folding fully disabled, the pre-round-12
+  * contract restored) — otherwise an in-flight external read that
+  * straddles a fold's GC fails loudly as described above.
   */
 private[streaming] object PartialState {
 

@@ -146,5 +146,47 @@ class KAnonStreamSpec extends AnyFunSuite {
     assert(counts((null, "b")) === 2L)
     assert(counts(("1.25", "a")) === 2L)
     assert(counts(("2.5", "b")) === 1L)
+    // The first float-QI write stamped the render-format marker; the
+    // format is part of the state's identity from then on.
+    assert(new java.io.File(st,
+      s".qifmt-${KAnonStream.QiFormatVersion}").isFile)
+  }
+
+  test("float-QI partials without a format marker fail loudly") {
+    // A state directory written by the pre-round-12 code (raw float
+    // render) has partials but no .qifmt marker; resuming a
+    // float/double-QI stream over it could split classes ("-0.0" vs
+    // "0.0" partials summed with normalized ones) — so the writer
+    // must refuse, not guess.
+    val dir = s"${sys.props("java.io.tmpdir")}/kanon_v1_${System.nanoTime()}"
+    val st = s"$dir/state"
+    val dkeys = Seq("score", "band")
+    val b = Seq[(java.lang.Double, String)]((1.0, "a"), (2.0, "b"))
+      .toDF("score", "band")
+    KAnonStream.applyBatch(b, 0L, st, dkeys)
+    // Simulate legacy state: strip the marker the round-13 code stamped.
+    val marker = new java.io.File(st,
+      s".qifmt-${KAnonStream.QiFormatVersion}")
+    assert(marker.delete())
+    val e = intercept[IllegalStateException] {
+      KAnonStream.applyBatch(b, 1L, st, dkeys)
+    }
+    assert(e.getMessage.contains("NO render-format marker"))
+    // A marker from a FUTURE/different format version is equally loud.
+    assert(new java.io.File(st, ".qifmt-99").createNewFile())
+    val e2 = intercept[IllegalArgumentException] {
+      KAnonStream.applyBatch(b, 1L, st, dkeys)
+    }
+    assert(e2.getMessage.contains("format v99"))
+  }
+
+  test("integer/string QI tuples are format-invariant: no marker stamped") {
+    // v1 and v2 render non-float types identically, so stamping would
+    // only manufacture false upgrade failures for unaffected states.
+    val dir = s"${sys.props("java.io.tmpdir")}/kanon_iv_${System.nanoTime()}"
+    val st = s"$dir/state"
+    KAnonStream.applyBatch(all.take(50).toDF(), 0L, st, keys)
+    assert(!new java.io.File(st).listFiles()
+      .exists(_.getName.startsWith(".qifmt-")))
   }
 }
