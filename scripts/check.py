@@ -23,6 +23,7 @@ scored red):
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -58,8 +59,12 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # Driver corpora are single parquet FILES; ScaleUp probe corpora
+        # (/tmp/sf1, /tmp/sf10) are parquet DIRECTORIES — register either.
+        src = f"{sf_dir}/{t}.parquet"
+        rel = (f"read_parquet('{src}/*.parquet')" if os.path.isdir(src)
+               else f"'{src}'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {rel}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
