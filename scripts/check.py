@@ -55,9 +55,7 @@ def described_types(con, sql):
     return {r[0]: r[1] for r in rows}
 
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    con = duckdb.connect()
+def register_views(con, sf_dir):
     for t in TABLES:
         # Driver corpora are single parquet FILES; ScaleUp probe corpora
         # (/tmp/sf1, /tmp/sf10) are parquet DIRECTORIES — register either.
@@ -65,6 +63,112 @@ def main():
         rel = (f"read_parquet('{src}/*.parquet')" if os.path.isdir(src)
                else f"'{src}'")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM {rel}")
+
+
+def neardup_slice(sf_dir, out_dir):
+    """Partitioned-oracle verification of t_dedup_savings (round 14).
+
+    The registered oracle replays the whole near-dup funnel in DuckDB —
+    infeasible at sf10 (>76 GB spill). This mode verifies the same
+    query in two bit-exact halves against the graft.DedupSlice dump:
+
+      A. PAIR SLICE — DuckDB replays the oracle's minhash→bands→
+         candidates→jaccard chain restricted to pairs touching docs in
+         one deterministic bucket (doc_id % K = bucket; the a-side of
+         the band join is sliced, the b-side is the full corpus), and
+         the Spark pair table filtered to the same predicate must match
+         it exactly, jaccard doubles included.
+      B. SAVINGS REPLAY — an independent union-find (min-id keeper,
+         the connectedComponents contract) over the FULL Spark pair
+         table plus DuckDB token counts rebuilds the savings row, which
+         must equal the registered t_dedup_savings output bit-for-bit.
+
+    Together the pair table is oracle-checked on a 1/K slice and
+    everything downstream of the pairs on the full table.
+    """
+    con = duckdb.connect()
+    register_views(con, sf_dir)
+    meta = json.load(open(f"{out_dir}/slice_oracle.json"))
+    k, bucket = meta["k"], meta["bucket"]
+    n_fail = 0
+
+    # ---- A: the pair slice, DuckDB replay vs Spark pair table. ----
+    want = con.execute(meta["pair_slice_sql"]).fetchall()
+    got = con.execute(
+        f"SELECT id_a, id_b, jac FROM "
+        f"read_parquet('{out_dir}/neardup_pairs/*.parquet') "
+        f"WHERE id_a % {k} = {bucket} OR id_b % {k} = {bucket}"
+    ).fetchall()
+    ws, gs = sorted(want), sorted(got)
+    if len(ws) != len(gs):
+        print(f"FAIL pair_slice: spark {len(gs)} pairs vs oracle {len(ws)}")
+        n_fail += 1
+    else:
+        bad = [(g, w) for g, w in zip(gs, ws)
+               if not all(eq(a, b) for a, b in zip(g, w))]
+        if bad:
+            print(f"FAIL pair_slice: first diff got {bad[0][0]} "
+                  f"want {bad[0][1]}")
+            n_fail += 1
+        else:
+            print(f"PASS pair_slice ({len(gs)} pairs, K={k}, "
+                  f"bucket={bucket})")
+
+    # ---- B: savings from the FULL pair table via union-find. ----
+    pairs = con.execute(
+        f"SELECT id_a, id_b FROM "
+        f"read_parquet('{out_dir}/neardup_pairs/*.parquet')").fetchall()
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo  # min-id root == connectedComponents keeper
+    dropped = sorted(x for x in parent if find(x) != x)
+    con.execute(f"CREATE TEMP TABLE tok AS {meta['tok_sql']}")
+    con.execute("CREATE TEMP TABLE dropped (doc_id BIGINT)")
+    if dropped:
+        con.executemany("INSERT INTO dropped VALUES (?)",
+                        [(int(x),) for x in dropped])
+    n_docs, n_tokens = con.execute(
+        "SELECT count(*), sum(n_tok) FROM tok").fetchone()
+    n_drop, t_drop = con.execute(
+        "SELECT count(*), coalesce(sum(n_tok), 0) FROM tok "
+        "JOIN dropped USING (doc_id)").fetchone()
+    n_kept, t_kept = n_docs - n_drop, n_tokens - t_drop
+    want_row = (n_docs, n_kept, n_tokens, t_kept,
+                float(n_docs - n_kept) / float(n_docs),
+                float(n_tokens - t_kept) / float(n_tokens))
+    got_row = con.execute(
+        "SELECT n_docs, n_docs_kept, n_tokens, n_tokens_kept, "
+        "doc_savings, token_savings FROM "
+        f"read_parquet('{out_dir}/t_dedup_savings/*.parquet')").fetchone()
+    if all(eq(a, b) for a, b in zip(got_row, want_row)):
+        print(f"PASS savings_replay ({len(pairs)} pairs, "
+              f"{len(dropped)} dropped) {got_row}")
+    else:
+        print(f"FAIL savings_replay: got {got_row} want {want_row}")
+        n_fail += 1
+    print(f"== neardup_slice {2 - n_fail} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+def main():
+    if sys.argv[1] == "--neardup-slice":
+        neardup_slice(sys.argv[2], sys.argv[3])
+        return
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    register_views(con, sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):

@@ -1982,7 +1982,10 @@ object TextQueries {
     })
   )
 
-  private[queries] val wsSql = """string_split_regex(lower(trim(text)),'\s+')"""
+  // private[graft] (not [queries]): graft.DedupSlice emits the
+  // partitioned-oracle SQL for t_dedup_savings from these same
+  // literals, so slice oracle and registered oracle can never drift.
+  private[graft] val wsSql = """string_split_regex(lower(trim(text)),'\s+')"""
 
   /** Sentinel-wrapped greedy BPE replay generated from Bpe.defaultRules —
     * yields `doc_id, bpe_text` (space-joined tokens); shared by the
@@ -2038,7 +2041,7 @@ object TextQueries {
   /** Signature CTEs extended with the production 6-band × 2-slot
     * banding (`bands`) — the near-dup candidate generator's split.
     */
-  private[queries] def minhashBandCtes(src: String): String =
+  private[graft] def minhashBandCtes(src: String): String =
     s"""${minhashSigCtes(src)},
        |bands AS (SELECT doc_id, unnest(list_transform(range(0,6),
        |  j -> concat(j, '|', sg[2*j+1], '|', sg[2*j+2]))) AS bv FROM sig)""".stripMargin

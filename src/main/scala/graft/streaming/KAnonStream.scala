@@ -66,6 +66,26 @@ object KAnonStream {
     */
   val QiFormatVersion = 2
 
+  /** Per-query-run memo of a successful [[checkQiFormat]] (round 14,
+    * advisor): the marker can only legitimately change between runs,
+    * never mid-run, so re-listing the state root on EVERY float-QI
+    * micro-batch buys nothing and costs a driver-side listing
+    * round-trip per batch on an object store. [[qiWriter]] creates one
+    * gate per started query, so a RESTART (new writer) re-validates;
+    * within a run the first batch's validation is cached. Direct
+    * [[applyBatch]] calls default to a fresh gate per call — i.e. they
+    * keep validating every time, the batch/backfill-safe posture.
+    */
+  final class QiFormatGate {
+    @volatile private var validated = false
+    private[streaming] def ensure(spark: SparkSession,
+                                  statePath: String): Unit =
+      if (!validated) {
+        checkQiFormat(spark, statePath)
+        validated = true
+      }
+  }
+
   private def hasFloatQi(batch: DataFrame, keys: Seq[String]): Boolean =
     keys.exists(k => batch.schema(k).dataType match {
       case org.apache.spark.sql.types.DoubleType
@@ -99,12 +119,23 @@ object KAnonStream {
             s"format v$v, this writer uses v$QiFormatVersion; rebuild " +
             "the state (or migrate it) before resuming")
       case Nil if hasPartials =>
+        // NOTE the diagnosis is deliberately "unknown", not "v1": the
+        // normalized renderer predates the marker by one release, so
+        // an unstamped state may be perfectly valid v2 partials. The
+        // refusal is still right (we cannot TELL from the partials),
+        // but the operator who knows the writer's lineage has an
+        // explicit acknowledgment path — stampQiFormat — instead of a
+        // forced rebuild of valid state. (Round 14, advisor.)
         throw new IllegalStateException(
           s"k-anonymity state at $statePath holds float/double-QI " +
-            "partials with NO render-format marker: it predates the " +
-            s"v$QiFormatVersion float normalization (-0.0/NaN) and " +
-            "may split classes if summed with new partials; rebuild " +
-            "the state before resuming")
+            "partials with NO render-format marker: the render format " +
+            "is unknown (v1 raw floats, or v2-normalized but written " +
+            "before markers were stamped). Mixing raw with normalized " +
+            "partials can split classes (-0.0/NaN), so refusing to " +
+            "guess: if EVERY partial is known to come from the " +
+            s"v$QiFormatVersion (normalized) renderer, acknowledge " +
+            "with KAnonStream.stampQiFormat(statePath) once; " +
+            "otherwise rebuild the state before resuming")
       case Nil =>
         fs.mkdirs(root)
         fs.createNewFile(new Path(root, s".qifmt-$QiFormatVersion"))
@@ -117,17 +148,53 @@ object KAnonStream {
     }
   }
 
+  /** Operator acknowledgment for a non-empty UNSTAMPED state that is
+    * KNOWN (from deployment lineage, not from the partials — they
+    * cannot tell) to have been written entirely by the normalized
+    * (v$QiFormatVersion) renderer: stamps the marker once so the
+    * stream can resume without rebuilding valid state. Refuses loudly
+    * if any marker already exists — an already-stamped state needs no
+    * acknowledgment, and a DIFFERENT-version marker means the state
+    * really is incompatible and must be rebuilt (stamping over it
+    * would forge compatibility). A state whose lineage includes ANY
+    * pre-normalization (raw-render) writer must NOT be stamped — its
+    * "-0.0"/non-canonical-NaN keys would silently split classes;
+    * rebuild or run a one-off normalizing compaction instead.
+    */
+  def stampQiFormat(spark: SparkSession, statePath: String): Unit = {
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root),
+      s"no k-anonymity state at $statePath: nothing to acknowledge " +
+        "(the first write stamps new states itself)")
+    val markers = fs.listStatus(root).iterator.map(_.getPath.getName)
+      .filter(_.startsWith(".qifmt-")).toList
+    require(markers.isEmpty,
+      s"k-anonymity state at $statePath already carries format " +
+        s"marker(s) ${markers.mkString(", ")}: stampQiFormat is only " +
+        "for unstamped pre-marker states; a version mismatch means " +
+        "the state must be rebuilt, not re-stamped")
+    fs.createNewFile(new Path(root, s".qifmt-$QiFormatVersion"))
+    ()
+  }
+
   /** Start-ready writer maintaining class sizes of the `keys` tuple. */
   def qiWriter(events: DataFrame, statePath: String, checkpoint: String,
                keys: Seq[String],
                compactEvery: Int = PartialState.DefaultCompactEvery)
-  : DataStreamWriter[Row] =
+  : DataStreamWriter[Row] = {
+    // One gate per started query: the format is validated on the run's
+    // first float-QI batch and cached for the rest of the run; a
+    // restart constructs a new writer, hence re-validates.
+    val gate = new QiFormatGate
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        maintainBatch(batch, batchId, statePath, keys, compactEvery)
+        maintainBatch(batch, batchId, statePath, keys, compactEvery,
+          gate)
       }
+  }
 
   /** The writer's per-batch maintenance — apply the batch, then fold
     * the partials on the cadence ([[PartialState.cadenceDue]]). The
@@ -135,9 +202,10 @@ object KAnonStream {
     */
   def maintainBatch(batch: DataFrame, batchId: Long, statePath: String,
                     keys: Seq[String],
-                    compactEvery: Int = PartialState.DefaultCompactEvery)
+                    compactEvery: Int = PartialState.DefaultCompactEvery,
+                    gate: QiFormatGate = new QiFormatGate)
   : Unit = {
-    applyBatch(batch, batchId, statePath, keys)
+    applyBatch(batch, batchId, statePath, keys, gate)
     if (PartialState.cadenceDue(batchId, compactEvery)) {
       compact(batch.sparkSession, statePath, keys)
       ()
@@ -146,16 +214,20 @@ object KAnonStream {
 
   /** One micro-batch (also the batch/backfill entry point): THIS
     * batch's class sizes to its own directory — replay overwrites,
-    * never accumulates.
+    * never accumulates. The default (fresh-per-call) `gate` means a
+    * direct call always validates the format marker; [[qiWriter]]
+    * passes its run-scoped gate so a streaming run lists the state
+    * root once, not once per batch.
     */
   def applyBatch(batch: DataFrame, batchId: Long, statePath: String,
-                 keys: Seq[String]): Unit = {
+                 keys: Seq[String],
+                 gate: QiFormatGate = new QiFormatGate): Unit = {
     if (batch.isEmpty) return
     // The render format only matters where v1 and v2 differ —
     // float/double QIs; integer/string tuples are format-invariant
     // and skip the marker entirely.
     if (hasFloatQi(batch, keys))
-      checkQiFormat(batch.sparkSession, statePath)
+      gate.ensure(batch.sparkSession, statePath)
     Anonymity.qiCounts(
         batch.select(keys.map(k => renderQi(batch, k)): _*), keys)
       .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")

@@ -180,6 +180,66 @@ class KAnonStreamSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("format v99"))
   }
 
+  test("stampQiFormat acknowledges an unstamped normalized state; refuses stamped ones") {
+    // Round-14 advisor path: a state written by the v2 renderer but
+    // BEFORE markers existed is valid — the operator who knows that
+    // lineage can acknowledge it once instead of rebuilding.
+    val dir = s"${sys.props("java.io.tmpdir")}/kanon_ack_${System.nanoTime()}"
+    val st = s"$dir/state"
+    val dkeys = Seq("score", "band")
+    val b = Seq[(java.lang.Double, String)]((1.0, "a"), (2.0, "b"))
+      .toDF("score", "band")
+    KAnonStream.applyBatch(b, 0L, st, dkeys)
+    assert(new java.io.File(st,
+      s".qifmt-${KAnonStream.QiFormatVersion}").delete())
+    // Unstamped + partials: refused, and the message points at the
+    // acknowledgment path rather than claiming the state is v1.
+    val e = intercept[IllegalStateException] {
+      KAnonStream.applyBatch(b, 1L, st, dkeys)
+    }
+    assert(e.getMessage.contains("unknown"))
+    assert(e.getMessage.contains("stampQiFormat"))
+    // Acknowledge → the marker is back and the stream resumes.
+    KAnonStream.stampQiFormat(spark, st)
+    assert(new java.io.File(st,
+      s".qifmt-${KAnonStream.QiFormatVersion}").isFile)
+    KAnonStream.applyBatch(b, 1L, st, dkeys)
+    val total = KAnonStream.currentCounts(spark, st, dkeys)
+      .agg(org.apache.spark.sql.functions.sum("n"))
+      .as[Long].head()
+    assert(total === 4L)
+    // An already-stamped state needs no acknowledgment — and stamping
+    // over a DIFFERENT version would forge compatibility, so any
+    // existing marker is a loud refusal.
+    val e2 = intercept[IllegalArgumentException] {
+      KAnonStream.stampQiFormat(spark, st)
+    }
+    assert(e2.getMessage.contains("already carries"))
+  }
+
+  test("format validation is cached per writer run, not per batch") {
+    // Round-14 advisor: the marker can only legitimately change
+    // between runs, so a run-scoped gate lists the state root once.
+    // Observable semantics: with a SHARED gate (one run), deleting the
+    // marker after the first batch goes unnoticed; a FRESH gate (a
+    // restart, or a direct applyBatch call) re-validates and refuses.
+    val dir = s"${sys.props("java.io.tmpdir")}/kanon_gate_${System.nanoTime()}"
+    val st = s"$dir/state"
+    val dkeys = Seq("score", "band")
+    val b = Seq[(java.lang.Double, String)]((1.0, "a"), (2.0, "b"))
+      .toDF("score", "band")
+    val gate = new KAnonStream.QiFormatGate
+    KAnonStream.applyBatch(b, 0L, st, dkeys, gate)
+    assert(new java.io.File(st,
+      s".qifmt-${KAnonStream.QiFormatVersion}").delete())
+    // Same run (same gate): cached validation, batch lands.
+    KAnonStream.applyBatch(b, 1L, st, dkeys, gate)
+    // New run (fresh gate): re-validates, sees the partials unstamped.
+    intercept[IllegalStateException] {
+      KAnonStream.applyBatch(b, 2L, st, dkeys)
+    }
+  }
+
   test("integer/string QI tuples are format-invariant: no marker stamped") {
     // v1 and v2 render non-float types identically, so stamping would
     // only manufacture false upgrade failures for unaffected states.

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{KAnonStream, PartialState}
+import graft.streaming.{BloomStream, KAnonStream, PartialState}
 import graft.operators.Anonymity
 
 /** REAL checkpoint-restart recovery of a streamed face (round 13).
@@ -122,5 +122,94 @@ class RestartSpec extends AnyFunSuite {
         Anonymity.qiCounts((0 to 5).flatMap(slice).toDF(), keys))
       .as[Rep].collect().toSeq
     assert(afterCrash === oneShot05)
+  }
+
+  // ---- Second streamed-face family (round 14): BloomStream carries a
+  // DIFFERENT state shape — a fixed-width bitmap as (bit, n) hit-count
+  // partials plus the `.mbits-<m>` width marker — so its recovery
+  // contract is asserted independently: the maintained filter after a
+  // clean restart AND a crash-window replay must equal the one-shot
+  // batch filter bit-for-bit, with the fold cadence on the
+  // checkpoint's global schedule and the width marker surviving both
+  // the restart and the fold.
+
+  /** Batch `b` as text rows. `doc_<id % 60>` overlaps across batches,
+    * so a double-counted replay would inflate hit counts visibly while
+    * leaving some bits shared between batches — the shape that catches
+    * both replay bugs and fold bugs.
+    */
+  private def texts(b: Int): Seq[String] =
+    (0 until 25).map(j => s"doc_${(b * 25 + j) % 60}")
+
+  test("bloom face: clean restart + crash-window replay, bitmap bit-exact") {
+    val dir = s"${sys.props("java.io.tmpdir")}/restartb_${System.nanoTime()}"
+    val (st, chk) = (s"$dir/state", s"$dir/chk")
+    val mBits = 512 // small enough for real collisions in 200 rows
+    val compactEvery = 4
+    val input = MemoryStream[String](spark)
+    def start() =
+      BloomStream.bitWriter(input.toDF().toDF("txt"), st, chk, "txt",
+        mBits, compactEvery).start()
+
+    // ---- Run 1: batches 0..5, clean stop. ----
+    val q1 = start()
+    try {
+      (0 to 5).foreach { b =>
+        input.addData(texts(b))
+        q1.processAllAvailable()
+      }
+    } finally q1.stop()
+    assert(stateDirs(st) === Seq("batch=4", "batch=5",
+      "batch=compacted-3"))
+    assert(new java.io.File(st, s".mbits-$mBits").isFile)
+
+    // ---- Forge the crash window on batch 5 (commit marker + its
+    // ChecksumFs sidecar), exactly as the k-anon scenario. ----
+    val commit5 = new java.io.File(s"$chk/commits/5")
+    assert(commit5.isFile && commit5.delete())
+    new java.io.File(s"$chk/commits/.5.crc").delete()
+
+    // ---- Run 2: replay batch 5, take batch 6, then batch 7 so the
+    // cadence (due at global id 7) must fire two batches after the
+    // restart. ----
+    val q2 = start()
+    try {
+      input.addData(texts(6))
+      q2.processAllAvailable()
+      // Hit counts are the replay detector the SET bits can't be (a
+      // double-counted bit is still just "set"): every row explodes to
+      // exactly 2 positions, so totals are 2 rows-per-batch exact.
+      val hits = spark.read
+        .parquet(stateDirs(st).map(d => s"$st/$d"): _*)
+        .agg(org.apache.spark.sql.functions.sum("n")).as[Long].head()
+      assert(hits === 2L * 7 * 25, "replayed batch must not double-count")
+      assert(stateDirs(st).contains("batch=compacted-3"),
+        "restart must resume from the folded generation")
+      input.addData(texts(7))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(stateDirs(st) === Seq("batch=compacted-7"),
+      "fold cadence must resume on the checkpoint's global schedule")
+    assert(new java.io.File(st, s".mbits-$mBits").isFile,
+      "width marker must survive restart and fold")
+
+    // ---- The recovered bitmap IS the one-shot batch bitmap. ----
+    val oneShotSt = s"$dir/oneshot"
+    BloomStream.applyBatch((0 to 7).flatMap(texts).toDF("txt"), 0L,
+      oneShotSt, "txt", mBits)
+    val streamedBits = BloomStream.currentBits(spark, st)
+      .as[Long].collect().sorted.toSeq
+    val oneShotBits = BloomStream.currentBits(spark, oneShotSt)
+      .as[Long].collect().sorted.toSeq
+    assert(streamedBits === oneShotBits)
+    assert(streamedBits.nonEmpty && streamedBits.size < 2 * 200,
+      "collisions expected at mBits=512 over 60 distinct docs")
+    // And probe verdicts from the recovered state: every seen doc is
+    // positive (zero false negatives through restart + replay).
+    val probe = BloomStream.probe(spark, st,
+      (0 to 7).flatMap(texts).distinct.toDF("txt"), "txt", "txt", mBits)
+    assert(probe.where(org.apache.spark.sql.functions
+      .not(org.apache.spark.sql.functions.col("bloom_positive")))
+      .count() === 0L)
   }
 }
