@@ -162,9 +162,56 @@ def neardup_slice(sf_dir, out_dir):
     sys.exit(1 if n_fail else 0)
 
 
+def knn_slice(sf_dir, out_dir, k=64, bucket=0):
+    """Partitioned-oracle verification of sim_knn_join (round 14).
+
+    The registered oracle trains IVF centroids (cheap, kept whole) and
+    then joins every query vector against its cell's members — at sf10
+    that final join materializes >56 GB of DuckDB temp and dies of
+    disk. The knn output is windowed PER q_id, so restricting the
+    oracle's q-side to one deterministic bucket (vec_id % K = bucket)
+    is EXACT for the rows it keeps: the n-side, the trained centroids,
+    and each kept query's candidate set are untouched. The slice SQL
+    is the registered oracle text with the one q CTE filtered — a
+    single surgical substitution, asserted unique so oracle drift
+    fails loudly instead of silently diverging.
+    """
+    con = duckdb.connect()
+    register_views(con, sf_dir)
+    sql = json.load(open(f"{out_dir}/oracle_sql.json"))["sim_knn_join"]
+    pat = "q AS (SELECT vec_id AS q_id, cell, e AS q_vec FROM aF)"
+    if sql.count(pat) != 1:
+        print(f"FAIL knn_slice: expected exactly one q CTE "
+              f"'{pat}' in the registered oracle, found {sql.count(pat)}")
+        sys.exit(1)
+    sliced = sql.replace(
+        pat, "q AS (SELECT vec_id AS q_id, cell, e AS q_vec FROM aF "
+             f"WHERE vec_id % {k} = {bucket})")
+    want = sorted(con.execute(sliced).fetchall())
+    got = sorted(con.execute(
+        "SELECT q_id, n_id, cos, rank FROM "
+        f"read_parquet('{out_dir}/sim_knn_join/*.parquet') "
+        f"WHERE q_id % {k} = {bucket}").fetchall())
+    if len(got) != len(want):
+        print(f"FAIL knn_slice: spark {len(got)} rows vs oracle "
+              f"{len(want)}")
+        sys.exit(1)
+    bad = [(g, w) for g, w in zip(got, want)
+           if not all(eq(a, b) for a, b in zip(g, w))]
+    if bad:
+        print(f"FAIL knn_slice: first diff got {bad[0][0]} "
+              f"want {bad[0][1]}")
+        sys.exit(1)
+    print(f"PASS knn_slice ({len(got)} rows, K={k}, bucket={bucket})")
+    sys.exit(0)
+
+
 def main():
     if sys.argv[1] == "--neardup-slice":
         neardup_slice(sys.argv[2], sys.argv[3])
+        return
+    if sys.argv[1] == "--knn-slice":
+        knn_slice(sys.argv[2], sys.argv[3])
         return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()

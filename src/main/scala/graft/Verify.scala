@@ -21,8 +21,16 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Persisted stages (warehouse pipeline) must not accumulate across
-      // the 80+ query dumps.
+      // the hundreds of query dumps — and neither must localCheckpoint
+      // blocks (Median/Dedup/Graph/Multimodal loops), which clearCache
+      // does NOT drop: they sit in block storage until the
+      // ContextCleaner GCs them, and at probe scale (sf10 restricted
+      // drives) 50+ queries of lingering blocks overflow the 16g heap
+      // (round-14 lesson — the same accumulation Bench.timeOne already
+      // unpersists between timed runs).
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
