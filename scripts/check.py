@@ -211,7 +211,12 @@ def main():
         neardup_slice(sys.argv[2], sys.argv[3])
         return
     if sys.argv[1] == "--knn-slice":
-        knn_slice(sys.argv[2], sys.argv[3])
+        # Optional argv[4]/argv[5] = K / bucket, mirroring DedupSlice
+        # and the neardup mode (round-15 advice fix: these used to be
+        # hardcoded to the 64/0 defaults).
+        knn_slice(sys.argv[2], sys.argv[3],
+                  k=int(sys.argv[4]) if len(sys.argv) > 4 else 64,
+                  bucket=int(sys.argv[5]) if len(sys.argv) > 5 else 0)
         return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()

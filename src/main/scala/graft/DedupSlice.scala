@@ -24,8 +24,9 @@ import java.nio.file.{Files, Paths}
   *     complete minhash → bands → candidate → exact-jaccard chain at
   *     full corpus scale. The CTE text is generated from the SAME
   *     literals as the registered oracle
-  *     ([[graft.queries.TextQueries.minhashBandCtes]]), so the two can
-  *     never drift.
+  *     ([[graft.queries.TextQueries.minhashBandCtes]] and
+  *     [[graft.queries.TextQueries.neardupCandJCtes]]), so the two
+  *     can never drift.
   *  2. SAVINGS REPLAY — scripts/check.py (--neardup-slice) recomputes
   *     components from the dumped pairs with an independent union-find
   *     (min-id keeper, the [[graft.operators.Dedup.connectedComponents]]
@@ -45,21 +46,16 @@ object DedupSlice {
   /** DuckDB SQL for the bucket-sliced near-dup pairs: every pair with
     * at least one endpoint in the bucket, canonicalized id_a < id_b —
     * exactly the registered oracle's `j ... WHERE jac >= 0.5` rows
-    * restricted to bucket-touching pairs, generated from the same CTE
-    * literals.
+    * restricted to bucket-touching pairs. The band CTEs AND the
+    * cand/j CTEs are both generated from the registered oracle's own
+    * literals ([[graft.queries.TextQueries.minhashBandCtes]] /
+    * [[graft.queries.TextQueries.neardupCandJCtes]]), so the slice
+    * can never drift from the registered oracle (round-15 advice
+    * fix: cand/j used to be re-authored here).
     */
   def pairSliceSql(k: Int, bucket: Long): String =
     s"""WITH ${queries.TextQueries.minhashBandCtes("documents")},
-       |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
-       |  greatest(a.doc_id, b.doc_id) AS id_b
-       |  FROM bands a JOIN bands b
-       |    ON a.bv = b.bv AND a.doc_id <> b.doc_id
-       |  WHERE a.doc_id % $k = $bucket),
-       |j AS (SELECT id_a, id_b,
-       |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-       |    /(len(x.sh)+len(y.sh)-len(list_intersect(x.sh,y.sh))) AS jac
-       |  FROM cand JOIN shs x ON cand.id_a=x.doc_id
-       |    JOIN shs y ON cand.id_b=y.doc_id)
+       |${queries.TextQueries.neardupCandJCtes(Some((k, bucket)))}
        |SELECT id_a, id_b, jac FROM j WHERE jac >= 0.5""".stripMargin
 
   /** DuckDB SQL for per-doc whitespace token counts — the `tok` CTE of

@@ -2046,14 +2046,41 @@ object TextQueries {
        |bands AS (SELECT doc_id, unnest(list_transform(range(0,6),
        |  j -> concat(j, '|', sg[2*j+1], '|', sg[2*j+2]))) AS bv FROM sig)""".stripMargin
 
-  private[queries] def neardupPairCtesFrom(src: String): String =
-    s"""${minhashBandCtes(src)},
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b ON a.bv=b.bv AND a.doc_id<b.doc_id),
+  /** The candidate + exact-jaccard CTEs (`cand`, `j`) shared by the
+    * registered near-dup oracles and [[graft.DedupSlice]]'s
+    * bucket-sliced oracle (round-15 advice fix). One literal, two
+    * consumers — an edit here reaches both, so the slice oracle can
+    * never silently drift from the registered one.
+    *
+    * `bucket = None` is the registered full form: `a.doc_id<b.doc_id`
+    * canonicalizes each pair once. `bucket = Some((k, b))` restricts
+    * the candidate generator's a-side to `doc_id % k = b` — the a-side
+    * must then range over BOTH orientations (`<>` plus
+    * least/greatest) so every pair touching the bucket survives even
+    * when the bucketed doc holds the larger id.
+    */
+  private[graft] def neardupCandJCtes(bucket: Option[(Int, Long)]): String = {
+    val cand = bucket match {
+      case None =>
+        """cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM bands a JOIN bands b ON a.bv=b.bv AND a.doc_id<b.doc_id)""".stripMargin
+      case Some((k, b)) =>
+        s"""cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+           |  greatest(a.doc_id, b.doc_id) AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.bv = b.bv AND a.doc_id <> b.doc_id
+           |  WHERE a.doc_id % $k = $b)""".stripMargin
+    }
+    s"""$cand,
        |j AS (SELECT id_a, id_b,
        |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
        |    /(len(x.sh)+len(y.sh)-len(list_intersect(x.sh,y.sh))) AS jac
        |  FROM cand JOIN shs x ON cand.id_a=x.doc_id JOIN shs y ON cand.id_b=y.doc_id)""".stripMargin
+  }
+
+  private[queries] def neardupPairCtesFrom(src: String): String =
+    s"""${minhashBandCtes(src)},
+       |${neardupCandJCtes(None)}""".stripMargin
 
   // Char-trigram language-ID oracle, generated from the SAME profile
   // literals the Spark side uses so the two can never drift.

@@ -76,14 +76,33 @@ object KAnonStream {
     * [[applyBatch]] calls default to a fresh gate per call — i.e. they
     * keep validating every time, the batch/backfill-safe posture.
     */
-  final class QiFormatGate {
-    @volatile private var validated = false
+  final class QiFormatGate(origin: Option[SparkSession] = None) {
+    // Validation is cached PER QUERY RUN, not per gate instance
+    // (round-15 advice fix): the micro-batch thread carries the
+    // query's id as the `sql.streaming.queryId` local property, and
+    // the ORIGINATING session's StreamingQueryManager — the writer's
+    // session; the micro-batch clone's manager does not track the
+    // query — maps it to the run's UUID, which is fresh on every
+    // start(). A writer reused across stop()/start() therefore
+    // re-validates on the new run's first float-QI batch instead of
+    // trusting the previous run's check. Outside a streaming run (or
+    // with no origin session) the key is None — direct applyBatch
+    // calls keep their fresh-per-call default gate, hence still
+    // validate every call.
+    @volatile private var validatedRun: Option[String] = null
     private[streaming] def ensure(spark: SparkSession,
-                                  statePath: String): Unit =
-      if (!validated) {
+                                  statePath: String): Unit = {
+      val run = for {
+        o <- origin
+        qid <- Option(spark.sparkContext
+          .getLocalProperty("sql.streaming.queryId"))
+        q <- Option(o.streams.get(qid))
+      } yield q.runId.toString
+      if ((validatedRun eq null) || validatedRun != run) {
         checkQiFormat(spark, statePath)
-        validated = true
+        validatedRun = run
       }
+    }
   }
 
   private def hasFloatQi(batch: DataFrame, keys: Seq[String]): Boolean =
@@ -134,7 +153,7 @@ object KAnonStream {
             "partials can split classes (-0.0/NaN), so refusing to " +
             "guess: if EVERY partial is known to come from the " +
             s"v$QiFormatVersion (normalized) renderer, acknowledge " +
-            "with KAnonStream.stampQiFormat(statePath) once; " +
+            "with KAnonStream.stampQiFormat(spark, statePath) once; " +
             "otherwise rebuild the state before resuming")
       case Nil =>
         fs.mkdirs(root)
@@ -183,10 +202,11 @@ object KAnonStream {
                keys: Seq[String],
                compactEvery: Int = PartialState.DefaultCompactEvery)
   : DataStreamWriter[Row] = {
-    // One gate per started query: the format is validated on the run's
-    // first float-QI batch and cached for the rest of the run; a
-    // restart constructs a new writer, hence re-validates.
-    val gate = new QiFormatGate
+    // The gate validates on each run's first float-QI batch and
+    // caches for the rest of that run, keyed on the query runId — so
+    // both a fresh writer AND a reused writer restarted after stop()
+    // re-validate (the runId changes per start()).
+    val gate = new QiFormatGate(Some(events.sparkSession))
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)

@@ -240,6 +240,39 @@ class KAnonStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("a writer reused across stop()/start() re-validates per run") {
+    // Round-15 advisor: the gate caches per QUERY RUN (keyed on the
+    // `sql.streaming.runId` local property), not per writer object —
+    // restarting the SAME writer must re-list the state root, not
+    // trust the previous run's check.
+    val dir = s"${sys.props("java.io.tmpdir")}/kanon_rerun_${System.nanoTime()}"
+    val (st, chk) = (s"$dir/state", s"$dir/chk")
+    val dkeys = Seq("score", "band")
+    val input = MemoryStream[(Double, String)](spark)
+    val writer = KAnonStream.qiWriter(
+      input.toDF().toDF("score", "band"), st, chk, dkeys)
+    val q1 = writer.start()
+    try {
+      input.addData((1.0, "a"), (2.0, "b"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // Between runs the marker disappears (say, a state restore that
+    // dropped dotfiles). The partials are now unstamped — the reused
+    // writer's SECOND run must notice and refuse, exactly as a fresh
+    // writer would.
+    assert(new java.io.File(st,
+      s".qifmt-${KAnonStream.QiFormatVersion}").delete())
+    val q2 = writer.start()
+    try {
+      input.addData((3.0, "c"))
+      val e = intercept[Throwable](q2.processAllAvailable())
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("NO render-format marker"),
+        s"restarted run must re-validate; got: $msgs")
+    } finally q2.stop()
+  }
+
   test("integer/string QI tuples are format-invariant: no marker stamped") {
     // v1 and v2 render non-float types identically, so stamping would
     // only manufacture false upgrade failures for unaffected states.

@@ -128,4 +128,45 @@ class ParityTrapsSpec extends AnyFunSuite {
       .as[(String, Long)].collect().head._2
     assert(v == 3L) // 4 rows, 1 distinct non-null value
   }
+
+  test("trap 11: money sums — raw double is order-dependent once the " +
+    "running total's ulp passes a cent; decimal/long-cents is exact " +
+    "in any order (BASELINE.md round-14 addendum C)") {
+    // The third decade's q1_agg adjudication, pinned as a spec: a raw
+    // DOUBLE sum over cent-discrete prices admits no order-independent
+    // contract once the accumulator's ulp exceeds 0.01 (at sf100 that
+    // regime is 10^8 rows/group summing to ~5e12; here ONE
+    // 10^15-dollar row compresses it into 10,001 rows — ulp(1e15) =
+    // 0.125, so a big-first accumulation rounds every subsequent cent
+    // away while small-first keeps them). The fixed-point paths the
+    // repo's money queries use (OlapQueries' decimal(20,2) revenue;
+    // LONG cents, 10^17 < 2^63) are exact and order-independent by
+    // construction — that is the discipline this trap pins.
+    val cents = ((1L to 10000L).map(_ => 1L) :+ 100000000000000000L)
+    val df = cents.toDF("cents")
+      .withColumn("dollars", $"cents".cast("double") / 100.0)
+    // orderBy → coalesce(1): one partition whose row order IS the sort
+    // order, so the plain-fold accumulator visits rows as directed.
+    val asc = df.orderBy($"cents".asc).coalesce(1)
+    val desc = df.orderBy($"cents".desc).coalesce(1)
+    def dbl(d: org.apache.spark.sql.DataFrame): Double =
+      d.agg(sum($"dollars")).as[Double].head()
+    def dec(d: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      d.agg(sum($"dollars".cast("decimal(30,2)")))
+        .as[java.math.BigDecimal].head()
+    def lng(d: org.apache.spark.sql.DataFrame): Long =
+      d.agg(sum($"cents")).as[Long].head()
+    val exactCents = 100000000000000000L + 10000L
+    // Fixed point: same bits in either order, exactly right.
+    assert(lng(asc) === exactCents && lng(desc) === exactCents)
+    val want = new java.math.BigDecimal(exactCents).movePointLeft(2)
+    assert(dec(asc).compareTo(want) == 0 && dec(desc).compareTo(want) == 0)
+    // Raw double: the SAME multiset, two accumulation orders, two
+    // answers. Small-first survives (+100 dollars = 800 ulps of 1e15,
+    // representable); big-first rounds each 0.01 < ulp/2 to nothing.
+    val (a, d) = (dbl(asc), dbl(desc))
+    assert(a !== d, "raw double money sum must expose order dependence")
+    assert(math.abs(d - 1e15) < 1e-3, "big-first loses all 10,000 cents")
+    assert(math.abs(a - (1e15 + 100.0)) < 1e-3, "small-first keeps them")
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{BloomStream, KAnonStream, PartialState}
+import graft.streaming.{BloomStream, KAnonStream, KmvStream, PartialState}
 import graft.operators.Anonymity
 
 /** REAL checkpoint-restart recovery of a streamed face (round 13).
@@ -211,5 +211,86 @@ class RestartSpec extends AnyFunSuite {
     assert(probe.where(org.apache.spark.sql.functions
       .not(org.apache.spark.sql.functions.col("bloom_positive")))
       .count() === 0L)
+  }
+
+  // ---- Third streamed-face family (round 15): KmvStream's state is a
+  // THIRD distinct shape — one whole-table min-k sketch, atomically
+  // write-then-swapped per batch, with NO per-batch partials and NO
+  // fold cadence — so its recovery rests on a different mechanism
+  // entirely: the merge's idempotent ALGEBRA (set-union then truncate
+  // at the k-th order statistic) absorbs the crash-window replay,
+  // rather than an overwrite of a batch-keyed directory. Asserted with
+  // the same scenario: clean stop, forged crash window (commit marker
+  // + ChecksumFs sidecar), then streamed state ≡ the one-shot batch
+  // sketch HASH-FOR-HASH and the pairwise read face agrees.
+
+  /** Batch `b`: "view" events for an overlapping user range plus
+    * "click" events for a subrange. Re-seen users across batches make
+    * a non-idempotent merge visibly wrong, and the second key gives
+    * the pairwise face something to intersect.
+    */
+  private def kmvEvs(b: Int): Seq[Ev] =
+    (b * 15 + 1 to b * 15 + 40).map(u =>
+      Ev(u.toLong * 7919, t(u % 50), u.toLong, "view", 0, "{}")) ++
+      (b * 15 + 10 to b * 15 + 25).map(u =>
+        Ev(u.toLong * 6271, t(u % 50), u.toLong, "click", 0, "{}"))
+
+  test("kmv face: clean restart + crash-window replay, sketch hash-for-hash") {
+    val dir = s"${sys.props("java.io.tmpdir")}/restartk_${System.nanoTime()}"
+    val (st, chk) = (s"$dir/state", s"$dir/chk")
+    val k = 16 // far fewer than the distinct users, so truncation is real
+    val input = MemoryStream[Ev](spark)
+    def start() =
+      KmvStream.sketchWriter(input.toDF(), st, chk, "event_type",
+        "user_id", k).start()
+
+    def stateSet(path: String): Set[(String, String)] =
+      spark.read.parquet(path).as[(String, String)].collect().toSet
+    def oneShot(path: String, bs: Range): Set[(String, String)] = {
+      KmvStream.applyBatch(bs.flatMap(kmvEvs).toDF(), path,
+        "event_type", "user_id", k)
+      stateSet(path)
+    }
+
+    // ---- Run 1: batches 0..5, clean stop. ----
+    val q1 = start()
+    try {
+      (0 to 5).foreach { b =>
+        input.addData(kmvEvs(b)); q1.processAllAvailable()
+      }
+    } finally q1.stop()
+
+    // ---- Forge the crash window on batch 5 (commit marker + its
+    // ChecksumFs sidecar), exactly as the other two families. ----
+    val commit5 = new java.io.File(s"$chk/commits/5")
+    assert(commit5.isFile && commit5.delete())
+    new java.io.File(s"$chk/commits/.5.crc").delete()
+    // The sink work of batch 5 had landed (the swap is atomic); the
+    // crash lost only the commit marker, so the surviving state is
+    // already the 0..5 kernel.
+    assert(stateSet(st) === oneShot(s"$dir/oneshot05", 0 to 5))
+
+    // ---- Run 2: restart replays batch 5 (a no-op by min-k algebra),
+    // then takes batches 6 and 7. ----
+    val q2 = start()
+    try {
+      input.addData(kmvEvs(6)); q2.processAllAvailable()
+      input.addData(kmvEvs(7)); q2.processAllAvailable()
+    } finally q2.stop()
+
+    // ---- The recovered, replayed sketch IS the one-shot sketch. ----
+    val streamed = stateSet(st)
+    assert(streamed === oneShot(s"$dir/oneshot07", 0 to 7))
+    assert(streamed.count(_._1 == "view") === k,
+      "view sketch must hold exactly k hashes — the merge re-minimized")
+    // And the state-only read face from the recovered sketch equals
+    // the face from the one-shot sketch (same state in, same
+    // estimates out — recovery is invisible to readers).
+    val est = KmvStream.pairwiseEstimates(spark, st, k)
+      .as[(String, String, Long, Long, Double)].collect().toSeq.sorted
+    val estOne = KmvStream
+      .pairwiseEstimates(spark, s"$dir/oneshot07", k)
+      .as[(String, String, Long, Long, Double)].collect().toSeq.sorted
+    assert(est === estOne && est.nonEmpty)
   }
 }
