@@ -30,6 +30,24 @@ object GraftSession {
     // shuffle. Pinned on (its size gates keep it scoped to big scans);
     // PlanAuditSpec asserts the injection fires.
     .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // AQE partition coalescing costs partitions by BYTES; this engine's
+    // hot rows (text documents, token/shingle/embedding arrays) carry
+    // per-row CPU orders of magnitude above their byte size, so the
+    // default 1 MB coalesce floor folds small-bytes/CPU-dense exchanges
+    // (per-doc prefix builds, candidate pair joins) onto 1-2 tasks —
+    // measured round 15: the 20 MB setsim prefix exchange ran its whole
+    // interpreted collect_list/slice build on ONE core behind a 0.5 MB
+    // map output. 16 KB keeps coalescing ON (the skew/advisory logic the
+    // 100 TB posture wants) but lets a CPU-dense exchange keep useful
+    // parallelism; at cluster scale totalBytes/parallelism dwarfs the
+    // floor, so this is a production no-op. 64 KB, not lower: a 16 KB
+    // floor kept every micro-exchange of the ITERATIVE loops (pagerank /
+    // k-core / label-prop rounds over ~50 KB label tables) at 32 tasks
+    // and their per-round scheduling overhead cost more than the
+    // parallelism won back (full-set A/B: g_kcore 2.13→3.77 s at 16 KB);
+    // 64 KB leaves those at 1-3 tasks while the multi-MB CPU-dense
+    // exchanges (setsim prefix build: 0.65 MB/core) keep full width.
+    .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb")
     // Codegen class cache sized for a query-SERVER workload, not a
     // single-query shell: the default 100-entry LRU holds ~5-15 plans'
     // generated classes, so any process cycling through more plans than

@@ -32,14 +32,19 @@ object Graph {
   def pagerankInt(edges: DataFrame, nodes: DataFrame, iters: Int,
                   scale: Long = 1000000L): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // outdeg is static across rounds — pre-join it onto the edge list
+    // ONCE (round 15, guide §2.4 "remove shuffles outright"): each round
+    // then pays one ranks join instead of a ranks join plus a rebuilt
+    // degree aggregate + second join.
+    val eDeg = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint()
     // (1-d)*scale with d = 17/20: exact in integers.
     val base = (scale * 3L) / 20L
     var ranks = nodes.select(col("id"), lit(scale).as("r"))
     (1 to iters).foreach { _ =>
-      val msgs = e
-        .join(ranks, e("src") === ranks("id"))
-        .join(outdeg, "src")
+      val msgs = eDeg
+        .join(ranks, eDeg("src") === ranks("id"))
         .select(col("dst").as("id"),
           expr("r div outdeg").as("share"))
         .groupBy(col("id")).agg(sum(col("share")).as("contrib"))
@@ -70,7 +75,10 @@ object Graph {
                               seeds: DataFrame, iters: Int,
                               scale: Long = 1000000L): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // Static outdeg pre-joined once, as in [[pagerankInt]] (round 15).
+    val eDeg = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint()
     val base = (scale * 3L) / 20L
     val flagged = nodes.select(col("id"))
       .join(seeds.select(col("id"), lit(true).as("_s")), Seq("id"), "left")
@@ -79,9 +87,8 @@ object Graph {
     var ranks = flagged.select(col("id"), col("is_seed"),
       when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("r"))
     (1 to iters).foreach { _ =>
-      val msgs = e
-        .join(ranks.select(col("id"), col("r")), e("src") === col("id"))
-        .join(outdeg, "src")
+      val msgs = eDeg
+        .join(ranks.select(col("id"), col("r")), eDeg("src") === col("id"))
         .select(col("dst").as("id"),
           expr("r div outdeg").as("share"))
         .groupBy(col("id")).agg(sum(col("share")).as("contrib"))
@@ -190,14 +197,16 @@ object Graph {
     // isolated vs 4.5 s staged). Both are |V|-row relations — cheap to
     // hold, expensive to recompute.
     val n0 = nodes.select(col("id")).localCheckpoint()
-    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    // Static Σw_out pre-joined onto the edges once (round 15) — each
+    // round then pays one ranks join, not a join + a second outW join.
+    val eW = e
+      .join(e.groupBy(col("src")).agg(sum(col("w")).as("outw")), "src")
       .localCheckpoint()
     val base = (scale * 3L) / 20L
     var ranks = n0.select(col("id"), lit(scale).as("r"))
     (1 to iters).foreach { _ =>
-      val msgs = e
-        .join(ranks, e("src") === ranks("id"))
-        .join(outW, "src")
+      val msgs = eW
+        .join(ranks, eW("src") === ranks("id"))
         .select(col("dst").as("id"),
           expr("(r * w) div outw").as("share"))
         .groupBy(col("id")).agg(sum(col("share")).as("contrib"))

@@ -33,6 +33,10 @@ object Itemsets {
     */
   private def basketRelation(baskets: DataFrame, basketCol: String,
                              itemCol: String): DataFrame =
+    // NOT reader-spread (round 15, measured): the projection here is two
+    // long columns — cheap enough that a spread exchange costs more than
+    // the serial scan-side partial distinct it would parallelize
+    // (fi_*/g_* steady-state mins rose ~0.2-0.5 s each under a spread).
     baskets.select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .where(col("bk").isNotNull && col("it").isNotNull)
       .distinct()

@@ -173,7 +173,10 @@ object CoreQueries {
     // member via min_by, best balance = cluster max). Only multi-member
     // clusters surface (the actual merges).
     "j4_golden_record" -> ((s, d) => {
-      val c = t(s, d, "customer")
+      // Reader spread (guide §2.5): the block-key projection feeding the
+      // levenshtein self-join otherwise runs on one scan split. Counts /
+      // min_by / decimal max downstream — placement result-neutral.
+      val c = graft.sources.Tables.spread(t(s, d, "customer"), "c_custkey")
         .select(col("c_custkey").as("id"), col("c_name").as("name"),
           col("c_acctbal").cast("decimal(12,2)").as("bal"))
         .withColumn("blk", expr("substring(name, 1, length(name)-2)"))

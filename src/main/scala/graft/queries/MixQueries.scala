@@ -14,8 +14,10 @@ import graft.sources.Tables
   * executing as a partition-parallel two-phase prefix sum.
   */
 object MixQueries {
+  // Spread the single-split documents scan before per-row hashing work
+  // (Tables.spread: guide §2.5; no-op at production split counts).
   private def docs(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "documents")
+    Tables.loadSpread(s, d, "documents", "doc_id")
 
   /** Mixture spec shared by query and oracle: per-language keep rates. */
   private val mixRates: Seq[(String, Double)] =

@@ -47,9 +47,14 @@ object PipelineQueries {
   val genreSlots: Seq[String] =
     GenreMap.keys ++ (1 to 6).map(i => s"tpch-unmapped-$i")
 
-  /** Reference-shaped raw spotify table derived from lineitem ⋈ part. */
+  /** Reference-shaped raw spotify table derived from lineitem ⋈ part.
+    * The lineitem side is reader-spread (guide §2.5): the 26-column
+    * projection + the clean step's dedup map side otherwise run on the
+    * single scan split. Downstream aggregates are counts / deterministic
+    * mode picks / distinct — placement result-neutral.
+    */
   def spotifyLike(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
+    Tables.spread(t(s, d, "lineitem"), "l_orderkey")
       .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
       .select(
         (col("l_orderkey") * 8 + col("l_linenumber")).as("row_idx"),

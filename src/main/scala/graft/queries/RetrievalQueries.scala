@@ -11,8 +11,10 @@ import graft.sources.Tables
   * SQL, so estimates and scores are compared EXACTLY, not within a band.
   */
 object RetrievalQueries {
+  // Spread the single-split documents scan before per-row hashing work
+  // (Tables.spread: guide §2.5; no-op at production split counts).
   private def docs(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "documents")
+    Tables.loadSpread(s, d, "documents", "doc_id")
 
   private val ChunkSize = 8
   private val ChunkStride = 5

@@ -195,8 +195,13 @@ object SourceQueries {
     // spans shrink on BOTH clustered dims, unlike a 1-D sort).
     "s17_zorder_box" -> ((s, d) => {
       val zdir = s"$scratch/lineitem_zorder"
+      // Reader spread (guide §2.5): the z-key bit-interleave and the
+      // range sampler otherwise run on the single scan split. The
+      // written layout is unchanged — writeZOrdered range-partitions by
+      // zkey afterwards either way.
       graft.operators.Layout.writeZOrdered(
-        t(s, d, "lineitem"), zdir, Seq("l_orderkey", "l_partkey"))
+        Tables.spread(t(s, d, "lineitem"), "l_orderkey"),
+        zdir, Seq("l_orderkey", "l_partkey"))
       val bounds = t(s, d, "lineitem").agg(
         floor(max(col("l_orderkey")) / 4).cast("long").as("k1"),
         floor(max(col("l_partkey")) / 4).cast("long").as("k2"))

@@ -13,8 +13,11 @@ import graft.sources.Tables
   * constructions in DuckDB SQL.
   */
 object TextQueries {
+  // Spread the single-split documents scan before the per-row hashing
+  // work every t_* query does (Tables.spread: guide §2.5; no-op once the
+  // corpus has ≥ parallelism row groups).
   private def docs(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "documents")
+    Tables.loadSpread(s, d, "documents", "doc_id")
 
   /** Diverse-corpus fixture derived deterministically from the documents
     * table (`t_containment_diverse`): per-doc unique md5 pseudo-tokens;

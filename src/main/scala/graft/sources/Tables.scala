@@ -51,6 +51,63 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet")
     }
 
+  /** Spread a low-split scan across the session's shuffle parallelism
+    * before CPU-heavy per-row work (optimization guide §2.5 "input skew":
+    * one unsplittable file — a single parquet row group behaves the same —
+    * serializes every downstream map stage; measured round 15: the
+    * documents scan arrives as ONE split, so winnow/minhash/shingle
+    * hashing ran single-threaded, 4-30 s of a 32-core box doing nothing).
+    *
+    * Scale-adaptive, never a constant: the target is the session's
+    * configured shuffle parallelism (tracks SPARK_GRAFT_CPUS locally, the
+    * cluster conf in production) and the repartition is SKIPPED when the
+    * scan already carries that many splits — at 100 TB a table's
+    * row-group count dwarfs any core count, so this is a planning-time
+    * no-op there, and the one place it fires (a small dimension-sized
+    * input feeding expensive per-row hashing) is exactly where the guide
+    * says to repartition after the read.
+    *
+    * Hash-partitioned by the stable row key, not round-robin: no
+    * sort-before-repartition tax, deterministic under retry, and
+    * downstream key-partitioned exchanges (per-doc windows, per-doc
+    * aggregates) can reuse the layout. Every engine aggregate over the
+    * spread tables is exact-integer/decimal (the repo's money/ratio
+    * discipline), so row placement cannot move a result bit.
+    */
+  def spread(df: DataFrame, keyCol: String): DataFrame = {
+    val conf = df.sparkSession.sessionState.conf
+    val n = conf.numShufflePartitions
+    // Planning-time stats only (catalog file sizes — no RDD, no codegen,
+    // no job): the scan can reach n splits iff its bytes exceed n input
+    // partitions' worth of maxPartitionBytes. At that point the spread is
+    // skipped — the production no-op path.
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes >= BigInt(n) * conf.filesMaxPartitionBytes) df
+    else {
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      // Partition on a DERIVED hash of the key, not the key itself: a
+      // plain hashpartitioning(key) output is reusable by downstream
+      // key-partitioned operators (EnsureRequirements elides their
+      // exchange), which sounds like a win but moves the expensive
+      // per-row projections BACK onto this exchange's map side — the
+      // single scan task the spread exists to escape (measured round 15:
+      // t_winnow_pairs kept a 4.6 s one-task stage under a doc_id
+      // spread). xxhash64(key) satisfies no downstream requirement, so
+      // heavy projections always run on the spread side. Deterministic
+      // under task retry (unlike rand()-derived keys, SPARK-38388), no
+      // sort-before-repartition tax (unlike round-robin).
+      df.repartition(n, xxhash64(col(keyCol)))
+    }
+  }
+
+  /** [[load]] + [[spread]]: the reader for tables whose consumers do
+    * CPU-heavy per-row work (text corpus → shingle/minhash/winnow
+    * hashing). Same rows, same schema — only the split layout changes.
+    */
+  def loadSpread(spark: SparkSession, dir: String, name: String,
+                 keyCol: String): DataFrame =
+    spread(load(spark, dir, name), keyCol)
+
   /** Register every synthetic table as a temp view so `spark.sql` queries
     * (the engine's SQL surface, SURVEY.md §3 "ad-hoc entry points") can
     * name them exactly like the DuckDB oracle does.

@@ -23,6 +23,16 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
   }
 
+  /** Test-scale plans may carry ONE reader-spread exchange
+    * (Tables.spread — `hashpartitioning(xxhash64(key))`, round 15: a
+    * planning-time no-op at production split counts, an input-skew fix
+    * at single-file test scale). Assertions about a QUERY's own shuffle
+    * structure filter the spread's lines out first; the queries audited
+    * this way use xxhash64 nowhere else.
+    */
+  private def sansSpread(p: String): String =
+    p.linesIterator.filterNot(_.contains("xxhash64")).mkString("\n")
+
   test("dim joins are broadcast hash joins (d9, d1, d10, star build)") {
     for (q <- Seq("d9_top_artists", "d1_avg_popularity", "d10_genre_wins",
       "star_fact_counts")) {
@@ -83,7 +93,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // only exchange allowed is the output orderBy's range partitioning —
     // no hash exchange, no window, no join anywhere in the plan.
     for (q <- Seq("t_repetition", "t_pii_scrub")) {
-      val p = plan(q)
+      val p = sansSpread(plan(q))
       assert(!p.contains("Exchange hashpartitioning"),
         s"$q grew a hash shuffle:\n$p")
       assert(!p.contains("Window") && !p.contains("Join"),
@@ -211,7 +221,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // The generator itself is map-side: the ONLY exchange is the final
     // orderBy that the oracle compare needs (rangepartitioning). A hash
     // exchange appearing means the fan-out started shuffling data.
-    val p = plan("t_chunk_overlap")
+    val p = sansSpread(plan("t_chunk_overlap"))
     assert(!p.contains("hashpartitioning"),
       s"chunk generator gained a hash shuffle:\n$p")
   }
@@ -286,7 +296,7 @@ class PlanAuditSpec extends AnyFunSuite {
   test("BPE encode shuffles nothing but the presentation sort") {
     // The encode itself is a per-row fold: the only exchange allowed in
     // the plan is the final orderBy's range partitioning.
-    val p = plan("t_bpe_encode")
+    val p = sansSpread(plan("t_bpe_encode"))
     assert(!p.contains("hashpartitioning"),
       s"t_bpe_encode gained a hash shuffle:\n$p")
   }
@@ -724,7 +734,7 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("freq spectrum shuffles tokens once; spectrum rows stay tiny") {
-    val p = plan("t_freq_spectrum")
+    val p = sansSpread(plan("t_freq_spectrum"))
     assert(!p.contains("Join"), s"freq spectrum grew a join:\n$p")
     // two hash exchanges: token counts (data-sized) + dyadic buckets
     // (≤~20 rows); a third means an extra repartition crept in
