@@ -46,6 +46,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       NativeFunctions.projectionBitsIdentifier,
       NativeFunctions.projectionBitsInfo,
       NativeFunctions.projectionBitsBuilder))
+    ext.injectFunction((
+      NativeFunctions.winnowFpSetIdentifier,
+      NativeFunctions.winnowFpSetInfo,
+      NativeFunctions.winnowFpSetBuilder))
+    ext.injectFunction((
+      NativeFunctions.shinglesArrIdentifier,
+      NativeFunctions.shinglesArrInfo,
+      NativeFunctions.shinglesArrBuilder))
+    ext.injectFunction((
+      NativeFunctions.minhashSigIdentifier,
+      NativeFunctions.minhashSigInfo,
+      NativeFunctions.minhashSigBuilder))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

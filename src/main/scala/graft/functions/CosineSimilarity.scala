@@ -193,6 +193,53 @@ object NativeFunctions {
     ProjectionBits(exprs.head, matrixFromLiteral(exprs(1)))
   }
 
+  private def literalInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def literalBool(e: Expression, what: String): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, BooleanType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got $other")
+  }
+
+  val winnowFpSetIdentifier: FunctionIdentifier =
+    FunctionIdentifier("winnow_fp_set")
+
+  val winnowFpSetInfo: ExpressionInfo =
+    new ExpressionInfo(classOf[WinnowFpSet].getName, "winnow_fp_set")
+
+  val winnowFpSetBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 3, "winnow_fp_set takes exactly 3 arguments")
+    WinnowFpSet(exprs.head, literalInt(exprs(1), "winnow_fp_set's k"),
+      literalInt(exprs(2), "winnow_fp_set's w"))
+  }
+
+  val shinglesArrIdentifier: FunctionIdentifier =
+    FunctionIdentifier("shingles_arr")
+
+  val shinglesArrInfo: ExpressionInfo =
+    new ExpressionInfo(classOf[ShinglesArr].getName, "shingles_arr")
+
+  val shinglesArrBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 3, "shingles_arr takes exactly 3 arguments")
+    ShinglesArr(exprs.head, literalInt(exprs(1), "shingles_arr's n"),
+      literalBool(exprs(2), "shingles_arr's sorted"))
+  }
+
+  val minhashSigIdentifier: FunctionIdentifier =
+    FunctionIdentifier("minhash_sig")
+
+  val minhashSigInfo: ExpressionInfo =
+    new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig")
+
+  val minhashSigBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2, "minhash_sig takes exactly 2 arguments")
+    MinhashSig(exprs.head, literalInt(exprs(1), "minhash_sig's k"))
+  }
+
   /** Register the native expressions in the session's function registry
     * (idempotent). After this they are usable from both the Column API
     * ([[cosineSim]], [[hammingDist]], [[kmvMinK]]) and SQL text. Sessions
@@ -200,6 +247,12 @@ object NativeFunctions {
     * automatically.
     */
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      winnowFpSetIdentifier, winnowFpSetInfo, winnowFpSetBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      shinglesArrIdentifier, shinglesArrInfo, shinglesArrBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      minhashSigIdentifier, minhashSigInfo, minhashSigBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       cosineSimIdentifier, cosineSimInfo, cosineSimBuilder)
     spark.sessionState.functionRegistry.registerFunction(
@@ -244,6 +297,25 @@ object NativeFunctions {
   def centroidProbeCells(vec: Column, cents: Array[Array[Double]]): Column =
     call_function("centroid_probe_cells", vec,
       org.apache.spark.sql.functions.typedlit(cents.map(_.toSeq).toSeq))
+
+  /** Column-API form; requires [[register]] on the owning session first.
+    * `tokens` is the raw token array; empty tokens are filtered inside
+    * the kernel (the winnow pipeline's `length > 0` step).
+    */
+  def winnowFpSet(tokens: Column, k: Int, w: Int): Column =
+    call_function("winnow_fp_set", tokens,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(w))
+
+  /** Column-API form; requires [[register]] on the owning session first. */
+  def shinglesArr(tokens: Column, n: Int, sorted: Boolean): Column =
+    call_function("shingles_arr", tokens,
+      org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(sorted))
+
+  /** Column-API form; requires [[register]] on the owning session first. */
+  def minhashSig(sh: Column, k: Int): Column =
+    call_function("minhash_sig", sh, org.apache.spark.sql.functions.lit(k))
 
   /** Column-API form; requires [[register]] on the owning session first. */
   def projectionBits(vec: Column, planes: Array[Array[Double]]): Column =

@@ -25,8 +25,21 @@ object TextFunctions {
 
   /** Distinct word n-gram shingles, space-joined. Documents shorter than
     * `n` words contribute their whole token sequence as one shingle.
+    *
+    * Routed through the native [[ShinglesArr]] expression (round 16):
+    * the declarative HOF form ([[shinglesDeclarative]], kept for the
+    * equivalence spec) re-evaluates the tokenization inside the lambda
+    * once per gram and runs interpreted; the native kernel tokenizes
+    * once (Spark's own codegen'd split/lower/trim) and grams in one
+    * fused pass. Value-identical (GramNativeSpec).
     */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column =
+    NativeFunctions.shinglesArr(tokens(text), n, sorted = false)
+
+  /** The pre-r16 declarative form of [[shingles]] — retained ONLY as the
+    * equivalence oracle for GramNativeSpec; not on any query path.
+    */
+  def shinglesDeclarative(text: Column, n: Int): Column = {
     val ws = tokens(text)
     array_distinct(
       transform(
@@ -44,7 +57,7 @@ object TextFunctions {
     * the array itself isn't the output.
     */
   def sortedShingles(text: Column, n: Int): Column =
-    sort_array(shingles(text, n))
+    NativeFunctions.shinglesArr(tokens(text), n, sorted = true)
 
   /** Ratio of stopword tokens to all tokens (quality-scoring feature).
     * Exact integer ratio — deterministic across engines.
@@ -234,9 +247,19 @@ object TextFunctions {
 
   /** [[minhashSignature]] over an ALREADY-COMPUTED shingle column, so
     * operators that also need the raw shingles (the verify join) derive
-    * both from one pass.
+    * both from one pass. Routed through the native [[MinhashSig]]
+    * expression (round 16) — one fused md5+double-hash+min pass per row
+    * instead of the interpreted chained transforms
+    * ([[minhashFromShinglesDeclarative]], kept for the equivalence
+    * spec). Same exact long arithmetic, bit-identical signatures.
     */
-  def minhashFromShingles(sh: Column, k: Int): Column = {
+  def minhashFromShingles(sh: Column, k: Int): Column =
+    NativeFunctions.minhashSig(sh, k)
+
+  /** The pre-r16 declarative form of [[minhashFromShingles]] — retained
+    * ONLY as the equivalence oracle for GramNativeSpec.
+    */
+  def minhashFromShinglesDeclarative(sh: Column, k: Int): Column = {
     val hexes = transform(sh, s => md5(s))
     val pairs = transform(hexes, h => struct(
       (conv(substring(h, 1, 12), 16, 10).cast("long") % MinhashMod).as("h1"),

@@ -207,33 +207,45 @@ object Dedup {
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, w: Int = 4): DataFrame =
-    winnowSets(df, idCol, textCol, k, w)
-      .groupBy(col(idCol))
-      .agg(countDistinct(col("_wmin")).as("n_fp"),
-        min(col("_wmin")).as("fp_min"), max(col("_wmin")).as("fp_max"))
+    winnowFpSets(df, idCol, textCol, k, w)
+      .select(col(idCol),
+        size(col("_fps")).cast("long").as("n_fp"),
+        array_min(col("_fps")).as("fp_min"),
+        array_max(col("_fps")).as("fp_max"))
 
-  /** The fingerprint ROWS behind [[winnowFingerprints]]: one
-    * (idCol, _wmin) row per selected window (duplicates included —
-    * summarizers dedupe as needed). This is also the join side for
-    * fingerprint-match candidate generation: two docs sharing a passage
-    * share a `_wmin` value, so an equi-join on it is the candidate
-    * pass.
+  /** Per-doc DISTINCT winnow fingerprint SET as one array column
+    * (`_fps`, sorted ascending) — the round-16 native form: the whole
+    * hash+window+dedupe pipeline is ONE per-row projection
+    * ([[graft.functions.WinnowFpSet]]), so the fingerprint path carries
+    * no per-gram explode, no per-doc window sort, and no exchange at
+    * all until a consumer joins. The pre-r16 rows+window form computed
+    * the same values through a posexplode + `ROWS w−1 PRECEDING` window
+    * (one shuffle on the doc id) — correct, but its interpreted
+    * gram-hash lambda re-tokenized per gram and the generate's inferred
+    * `size > 0` filter re-ran the whole chain scan-side (a 3.7 s
+    * single-task stage at sf0.1).
+    */
+  def winnowFpSets(df: DataFrame, idCol: String, textCol: String,
+                   k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k,w >= 1; got k=$k w=$w")
+    graft.functions.NativeFunctions.register(df.sparkSession)
+    df.select(col(idCol), graft.functions.NativeFunctions
+      .winnowFpSet(tokens(col(textCol)), k, w).as("_fps"))
+  }
+
+  /** The fingerprint ROWS behind [[winnowFingerprints]]: one DISTINCT
+    * (idCol, _wmin) row per fingerprint value the doc's selected
+    * windows produced (r16 note: pre-r16 this emitted one row per
+    * WINDOW, duplicates included — every consumer deduped, so the
+    * distinct-set form is a drop-in that saves consumers their
+    * `.distinct()` exchange). Also the join side for fingerprint-match
+    * candidate generation: two docs sharing a passage share a `_wmin`
+    * value, so an equi-join on it is the candidate pass.
     */
   def winnowSets(df: DataFrame, idCol: String, textCol: String,
-                 k: Int, w: Int): DataFrame = {
-    require(k >= 1 && w >= 1, s"need k,w >= 1; got k=$k w=$w")
-    val grams = df
-      .select(col(idCol), winnowGramHashes(col(textCol), k).as("_gs"))
-      .select(col(idCol), size(col("_gs")).as("_ng"),
-        posexplode(col("_gs")).as(Seq("_pos", "_h")))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("_pos"))
-      .rowsBetween(-(w - 1), 0)
-    grams
-      .withColumn("_wmin", min(col("_h")).over(win))
-      .where(col("_pos") >= least(lit(w - 1), col("_ng") - 1))
-      .select(col(idCol), col("_wmin"))
-  }
+                 k: Int, w: Int): DataFrame =
+    winnowFpSets(df, idCol, textCol, k, w)
+      .select(col(idCol), explode(col("_fps")).as("_wmin"))
 
   /** Blocked exact n-gram CONTAINMENT: directional near-dup —
     * |A ∩ B| / |A| ≥ pct/100 flags A as (mostly) contained in B, the

@@ -269,8 +269,10 @@ object TextQueries {
     // that replaces t_containment's block-quadratic scan at 100 TB.
     "t_containment_scaled" -> ((s, d) => {
       val dd = docs(s, d)
+      // winnowSets emits distinct (doc, fp) rows since r16 — no dedup
+      // exchange needed before staging.
       val fps = Dedup.winnowSets(dd, "doc_id", "text", 3, 4)
-        .distinct().localCheckpoint()
+        .localCheckpoint()
       val cand = fps.as("a").join(fps.as("b"),
           col("a._wmin") === col("b._wmin") &&
             col("a.doc_id") =!= col("b.doc_id"))
@@ -311,8 +313,9 @@ object TextQueries {
     // group — so the output exercises the full candidate→verify chain.
     "t_containment_diverse" -> ((s, d) => {
       val dv = diverseDocs(s, d)
+      // Distinct by construction since r16 (see t_containment_scaled).
       val fps = Dedup.winnowSets(dv, "doc_id", "text", 3, 4)
-        .distinct().localCheckpoint()
+        .localCheckpoint()
       val cand = fps.as("a").join(fps.as("b"),
           col("a._wmin") === col("b._wmin") &&
             col("a.doc_id") =!= col("b.doc_id"))
@@ -345,9 +348,10 @@ object TextQueries {
     "t_winnow_pairs" -> ((s, d) => {
       // Both join sides read the SAME fingerprint set — materialize it
       // once (at the lake this is the staged fingerprint table) instead
-      // of running the window+explode twice.
+      // of computing it twice. Rows are distinct by construction since
+      // r16 (winnowSets explodes the per-doc distinct set).
       val fps = Dedup.winnowSets(docs(s, d), "doc_id", "text", 3, 4)
-        .distinct().localCheckpoint()
+        .localCheckpoint()
       fps.as("a").join(fps.as("b"),
           col("a._wmin") === col("b._wmin") &&
             col("a.doc_id") < col("b.doc_id"))

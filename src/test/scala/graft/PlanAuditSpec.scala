@@ -391,22 +391,28 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("winnowing windows are doc-partitioned; no nested-lambda form") {
-    // The r4 codegen-cliff guard: the sliding min must be a WindowExec
-    // PARTITIONED by doc (never corpus-global), and the md5 gram hash
-    // must sit in exactly one higher-order lambda level (the 598s
-    // nested form would show a second transform over the first's
-    // output).
+  test("winnowing runs the native per-row kernel; no interpreted HOF") {
+    // r16 form of the r4 codegen-cliff guard: the sliding min is the
+    // native winnow_fp_set expression — a per-row projection with NO
+    // corpus window, NO generate and NO gram-hash lambda on the
+    // fingerprint path. Both regressions it guards against (the 598 s
+    // nested-lambda form and the r16-diagnosed interpreted transform
+    // whose tokenization re-ran per gram) reappear as HOF nodes in the
+    // plan text.
     val df = SparkEntry.queries("t_winnow_fp")(spark, dir)
     val windows = df.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
-    assert(windows.nonEmpty)
-    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
-      s"winnow window went corpus-global:\n$w"))
+    assert(windows.isEmpty,
+      "winnow fingerprint path re-grew a window; the native " +
+        s"winnow_fp_set projection replaced it in r16:\n$windows")
     val p = plan("t_winnow_fp")
+    assert(p.contains("winnow_fp_set"),
+      s"native winnow kernel missing from the plan:\n$p")
     assert(!p.contains("array_min(slice"),
       s"nested-lambda winnow form reappeared:\n$p")
+    assert(!p.contains("md5(cast(array_join(slice"),
+      s"interpreted gram-hash lambda reappeared:\n$p")
   }
 
   test("RRF fusion never materializes a global sort of the corpus") {
