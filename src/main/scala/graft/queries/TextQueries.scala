@@ -828,9 +828,17 @@ object TextQueries {
     // filter lossless. 9/10 because the synthetic corpus is templated
     // (median pairwise word-set jac ≈ 0.5 — a loose threshold keeps
     // nearly everything and demonstrates no pruning).
+    // r16: the verified pair set is STAGED (localCheckpoint) before the
+    // global sort — Spark's range partitioner runs a SAMPLE job over the
+    // sort's child, and without the boundary that job re-executed the
+    // whole post-shuffle verify pipeline (distinct-final + two joins +
+    // intersect ≈ 40 CPU-s, the query's single largest cost — two
+    // profile stages each reading the same 21 MB candidate exchange).
+    // The staged table is ~1M narrow rows; sampling it is free.
     "t_setsim_prefix" -> ((s, d) =>
       graft.operators.SetSimJoin.prefixJaccardPairs(
           docs(s, d), "doc_id", "text", tNum = 9, tDen = 10)
+        .localCheckpoint()
         .orderBy(col("id_a"), col("id_b"))),
 
     // Similarity-THRESHOLD sweep — the dedup-knob tuning curve ("how
@@ -1030,10 +1038,13 @@ object TextQueries {
     // the oracle is the full cross product).
     "t_setsim_incremental" -> ((s, d) => {
       val dd = docs(s, d)
+      // Staged before the sort for the same range-sample reason as
+      // t_setsim_prefix.
       graft.operators.SetSimJoin.prefixJaccardJoin(
           dd.where(pmod(col("doc_id"), lit(3)) === 0),
           dd.where(pmod(col("doc_id"), lit(3)) =!= 0),
           "doc_id", "text", tNum = 9, tDen = 10)
+        .localCheckpoint()
         .orderBy(col("id_a"), col("id_b"))
     }),
 

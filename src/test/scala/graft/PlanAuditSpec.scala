@@ -908,14 +908,26 @@ class PlanAuditSpec extends AnyFunSuite {
     // built-in array_intersect, whose per-pair hash set + materialized
     // result array is pure garbage pressure on the funnel's hottest
     // row count (candidate pairs ≫ docs).
-    for (q <- Seq("t_setsim_prefix", "t_setsim_incremental",
-        "t_neardup_pairs", "t_containment_scaled")) {
+    for (q <- Seq("t_neardup_pairs", "t_containment_scaled")) {
       val p = plan(q)
       assert(p.contains("sorted_intersect_size"),
         s"$q lost the native overlap kernel:\n$p")
       assert(!p.contains("array_intersect"),
         s"$q re-grew an array_intersect verify:\n$p")
     }
+    // The setsim queries stage their verified pairs (localCheckpoint)
+    // before the final sort since r16 — the registered query's plan
+    // shows only the staged scan, so the kernel assertion runs on the
+    // OPERATOR's plan (the subtree above the group boundary, where the
+    // verify join lives).
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val op = graft.operators.SetSimJoin
+      .prefixJaccardPairs(docsDf, "doc_id", "text", 9, 10)
+      .queryExecution.executedPlan.toString
+    assert(op.contains("sorted_intersect_size"),
+      s"prefixJaccardPairs lost the native overlap kernel:\n$op")
+    assert(!op.contains("array_intersect"),
+      s"prefixJaccardPairs re-grew an array_intersect verify:\n$op")
   }
 
   test("p-chart and growth accounting stay on aggregate-sized state") {
