@@ -37,24 +37,45 @@ object Itemsets {
     // long columns — cheap enough that a spread exchange costs more than
     // the serial scan-side partial distinct it would parallelize
     // (fi_*/g_* steady-state mins rose ~0.2-0.5 s each under a spread).
+    //
+    // Partitioned BY BASKET before the distinct (round 16, guide §2.4
+    // "share one exchange"): hashpartitioning(bk) satisfies the distinct's
+    // (bk, it) clustering AND the pair self-join's bk clustering, so the
+    // staged relation is born with the layout every downstream join
+    // needs — the pre-r16 (bk, it)-hash staging forced BOTH self-join
+    // inputs through a second exchange in all ~22 fi_*/g_* consumers.
     baskets.select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .where(col("bk").isNotNull && col("it").isNotNull)
-      .distinct()
+      .repartition(col("bk"))
+      .dropDuplicates("bk", "it")
       .localCheckpoint()
 
-  /** Prune → self-join → count over a staged basket relation `b`. */
+  /** Prune → self-join → count over a staged basket relation `b`.
+    *
+    * r16 shape notes (guide §2.3 "shuffle fewer bytes"): the pair count
+    * groups on the two item ids ALONE — the per-item supports n_a/n_b
+    * are functions of the items, so they re-attach to the few SURVIVING
+    * pairs through the already-broadcast frequent-item relation instead
+    * of widening every pre-aggregate pair row (sf0.1: 1.2M pair rows,
+    * nearly all distinct, versus 3.6k survivors — the old 4-long key
+    * paid its extra 16 bytes 1.2M times to carry what a 3.6k-row
+    * broadcast join recovers).
+    */
   private def pairsFrom(b: DataFrame, minSupport: Long): DataFrame = {
     val frequent = b.groupBy(col("it"))
       .agg(count(lit(1)).as("n_item"))
       .where(col("n_item") >= minSupport)
-    val pruned = b.join(broadcast(frequent), "it")
+    val pruned = b.join(broadcast(frequent.select(col("it"))), "it")
     pruned.as("a")
       .join(pruned.as("b"),
         col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
-      .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"),
-        col("a.n_item").as("n_a"), col("b.n_item").as("n_b"))
+      .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
+      .join(broadcast(frequent.select(col("it").as("item_a"),
+        col("n_item").as("n_a"))), Seq("item_a"))
+      .join(broadcast(frequent.select(col("it").as("item_b"),
+        col("n_item").as("n_b"))), Seq("item_b"))
       .select(col("item_a"), col("item_b"), col("support"),
         col("n_a"), col("n_b"))
   }
