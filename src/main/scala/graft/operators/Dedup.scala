@@ -370,18 +370,20 @@ object Dedup {
       df.agg(sum(col("cluster").cast("decimal(38,0)")))
         .collect()(0).getDecimal(0)
     var prevSum = labelSum(labels)
+    // Self-loop fold (r16, guide §2.4): one (n, n) edge per node puts the
+    // node's own label into the neighbor-min, so min ≡ least(own,
+    // coalesce(nbrMin, own)) and each round is ONE join + ONE min
+    // aggregate instead of the neighbor join PLUS a labels re-join.
+    val eSelf = edges.unionByName(
+      labels.select(col("node").as("src"), col("node").as("dst")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = edges
+      val updated = eSelf
         .join(labels.withColumnRenamed("node", "dst")
           .withColumnRenamed("cluster", "nbr_cluster"), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("nbr_cluster")).as("nbr_cluster"))
+        .groupBy(col("src")).agg(min(col("nbr_cluster")).as("cluster"))
         .withColumnRenamed("src", "node")
-      val updated = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
-            .as("cluster"))
         .localCheckpoint()
       val newSum = labelSum(updated)
       converged = newSum.compareTo(prevSum) == 0

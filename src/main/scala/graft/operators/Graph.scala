@@ -356,14 +356,20 @@ object Graph {
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint()
+    // Self-loop fold (r16, guide §2.4): appending one (n, n) edge per
+    // node makes the neighbor-min INCLUDE the node's own label, so
+    // min(_nc) ≡ least(comp, neighbor min) and each round is ONE join +
+    // ONE map-side-combinable min — the pre-r16 body paid a second
+    // labels join (and its broadcast build) per round for the own-label
+    // term. The union of two checkpointed relations costs no recompute.
+    val eSelf = e.unionByName(
+      labels.select(col("node").as("src"), col("node").as("dst")))
     (1 to rounds).foreach { _ =>
-      labels = e
+      labels = eSelf
         .join(labels.withColumnRenamed("node", "dst")
           .withColumnRenamed("comp", "_nc"), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("_nc")).as("_best"))
+        .groupBy(col("src")).agg(min(col("_nc")).as("comp"))
         .withColumnRenamed("src", "node")
-        .join(labels, Seq("node"))
-        .select(col("node"), least(col("comp"), col("_best")).as("comp"))
         .localCheckpoint()
     }
     // Converged ⇔ no edge joins two different labels (data-derived).
